@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * The reference (felixzh2020/felixzh-flink) configures its
+  * StreamExecutionEnvironment per job (parallelism, checkpointing,
+  * restart strategy — e.g. format/canal_json/Kafka2Print.java:22-24).
+  * Spark-first equivalent: one tuned SparkSession. AQE handles runtime
+  * re-planning (skew joins, partition coalescing) that Flink jobs
+  * hand-tuned with setParallelism.
+  */
+object GraftSession {
+
+  /** Apply graft defaults to a builder (shared by local() and any
+    * cluster submit path — the settings are master-agnostic). */
+  def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests/benchmarks. */
+  def local(appName: String = "graft", cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = tuned(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = cores
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det._
+import graft.operators.Windows
+import graft.sources.Tables
+
+/** Windows & event time (SURVEY §2 q13–q17), batch forms.
+  *
+  * q13/q14 use Spark's `window()` (tumbling/hopping) exactly like the
+  * reference's TumblingProcessingTimeWindows / sliding assigners
+  * (MyWindowTrigger/TimeWindowDemo.java); q15 session windows; q16
+  * count windows (CountWindowDemo.java); q17 cumulative (running)
+  * per-key aggregates. Streaming twins with watermarks are in
+  * graft.streaming.Pipelines (ScalaTest-verified).
+  */
+object WindowsQ extends QueryPack {
+
+  def defs: Map[String, Q] = Map(
+    // Tumbling 1h event-time window per event_type.
+    "q13_tumbling_window" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), moneySum($"value").as("total_value"))
+        .select($"w.start".as("w_start"), $"event_type", $"n", $"total_value")
+    }),
+
+    // Sliding (hopping) 1h window every 15min; each row lands in 4 windows.
+    "q14_sliding_window" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), moneySum($"value").as("total_value"))
+        .select($"w.start".as("w_start"), $"n", $"total_value")
+    }),
+
+    // Session windows, 30 min inactivity gap per user.
+    "q15_session_window" -> ((s, d) => {
+      import s.implicits._
+      Windows.sessionize(Tables.events(s, d), $"user_id", $"ts", $"event_id", "30 MINUTES")
+        .groupBy($"user_id", $"session_id")
+        .agg(
+          count(lit(1)).as("n"),
+          min($"ts").as("session_start"),
+          max($"ts").as("session_end"),
+          moneySum($"value").as("total_value"))
+    }),
+
+    // Count windows of 5 per user; like Flink countWindow(5), only full
+    // windows fire.
+    "q16_count_window" -> ((s, d) => {
+      import s.implicits._
+      Windows.countWindowIndex(Tables.events(s, d), $"user_id", $"ts", $"event_id", 5)
+        .groupBy($"user_id", $"win_id")
+        .agg(count(lit(1)).as("n"), moneySum($"value").as("total_value"))
+        .filter($"n" === 5)
+    }),
+
+    // Cumulative per-key running aggregates over event time.
+    "q17_cumulative_window" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select(
+          $"user_id", $"event_id",
+          count(lit(1)).over(w).as("running_n"),
+          (sum(round($"value" * 100).cast("long")).over(w) / 100.0).as("running_value"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q13_tumbling_window" ->
+      s"""SELECT date_trunc('hour', ts) AS w_start, event_type,
+         |  count(*) AS n, ${moneySumSql("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q14_sliding_window" ->
+      s"""SELECT make_timestamp(((cast(floor(epoch(ts) / 900) as bigint) * 900) - g * 900) * 1000000) AS w_start,
+         |  count(*) AS n, ${moneySumSql("value")} AS total_value
+         |FROM events, generate_series(0, 3) t(g)
+         |GROUP BY 1""".stripMargin,
+
+    "q15_session_window" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), sessions AS (
+         |  SELECT user_id, ts, value,
+         |    cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, session_id, count(*) AS n,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  ${moneySumSql("value")} AS total_value
+         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+
+    "q16_count_window" ->
+      s"""SELECT user_id, win_id, count(*) AS n, ${moneySumSql("value")} AS total_value
+         |FROM (
+         |  SELECT user_id, value,
+         |    (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 5 AS win_id
+         |  FROM events)
+         |GROUP BY user_id, win_id
+         |HAVING count(*) = 5""".stripMargin,
+
+    "q17_cumulative_window" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS running_n,
+        |  sum(cast(round(value * 100) AS bigint)) OVER w / 100.0 AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+  )
+}
