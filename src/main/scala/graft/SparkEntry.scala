@@ -9,7 +9,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     Relational,
-    WindowsQ
+    WindowsQ,
+    CdcQ
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,80 @@
+package graft.formats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Canal-JSON changelog decoder.
+  *
+  * Re-expresses Flink's `canal-json` format (reference:
+  * format/src/main/java/com/felixzh/flink/format/canal_json/Kafka2Print.java,
+  * whose Scaladoc'd sample envelope documents the wire shape:
+  * `data` = array of stringified row images, `old` = array of prior
+  * values for changed columns (positionally aligned with `data`),
+  * `type` = INSERT | UPDATE | DELETE, plus table/database/ts/pkNames
+  * metadata).
+  *
+  * Output is a changelog in Flink's row-kind vocabulary:
+  * `+I` insert, `-U` update-before, `+U` update-after, `-D` delete —
+  * the same -U/+U retract pair the reference prints
+  * (`-U(111,...,5.15) +U(111,...,5.18)`).
+  *
+  * Spark-first: the whole decode is `from_json` + `posexplode` +
+  * map algebra — columnar, codegen'd, no UDF — so a 100 TB topic dump
+  * decodes at scan speed and the changelog inherits the source's
+  * partitioning.
+  */
+object CanalJson {
+
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("data", ArrayType(MapType(StringType, StringType))),
+    StructField("old", ArrayType(MapType(StringType, StringType))),
+    StructField("type", StringType),
+    StructField("table", StringType),
+    StructField("database", StringType),
+    StructField("es", LongType),
+    StructField("ts", LongType),
+    StructField("id", LongType),
+    StructField("isDdl", BooleanType),
+    StructField("pkNames", ArrayType(StringType))
+  ))
+
+  /** Decode a column of canal-json strings into changelog rows:
+    * (row_kind, table, ts, fields map<string,string>). UPDATE
+    * envelopes expand to a -U row (after-image overlaid with `old`)
+    * and a +U row; `ignoreParseErrors` mirrors
+    * `canal-json.ignore-parse-errors`. */
+  def parseChangelog(df: DataFrame, jsonCol: Column, ignoreParseErrors: Boolean = true): DataFrame = {
+    // Overlay needs later-key-wins map_concat.
+    df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    val parsed = df.select(from_json(jsonCol, envelopeSchema).as("e"))
+    val checked =
+      if (ignoreParseErrors) parsed.filter(col("e").isNotNull && col("e.type").isNotNull)
+      else parsed
+    val exploded = checked
+      .filter(!coalesce(col("e.isDdl"), lit(false)))
+      .select(
+        col("e.type").as("op"),
+        col("e.table").as("table"),
+        col("e.ts").as("ts"),
+        col("e.old").as("old"),
+        posexplode(col("e.data")).as(Seq("i", "after")))
+      .withColumn(
+        "before",
+        when(
+          col("op") === "UPDATE" && col("old").isNotNull && col("i") < size(col("old")),
+          map_concat(col("after"), expr("old[i]")))
+          .otherwise(col("after")))
+    exploded
+      .select(
+        col("table"), col("ts"),
+        explode(
+          when(col("op") === "INSERT", array(struct(lit("+I").as("row_kind"), col("after").as("fields"))))
+            .when(col("op") === "DELETE", array(struct(lit("-D").as("row_kind"), col("after").as("fields"))))
+            .when(col("op") === "UPDATE", array(
+              struct(lit("-U").as("row_kind"), col("before").as("fields")),
+              struct(lit("+U").as("row_kind"), col("after").as("fields"))))
+        ).as("chg"))
+      .select(col("chg.row_kind").as("row_kind"), col("table"), col("ts"), col("chg.fields").as("fields"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.formats.{CanalJson, DebeziumJson, DelimitedText}
+import graft.operators.Cdc
+import graft.sources.Tables
+
+/** CDC formats & changelog (SURVEY §2 q18–q22).
+  *
+  * The reference consumes canal/debezium/csv/json envelopes from
+  * Kafka (format/ jobs). Here the envelopes are SYNTHESIZED
+  * deterministically from the orders/part/supplier tables inside each
+  * query (to_json/concat_ws), then decoded by the real graft format
+  * decoders — so the DuckDB oracle can compute the expected final
+  * relation directly from the base table, and any decode bug breaks
+  * the roundtrip hash.
+  *
+  * Order-status → op mapping used by the synthesizers:
+  * 'O' → insert, 'F' → update (prior price = price - 10), 'P' → delete.
+  */
+object CdcQ extends QueryPack {
+
+  private val debeziumRow = StructType(Seq(
+    StructField("id", LongType),
+    StructField("price", DoubleType),
+    StructField("priority", StringType)))
+
+  def defs: Map[String, Q] = Map(
+    // canal-json decode → row-kind changelog (ref: format/canal_json).
+    "q18_canal_parse" -> ((s, d) => {
+      import s.implicits._
+      val mapT = ArrayType(MapType(StringType, StringType))
+      val envelopes = Tables.orders(s, d).select(
+        to_json(struct(
+          array(map(
+            lit("id"), $"o_orderkey".cast("string"),
+            lit("price"), $"o_totalprice".cast("string"),
+            lit("priority"), $"o_orderpriority")).as("data"),
+          when($"o_orderstatus" === "F",
+            array(map(lit("price"), ($"o_totalprice" - 10).cast("string"))))
+            .otherwise(lit(null).cast(mapT)).as("old"),
+          when($"o_orderstatus" === "O", "INSERT")
+            .when($"o_orderstatus" === "F", "UPDATE")
+            .otherwise("DELETE").as("type"),
+          lit("orders").as("table"),
+          lit("inventory").as("database"),
+          ($"o_orderkey" * 1000).as("ts"),
+          lit(false).as("isDdl"),
+          array(lit("id")).as("pkNames"))).as("payload"))
+      CanalJson.parseChangelog(envelopes, col("payload"))
+        .select(
+          $"row_kind",
+          element_at($"fields", "id").cast("long").as("id"),
+          element_at($"fields", "price").cast("double").as("price"),
+          element_at($"fields", "priority").as("priority"))
+    }),
+
+    // debezium-json decode → row-kind changelog (ref: format/debezium_json).
+    "q19_debezium_parse" -> ((s, d) => {
+      import s.implicits._
+      val after = struct(
+        $"o_orderkey".as("id"), $"o_totalprice".as("price"), $"o_orderpriority".as("priority"))
+      val envelopes = Tables.orders(s, d).select(
+        to_json(struct(
+          when($"o_orderstatus" === "F",
+            struct($"o_orderkey".as("id"), ($"o_totalprice" - 10).as("price"), $"o_orderpriority".as("priority")))
+            .when($"o_orderstatus" === "P", after)
+            .otherwise(lit(null).cast(debeziumRow)).as("before"),
+          when($"o_orderstatus" === "P", lit(null).cast(debeziumRow)).otherwise(after).as("after"),
+          when($"o_orderstatus" === "O", "c")
+            .when($"o_orderstatus" === "F", "u")
+            .otherwise("d").as("op"),
+          ($"o_orderkey" * 1000).as("ts_ms"),
+          struct(lit("inventory").as("db"), lit("orders").as("table")).as("source"))).as("payload"))
+      DebeziumJson.parseChangelog(envelopes, col("payload"), debeziumRow)
+        .select($"row_kind", $"row.id".as("id"), $"row.price".as("price"), $"row.priority".as("priority"))
+    }),
+
+    // changelog → current state: latest image per pk, deletes dropped.
+    "q20_cdc_materialize" -> ((s, d) => {
+      import s.implicits._
+      Cdc.materialize(
+        Tables.events(s, d),
+        pk = Seq($"user_id"),
+        version = Seq($"ts", $"event_id"),
+        isDelete = $"event_type" === "error")
+        .select($"user_id", $"event_id".as("last_event_id"), $"ts".as("last_ts"), $"value".as("last_value"))
+    }),
+
+    // csv with '|' delimiter, comments, parse-error drop (ref: format/csv).
+    "q21_csv_lines" -> ((s, d) => {
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("p_partkey", LongType),
+        StructField("p_name", StringType),
+        StructField("p_brand", StringType),
+        StructField("p_size", IntegerType),
+        StructField("p_retailprice", DoubleType)))
+      val lines = Tables.part(s, d)
+        .select(concat_ws("|", $"p_partkey", $"p_name", $"p_brand", $"p_size", $"p_retailprice").as("line"))
+        .unionAll(s.range(1).select(lit("# a comment line").as("line")))
+        .unionAll(s.range(1).select(lit("not|a|valid|row|xx").as("line")))
+      DelimitedText.parse(lines, col("line"), schema)
+    }),
+
+    // json-lines decode to typed columns (ref: format/json/Json2Json.java).
+    "q22_json_lines" -> ((s, d) => {
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_acctbal", DoubleType),
+        StructField("s_nationkey", IntegerType)))
+      Tables.supplier(s, d)
+        .select(to_json(struct($"s_suppkey", $"s_name", $"s_acctbal", $"s_nationkey")).as("js"))
+        .select(from_json($"js", schema).as("r"))
+        .select($"r.*")
+    })
+  )
+
+  private val changelogOracle =
+    """SELECT '+I' AS row_kind, o_orderkey AS id, o_totalprice AS price, o_orderpriority AS priority
+      |FROM orders WHERE o_orderstatus = 'O'
+      |UNION ALL
+      |SELECT '-U', o_orderkey, o_totalprice - 10, o_orderpriority
+      |FROM orders WHERE o_orderstatus = 'F'
+      |UNION ALL
+      |SELECT '+U', o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderstatus = 'F'
+      |UNION ALL
+      |SELECT '-D', o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderstatus = 'P'""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q18_canal_parse" -> changelogOracle,
+    "q19_debezium_parse" -> changelogOracle,
+    "q20_cdc_materialize" ->
+      """SELECT user_id, event_id AS last_event_id, ts AS last_ts, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    "q21_csv_lines" ->
+      "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part",
+    "q22_json_lines" ->
+      "SELECT s_suppkey, s_name, s_acctbal, s_nationkey FROM supplier"
+  )
+}
