@@ -10,7 +10,11 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     Relational,
     WindowsQ,
-    CdcQ
+    CdcQ,
+    TextQ,
+    DedupQ,
+    SimilarityQ,
+    MiscQ
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

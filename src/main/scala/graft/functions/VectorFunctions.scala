@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns using builtin
+  * higher-order functions (codegen-adjacent, no UDF, no linear-algebra
+  * dependency) — SURVEY §2 q28–q31.
+  *
+  * Everything is a SEQUENTIAL left fold in element order, with inputs
+  * cast to double first, so results are bit-identical across engines
+  * and partitionings (same reason as [[Det]]): an oracle can replay
+  * them exactly.
+  */
+object VectorFunctions {
+
+  /** Cast array<float> → array<double> (exact). */
+  def vec(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Sequential-fold dot product; inputs must already be double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB fragments replaying the exact same fold. */
+  object Sql {
+    def vec(e: String): String = s"($e)::DOUBLE[]"
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+    def norm(a: String): String = s"sqrt(${dot(a, a)})"
+    def cosine(a: String, b: String): String =
+      s"(${dot(a, b)} / (${norm(a)} * ${norm(b)}))"
+  }
+}

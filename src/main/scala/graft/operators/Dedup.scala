@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines
+  * (SURVEY §2 q24–q27): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB): no operator ever materializes the O(n²)
+  * pair space. Exact dedup shuffles once on the content hash; Jaccard
+  * blocks on shared shingles; MinHash blocks on LSH band keys
+  * (shuffle O(n·bands)); SimHash blocks on 15-bit hamming bands
+  * (pigeonhole: any pair within distance 3 shares one of 4 bands).
+  * Candidate verification is always restricted to blocked pairs.
+  *
+  * All hashing is md5-derived or plain integer arithmetic so an
+  * oracle SQL engine replays signatures exactly.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  /** Exact dedup by content hash: one row per distinct content with the
+    * minimal id as the keeper and the duplicate count. */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(text).as("content_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word `n`-gram shingles: (id, shingle). */
+  def shingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val words = filter(split(text, " "), w => w =!= "")
+    df.select(
+      id.as("id"),
+      explode(
+        when(size(words) >= n,
+          transform(sequence(lit(0), size(words) - n), i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact Jaccard ≥ `threshold` near-dup pairs via shared-shingle
+    * blocking: pairs with zero common shingles are never formed. */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.toDF("id_a", "shingle")
+      .join(sh.toDF("id_b", "shingle"), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.toDF("id_a", "n_a"), "id_a")
+      .join(counts.toDF("id_b", "n_b"), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash base hash of a shingle: 60 bits of md5 reduced mod P —
+    * replayable in oracle SQL. */
+  private def baseHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % P
+
+  /** (id, i, minhash_i) MinHash signatures from `numHashes` universal
+    * hashes h_i(x) = (a_i·x + b_i) mod P. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("id"), baseHash(col("shingle")).as("h0"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(numHashes - 1)), i =>
+          ((i * lit(2654435761L) + 1) % P * col("h0") + (i * lit(40503L) + 7) % P) % P))
+          .as(Seq("i", "hv")))
+      .groupBy(col("id"), col("i"))
+      .agg(min(col("hv")).as("mh"))
+
+  /** LSH candidate pairs: docs sharing any band key (band = `rowsPerBand`
+    * consecutive signature rows). */
+  def lshCandidates(sig: DataFrame, rowsPerBand: Int): DataFrame = {
+    val bands = sig
+      .groupBy(col("id"), floor(col("i") / rowsPerBand).as("band"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))), x => x.getField("mh").cast("string")))
+        .as("key"))
+    bands.select(col("id").as("id_a"), col("band"), col("key"))
+      .join(bands.select(col("id").as("id_b"), col("band"), col("key")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification restricted to candidate pairs (the
+    * LSH scale path: work is O(candidates·shingles), never O(n²)). */
+  def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.toDF("id_a", "shingle"), "id_a")
+      .join(sh.toDF("id_b", "shingle_b"), "id_b")
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.toDF("id_a", "n_a"), "id_a")
+      .join(counts.toDF("id_b", "n_b"), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 60-bit SimHash per doc from term-frequency-weighted word hashes. */
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = filter(split(text, " "), w => w =!= "")
+    df.select(id.as("id"), explode(words).as("word"))
+      .groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
+      .select(col("id"), col("tf"), col("h"),
+        posexplode(expr("transform(sequence(0, 59), j -> if(shiftright(h, j) % 2 = 1, tf, -tf))"))
+          .as(Seq("j", "contrib")))
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("contrib")).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("c") >= 0, expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming(simhash) <= maxDist via 15-bit band
+    * blocking (4 bands over 60 bits: complete for maxDist <= 3). */
+  def simhashPairs(sh: DataFrame, maxDist: Int): DataFrame = {
+    val banded = sh.select(col("id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 15) % 32768)"))
+        .as(Seq("band", "bkey")))
+    banded.select(col("id").as("id_a"), col("simhash").as("sh_a"), col("band"), col("bkey"))
+      .join(banded.select(col("id").as("id_b"), col("simhash").as("sh_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Deduplication (SURVEY §2 q24–q28).
+  *
+  * The synthetic corpus has no organic duplicates, so each query
+  * AUGMENTS it deterministically inside the plan: exact copies for
+  * doc_id % 7 == 0 (ids + 1_000_000) and near copies (first word
+  * dropped) for doc_id % 5 == 0 (ids + 2_000_000); embeddings get
+  * exact vector copies for vec_id % 10 == 0 (ids + 100_000). The
+  * DuckDB oracle performs the identical augmentation, then replays
+  * the identical signature arithmetic — so the hash compare exercises
+  * the full MinHash/SimHash/Jaccard pipelines end to end.
+  */
+object DedupQ extends QueryPack {
+
+  private def augmentedDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    docs
+      .unionByName(docs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+      .unionByName(docs.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 2000000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  private val augSql =
+    """aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id + 2000000, substr(text, strpos(text, ' ') + 1)
+      |    FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  private val shinglesSql =
+    """toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words FROM aug),
+      |sh AS (SELECT DISTINCT id, array_to_string(list_slice(words, i + 1, i + 5), ' ') AS shingle
+      |       FROM (SELECT doc_id AS id, words, unnest(generate_series(0, len(words) - 5)) AS i
+      |             FROM toks WHERE len(words) >= 5))""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+    "q24_dedup_exact" -> ((s, d) => {
+      import s.implicits._
+      Dedup.exact(augmentedDocs(s, d), $"doc_id", $"text")
+    }),
+
+    "q25_dedup_ngram_jaccard" -> ((s, d) => {
+      import s.implicits._
+      Dedup.jaccardPairs(Dedup.shingles(augmentedDocs(s, d), $"doc_id", $"text", 5), 0.6)
+    }),
+
+    "q26_dedup_minhash_lsh" -> ((s, d) => {
+      import s.implicits._
+      val sh = Dedup.shingles(augmentedDocs(s, d), $"doc_id", $"text", 5)
+      val sig = Dedup.minhashSignatures(sh, numHashes = 32)
+      val cand = Dedup.lshCandidates(sig, rowsPerBand = 4)
+      Dedup.verifyJaccard(cand, sh, 0.6)
+    }),
+
+    "q27_dedup_simhash" -> ((s, d) => {
+      import s.implicits._
+      Dedup.simhashPairs(Dedup.simhash(augmentedDocs(s, d), $"doc_id", $"text"), maxDist = 3)
+    }),
+
+    // Exact cosine baseline for embedding near-dup; the 100 TB path is
+    // the bucketed LSH variant (q30) — this is the verification kernel.
+    "q28_dedup_embedding" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", VectorFunctions.vec($"embedding").as("v"))
+      val aug = emb.unionByName(
+        emb.filter($"vec_id" % 10 === 0).select(($"vec_id" + 100000).as("vec_id"), $"v"))
+      aug.toDF("id_a", "va")
+        .join(aug.toDF("id_b", "vb"), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          VectorFunctions.cosine(col("va"), col("vb")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.99)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q24_dedup_exact" ->
+      s"""WITH $augSql
+         |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+         |FROM aug GROUP BY md5(text)""".stripMargin,
+
+    "q25_dedup_ngram_jaccard" ->
+      s"""WITH $augSql,
+         |$shinglesSql,
+         |cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+         |          FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+         |          GROUP BY a.id, b.id)
+         |SELECT id_a, id_b, c::DOUBLE / (ca.n + cb.n - c) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+         |WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.6""".stripMargin,
+
+    "q26_dedup_minhash_lsh" ->
+      s"""WITH $augSql,
+         |$shinglesSql,
+         |base AS (SELECT id, shingle,
+         |           cast(('0x' || substr(md5(shingle), 1, 15)) AS bigint) % 2147483647 AS h0
+         |         FROM sh),
+         |hv AS (SELECT id, i,
+         |         min((((i*2654435761 + 1) % 2147483647) * h0 + ((i*40503 + 7) % 2147483647)) % 2147483647) AS mh
+         |       FROM base, generate_series(0, 31) t(i) GROUP BY id, i),
+         |bands AS (SELECT id, i // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
+         |          FROM hv GROUP BY id, i // 4),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+         |cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS ic
+         |          FROM cand c
+         |          JOIN sh a ON a.id = c.id_a
+         |          JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+         |          GROUP BY c.id_a, c.id_b)
+         |SELECT id_a, id_b, ic::DOUBLE / (ca.n + cb.n - ic) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+         |WHERE ic::DOUBLE / (ca.n + cb.n - ic) >= 0.6""".stripMargin,
+
+    "q27_dedup_simhash" ->
+      s"""WITH $augSql,
+         |wordtf AS (SELECT doc_id AS id, w AS word, count(*) AS tf
+         |           FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |                 FROM aug)
+         |           GROUP BY doc_id, w),
+         |wh AS (SELECT id, tf, cast(('0x' || substr(md5(word), 1, 15)) AS bigint) AS h FROM wordtf),
+         |bits AS (SELECT id, j, sum(CASE WHEN (h >> j) % 2 = 1 THEN tf ELSE -tf END) AS c
+         |         FROM wh, generate_series(0, 59) t(j) GROUP BY id, j),
+         |fp AS (SELECT id, cast(sum(CASE WHEN c >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS bigint) AS simhash
+         |       FROM bits GROUP BY id),
+         |banded AS (SELECT id, simhash, b AS band, (simhash >> (b * 15)) % 32768 AS bkey
+         |           FROM fp, generate_series(0, 3) t(b))
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM banded a
+         |JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "q28_dedup_embedding" -> {
+      import VectorFunctions.Sql
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding::DOUBLE[]
+         |    FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT id_a, id_b, cos_sim FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${Sql.cosine("a.v", "b.v")} AS cos_sim
+         |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+         |WHERE cos_sim >= 0.99""".stripMargin
+    }
+  )
+}

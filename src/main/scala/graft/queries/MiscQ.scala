@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+/** Datagen source (q23) + multimodal decode plumbing (q36).
+  *
+  * q23 re-expresses the reference's rate-limited printable-payload
+  * generator (DataGen2ES/RandomPrintableDataGenerator.java +
+  * DataGeneratorSource; CustomSource/CustomSourceV2.java) as a
+  * deterministic `spark.range`-derived source — in batch for the
+  * oracle; the streaming twin (`rate` source) is exercised in
+  * graft.streaming tests. Deterministic (seeded arithmetic, chars
+  * 32..126) where the reference used SecureRandom, so results are
+  * reproducible and oracle-checkable.
+  */
+object MiscQ extends QueryPack {
+
+  def defs: Map[String, Q] = Map(
+    "q23_datagen" -> ((s, _) => {
+      import s.implicits._
+      s.range(0, 1000).select(
+        $"id",
+        expr("concat_ws('', transform(sequence(0, 63), i -> chr(32 + (id * 31 + i * 17) % 95)))")
+          .as("payload"))
+    }),
+
+    "q36_multimodal_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(
+        $"doc_id",
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")), (pmod($"doc_id", lit(3)) + 1).cast("int")).as("fmt"),
+        (lit(16) + pmod($"doc_id", lit(32)) * 4).cast("int").as("width"),
+        (lit(16) + pmod($"doc_id", lit(24)) * 4).cast("int").as("height"),
+        $"text".cast("binary").as("payload"))
+      Multimodal.decode(media.as[Multimodal.MediaRow])
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q23_datagen" ->
+      """SELECT id,
+        |  array_to_string(list_transform(range(0, 64), i -> chr((32 + (id * 31 + i * 17) % 95)::INT)), '') AS payload
+        |FROM range(0, 1000) t(id)""".stripMargin,
+
+    "q36_multimodal_meta" ->
+      """SELECT doc_id,
+        |  ['png', 'jpeg', 'wav'][(doc_id % 3)::INT + 1] AS fmt,
+        |  (16 + (doc_id % 32) * 4)::INT AS width,
+        |  (16 + (doc_id % 24) * 4)::INT AS height,
+        |  length(text)::BIGINT AS octet_len,
+        |  (list_sum(list_transform(regexp_split_to_array(text, ''), c -> unicode(c)))::BIGINT % 9973) AS checksum
+        |FROM documents""".stripMargin
+  )
+}

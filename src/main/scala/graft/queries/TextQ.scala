@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Fingerprint, TextFunctions => TF}
+import graft.sources.Tables
+
+/** Text analysis over the documents corpus (SURVEY §2 q32–q35):
+  * language-ID, quality scoring, token counting, fingerprinting.
+  * Single-scan, shuffle-free per-document scoring (q34 aggregates per
+  * source afterwards) — the shape that holds at 100 TB.
+  */
+object TextQ extends QueryPack {
+
+  /** Marker-word lists for the scorer. Real corpora would use
+    * per-language stopword lists; the synthetic corpus shares one
+    * vocabulary, so these exercise the machinery deterministically. */
+  private val markers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("hash", "key"),
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "query"),
+    "fr" -> Seq("window", "group"),
+    "zh" -> Seq("spark", "table"))
+
+  def defs: Map[String, Q] = Map(
+    "q32_langid" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", TF.langId($"text", markers).as("pred_lang"))
+    }),
+
+    "q33_quality_score" -> ((s, d) => {
+      import s.implicits._
+      val nt = TF.tokenCount($"text")
+      val sumLen = aggregate(transform(TF.tokens($"text"), w => length(w)), lit(0), (a, x) => a + x)
+      Tables.documents(s, d)
+        .select(
+          $"doc_id",
+          nt.as("n_tokens"),
+          sumLen.as("sum_token_len"),
+          (sumLen.cast("double") / nt).as("mean_token_len"),
+          (TF.tokensIn($"text", Seq("the", "a")).cast("double") / nt).as("stopword_ratio"))
+        .withColumn(
+          "quality_score",
+          lit(0.4) * $"stopword_ratio" + lit(0.3) * ($"mean_token_len" / 10.0) +
+            lit(0.3) * least($"n_tokens" / 100.0, lit(1.0)))
+    }),
+
+    "q34_token_count" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"source", TF.tokenCount($"text").as("nt"), TF.bpeishCount($"text").as("nb"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"nt").as("ws_tokens"),
+          sum($"nb").as("bpeish_tokens"))
+    }),
+
+    "q35_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", Fingerprint.fingerprint($"text").as("fp"))
+    })
+  )
+
+  private def scoreSql(lang: String): String = {
+    val words = markers(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(list_filter(string_split(text, ' '), w -> w <> ''), w -> w in ($words)))"
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q32_langid" -> {
+      val g = markers.keys.toSeq.sorted.map(scoreSql).mkString(", ")
+      val cases = markers.keys.toSeq.sorted
+        .map(l => s"WHEN ${scoreSql(l)} >= greatest($g) THEN '$l'")
+        .mkString("\n    ")
+      s"""SELECT doc_id, lang,
+         |  CASE
+         |    $cases
+         |  END AS pred_lang
+         |FROM documents""".stripMargin
+    },
+
+    "q33_quality_score" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+        |    list_sum(list_transform(list_filter(string_split(text, ' '), w -> w <> ''), w -> length(w)))::BIGINT AS sum_token_len,
+        |    len(list_filter(list_filter(string_split(text, ' '), w -> w <> ''), w -> w in ('the', 'a'))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, sum_token_len,
+        |  sum_token_len::DOUBLE / n_tokens AS mean_token_len,
+        |  n_stop::DOUBLE / n_tokens AS stopword_ratio,
+        |  0.4 * (n_stop::DOUBLE / n_tokens) + 0.3 * ((sum_token_len::DOUBLE / n_tokens) / 10.0)
+        |    + 0.3 * least(n_tokens / 100.0, 1.0) AS quality_score
+        |FROM base""".stripMargin,
+
+    "q34_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+        |  cast(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS bigint) AS ws_tokens,
+        |  cast(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bigint) AS bpeish_tokens
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q35_fingerprint" ->
+      s"SELECT doc_id, ${Fingerprint.duckdbSql("text")} AS fp FROM documents"
+  )
+}
