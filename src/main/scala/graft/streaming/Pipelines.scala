@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming mirrors of the reference's streaming jobs.
+  *
+  * Kafka isn't available in this environment, so sources are
+  * file/memory/rate streams — the pipeline SHAPES (watermarks,
+  * windows, keyed state, checkpointed exactly-once sinks) are the
+  * product; swapping `readStream.format("kafka")` in is a config
+  * change, not a code change. Every pipeline is keyed-state
+  * parallel: state lives per group key across executors, exactly
+  * Flink's keyed-stream model, so 1000 executors hold 1000 shards of
+  * state.
+  */
+object Pipelines {
+
+  // ---- events typed view (streaming twins operate on this shape) ----
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  /** Kafka2Kafka analog (ref: Kafka2Kafka.java): stream in, pass
+    * through a transform, stream out with checkpointing — the file
+    * sink's write-ahead log gives the exactly-once the reference got
+    * from transactional Kafka producers. */
+  def passThroughPipeline(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, transform: DataFrame => DataFrame): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    val q = transform(spark.readStream.schema(schema).parquet(inDir))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Event-time tumbling window + watermark (ref: TimeWindowDemo.java;
+    * csv DDL watermark `ts - interval '5' second`). Append mode: a
+    * window emits once its watermark passes — Flink's
+    * TumblingEventTimeWindows firing. */
+  def tumblingWindowCounts(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+
+  // ---- MyCountTrigger: fire every N elements per key ----
+
+  case class CountWindowEmit(user_id: Long, n: Long, total_value: Double)
+
+  /** Hybrid count-trigger semantics (ref: MyWindowTrigger/
+    * MyCountTrigger.java: FIRE_AND_PURGE when the per-key element
+    * count reaches maxCount, else keep accumulating; state cleared on
+    * fire). Keyed state via flatMapGroupsWithState — emits one
+    * aggregate row per full window of `maxCount` events, purging
+    * state each fire. Remainders stay in state (fire at window end /
+    * timeout in a production deployment). */
+  def countTriggerAgg(events: Dataset[Event], maxCount: Int): Dataset[CountWindowEmit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), CountWindowEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          var (n, sum) = state.getOption.getOrElse((0L, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer[CountWindowEmit]()
+          rows.foreach { e =>
+            n += 1
+            sum += e.value
+            if (n >= maxCount) { // FIRE_AND_PURGE
+              out += CountWindowEmit(userId, n, sum)
+              n = 0L
+              sum = 0.0
+            }
+          }
+          if (n > 0) state.update((n, sum)) else state.remove()
+          out.iterator
+      }
+  }
+
+  // ---- streaming CDC upsert (canal/debezium changelog → state) ----
+
+  case class Change(pk: Long, ts: Long, op: String, value: Double)
+  case class Upsert(pk: Long, ts: Long, value: Double, deleted: Boolean)
+
+  /** Changelog → per-key current state, streamed (the upsert
+    * materialization a Flink changelog sink maintains; batch twin is
+    * graft.operators.Cdc.materialize). Emits the new current state of
+    * every key touched in the micro-batch; late (older-ts) changes
+    * are ignored — last-writer-wins by (ts, op). */
+  def cdcUpsertStream(changes: Dataset[Change]): Dataset[Upsert] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.pk)
+      .flatMapGroupsWithState[Upsert, Upsert](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (pk: Long, rows: Iterator[Change], state: GroupState[Upsert]) =>
+          var cur = state.getOption.orNull
+          rows.toSeq.sortBy(c => (c.ts, c.op)).foreach { c =>
+            if (cur == null || c.ts >= cur.ts) {
+              cur = Upsert(pk, c.ts, c.value, deleted = c.op == "-D")
+            }
+          }
+          if (cur != null) state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+
+  /** Rate-limited generator stream (ref: CustomSourceV2.java /
+    * DataGen2ES DataGeneratorSource + RateLimiterStrategy.perSecond):
+    * Spark's `rate` source plus the deterministic printable payload
+    * of MiscQ.q23. */
+  def dataGenStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(
+        col("timestamp"),
+        col("value").as("id"),
+        expr("concat_ws('', transform(sequence(0, 63), i -> chr(32 + (value * 31 + i * 17) % 95)))")
+          .as("payload"))
+}

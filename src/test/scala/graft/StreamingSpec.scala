@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Pipelines
+import graft.streaming.Pipelines.{Change, Event}
+
+/** Structured Streaming mirrors of the reference pipelines
+  * (SURVEY §2 stream_*): tumbling window + watermark, count trigger,
+  * CDC upsert state, checkpointed file pipeline, rate datagen.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(minutes: Int): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("stream_tumbling_watermark: windows finalize in append mode after watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Pipelines.tumblingWindowCounts(in.toDF(), "5 minutes", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      in.addData(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(2), 10, "click", 2.0),
+        Event(3, ts(6), 11, "view", 3.0))
+      q.processAllAvailable()
+      // nothing finalized yet (watermark still at 0)
+      assert(spark.table("tumbling_out").count() == 0)
+      // advance event time far enough to close both windows
+      in.addData(Event(4, ts(60), 12, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out").as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set((ts(0), "click", 2L, 3.0), (ts(5), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stream_count_trigger: fires exactly every N events per key and purges state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Pipelines.countTriggerAgg(in.toDS(), maxCount = 3)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("counttrig_out").start()
+    try {
+      in.addData((1 to 7).map(i => Event(i, ts(i), 1, "click", i.toDouble)): _*)
+      in.addData(Event(100, ts(1), 2, "view", 10.0))
+      q.processAllAvailable()
+      val byUser = spark.table("counttrig_out")
+        .as[Pipelines.CountWindowEmit].collect().groupBy(_.user_id)
+      // user 1: 7 events → two full windows of 3 (1+2+3=6, 4+5+6=15); 1 remains in state
+      assert(byUser(1L).map(e => (e.n, e.total_value)).toSet == Set((3L, 6.0), (3L, 15.0)))
+      // user 2: only 1 event → nothing fired
+      assert(!byUser.contains(2L))
+      // the remainder fires once 2 more arrive
+      in.addData(Event(8, ts(8), 1, "click", 1.0), Event(9, ts(9), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("counttrig_out").as[Pipelines.CountWindowEmit]
+        .filter(_.user_id == 1L).collect().map(e => (e.n, e.total_value)).toSet ==
+        Set((3L, 6.0), (3L, 15.0), (3L, 9.0)))
+    } finally q.stop()
+  }
+
+  test("stream_cdc_upsert: per-key state converges to latest image, deletes marked") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Change]
+    val q = Pipelines.cdcUpsertStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("upsert_out").start()
+    try {
+      in.addData(Change(1, 10, "+I", 1.0), Change(1, 20, "+U", 2.0), Change(2, 5, "+I", 9.0))
+      q.processAllAvailable()
+      in.addData(Change(1, 15, "+U", 99.0)) // late: older than current ts=20 → ignored
+      in.addData(Change(2, 7, "-D", 0.0))
+      q.processAllAvailable()
+      val last = spark.table("upsert_out").as[Pipelines.Upsert].collect()
+        .groupBy(_.pk).map { case (k, v) => k -> v.maxBy(_.ts) }
+      assert(last(1L).value == 2.0 && last(1L).ts == 20 && !last(1L).deleted)
+      assert(last(2L).deleted && last(2L).ts == 7)
+    } finally q.stop()
+  }
+
+  test("stream_kafka2kafka: checkpointed pass-through pipeline moves all rows exactly once") {
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    // file-stream sources need a directory (a Kafka topic's analog)
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
+      java.nio.file.Paths.get(s"$in/orders.parquet"))
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    Pipelines.passThroughPipeline(
+      spark, in, out, ckpt,
+      df => df.filter(df("o_totalprice") > 0))
+    val got = spark.read.parquet(out).count()
+    val expected = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(got == expected)
+    // re-running with the same checkpoint must not duplicate (exactly-once sink)
+    Pipelines.passThroughPipeline(
+      spark, in, out, ckpt,
+      df => df.filter(df("o_totalprice") > 0))
+    assert(spark.read.parquet(out).count() == expected)
+  }
+
+  test("stream_datagen: rate-source generator produces deterministic payloads") {
+    val q = Pipelines.dataGenStream(spark, rowsPerSecond = 500)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("datagen_out").start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("datagen_out").isEmpty && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+      }
+      import spark.implicits._
+      val rows = spark.table("datagen_out").select("id", "payload").as[(Long, String)].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (id, payload) =>
+        assert(payload.length == 64)
+        assert(payload.forall(c => c >= 32 && c < 127))
+        // deterministic: same formula as MiscQ.q23
+        val expect = (0 until 64).map(i => (32 + ((id * 31 + i * 17) % 95)).toChar).mkString
+        assert(payload == expect)
+      }
+    } finally q.stop()
+  }
+}
