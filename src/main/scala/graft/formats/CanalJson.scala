@@ -42,23 +42,28 @@ object CanalJson {
   /** Decode a column of canal-json strings into changelog rows:
     * (row_kind, table, ts, fields map<string,string>). UPDATE
     * envelopes expand to a -U row (after-image overlaid with `old`)
-    * and a +U row; `ignoreParseErrors` mirrors
-    * `canal-json.ignore-parse-errors`. */
+    * and a +U row. Unparseable envelopes and DDL events emit zero
+    * rows (`canal-json.ignore-parse-errors` semantics).
+    *
+    * Plan-shape note: the parse must run ONCE per row. A `filter` on
+    * parsed fields would sit below the Generate and re-evaluate the
+    * whole from_json per predicate (observed 4× at sf0.1), so the
+    * drop conditions are folded into the generator: exploding an
+    * empty array IS the filter. */
   def parseChangelog(df: DataFrame, jsonCol: Column, ignoreParseErrors: Boolean = true): DataFrame = {
     // Overlay needs later-key-wins map_concat.
     df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    val emptyData = array().cast(ArrayType(MapType(StringType, StringType)))
     val parsed = df.select(from_json(jsonCol, envelopeSchema).as("e"))
-    val checked =
-      if (ignoreParseErrors) parsed.filter(col("e").isNotNull && col("e.type").isNotNull)
-      else parsed
-    val exploded = checked
-      .filter(!coalesce(col("e.isDdl"), lit(false)))
+    val exploded = parsed
       .select(
         col("e.type").as("op"),
         col("e.table").as("table"),
         col("e.ts").as("ts"),
         col("e.old").as("old"),
-        posexplode(col("e.data")).as(Seq("i", "after")))
+        posexplode(
+          when(col("e.type").isNull || coalesce(col("e.isDdl"), lit(false)), emptyData)
+            .otherwise(col("e.data"))).as(Seq("i", "after")))
       .withColumn(
         "before",
         when(

@@ -30,14 +30,16 @@ object DebeziumJson {
       StructField("table", StringType))))
   ))
 
-  /** Decode debezium-json strings → (row_kind, table, ts_ms, row struct). */
+  /** Decode debezium-json strings → (row_kind, table, ts_ms, row
+    * struct). Unparseable envelopes and unknown ops emit zero rows
+    * (`debezium-json.ignore-parse-errors`); the drop is folded into
+    * the generator (unmatched CASE → null → explode drops the row) so
+    * the envelope parses exactly once — see CanalJson.parseChangelog's
+    * plan-shape note. */
   def parseChangelog(df: DataFrame, jsonCol: Column, rowSchema: StructType,
       ignoreParseErrors: Boolean = true): DataFrame = {
     val parsed = df.select(from_json(jsonCol, envelopeSchema(rowSchema)).as("e"))
-    val checked =
-      if (ignoreParseErrors) parsed.filter(col("e").isNotNull && col("e.op").isNotNull)
-      else parsed
-    checked
+    parsed
       .select(
         col("e.source.table").as("table"),
         col("e.ts_ms").as("ts_ms"),

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst kernels for the vector operators.
+  *
+  * Spark's higher-order functions (`aggregate`/`transform` lambdas)
+  * are interpreted per element — fine for correctness, ~1µs/element.
+  * A 100 TB embedding scan cannot pay that; these expressions run the
+  * same arithmetic as tight JVM loops inside whole-stage codegen
+  * (~1ns/element), with IDENTICAL evaluation order and IEEE
+  * semantics, so oracle replays (VectorFunctions.Sql) are unchanged.
+  */
+object VecKernels {
+  /** Sequential left-to-right dot product — same fold order as
+    * `aggregate(zip_with(a,b,*), 0.0, +)` and the oracle's list_reduce. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** Deterministic hyperplane matrix w(j,k) = ((j·73856093 + k·19349663)
+    * mod 2001 − 1000)/1000 — the formula the oracle replays. */
+  private def plane(j: Int, k: Int): Double =
+    ((j * 73856093L + k * 19349663L) % 2001 - 1000).toDouble / 1000.0
+
+  private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(64, 64)(plane)
+
+  /** Sign bits of the first `numPlanes` hyperplane projections, in the
+    * same per-plane sequential fold order as the HOF/oracle form. */
+  def signBits(v: ArrayData, numPlanes: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Int](numPlanes)
+    var j = 0
+    while (j < numPlanes) {
+      val w = planes(j)
+      var acc = 0.0
+      var k = 0
+      while (k < n && k < 64) { acc += v.getDouble(k) * w(k); k += 1 }
+      out(j) = if (acc >= 0) 1 else 0
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** dot(array<double>, array<double>) → double, codegen'd. */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+/** Hyperplane sign bits of an array<double> vector, codegen'd. */
+case class HyperplaneBits(child: Expression, numPlanes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hyperplane_bits"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.signBits(v.asInstanceOf[ArrayData], numPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VecKernels.signBits($v, $numPlanes)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBits =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def hyperplaneBits(v: Column, numPlanes: Int): Column =
+    ColumnBridge.column(HyperplaneBits(ColumnBridge.expression(v), numPlanes))
+}

@@ -17,9 +17,11 @@ object VectorFunctions {
   /** Cast array<float> → array<double> (exact). */
   def vec(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Sequential-fold dot product; inputs must already be double arrays. */
+  /** Sequential-fold dot product (native codegen'd kernel; same fold
+    * order as `aggregate(zip_with(a,b,*), 0.0, +)` — see
+    * [[VecKernels.dot]]); inputs must already be double arrays. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    VectorExpressions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

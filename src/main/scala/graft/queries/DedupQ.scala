@@ -68,19 +68,38 @@ object DedupQ extends QueryPack {
       Dedup.simhashPairs(Dedup.simhash(augmentedDocs(s, d), $"doc_id", $"text"), maxDist = 3)
     }),
 
-    // Exact cosine baseline for embedding near-dup; the 100 TB path is
-    // the bucketed LSH variant (q30) — this is the verification kernel.
+    // Embedding near-dup via sign-LSH band blocking (8 bands × 8
+    // hyperplanes; P[miss | cos >= 0.99] ≈ 1e-4) + exact cosine
+    // verification of candidates — the pair space is O(Σ bucket²),
+    // never O(n²), so the shape holds at 100 TB.
     "q28_dedup_embedding" -> ((s, d) => {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
         .select($"vec_id", VectorFunctions.vec($"embedding").as("v"))
       val aug = emb.unionByName(
         emb.filter($"vec_id" % 10 === 0).select(($"vec_id" + 100000).as("vec_id"), $"v"))
-      aug.toDF("id_a", "va")
-        .join(aug.toDF("id_b", "vb"), col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          VectorFunctions.cosine(col("va"), col("vb")).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.99)
+      // sign bit per hyperplane (native codegen kernel), then 8-bit band
+      // keys. The candidate join ships only (band, bkey, id) — the 64-d
+      // vectors are attached AFTER pair dedup, so the wide arrays never
+      // ride the O(candidates) shuffle.
+      val banded = aug
+        .withColumn("bits", graft.functions.VectorExpressions.hyperplaneBits($"v", 64))
+        .select($"vec_id",
+          posexplode(expr(
+            """transform(sequence(0, 7), b ->
+              |  aggregate(sequence(0, 7), 0, (acc, r) -> acc * 2 + element_at(bits, b * 8 + r + 1)))""".stripMargin))
+            .as(Seq("band", "bkey")))
+      val cand = banded.select($"vec_id".as("id_a"), $"band", $"bkey")
+        .join(banded.select($"vec_id".as("id_b"), $"band", $"bkey"), Seq("band", "bkey"))
+        .filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b")
+        .distinct()
+      cand
+        .join(aug.toDF("id_a", "va"), "id_a")
+        .join(aug.toDF("id_b", "vb"), "id_b")
+        .select($"id_a", $"id_b",
+          VectorFunctions.cosine($"va", $"vb").as("cos_sim"))
+        .filter($"cos_sim" >= 0.99)
     })
   )
 
@@ -148,11 +167,24 @@ object DedupQ extends QueryPack {
       s"""WITH aug AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
          |  UNION ALL SELECT vec_id + 100000, embedding::DOUBLE[]
-         |    FROM embeddings WHERE vec_id % 10 = 0)
+         |    FROM embeddings WHERE vec_id % 10 = 0),
+         |bitsv AS (
+         |  SELECT vec_id, v,
+         |    list_transform(range(0, 64), j ->
+         |      CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, 64), k ->
+         |             v[k + 1] * (((j * 73856093 + k * 19349663) % 2001 - 1000)::DOUBLE / 1000.0))),
+         |             (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END) AS bits
+         |  FROM aug),
+         |banded AS (
+         |  SELECT vec_id, v, b AS band,
+         |    list_reduce(list_prepend(0, list_transform(range(0, 8), r -> bits[b * 8 + r + 1])),
+         |                (acc, x) -> acc * 2 + x) AS bkey
+         |  FROM bitsv, generate_series(0, 7) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos_sim FROM (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    ${Sql.cosine("a.v", "b.v")} AS cos_sim
-         |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+         |  SELECT id_a, id_b, ${Sql.cosine("cand.va", "cand.vb")} AS cos_sim FROM cand)
          |WHERE cos_sim >= 0.99""".stripMargin
     }
   )

@@ -25,13 +25,14 @@ object SimilarityQ extends QueryPack {
       .select($"vec_id", $"label", VectorFunctions.vec($"embedding").as("v"))
   }
 
-  /** 6-bit random-hyperplane LSH bucket of double-array column `v` —
-    * integer-arithmetic planes, replayable in oracle SQL. */
-  private val bucketExpr =
-    """aggregate(sequence(0, 5), cast(0 as bigint), (acc, j) -> acc +
-      |  if(aggregate(sequence(0, 63), cast(0 as double),
-      |       (a, k) -> a + element_at(v, k + 1) * (cast((j * 73856093 + k * 19349663) % 2001 - 1000 as double) / 1000.0)) >= 0,
-      |     shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin
+  /** 6-bit random-hyperplane LSH bucket from the native sign-bit
+    * kernel ([[graft.functions.VecKernels.signBits]]) — same
+    * integer-arithmetic planes the oracle SQL replays. */
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("bits", graft.functions.VectorExpressions.hyperplaneBits(col("v"), 6))
+      .withColumn("bucket", expr(
+        "aggregate(sequence(0, 5), cast(0 as bigint), (acc, j) -> acc + cast(element_at(bits, j + 1) as bigint) * shiftleft(cast(1 as bigint), j))"))
+      .drop("bits")
 
   def defs: Map[String, Q] = Map(
     "q29_ann_brute_topk" -> ((s, d) => {
@@ -48,7 +49,7 @@ object SimilarityQ extends QueryPack {
 
     "q30_ann_lsh_topk" -> ((s, d) => {
       import s.implicits._
-      val e = emb(s, d).withColumn("bucket", expr(bucketExpr))
+      val e = withBucket(emb(s, d))
       val q = e.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("query_id"), $"v".as("qv"), $"bucket")
       val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
