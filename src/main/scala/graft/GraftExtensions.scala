@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{Fingerprint, HyperplaneBits, VecDot}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so `spark.sql("SELECT
+  * graft_fingerprint(text) ...")` works next to the Column API — the
+  * Spark analog of the reference's
+  * `tEnv.createTemporarySystemFunction("JsonFunction", clazz)`
+  * (FlinkIdeaDemo/NCFlinkTableAPIScalarFunction.java:18).
+  *
+  * Wire up with:
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * // or: --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "", "", "", "", "scalar_funcs")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint", "graft_fingerprint(str) - 62-bit rolling-hash document fingerprint"),
+      buildFingerprint))
+    e.injectFunction((
+      FunctionIdentifier("graft_vec_dot"),
+      info("graft_vec_dot", "graft_vec_dot(a, b) - sequential-fold dot product of double arrays"),
+      buildVecDot))
+    e.injectFunction((
+      FunctionIdentifier("graft_hyperplane_bits"),
+      info("graft_hyperplane_bits", "graft_hyperplane_bits(v, n) - sign bits of n LSH hyperplane projections"),
+      buildHyperplaneBits))
+  }
+}
+
+object GraftExtensions {
+
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n,
+      s"$name expects $n argument(s), got ${args.length}")
+
+  private[graft] val buildFingerprint: Seq[Expression] => Expression = { args =>
+    arity("graft_fingerprint", args, 1)
+    Fingerprint(args.head)
+  }
+
+  private[graft] val buildVecDot: Seq[Expression] => Expression = { args =>
+    arity("graft_vec_dot", args, 2)
+    VecDot(args(0), args(1))
+  }
+
+  private[graft] val buildHyperplaneBits: Seq[Expression] => Expression = { args =>
+    arity("graft_hyperplane_bits", args, 2)
+    HyperplaneBits(args(0), args(1) match {
+      case Literal(n: Int, _) => n
+      case other => other.eval().asInstanceOf[Int]
+    })
+  }
+
+  /** Register the same functions on an already-built session (useful in
+    * tests and notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_fingerprint", buildFingerprint, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_vec_dot", buildVecDot, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hyperplane_bits", buildHyperplaneBits, "scala_udf")
+  }
+}

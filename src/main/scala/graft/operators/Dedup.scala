@@ -60,25 +60,23 @@ object Dedup {
   private def baseHash(shingle: Column): Column =
     conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % P
 
-  /** (id, i, minhash_i) MinHash signatures from `numHashes` universal
-    * hashes h_i(x) = (a_i·x + b_i) mod P. */
+  /** (id, sig array<long>) MinHash signatures from `numHashes`
+    * universal hashes h_i(x) = (a_i·x + b_i) mod P, via the native
+    * sketch aggregate [[graft.functions.MinHashSig]] — one
+    * signature per group rides the shuffle, with map-side combine. */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
     sh.select(col("id"), baseHash(col("shingle")).as("h0"))
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(numHashes - 1)), i =>
-          ((i * lit(2654435761L) + 1) % P * col("h0") + (i * lit(40503L) + 7) % P) % P))
-          .as(Seq("i", "hv")))
-      .groupBy(col("id"), col("i"))
-      .agg(min(col("hv")).as("mh"))
+      .groupBy(col("id"))
+      .agg(graft.functions.MinHashSig.minhashSig(col("h0"), numHashes).as("sig"))
 
   /** LSH candidate pairs: docs sharing any band key (band = `rowsPerBand`
-    * consecutive signature rows). */
+    * consecutive signature entries). */
   def lshCandidates(sig: DataFrame, rowsPerBand: Int): DataFrame = {
-    val bands = sig
-      .groupBy(col("id"), floor(col("i") / rowsPerBand).as("band"))
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))), x => x.getField("mh").cast("string")))
-        .as("key"))
+    val bands = sig.select(col("id"),
+      posexplode(expr(
+        s"""transform(sequence(0, size(sig) div $rowsPerBand - 1), b ->
+           |  concat_ws(',', transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), x -> cast(x as string))))""".stripMargin))
+        .as(Seq("band", "key")))
     bands.select(col("id").as("id_a"), col("band"), col("key"))
       .join(bands.select(col("id").as("id_b"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
@@ -104,19 +102,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 60-bit SimHash per doc from term-frequency-weighted word hashes. */
+  /** 60-bit SimHash per doc from term-frequency-weighted word hashes,
+    * via the native sketch aggregate [[graft.functions.SimHashAgg]]
+    * (one 60-counter buffer per doc on the shuffle, map-side combine). */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
     val words = filter(split(text, " "), w => w =!= "")
     df.select(id.as("id"), explode(words).as("word"))
       .groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
       .withColumn("h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
-      .select(col("id"), col("tf"), col("h"),
-        posexplode(expr("transform(sequence(0, 59), j -> if(shiftright(h, j) % 2 = 1, tf, -tf))"))
-          .as(Seq("j", "contrib")))
-      .groupBy(col("id"), col("j"))
-      .agg(sum(col("contrib")).as("c"))
       .groupBy(col("id"))
-      .agg(sum(when(col("c") >= 0, expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L)).as("simhash"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("tf"), col("h")).as("simhash"))
   }
 
   /** Near-dup pairs with hamming(simhash) <= maxDist via 15-bit band
