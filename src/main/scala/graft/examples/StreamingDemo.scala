@@ -26,6 +26,18 @@ object StreamingDemo {
     q.processAllAvailable(); q.stop()
     println("COUNT_TRIGGER_EMITS=" + spark.table("demo_ct").collect().mkString(";"))
 
+    // Streaming session windows (gap 10 min, watermark 5 min).
+    val sin = MemoryStream[Event]
+    val sq = Pipelines.sessionWindowCounts(sin.toDF(), "10 minutes", "5 minutes").writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("demo_sw").start()
+    sin.addData(
+      Event(1, new Timestamp(60000L), 1, "click", 1.0),
+      Event(2, new Timestamp(300000L), 1, "click", 2.0),
+      Event(3, new Timestamp(1800000L), 1, "click", 4.0),
+      Event(9, new Timestamp(7200000L), 9, "click", 0.0))
+    sq.processAllAvailable(); sq.stop()
+    println("SESSION_WINDOWS=" + spark.table("demo_sw").orderBy("s_start").collect().mkString(";"))
+
     // Streaming CDC upsert state.
     val cin = MemoryStream[Change]
     val cq = Pipelines.cdcUpsertStream(cin.toDS()).writeStream

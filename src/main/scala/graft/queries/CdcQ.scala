@@ -105,6 +105,20 @@ object CdcQ extends QueryPack {
       DelimitedText.parse(lines, col("line"), schema)
     }),
 
+    // avro binary roundtrip (ref: format/avro/Avro2Avro.java) — encode
+    // supplier rows to single-record avro binary, decode back.
+    "q37_avro_roundtrip" -> ((s, d) => {
+      import graft.formats.AvroBinary
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_acctbal", DoubleType),
+        StructField("s_nationkey", IntegerType)))
+      val encoded = AvroBinary.encode(
+        Tables.supplier(s, d).select("s_suppkey", "s_name", "s_acctbal", "s_nationkey"), schema)
+      AvroBinary.decode(encoded, "payload", schema)
+    }),
+
     // json-lines decode to typed columns (ref: format/json/Json2Json.java).
     "q22_json_lines" -> ((s, d) => {
       import s.implicits._
@@ -144,6 +158,8 @@ object CdcQ extends QueryPack {
     "q21_csv_lines" ->
       "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part",
     "q22_json_lines" ->
+      "SELECT s_suppkey, s_name, s_acctbal, s_nationkey FROM supplier",
+    "q37_avro_roundtrip" ->
       "SELECT s_suppkey, s_name, s_acctbal, s_nationkey FROM supplier"
   )
 }

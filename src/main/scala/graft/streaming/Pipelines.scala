@@ -51,6 +51,20 @@ object Pipelines {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming session windows by inactivity gap (batch twin:
+    * graft.operators.Windows.sessionize) — Spark's native
+    * session_window merges per-key state until the watermark closes
+    * the session. */
+  def sessionWindowCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n"), col("total_value"))
+
   // ---- MyCountTrigger: fire every N elements per key ----
 
   case class CountWindowEmit(user_id: Long, n: Long, total_value: Double)

@@ -42,6 +42,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_session_window: sessions merge within gap and finalize after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Pipelines.sessionWindowCounts(in.toDF(), gap = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("session_out").start()
+    try {
+      // two bursts for user 1 separated by > gap, one event for user 2
+      in.addData(
+        Event(1, ts(1), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(30), 1, "click", 4.0),
+        Event(4, ts(2), 2, "view", 8.0))
+      q.processAllAvailable()
+      in.addData(Event(9, ts(120), 9, "click", 0.0)) // push watermark far ahead
+      q.processAllAvailable()
+      val rows = spark.table("session_out")
+        .select("user_id", "n", "total_value").as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("stream_count_trigger: fires exactly every N events per key and purges state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
