@@ -71,31 +71,51 @@ object Pipelines {
 
   /** Hybrid count-trigger semantics (ref: MyWindowTrigger/
     * MyCountTrigger.java: FIRE_AND_PURGE when the per-key element
-    * count reaches maxCount, else keep accumulating; state cleared on
-    * fire). Keyed state via flatMapGroupsWithState — emits one
-    * aggregate row per full window of `maxCount` events, purging
-    * state each fire. Remainders stay in state (fire at window end /
-    * timeout in a production deployment). */
-  def countTriggerAgg(events: Dataset[Event], maxCount: Int): Dataset[CountWindowEmit] = {
+    * count reaches maxCount, OR when the window's time runs out —
+    * `count.get() >= maxCount || timestamp >= window.getEnd()`, with
+    * the `eventTimeEnable` flag selecting the time domain).
+    *
+    * Keyed state via flatMapGroupsWithState: a full window of
+    * `maxCount` events fires immediately; a partial window fires via
+    * EVENT-time timeout `windowMs` after its first event, once the
+    * watermark passes (callers must set `withWatermark` upstream when
+    * windowMs > 0). Event-time timers are the deterministic choice —
+    * processing-time timers busy-spin micro-batches under the default
+    * trigger. Pass `windowMs = 0` for pure count windows
+    * (CountWindowDemo.java). */
+  def countTriggerAgg(events: Dataset[Event], maxCount: Int, windowMs: Long = 0L): Dataset[CountWindowEmit] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (windowMs > 0) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Double), CountWindowEmit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[(Long, Double), CountWindowEmit](OutputMode.Append, timeoutConf) {
         (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Double)]) =>
-          var (n, sum) = state.getOption.getOrElse((0L, 0.0))
-          val out = scala.collection.mutable.ArrayBuffer[CountWindowEmit]()
-          rows.foreach { e =>
-            n += 1
-            sum += e.value
-            if (n >= maxCount) { // FIRE_AND_PURGE
-              out += CountWindowEmit(userId, n, sum)
-              n = 0L
-              sum = 0.0
+          if (state.hasTimedOut) { // window end: fire the partial, purge
+            val (n, sum) = state.get
+            state.remove()
+            Iterator.single(CountWindowEmit(userId, n, sum))
+          } else {
+            val hadState = state.exists
+            var (n, sum) = state.getOption.getOrElse((0L, 0.0))
+            var firstTs = Long.MaxValue
+            val out = scala.collection.mutable.ArrayBuffer[CountWindowEmit]()
+            rows.foreach { e =>
+              if (e.ts.getTime < firstTs) firstTs = e.ts.getTime
+              n += 1
+              sum += e.value
+              if (n >= maxCount) { // FIRE_AND_PURGE
+                out += CountWindowEmit(userId, n, sum)
+                n = 0L
+                sum = 0.0
+              }
             }
+            if (n > 0) {
+              state.update((n, sum))
+              if (windowMs > 0 && !hadState) state.setTimeoutTimestamp(firstTs + windowMs)
+            } else state.remove()
+            out.iterator
           }
-          if (n > 0) state.update((n, sum)) else state.remove()
-          out.iterator
       }
   }
 

@@ -90,6 +90,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_count_trigger: partial window fires at window end via event-time timeout (hybrid trigger)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // 5-minute windows; watermark drives the timer.
+    val q = Pipelines.countTriggerAgg(
+        in.toDS().withWatermark("ts", "0 seconds").as[Event],
+        maxCount = 10, windowMs = 5 * 60000L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("counttrig_to_out").start()
+    try {
+      in.addData(Event(1, ts(1), 5, "click", 2.0), Event(2, ts(2), 5, "click", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("counttrig_to_out").count() == 0) // below maxCount, window still open
+      in.addData(Event(99, ts(60), 6, "view", 1.0)) // watermark passes window end (min 6)
+      q.processAllAvailable()
+      in.addData(Event(100, ts(61), 6, "view", 1.0)) // next batch evaluates expired timers
+      q.processAllAvailable()
+      val fired = spark.table("counttrig_to_out").as[Pipelines.CountWindowEmit].collect()
+        .filter(_.user_id == 5L)
+      assert(fired.map(e => (e.n, e.total_value)).toSeq == Seq((2L, 5.0)))
+    } finally q.stop()
+  }
+
   test("stream_cdc_upsert: per-key state converges to latest image, deletes marked") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
