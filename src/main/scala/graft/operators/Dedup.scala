@@ -38,12 +38,26 @@ object Dedup {
       .distinct()
   }
 
+  /** 60-bit md5-derived shingle key — the join/shuffle currency of the
+    * Jaccard and MinHash paths (8-byte keys instead of ~30-char
+    * strings on every exchange; collisions are ~2^-60 AND
+    * oracle-consistent, since both engines hash identically). */
+  private def shingleKey(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
+
+  /** (id, sh) distinct hashed shingle sets. */
+  def hashedShingles(sh: DataFrame): DataFrame =
+    sh.select(col("id"), shingleKey(col("shingle")).as("sh")).distinct()
+
   /** Exact Jaccard ≥ `threshold` near-dup pairs via shared-shingle
-    * blocking: pairs with zero common shingles are never formed. */
-  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.toDF("id_a", "shingle")
-      .join(sh.toDF("id_b", "shingle"), "shingle")
+    * blocking: pairs with zero common shingles are never formed.
+    * `hs` = hashed shingle sets ([[hashedShingles]]); callers reusing
+    * the set across stages should persist it (it feeds counts and the
+    * pair join — two subtrees that otherwise recompute). */
+  def jaccardPairsHashed(hs: DataFrame, threshold: Double): DataFrame = {
+    val counts = hs.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = hs.toDF("id_a", "sh")
+      .join(hs.toDF("id_b", "sh"), "sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -55,17 +69,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash base hash of a shingle: 60 bits of md5 reduced mod P —
-    * replayable in oracle SQL. */
-  private def baseHash(shingle: Column): Column =
-    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % P
-
   /** (id, sig array<long>) MinHash signatures from `numHashes`
     * universal hashes h_i(x) = (a_i·x + b_i) mod P, via the native
     * sketch aggregate [[graft.functions.MinHashSig]] — one
     * signature per group rides the shuffle, with map-side combine. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.select(col("id"), baseHash(col("shingle")).as("h0"))
+  def minhashSignatures(hs: DataFrame, numHashes: Int): DataFrame =
+    hs.select(col("id"), (col("sh") % P).as("h0"))
       .groupBy(col("id"))
       .agg(graft.functions.MinHashSig.minhashSig(col("h0"), numHashes).as("sig"))
 
@@ -86,12 +95,12 @@ object Dedup {
 
   /** Exact-Jaccard verification restricted to candidate pairs (the
     * LSH scale path: work is O(candidates·shingles), never O(n²)). */
-  def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+  def verifyJaccard(candidates: DataFrame, hs: DataFrame, threshold: Double): DataFrame = {
+    val counts = hs.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = candidates
-      .join(sh.toDF("id_a", "shingle"), "id_a")
-      .join(sh.toDF("id_b", "shingle_b"), "id_b")
-      .filter(col("shingle") === col("shingle_b"))
+      .join(hs.toDF("id_a", "sh"), "id_a")
+      .join(hs.toDF("id_b", "sh_b"), "id_b")
+      .filter(col("sh") === col("sh_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter

@@ -42,7 +42,8 @@ object DedupQ extends QueryPack {
     """toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words FROM aug),
       |sh AS (SELECT DISTINCT id, array_to_string(list_slice(words, i + 1, i + 5), ' ') AS shingle
       |       FROM (SELECT doc_id AS id, words, unnest(generate_series(0, len(words) - 5)) AS i
-      |             FROM toks WHERE len(words) >= 5))""".stripMargin
+      |             FROM toks WHERE len(words) >= 5)),
+      |shh AS (SELECT DISTINCT id, cast(('0x' || substr(md5(shingle), 1, 15)) AS bigint) AS sh FROM sh)""".stripMargin
 
   def defs: Map[String, Q] = Map(
     "q24_dedup_exact" -> ((s, d) => {
@@ -52,15 +53,20 @@ object DedupQ extends QueryPack {
 
     "q25_dedup_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
-      Dedup.jaccardPairs(Dedup.shingles(augmentedDocs(s, d), $"doc_id", $"text", 5), 0.6)
+      val hs = Dedup.hashedShingles(
+        Dedup.shingles(augmentedDocs(s, d), $"doc_id", $"text", 5)).persist()
+      Dedup.jaccardPairsHashed(hs, 0.6)
     }),
 
     "q26_dedup_minhash_lsh" -> ((s, d) => {
       import s.implicits._
-      val sh = Dedup.shingles(augmentedDocs(s, d), $"doc_id", $"text", 5)
-      val sig = Dedup.minhashSignatures(sh, numHashes = 32)
+      // the hashed shingle set feeds signatures, counts, and the verify
+      // join — persist so the three stages share one computation
+      val hs = Dedup.hashedShingles(
+        Dedup.shingles(augmentedDocs(s, d), $"doc_id", $"text", 5)).persist()
+      val sig = Dedup.minhashSignatures(hs, numHashes = 32)
       val cand = Dedup.lshCandidates(sig, rowsPerBand = 4)
-      Dedup.verifyJaccard(cand, sh, 0.6)
+      Dedup.verifyJaccard(cand, hs, 0.6)
     }),
 
     "q27_dedup_simhash" -> ((s, d) => {
@@ -112,9 +118,9 @@ object DedupQ extends QueryPack {
     "q25_dedup_ngram_jaccard" ->
       s"""WITH $augSql,
          |$shinglesSql,
-         |cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |cnt AS (SELECT id, count(*) AS n FROM shh GROUP BY id),
          |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-         |          FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+         |          FROM shh a JOIN shh b USING (sh) WHERE a.id < b.id
          |          GROUP BY a.id, b.id)
          |SELECT id_a, id_b, c::DOUBLE / (ca.n + cb.n - c) AS jaccard
          |FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
@@ -123,9 +129,7 @@ object DedupQ extends QueryPack {
     "q26_dedup_minhash_lsh" ->
       s"""WITH $augSql,
          |$shinglesSql,
-         |base AS (SELECT id, shingle,
-         |           cast(('0x' || substr(md5(shingle), 1, 15)) AS bigint) % 2147483647 AS h0
-         |         FROM sh),
+         |base AS (SELECT id, sh % 2147483647 AS h0 FROM shh),
          |hv AS (SELECT id, i,
          |         min((((i*2654435761 + 1) % 2147483647) * h0 + ((i*40503 + 7) % 2147483647)) % 2147483647) AS mh
          |       FROM base, generate_series(0, 31) t(i) GROUP BY id, i),
@@ -133,11 +137,11 @@ object DedupQ extends QueryPack {
          |          FROM hv GROUP BY id, i // 4),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
-         |cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |cnt AS (SELECT id, count(*) AS n FROM shh GROUP BY id),
          |inter AS (SELECT c.id_a, c.id_b, count(*) AS ic
          |          FROM cand c
-         |          JOIN sh a ON a.id = c.id_a
-         |          JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+         |          JOIN shh a ON a.id = c.id_a
+         |          JOIN shh b ON b.id = c.id_b AND b.sh = a.sh
          |          GROUP BY c.id_a, c.id_b)
          |SELECT id_a, id_b, ic::DOUBLE / (ca.n + cb.n - ic) AS jaccard
          |FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b

@@ -128,15 +128,24 @@ object Pipelines {
     * materialization a Flink changelog sink maintains; batch twin is
     * graft.operators.Cdc.materialize). Emits the new current state of
     * every key touched in the micro-batch; late (older-ts) changes
-    * are ignored — last-writer-wins by (ts, op). */
+    * are ignored — last-writer-wins by ts, with same-ts ties applied
+    * in changelog order (-U before +I/+U before -D), so an UPDATE's
+    * after-image beats its retract row. */
   def cdcUpsertStream(changes: Dataset[Change]): Dataset[Upsert] = {
     import changes.sparkSession.implicits._
+    def opRank(op: String): Int = op match {
+      case "-U" => 0
+      case "+I" => 1
+      case "+U" => 2
+      case "-D" => 3
+      case _ => 4
+    }
     changes
       .groupByKey(_.pk)
       .flatMapGroupsWithState[Upsert, Upsert](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (pk: Long, rows: Iterator[Change], state: GroupState[Upsert]) =>
           var cur = state.getOption.orNull
-          rows.toSeq.sortBy(c => (c.ts, c.op)).foreach { c =>
+          rows.toSeq.sortBy(c => (c.ts, opRank(c.op))).foreach { c =>
             if (cur == null || c.ts >= cur.ts) {
               cur = Upsert(pk, c.ts, c.value, deleted = c.op == "-D")
             }
@@ -144,6 +153,25 @@ object Pipelines {
           if (cur != null) state.update(cur)
           Iterator.single(cur)
       }
+  }
+
+  /** The reference's flagship pipeline end-to-end, streamed:
+    * canal-json envelopes (ref: format/canal_json MySqlCDC2Kafka →
+    * Kafka2Print) → row-kind changelog → per-key upsert state.
+    * `pkField`/`valueField` name keys inside the canal `data` maps;
+    * version = envelope ts. Emits the evolving current state of every
+    * touched pk each micro-batch. */
+  def canalUpsertPipeline(envelopes: DataFrame, jsonCol: String,
+      pkField: String, valueField: String): Dataset[Upsert] = {
+    import envelopes.sparkSession.implicits._
+    val changelog = graft.formats.CanalJson.parseChangelog(envelopes, col(jsonCol))
+      .select(
+        element_at(col("fields"), pkField).cast("long").as("pk"),
+        col("ts"),
+        col("row_kind").as("op"),
+        element_at(col("fields"), valueField).cast("double").as("value"))
+      .as[Change]
+    cdcUpsertStream(changelog)
   }
 
   /** Rate-limited generator stream (ref: CustomSourceV2.java /

@@ -28,6 +28,16 @@ object DriveBatch {
     q.processAllAvailable(); q.stop()
     println("HYBRID_TIMER_FIRED=" + spark.table("d_ct").collect().mkString(";"))
 
+    // canal-json stream → changelog → upsert state, end to end
+    val cin = MemoryStream[String]
+    val cq = Pipelines.canalUpsertPipeline(cin.toDF().toDF("payload"), "payload", "id", "amount")
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName("d_canal").start()
+    cin.addData(
+      """{"data":[{"id":"1","amount":"10.5"}],"type":"INSERT","table":"t","ts":100}""",
+      """{"data":[{"id":"1","amount":"12.5"}],"old":[{"amount":"10.5"}],"type":"UPDATE","table":"t","ts":200}""")
+    cq.processAllAvailable(); cq.stop()
+    println("CANAL_UPSERT=" + spark.table("d_canal").orderBy("ts").collect().mkString(";"))
+
     val base = Files.createTempDirectory("drive_bucketed").toString
     val sf = "/root/testdata/sf0.001"
     Bucketing.writeBucketed(spark.read.parquet(s"$sf/orders.parquet"), "d_orders", "o_orderkey", 8, s"$base/o")

@@ -134,6 +134,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_canal_upsert: canal-json stream decodes to changelog and converges per-key state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = Pipelines.canalUpsertPipeline(in.toDF().toDF("payload"), "payload", "id", "amount")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("canal_upsert_out").start()
+    try {
+      in.addData(
+        """{"data":[{"id":"1","amount":"10.5"}],"type":"INSERT","table":"t","ts":100}""",
+        """{"data":[{"id":"1","amount":"12.5"}],"old":[{"amount":"10.5"}],"type":"UPDATE","table":"t","ts":200}""",
+        """{"data":[{"id":"2","amount":"7.0"}],"type":"INSERT","table":"t","ts":150}""",
+        """garbage envelope""")
+      q.processAllAvailable()
+      in.addData("""{"data":[{"id":"2","amount":"7.0"}],"type":"DELETE","table":"t","ts":300}""")
+      q.processAllAvailable()
+      val last = spark.table("canal_upsert_out").as[Pipelines.Upsert].collect()
+        .groupBy(_.pk).map { case (k, v) => k -> v.maxBy(_.ts) }
+      assert(last(1L).value == 12.5 && !last(1L).deleted) // +U wins over -U at same ts
+      assert(last(2L).deleted && last(2L).ts == 300)
+    } finally q.stop()
+  }
+
   test("stream_kafka2kafka: checkpointed pass-through pipeline moves all rows exactly once") {
     val in = Files.createTempDirectory("graft_stream_in").toString
     // file-stream sources need a directory (a Kafka topic's analog)
