@@ -51,19 +51,26 @@ object GraftSink {
   }
 
   /** Bulk buffer with the reference's flush thresholds: flush when
-    * `maxActions` requests or `maxBytes` accumulated; constant-backoff
-    * retry (`retries` × `backoffMs`) on transport failure — mirrors
-    * Elasticsearch7SinkBuilder.setBulkFlushMaxActions/MaxSizeMb/
-    * BackoffStrategy(CONSTANT, 3, 500). */
+    * `maxActions` requests, `maxBytes` accumulated, or the oldest
+    * buffered request is older than `maxAgeMs` (the periodic flush of
+    * HBaseSinkFunctionV2/V3's BufferedMutator
+    * `writeBufferPeriodicFlushTimeoutMs`, evaluated on add — micro-
+    * batch boundaries provide the checkpoint-time flush); constant-
+    * backoff retry (`retries` × `backoffMs`) on transport failure —
+    * mirrors Elasticsearch7SinkBuilder.setBulkFlushMaxActions/
+    * MaxSizeMb/BackoffStrategy(CONSTANT, 3, 500). */
   final class BulkBuffer(transport: Transport, maxActions: Int, maxBytes: Long,
-      retries: Int = 3, backoffMs: Long = 500) {
+      retries: Int = 3, backoffMs: Long = 500, maxAgeMs: Long = Long.MaxValue,
+      clock: () => Long = () => System.currentTimeMillis()) {
     private val buf = new ArrayBuffer[Array[Byte]]()
     private var bytes = 0L
+    private var oldestAt = 0L
 
     def add(request: Array[Byte]): Unit = {
+      if (buf.isEmpty) oldestAt = clock()
       buf += request
       bytes += request.length
-      if (buf.length >= maxActions || bytes >= maxBytes) flush()
+      if (buf.length >= maxActions || bytes >= maxBytes || clock() - oldestAt >= maxAgeMs) flush()
     }
 
     def flush(): Unit = if (buf.nonEmpty) {

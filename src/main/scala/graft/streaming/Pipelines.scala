@@ -174,6 +174,16 @@ object Pipelines {
     cdcUpsertStream(changelog)
   }
 
+  /** Streaming exact dedup for an LLM-data ingest: keep the first
+    * occurrence of each content hash, with state bounded by the
+    * watermark (batch twin: graft.operators.Dedup.exact). At 100 TB/
+    * day the watermark bound is what keeps dedup state finite. */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String, watermark: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Rate-limited generator stream (ref: CustomSourceV2.java /
     * DataGen2ES DataGeneratorSource + RateLimiterStrategy.perSecond):
     * Spark's `rate` source plus the deterministic printable payload

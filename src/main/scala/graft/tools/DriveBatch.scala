@@ -28,6 +28,14 @@ object DriveBatch {
     q.processAllAvailable(); q.stop()
     println("HYBRID_TIMER_FIRED=" + spark.table("d_ct").collect().mkString(";"))
 
+    // streaming exact dedup with watermark-bounded state
+    val din = MemoryStream[(Timestamp, String)]
+    val dq = Pipelines.streamingExactDedup(din.toDF().toDF("ts", "text"), "ts", "text", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName("d_dedup").start()
+    din.addData((new Timestamp(1000), "a doc"), (new Timestamp(2000), "a doc"), (new Timestamp(3000), "other"))
+    dq.processAllAvailable(); dq.stop()
+    println("STREAM_DEDUP_KEPT=" + spark.table("d_dedup").select("text").collect().map(_.getString(0)).sorted.mkString(","))
+
     // canal-json stream → changelog → upsert state, end to end
     val cin = MemoryStream[String]
     val cq = Pipelines.canalUpsertPipeline(cin.toDF().toDF("payload"), "payload", "id", "amount")

@@ -39,6 +39,21 @@ class SinksSpec extends AnyFunSuite {
     assert(t.bulks.map(_.length).toSeq == Seq(2, 2))
   }
 
+  test("flushes on buffer age (periodic flush, HBaseSinkFunctionV2 semantics)") {
+    var now = 0L
+    val t = new MemoryTransport
+    val buf = new BulkBuffer(t, maxActions = 1000, maxBytes = Long.MaxValue,
+      retries = 0, backoffMs = 0, maxAgeMs = 100, clock = () => now)
+    buf.add(bytes("a")); now = 50
+    buf.add(bytes("b")) // age 50 < 100: no flush
+    assert(t.bulks.isEmpty)
+    now = 120
+    buf.add(bytes("c")) // oldest is 120ms old → flush all three
+    assert(t.bulks.map(_.length).toSeq == Seq(3))
+    buf.flush()
+    assert(t.totalActions == 3)
+  }
+
   test("constant-backoff retry recovers from transient transport failures") {
     val mem = new MemoryTransport
     val flaky = new FlakyTransport(mem, failures = 2)

@@ -177,6 +177,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == expected)
   }
 
+  test("stream_dedup: first occurrence kept, later duplicates dropped within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Pipelines.streamingExactDedup(in.toDF().toDF("ts", "text"), "ts", "text", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    try {
+      in.addData((ts(1), "doc one"), (ts(2), "doc two"), (ts(3), "doc one"))
+      q.processAllAvailable()
+      in.addData((ts(4), "doc one"), (ts(5), "doc three"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").select("text").as[String].collect().sorted
+      assert(kept.toSeq == Seq("doc one", "doc three", "doc two"))
+    } finally q.stop()
+  }
+
   test("stream_datagen: rate-source generator produces deterministic payloads") {
     val q = Pipelines.dataGenStream(spark, rowsPerSecond = 500)
       .writeStream.outputMode(OutputMode.Append)
