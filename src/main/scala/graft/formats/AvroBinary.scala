@@ -2,7 +2,7 @@ package graft.formats
 
 import java.io.ByteArrayOutputStream
 
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
@@ -88,7 +88,7 @@ object AvroBinary {
       rows.map { r =>
         val dec = DecoderFactory.get().binaryDecoder(r.getAs[Array[Byte]](0), null)
         val rec = reader.read(null, dec)
-        Row.fromSeq(names.map { n =>
+        Row.fromSeq(names.toIndexedSeq.map { n =>
           rec.get(n) match {
             case u: org.apache.avro.util.Utf8 => u.toString
             case bb: java.nio.ByteBuffer =>

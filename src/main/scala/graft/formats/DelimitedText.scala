@@ -31,7 +31,7 @@ object DelimitedText {
     }
     val withCols = base
       .select(split(lineCol, java.util.regex.Pattern.quote(delimiter)).as("__f"))
-      .select(fields :+ size(col("__f")).as("__arity"): _*)
+      .select(fields.toIndexedSeq :+ size(col("__f")).as("__arity"): _*)
     val out =
       if (ignoreParseErrors) {
         val castsOk = schema.fields

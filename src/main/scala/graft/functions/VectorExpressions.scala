@@ -27,10 +27,25 @@ object VecKernels {
     acc
   }
 
-  /** Deterministic hyperplane matrix w(j,k) = ((j·73856093 + k·19349663)
-    * mod 2001 − 1000)/1000 — the formula the oracle replays. */
+  /** Deterministic avalanche mix → [-1000, 1000]: two rounds of
+    * multiply-mod-prime + xor-shift. The xor-shifts are the essential
+    * nonlinearity — purely linear mixes (k·B mod M, LCG rounds)
+    * produce near-parallel hyperplanes whose LSH bits correlate and
+    * whose buckets collapse at scale (caught by
+    * graft.tools.ScaleStress: 2.4e9 candidate pairs at 200k vectors
+    * before this fix, ~1e6 after). Oracle SQL replays it via
+    * [[VectorFunctions.Sql.mix]]. */
+  def mix2001(x: Long): Long = {
+    val h1 = (x + 1L) * 48271L % 2147483647L
+    val h2 = h1 ^ (h1 >> 13)
+    val h3 = h2 * 48271L % 2147483647L
+    val h4 = h3 ^ (h3 >> 7)
+    h4 % 2001L - 1000L
+  }
+
+  /** Hyperplane matrix w(j,k) = mix2001(j·64+k)/1000. */
   private def plane(j: Int, k: Int): Double =
-    ((j * 73856093L + k * 19349663L) % 2001 - 1000).toDouble / 1000.0
+    mix2001(j * 64L + k).toDouble / 1000.0
 
   private lazy val planes: Array[Array[Double]] =
     Array.tabulate(64, 64)(plane)

@@ -30,6 +30,24 @@ object VectorFunctions {
 
   /** DuckDB fragments replaying the exact same fold. */
   object Sql {
+    /** DuckDB replay of [[VectorExpressions.mix2001]] (value in
+      * [-1000, 1000]); `x` is a bigint SQL expression. */
+    def mix(x: String): String = {
+      val h1 = s"((($x) + 1) * 48271 % 2147483647)"
+      val h2 = s"xor($h1, $h1 >> 13)"
+      val h3 = s"(($h2) * 48271 % 2147483647)"
+      val h4 = s"xor($h3, $h3 >> 7)"
+      s"(($h4) % 2001 - 1000)"
+    }
+
+    /** Spark-SQL replay of the same mix (operator syntax differs). */
+    def mixSpark(x: String): String = {
+      val h1 = s"((($x) + 1) * 48271 % 2147483647)"
+      val h2 = s"($h1 ^ shiftright($h1, 13))"
+      val h3 = s"(($h2) * 48271 % 2147483647)"
+      val h4 = s"($h3 ^ shiftright($h3, 7))"
+      s"(($h4) % 2001 - 1000)"
+    }
     def vec(e: String): String = s"($e)::DOUBLE[]"
     def dot(a: String, b: String): String =
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), p -> p[1] * p[2])), (acc, x) -> acc + x)"

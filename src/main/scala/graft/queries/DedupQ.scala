@@ -176,7 +176,7 @@ object DedupQ extends QueryPack {
          |  SELECT vec_id, v,
          |    list_transform(range(0, 64), j ->
          |      CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, 64), k ->
-         |             v[k + 1] * (((j * 73856093 + k * 19349663) % 2001 - 1000)::DOUBLE / 1000.0))),
+         |             v[k + 1] * ((${VectorFunctions.Sql.mix("j * 64 + k")})::DOUBLE / 1000.0))),
          |             (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END) AS bits
          |  FROM aug),
          |banded AS (

@@ -88,9 +88,9 @@ object SimilarityQ extends QueryPack {
   private def cosSql = VectorFunctions.Sql.cosine("q.qv", "n.v")
 
   private val bucketSql =
-    """list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 6), j ->
+    s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 6), j ->
       |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, 64), k ->
-      |         v[k + 1] * (((j * 73856093 + k * 19349663) % 2001 - 1000)::DOUBLE / 1000.0))),
+      |         v[k + 1] * ((${VectorFunctions.Sql.mix("j * 64 + k")})::DOUBLE / 1000.0))),
       |         (a, x) -> a + x) >= 0
       |  THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (acc, x) -> acc + x)""".stripMargin
 

@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.{Cdc, Dedup}
+
+/** Scale-stress harness: runs the heavy operator families on
+  * generated data 100–1000× the sf0.1 test tables, on local[32], to
+  * validate the shuffle/partition design (not the values — the DuckDB
+  * oracle owns correctness at sf0.01). Prints one line per stage:
+  * STRESS <name> rows=<n> sec=<t>.
+  *
+  * Generated inputs live only in this tool — SparkEntry queries read
+  * the driver test data exclusively.
+  */
+object ScaleStress {
+
+  private def time(name: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val rows = f
+    println(f"STRESS $name rows=$rows sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+  }
+
+  /** ~`n` docs of ~40 words, well-mixed over a 100k vocab so organic
+    * cross-doc shingle collisions are rare; every 20th doc is an
+    * exact duplicate of doc (id/20) — a controlled 5% dup rate. */
+  private def docs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    def textOf(idExpr: String) =
+      s"""concat_ws(' ', transform(sequence(0, 39), i ->
+         |  concat('w', cast((cast($idExpr as bigint) * 2654435761 + cast(i as bigint) * i * 19349663) % 100000 as string))))""".stripMargin
+    spark.range(n).select(
+      $"id",
+      when(pmod($"id", lit(20)) === 0, expr(textOf("id div 20")))
+        .otherwise(expr(textOf("id"))).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("graft-stress")
+    import spark.implicits._
+
+    time("window_agg_20M_events") {
+      spark.range(20L * 1000 * 1000).select(
+        expr("timestamp_micros(id * 20000)").as("ts"), // 50 events/sec
+        pmod($"id", lit(100000)).as("user_id"),
+        (pmod($"id" * 2654435761L, lit(1000)) / 100.0).as("value"))
+        .groupBy(window($"ts", "1 hour"), $"user_id")
+        .agg(count(lit(1)), sum($"value"))
+        .count()
+    }
+
+    time("cdc_materialize_20M_changes") {
+      val changelog = spark.range(20L * 1000 * 1000).select(
+        pmod($"id" * 2654435761L, lit(1000000)).as("pk"),
+        $"id".as("version"),
+        when(pmod($"id", lit(50)) === 0, "-D").otherwise("+U").as("op"),
+        ($"id" % 1000 / 10.0).as("value"))
+      Cdc.materialize(changelog, Seq($"pk"), Seq($"version"), $"op" === "-D").count()
+    }
+
+    time("exact_dedup_2M_docs") {
+      Dedup.exact(docs(spark, 2L * 1000 * 1000), $"id", $"text").count()
+    }
+
+    time("minhash_lsh_200k_docs") {
+      val hs = Dedup.hashedShingles(
+        Dedup.shingles(docs(spark, 200000), $"id", $"text", 5)).persist()
+      val sig = Dedup.minhashSignatures(hs, 32)
+      val cand = Dedup.lshCandidates(sig, 4)
+      val out = Dedup.verifyJaccard(cand, hs, 0.6).count()
+      hs.unpersist()
+      out
+    }
+
+    // Band width must scale with corpus size: k-bit bands put n/2^k
+    // vectors per bucket, and candidate pairs grow with bucket².
+    // 8-bit bands are right for ~10^4 vectors (q28 at test SF); at
+    // 200k vectors we use 4 bands × 16 bits (≈3 vectors/bucket).
+    // Components come from a two-round MINSTD LCG — naive arithmetic
+    // mixes leave vectors correlated and collapse the buckets.
+    time("ann_lsh_200k_vectors_16bit_bands") {
+      val mixed = graft.functions.VectorFunctions.Sql
+        .mixSpark("cast(id as bigint) * 64 + k + 999999937")
+      val emb = spark.range(200000).select(
+        $"id".as("vec_id"),
+        expr(s"transform(sequence(0, 63), k -> cast($mixed as double) / 1000.0)").as("v"))
+      val banded = emb
+        .withColumn("bits", graft.functions.VectorExpressions.hyperplaneBits($"v", 64))
+        .select($"vec_id",
+          posexplode(expr(
+            """transform(sequence(0, 3), b ->
+              |  aggregate(sequence(0, 15), 0, (acc, r) -> acc * 2 + element_at(bits, b * 16 + r + 1)))""".stripMargin))
+            .as(Seq("band", "bkey")))
+      banded.select($"vec_id".as("id_a"), $"band", $"bkey")
+        .join(banded.select($"vec_id".as("id_b"), $"band", $"bkey"), Seq("band", "bkey"))
+        .filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b").distinct()
+        .count()
+    }
+
+    spark.stop()
+  }
+}
