@@ -25,14 +25,19 @@ object SimilarityQ extends QueryPack {
       .select($"vec_id", $"label", VectorFunctions.vec($"embedding").as("v"))
   }
 
-  /** 6-bit random-hyperplane LSH bucket from the native sign-bit
-    * kernel ([[graft.functions.VecKernels.signBits]]) — same
-    * integer-arithmetic planes the oracle SQL replays. */
-  private def withBucket(df: DataFrame): DataFrame =
-    df.withColumn("bits", graft.functions.VectorExpressions.hyperplaneBits(col("v"), 6))
-      .withColumn("bucket", expr(
-        "aggregate(sequence(0, 5), cast(0 as bigint), (acc, j) -> acc + cast(element_at(bits, j + 1) as bigint) * shiftleft(cast(1 as bigint), j))"))
-      .drop("bits")
+  /** Multi-table random-hyperplane LSH: 16 tables × 4 sign bits from
+    * the native kernel ([[graft.functions.VecKernels.signBits]]).
+    * OR-amplification across tables is what buys recall for
+    * moderately-similar neighbors (cos ≈ 0.33 here ⇒ p_table ≈ 0.14
+    * but P[any of 16] ≈ 0.9); AND-bits within a table bound bucket
+    * size. Table-bit width scales with corpus size (STRESS.md). */
+  private def withTables(df: DataFrame): DataFrame =
+    df.withColumn("bits", graft.functions.VectorExpressions.hyperplaneBits(col("v"), 64))
+      .select(df.columns.map(col) :+
+        posexplode(expr(
+          """transform(sequence(0, 15), t ->
+            |  aggregate(sequence(0, 3), 0, (acc, r) -> acc * 2 + element_at(bits, t * 4 + r + 1)))""".stripMargin))
+          .as(Seq("tbl", "bkey")): _*)
 
   def defs: Map[String, Q] = Map(
     "q29_ann_brute_topk" -> ((s, d) => {
@@ -49,12 +54,21 @@ object SimilarityQ extends QueryPack {
 
     "q30_ann_lsh_topk" -> ((s, d) => {
       import s.implicits._
-      val e = withBucket(emb(s, d))
-      val q = e.filter($"vec_id" % 50 === 0)
-        .select($"vec_id".as("query_id"), $"v".as("qv"), $"bucket")
-      val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
-      q.join(e.select($"vec_id".as("neighbor_id"), $"v", $"bucket"), "bucket")
+      val banded = withTables(emb(s, d))
+      val q = banded.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"), $"tbl", $"bkey")
+      // candidate ids via any-table bucket match; vectors attached after
+      // the distinct, so arrays never ride the candidate shuffle
+      val cand = q
+        .join(banded.select($"vec_id".as("neighbor_id"), $"tbl", $"bkey"), Seq("tbl", "bkey"))
         .filter($"neighbor_id" =!= $"query_id")
+        .select($"query_id", $"neighbor_id")
+        .distinct()
+      val e = emb(s, d)
+      val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+      cand
+        .join(e.select($"vec_id".as("query_id"), $"v".as("qv")), "query_id")
+        .join(e.select($"vec_id".as("neighbor_id"), $"v"), "neighbor_id")
         .select($"query_id", $"neighbor_id",
           VectorFunctions.cosine($"qv", $"v").as("cos_sim"))
         .withColumn("rnk", row_number().over(w))
@@ -87,12 +101,11 @@ object SimilarityQ extends QueryPack {
 
   private def cosSql = VectorFunctions.Sql.cosine("q.qv", "n.v")
 
-  private val bucketSql =
-    s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 6), j ->
+  private val bitsSql =
+    s"""list_transform(range(0, 64), j ->
       |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, 64), k ->
       |         v[k + 1] * ((${VectorFunctions.Sql.mix("j * 64 + k")})::DOUBLE / 1000.0))),
-      |         (a, x) -> a + x) >= 0
-      |  THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (acc, x) -> acc + x)""".stripMargin
+      |         (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q29_ann_brute_topk" ->
@@ -106,10 +119,18 @@ object SimilarityQ extends QueryPack {
 
     "q30_ann_lsh_topk" ->
       s"""WITH $embSql,
-         |b AS (SELECT vec_id, label, v, $bucketSql AS bucket FROM e),
-         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 50 = 0),
-         |s AS (SELECT q.query_id, n.vec_id AS neighbor_id, $cosSql AS cos_sim
-         |      FROM q JOIN b n ON n.bucket = q.bucket AND n.vec_id <> q.query_id),
+         |bv AS (SELECT vec_id, v, $bitsSql AS bits FROM e),
+         |banded AS (
+         |  SELECT vec_id, t AS tbl,
+         |    list_reduce(list_prepend(0, list_transform(range(0, 4), r -> bits[t * 4 + r + 1])),
+         |                (acc, x) -> acc * 2 + x) AS bkey
+         |  FROM bv, generate_series(0, 15) g(t)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bkey = b.bkey
+         |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+         |s AS (SELECT c.query_id, c.neighbor_id, ${VectorFunctions.Sql.cosine("q.v", "n.v")} AS cos_sim
+         |      FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
          |      FROM s)
          |SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
