@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Scoped persist tracking for query builders.
+  *
+  * Query builders (DedupQ) persist intermediate shingle sets shared by
+  * several plan subtrees, but return a DataFrame — they can't
+  * unpersist before the caller's action runs. Builders register
+  * persists here; the drivers (Bench / Verify / tests) call [[drain]]
+  * after each query's action, so cached RDDs don't accumulate across
+  * 37 queries and re-built plans don't hit "Asked to cache already
+  * cached data" on an executor-memory-resident twin. */
+object CachePool {
+  private val bag = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  def cache(df: DataFrame): DataFrame = synchronized {
+    df.persist()
+    bag += df
+    df
+  }
+
+  def drain(): Unit = synchronized {
+    bag.foreach(_.unpersist(blocking = false))
+    bag.clear()
+  }
+}

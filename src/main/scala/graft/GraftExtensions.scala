@@ -60,10 +60,25 @@ object GraftExtensions {
 
   private[graft] val buildHyperplaneBits: Seq[Expression] => Expression = { args =>
     arity("graft_hyperplane_bits", args, 2)
-    HyperplaneBits(args(0), args(1) match {
-      case Literal(n: Int, _) => n
-      case other => other.eval().asInstanceOf[Int]
-    })
+    // SQL integer literals default to INT but users write BIGINT/
+    // SMALLINT literals too (e.g. `64L`): accept any integral literal
+    // in Int range, and fail ANALYSIS (not ClassCastException at
+    // execution) for anything else.
+    def bad(what: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "INTERNAL_ERROR",
+        Map("message" ->
+          s"graft_hyperplane_bits: second argument must be an integral literal in [1, ${graft.functions.VecKernels.MaxPlanes}], got $what"))
+    val n = args(1) match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) if v.isValidInt => v.toInt
+      case Literal(v: Short, _) => v.toInt
+      case Literal(v: Byte, _) => v.toInt
+      case Literal(v, _) => bad(String.valueOf(v))
+      case other => bad(other.sql)
+    }
+    if (n < 1 || n > graft.functions.VecKernels.MaxPlanes) bad(n.toString)
+    HyperplaneBits(args(0), n)
   }
 
   /** Register the same functions on an already-built session (useful in

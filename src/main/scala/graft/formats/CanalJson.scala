@@ -51,8 +51,6 @@ object CanalJson {
     * drop conditions are folded into the generator: exploding an
     * empty array IS the filter. */
   def parseChangelog(df: DataFrame, jsonCol: Column, ignoreParseErrors: Boolean = true): DataFrame = {
-    // Overlay needs later-key-wins map_concat.
-    df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     val emptyData = array().cast(ArrayType(MapType(StringType, StringType)))
     val parsed = df.select(from_json(jsonCol, envelopeSchema).as("e"))
     val exploded = parsed
@@ -66,9 +64,16 @@ object CanalJson {
             .otherwise(col("e.data"))).as(Seq("i", "after")))
       .withColumn(
         "before",
+        // Overlay `old[i]` onto the after-image. The concat operands
+        // are made key-DISJOINT first (drop overlaid keys from the
+        // after-image), so the result is identical under any
+        // spark.sql.mapKeyDedupPolicy — a decoder must not mutate
+        // session-wide map semantics to work.
         when(
           col("op") === "UPDATE" && col("old").isNotNull && col("i") < size(col("old")),
-          map_concat(col("after"), expr("old[i]")))
+          map_concat(
+            expr("map_filter(after, (k, v) -> NOT map_contains_key(old[i], k))"),
+            expr("old[i]")))
           .otherwise(col("after")))
     exploded
       .select(

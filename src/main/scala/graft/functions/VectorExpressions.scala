@@ -43,12 +43,17 @@ object VecKernels {
     h4 % 2001L - 1000L
   }
 
+  /** Upper bound on hyperplanes: 16 tables × 16 bits — enough for
+    * adaptive band widths ([[graft.operators.Adaptive.bits]]) up to
+    * corpora of ~2^16 · targetBucket vectors per the widest config. */
+  val MaxPlanes = 256
+
   /** Hyperplane matrix w(j,k) = mix2001(j·64+k)/1000. */
   private def plane(j: Int, k: Int): Double =
     mix2001(j * 64L + k).toDouble / 1000.0
 
   private lazy val planes: Array[Array[Double]] =
-    Array.tabulate(64, 64)(plane)
+    Array.tabulate(MaxPlanes, 64)(plane)
 
   /** Sign bits of the first `numPlanes` hyperplane projections, in the
     * same per-plane sequential fold order as the HOF/oracle form. */
@@ -86,6 +91,8 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
 /** Hyperplane sign bits of an array<double> vector, codegen'd. */
 case class HyperplaneBits(child: Expression, numPlanes: Int) extends UnaryExpression {
+  require(numPlanes >= 1 && numPlanes <= VecKernels.MaxPlanes,
+    s"graft_hyperplane_bits: numPlanes must be in [1, ${VecKernels.MaxPlanes}], got $numPlanes")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_hyperplane_bits"

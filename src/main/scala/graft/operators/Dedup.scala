@@ -49,6 +49,26 @@ object Dedup {
   def hashedShingles(sh: DataFrame): DataFrame =
     sh.select(col("id"), shingleKey(col("shingle")).as("sh")).distinct()
 
+  /** Drop shingles with document frequency > `cap` from the shingle
+    * sets. A shingle shared by k docs yields k² rows in any
+    * shared-shingle join, so one boilerplate 5-gram (web headers,
+    * license text) becomes an effective cartesian bucket at corpus
+    * scale; df-capped shingles carry ~zero similarity signal anyway.
+    * The hot set is tiny by construction, so it broadcasts — the
+    * anti-join adds no shuffle to the main path. Applies to counts
+    * AND joins (callers feed the capped set everywhere), keeping the
+    * Jaccard denominator consistent: similarity is over
+    * non-boilerplate shingles. Oracle twin: `HAVING count(*) <= cap`
+    * semi-join ([[graft.operators.Adaptive.dfCapSql]]). */
+  def dfCapped(hs: DataFrame, cap: Long): DataFrame = {
+    val hot = hs.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("sh"))
+    // USING joins reorder output to [using cols, rest] — reselect to
+    // keep the (id, sh) contract downstream positional renames rely on.
+    hs.join(broadcast(hot), Seq("sh"), "left_anti")
+      .select(col("id"), col("sh"))
+  }
+
   /** Exact Jaccard ≥ `threshold` near-dup pairs via shared-shingle
     * blocking: pairs with zero common shingles are never formed.
     * `hs` = hashed shingle sets ([[hashedShingles]]); callers reusing
@@ -79,12 +99,17 @@ object Dedup {
       .agg(graft.functions.MinHashSig.minhashSig(col("h0"), numHashes).as("sig"))
 
   /** LSH candidate pairs: docs sharing any band key (band = `rowsPerBand`
-    * consecutive signature entries). */
+    * consecutive signature entries). Signatures shorter than one band
+    * produce zero bands (the unguarded `sequence(0, -1)` would emit a
+    * bogus band slicing from the array end). */
   def lshCandidates(sig: DataFrame, rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1, s"rowsPerBand must be >= 1, got $rowsPerBand")
     val bands = sig.select(col("id"),
       posexplode(expr(
-        s"""transform(sequence(0, size(sig) div $rowsPerBand - 1), b ->
-           |  concat_ws(',', transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), x -> cast(x as string))))""".stripMargin))
+        s"""if(size(sig) >= $rowsPerBand,
+           |  transform(sequence(0, size(sig) div $rowsPerBand - 1), b ->
+           |    concat_ws(',', transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), x -> cast(x as string)))),
+           |  cast(array() as array<string>))""".stripMargin))
         .as(Seq("band", "key")))
     bands.select(col("id").as("id_a"), col("band"), col("key"))
       .join(bands.select(col("id").as("id_b"), col("band"), col("key")), Seq("band", "key"))

@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.CachePool
 import graft.functions.VectorFunctions
-import graft.operators.Dedup
+import graft.operators.{Adaptive, Dedup}
 import graft.sources.Tables
 
 /** Deduplication (SURVEY §2 q24–q28).
@@ -17,6 +18,13 @@ import graft.sources.Tables
   * DuckDB oracle performs the identical augmentation, then replays
   * the identical signature arithmetic — so the hash compare exercises
   * the full MinHash/SimHash/Jaccard pipelines end to end.
+  *
+  * Scale knobs are NOT fixed: band widths, minhash rows-per-band, and
+  * the shingle df-cap all derive from the base-table count via
+  * [[graft.operators.Adaptive]] (pure integer arithmetic), and every
+  * oracle replays the same derivation in SQL from the same count — so
+  * the parameters that keep buckets bounded at 10^6+ docs are the
+  * exact parameters the correctness gate verifies at 10^2.
   */
 object DedupQ extends QueryPack {
 
@@ -31,6 +39,17 @@ object DedupQ extends QueryPack {
           expr("substring(text, instr(text, ' ') + 1)").as("text")))
   }
 
+  /** Shared df-capped hashed shingle set (feeds counts, signatures,
+    * and the pair/verify joins — persist so the stages share one
+    * computation; drained by CachePool after the query's action). */
+  private def cappedShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = Adaptive.dfCap(Tables.documents(s, d).count())
+    CachePool.cache(Dedup.dfCapped(
+      Dedup.shingles(augmentedDocs(s, d), $"doc_id", $"text", 5)
+        .transform(Dedup.hashedShingles), cap))
+  }
+
   private val augSql =
     """aug AS (
       |  SELECT doc_id, text FROM documents
@@ -38,12 +57,17 @@ object DedupQ extends QueryPack {
       |  UNION ALL SELECT doc_id + 2000000, substr(text, strpos(text, ' ') + 1)
       |    FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
+  /** Shingle sets + df-cap; `shf` is the capped set all stages use. */
   private val shinglesSql =
-    """toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words FROM aug),
+    s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words FROM aug),
       |sh AS (SELECT DISTINCT id, array_to_string(list_slice(words, i + 1, i + 5), ' ') AS shingle
       |       FROM (SELECT doc_id AS id, words, unnest(generate_series(0, len(words) - 5)) AS i
       |             FROM toks WHERE len(words) >= 5)),
-      |shh AS (SELECT DISTINCT id, cast(('0x' || substr(md5(shingle), 1, 15)) AS bigint) AS sh FROM sh)""".stripMargin
+      |shh AS (SELECT DISTINCT id, cast(('0x' || substr(md5(shingle), 1, 15)) AS bigint) AS sh FROM sh),
+      |pc AS (SELECT ${Adaptive.dfCapSql("count(*)")} AS cap FROM documents),
+      |shf AS (SELECT * FROM shh
+      |        WHERE sh IN (SELECT sh FROM shh GROUP BY sh
+      |                     HAVING count(*) <= (SELECT cap FROM pc)))""".stripMargin
 
   def defs: Map[String, Q] = Map(
     "q24_dedup_exact" -> ((s, d) => {
@@ -52,20 +76,15 @@ object DedupQ extends QueryPack {
     }),
 
     "q25_dedup_ngram_jaccard" -> ((s, d) => {
-      import s.implicits._
-      val hs = Dedup.hashedShingles(
-        Dedup.shingles(augmentedDocs(s, d), $"doc_id", $"text", 5)).persist()
-      Dedup.jaccardPairsHashed(hs, 0.6)
+      Dedup.jaccardPairsHashed(cappedShingles(s, d), 0.6)
     }),
 
     "q26_dedup_minhash_lsh" -> ((s, d) => {
-      import s.implicits._
-      // the hashed shingle set feeds signatures, counts, and the verify
-      // join — persist so the three stages share one computation
-      val hs = Dedup.hashedShingles(
-        Dedup.shingles(augmentedDocs(s, d), $"doc_id", $"text", 5)).persist()
-      val sig = Dedup.minhashSignatures(hs, numHashes = 32)
-      val cand = Dedup.lshCandidates(sig, rowsPerBand = 4)
+      val n = Tables.documents(s, d).count()
+      val r = Adaptive.minhashRows(n)
+      val hs = cappedShingles(s, d)
+      val sig = Dedup.minhashSignatures(hs, numHashes = r * Adaptive.minhashBands(r))
+      val cand = Dedup.lshCandidates(sig, rowsPerBand = r)
       Dedup.verifyJaccard(cand, hs, 0.6)
     }),
 
@@ -74,26 +93,31 @@ object DedupQ extends QueryPack {
       Dedup.simhashPairs(Dedup.simhash(augmentedDocs(s, d), $"doc_id", $"text"), maxDist = 3)
     }),
 
-    // Embedding near-dup via sign-LSH band blocking (8 bands × 8
-    // hyperplanes; P[miss | cos >= 0.99] ≈ 1e-4) + exact cosine
+    // Embedding near-dup via sign-LSH band blocking + exact cosine
     // verification of candidates — the pair space is O(Σ bucket²),
-    // never O(n²), so the shape holds at 100 TB.
+    // never O(n²). Band width AND band count derive from the corpus
+    // count (bits = bands = Adaptive.bits(n, 2, 8, 16)): buckets hold
+    // ~2 vectors regardless of n, and the band count grows with the
+    // width so P[miss | cos >= 0.99] stays ~1e-4 (p_bit ≈ 0.955:
+    // width 8 × 8 bands ⇒ 8.5e-5; width 16 × 16 bands ⇒ ~1e-4).
     "q28_dedup_embedding" -> ((s, d) => {
       import s.implicits._
+      val bits = Adaptive.bits(Tables.embeddings(s, d).count(), targetBucket = 2, lo = 8, hi = 16)
+      val bands = bits
       val emb = Tables.embeddings(s, d)
         .select($"vec_id", VectorFunctions.vec($"embedding").as("v"))
       val aug = emb.unionByName(
         emb.filter($"vec_id" % 10 === 0).select(($"vec_id" + 100000).as("vec_id"), $"v"))
-      // sign bit per hyperplane (native codegen kernel), then 8-bit band
+      // sign bit per hyperplane (native codegen kernel), then banded
       // keys. The candidate join ships only (band, bkey, id) — the 64-d
       // vectors are attached AFTER pair dedup, so the wide arrays never
       // ride the O(candidates) shuffle.
       val banded = aug
-        .withColumn("bits", graft.functions.VectorExpressions.hyperplaneBits($"v", 64))
+        .withColumn("bits", graft.functions.VectorExpressions.hyperplaneBits($"v", bands * bits))
         .select($"vec_id",
           posexplode(expr(
-            """transform(sequence(0, 7), b ->
-              |  aggregate(sequence(0, 7), 0, (acc, r) -> acc * 2 + element_at(bits, b * 8 + r + 1)))""".stripMargin))
+            s"""transform(sequence(0, ${bands - 1}), b ->
+              |  aggregate(sequence(0, ${bits - 1}), 0, (acc, r) -> acc * 2 + element_at(bits, b * $bits + r + 1)))""".stripMargin))
             .as(Seq("band", "bkey")))
       val cand = banded.select($"vec_id".as("id_a"), $"band", $"bkey")
         .join(banded.select($"vec_id".as("id_b"), $"band", $"bkey"), Seq("band", "bkey"))
@@ -118,9 +142,9 @@ object DedupQ extends QueryPack {
     "q25_dedup_ngram_jaccard" ->
       s"""WITH $augSql,
          |$shinglesSql,
-         |cnt AS (SELECT id, count(*) AS n FROM shh GROUP BY id),
+         |cnt AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
          |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-         |          FROM shh a JOIN shh b USING (sh) WHERE a.id < b.id
+         |          FROM shf a JOIN shf b USING (sh) WHERE a.id < b.id
          |          GROUP BY a.id, b.id)
          |SELECT id_a, id_b, c::DOUBLE / (ca.n + cb.n - c) AS jaccard
          |FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
@@ -129,19 +153,22 @@ object DedupQ extends QueryPack {
     "q26_dedup_minhash_lsh" ->
       s"""WITH $augSql,
          |$shinglesSql,
-         |base AS (SELECT id, sh % 2147483647 AS h0 FROM shh),
-         |hv AS (SELECT id, i,
+         |pm AS (SELECT r, r * ${Adaptive.minhashBandsSql("r")} AS nh
+         |       FROM (SELECT ${Adaptive.minhashRowsSql("count(*)")} AS r FROM documents)),
+         |base AS (SELECT id, sh % 2147483647 AS h0 FROM shf),
+         |hi AS (SELECT id, h0, r, unnest(range(0, nh)) AS i FROM base, pm),
+         |hv AS (SELECT id, i, r,
          |         min((((i*2654435761 + 1) % 2147483647) * h0 + ((i*40503 + 7) % 2147483647)) % 2147483647) AS mh
-         |       FROM base, generate_series(0, 31) t(i) GROUP BY id, i),
-         |bands AS (SELECT id, i // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
-         |          FROM hv GROUP BY id, i // 4),
+         |       FROM hi GROUP BY id, i, r),
+         |bands AS (SELECT id, i // r AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
+         |          FROM hv GROUP BY id, i // r),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
-         |cnt AS (SELECT id, count(*) AS n FROM shh GROUP BY id),
+         |cnt AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
          |inter AS (SELECT c.id_a, c.id_b, count(*) AS ic
          |          FROM cand c
-         |          JOIN shh a ON a.id = c.id_a
-         |          JOIN shh b ON b.id = c.id_b AND b.sh = a.sh
+         |          JOIN shf a ON a.id = c.id_a
+         |          JOIN shf b ON b.id = c.id_b AND b.sh = a.sh
          |          GROUP BY c.id_a, c.id_b)
          |SELECT id_a, id_b, ic::DOUBLE / (ca.n + cb.n - ic) AS jaccard
          |FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
@@ -172,18 +199,21 @@ object DedupQ extends QueryPack {
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
          |  UNION ALL SELECT vec_id + 100000, embedding::DOUBLE[]
          |    FROM embeddings WHERE vec_id % 10 = 0),
+         |pq AS (SELECT ${Adaptive.bitsSql("count(*)", 2, 8, 16)} AS nb FROM embeddings),
          |bitsv AS (
-         |  SELECT vec_id, v,
-         |    list_transform(range(0, 64), j ->
+         |  SELECT vec_id, v, nb,
+         |    list_transform(range(0, nb * nb), j ->
          |      CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, 64), k ->
          |             v[k + 1] * ((${VectorFunctions.Sql.mix("j * 64 + k")})::DOUBLE / 1000.0))),
          |             (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END) AS bits
-         |  FROM aug),
+         |  FROM aug, pq),
+         |bx AS (SELECT vec_id, v, nb, bits, unnest(range(0, nb)) AS band FROM bitsv),
          |banded AS (
-         |  SELECT vec_id, v, b AS band,
-         |    list_reduce(list_prepend(0, list_transform(range(0, 8), r -> bits[b * 8 + r + 1])),
+         |  SELECT vec_id, v, band,
+         |    list_reduce(list_prepend(0, list_transform(range(0, nb),
+         |                  r -> bits[band * nb + r + 1])),
          |                (acc, x) -> acc * 2 + x) AS bkey
-         |  FROM bitsv, generate_series(0, 7) t(b)),
+         |  FROM bx),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
          |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)

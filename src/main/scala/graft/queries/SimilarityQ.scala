@@ -25,18 +25,24 @@ object SimilarityQ extends QueryPack {
       .select($"vec_id", $"label", VectorFunctions.vec($"embedding").as("v"))
   }
 
-  /** Multi-table random-hyperplane LSH: 16 tables × 4 sign bits from
-    * the native kernel ([[graft.functions.VecKernels.signBits]]).
+  /** Multi-table random-hyperplane LSH: 16 tables × `bits` sign bits
+    * from the native kernel ([[graft.functions.VecKernels.signBits]]).
     * OR-amplification across tables is what buys recall for
-    * moderately-similar neighbors (cos ≈ 0.33 here ⇒ p_table ≈ 0.14
-    * but P[any of 16] ≈ 0.9); AND-bits within a table bound bucket
-    * size. Table-bit width scales with corpus size (STRESS.md). */
-  private def withTables(df: DataFrame): DataFrame =
-    df.withColumn("bits", graft.functions.VectorExpressions.hyperplaneBits(col("v"), 64))
+    * moderately-similar neighbors (at test SF: cos ≈ 0.33 ⇒
+    * p_table ≈ 0.14 with 4 bits, but P[any of 16] ≈ 0.9); AND-bits
+    * within a table bound bucket size. The bit width derives from the
+    * corpus count (Adaptive.bits: ~32 vectors/bucket regardless of n,
+    * so per-query candidates stay ~16·32 and total candidate growth is
+    * LINEAR in n — STRESS.md proved fixed widths collapse at 200k+). */
+  private def annBits(n: Long): Int =
+    graft.operators.Adaptive.bits(n, targetBucket = 32, lo = 4, hi = 16)
+
+  private def withTables(df: DataFrame, bits: Int): DataFrame =
+    df.withColumn("bits", graft.functions.VectorExpressions.hyperplaneBits(col("v"), 16 * bits))
       .select(df.columns.map(col) :+
         posexplode(expr(
-          """transform(sequence(0, 15), t ->
-            |  aggregate(sequence(0, 3), 0, (acc, r) -> acc * 2 + element_at(bits, t * 4 + r + 1)))""".stripMargin))
+          s"""transform(sequence(0, 15), t ->
+            |  aggregate(sequence(0, ${bits - 1}), 0, (acc, r) -> acc * 2 + element_at(bits, t * $bits + r + 1)))""".stripMargin))
           .as(Seq("tbl", "bkey")): _*)
 
   def defs: Map[String, Q] = Map(
@@ -54,7 +60,7 @@ object SimilarityQ extends QueryPack {
 
     "q30_ann_lsh_topk" -> ((s, d) => {
       import s.implicits._
-      val banded = withTables(emb(s, d))
+      val banded = withTables(emb(s, d), annBits(Tables.embeddings(s, d).count()))
       val q = banded.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("query_id"), $"tbl", $"bkey")
       // candidate ids via any-table bucket match; vectors attached after
@@ -101,8 +107,10 @@ object SimilarityQ extends QueryPack {
 
   private def cosSql = VectorFunctions.Sql.cosine("q.qv", "n.v")
 
-  private val bitsSql =
-    s"""list_transform(range(0, 64), j ->
+  /** Sign bits of the first `planesSql` hyperplane projections —
+    * identical mix/fold as VecKernels.signBits. */
+  private def bitsSql(planesSql: String) =
+    s"""list_transform(range(0, $planesSql), j ->
       |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, 64), k ->
       |         v[k + 1] * ((${VectorFunctions.Sql.mix("j * 64 + k")})::DOUBLE / 1000.0))),
       |         (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END)""".stripMargin
@@ -119,10 +127,12 @@ object SimilarityQ extends QueryPack {
 
     "q30_ann_lsh_topk" ->
       s"""WITH $embSql,
-         |bv AS (SELECT vec_id, v, $bitsSql AS bits FROM e),
+         |pe AS (SELECT ${graft.operators.Adaptive.bitsSql("count(*)", 32, 4, 16)} AS nb FROM embeddings),
+         |bv AS (SELECT vec_id, v, nb, ${bitsSql("16 * nb")} AS bits FROM e, pe),
          |banded AS (
          |  SELECT vec_id, t AS tbl,
-         |    list_reduce(list_prepend(0, list_transform(range(0, 4), r -> bits[t * 4 + r + 1])),
+         |    list_reduce(list_prepend(0, list_transform(range(0, nb),
+         |                  r -> bits[t * nb + r + 1])),
          |                (acc, x) -> acc * 2 + x) AS bkey
          |  FROM bv, generate_series(0, 15) g(t)),
          |cand AS (

@@ -34,6 +34,55 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == 0)
   }
 
+  test("dfCapped drops hot shingles, keeps (id, sh) column order, and bounds the pair join") {
+    import spark.implicits._
+    // 40 docs all sharing one boilerplate shingle key (sh=999), each
+    // with 3 unique shingles: uncapped, the hot key alone forms
+    // 40*39/2 = 780 candidate pairs; capped at df<=20 it forms none.
+    val hs = spark.range(40).select($"id", explode(array(
+      lit(999L), $"id" * 10 + 1, $"id" * 10 + 2, $"id" * 10 + 3)).as("sh"))
+    val capped = graft.operators.Dedup.dfCapped(hs, cap = 20)
+    assert(capped.columns.toSeq == Seq("id", "sh"))
+    assert(capped.filter($"sh" === 999L).count() == 0)
+    assert(capped.count() == 40 * 3)
+    val pairs = capped.toDF("id_a", "sh")
+      .join(capped.toDF("id_b", "sh"), "sh").filter($"id_a" < $"id_b").count()
+    assert(pairs == 0)
+    val uncappedPairs = hs.toDF("id_a", "sh")
+      .join(hs.toDF("id_b", "sh"), "sh").filter($"id_a" < $"id_b").count()
+    assert(uncappedPairs == 780)
+  }
+
+  test("lshCandidates: signatures shorter than one band yield zero candidates, not bogus bands") {
+    import spark.implicits._
+    val sig = spark.range(4).select($"id", array(lit(7L), lit(8L)).as("sig"))
+    // rowsPerBand=4 > signature length 2: the unguarded sequence(0,-1)
+    // would emit band -1 slicing from the array end and pair everything
+    assert(graft.operators.Dedup.lshCandidates(sig, rowsPerBand = 4).count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.lshCandidates(sig, rowsPerBand = 0)
+    }
+  }
+
+  test("adaptive parameters derive deterministically from corpus size") {
+    import graft.operators.Adaptive
+    // test-SF sizes must reproduce the round-1 fixed widths exactly
+    assert(Adaptive.bits(500, 32, 4, 16) == 4)    // q30 @ sf0.01
+    assert(Adaptive.bits(500, 2, 8, 16) == 8)     // q28 @ sf0.01
+    assert(Adaptive.minhashRows(500) == 4)        // q26 @ sf0.01
+    assert(Adaptive.minhashBands(4) == 8)         // 32 hashes, as before
+    // scale path: widths grow with log(n), bucket occupancy stays flat
+    assert(Adaptive.bits(1000000, 32, 4, 16) == 15)
+    assert(Adaptive.bits(1000000, 2, 8, 16) == 16)
+    assert(Adaptive.minhashRows(1000000) == 6)
+    assert(Adaptive.dfCap(500) == 25)
+    assert(Adaptive.dfCap(100000000) == 5000000)
+    // bit-length formula agrees with DuckDB's length(bin(x)) on the
+    // power-of-two boundaries where floating log2 would disagree
+    assert(Adaptive.bits(32 * 16, 32, 1, 64) == 5)  // n/target=16 -> bitlen 5
+    assert(Adaptive.bits(32 * 15, 32, 1, 64) == 4)  // n/target=15 -> bitlen 4
+  }
+
   test("exact dedup keeps the minimum id per content group") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id", $"text")

@@ -18,4 +18,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(1) == 11.0)
     assert(row.getSeq[Int](2).length == 4)
   }
+
+  test("graft_hyperplane_bits accepts BIGINT literals and rejects non-integral args at analysis") {
+    GraftExtensions.register(spark)
+    // BIGINT literal (SQL `4L`) must coerce, not ClassCastException
+    val bits = spark.sql("SELECT graft_hyperplane_bits(array(1.0d, -1.0d), 4L) AS b").head.getSeq[Int](0)
+    assert(bits.length == 4)
+    // non-integral literal → AnalysisException at plan time
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hyperplane_bits(array(1.0d), 'x')").head
+    }
+    assert(e1.getMessage.contains("graft_hyperplane_bits"))
+    // out-of-range plane count → AnalysisException, not runtime AIOOBE
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hyperplane_bits(array(1.0d), 100000)").head
+    }
+    assert(e2.getMessage.contains("graft_hyperplane_bits"))
+  }
 }
