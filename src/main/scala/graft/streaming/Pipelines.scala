@@ -87,32 +87,43 @@ object Pipelines {
     import events.sparkSession.implicits._
     val timeoutConf =
       if (windowMs > 0) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    // State = (n, sum, winStart): winStart is the min event time of the
+    // CURRENT partial window — it resets on every FIRE_AND_PURGE, so a
+    // residual window left by a mid-batch purge times out windowMs
+    // after ITS OWN first event (MyCountTrigger.java window-end
+    // semantics), never on a timer anchored to the already-fired
+    // window. The timeout is re-armed on EVERY invocation: Spark
+    // clears a group's timeout each time the function is called for
+    // it, so arming only on state creation silently disarms any
+    // partial window that spans more than one micro-batch.
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Double), CountWindowEmit](OutputMode.Append, timeoutConf) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Double)]) =>
+      .flatMapGroupsWithState[(Long, Double, Long), CountWindowEmit](OutputMode.Append, timeoutConf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Double, Long)]) =>
           if (state.hasTimedOut) { // window end: fire the partial, purge
-            val (n, sum) = state.get
+            val (n, sum, _) = state.get
             state.remove()
             Iterator.single(CountWindowEmit(userId, n, sum))
           } else {
-            val hadState = state.exists
-            var (n, sum) = state.getOption.getOrElse((0L, 0.0))
-            var firstTs = Long.MaxValue
+            var (n, sum, winStart) = state.getOption.getOrElse((0L, 0.0, Long.MaxValue))
             val out = scala.collection.mutable.ArrayBuffer[CountWindowEmit]()
             rows.foreach { e =>
-              if (e.ts.getTime < firstTs) firstTs = e.ts.getTime
+              if (e.ts.getTime < winStart) winStart = e.ts.getTime
               n += 1
               sum += e.value
               if (n >= maxCount) { // FIRE_AND_PURGE
                 out += CountWindowEmit(userId, n, sum)
                 n = 0L
                 sum = 0.0
+                winStart = Long.MaxValue // next window anchors to its first event
               }
             }
             if (n > 0) {
-              state.update((n, sum))
-              if (windowMs > 0 && !hadState) state.setTimeoutTimestamp(firstTs + windowMs)
+              state.update((n, sum, winStart))
+              // event-time timers must be > the current watermark; a
+              // window already past due fires on the next batch
+              if (windowMs > 0) state.setTimeoutTimestamp(
+                math.max(winStart + windowMs, state.getCurrentWatermarkMs() + 1))
             } else state.remove()
             out.iterator
           }
@@ -130,8 +141,16 @@ object Pipelines {
     * every key touched in the micro-batch; late (older-ts) changes
     * are ignored — last-writer-wins by ts, with same-ts ties applied
     * in changelog order (-U before +I/+U before -D), so an UPDATE's
-    * after-image beats its retract row. */
-  def cdcUpsertStream(changes: Dataset[Change]): Dataset[Upsert] = {
+    * after-image beats its retract row.
+    *
+    * `ttlMs`: optional event-time TTL — a key not updated for ttlMs
+    * (by the watermark, `change.ts` read as epoch millis) is evicted
+    * from state. NoTimeout matches Flink's unbounded keyed state, but
+    * at 100 TB/day churn the pk space grows without bound: tombstoned
+    * (-D) and abandoned keys must eventually leave the state store.
+    * After eviction, a late change for the key is treated as new —
+    * the same trade Flink makes with StateTtlConfig. */
+  def cdcUpsertStream(changes: Dataset[Change], ttlMs: Option[Long] = None): Dataset[Upsert] = {
     import changes.sparkSession.implicits._
     def opRank(op: String): Int = op match {
       case "-U" => 0
@@ -140,18 +159,39 @@ object Pipelines {
       case "-D" => 3
       case _ => 4
     }
-    changes
+    // Event-time timers need a watermarked timestamp column; derive it
+    // from the change version so callers keep the plain typed surface.
+    val src =
+      if (ttlMs.isDefined)
+        changes.toDF()
+          .withColumn("__event_ts", timestamp_millis(col("ts")))
+          .withWatermark("__event_ts", "0 seconds")
+          .as[Change]
+      else changes
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.pk)
-      .flatMapGroupsWithState[Upsert, Upsert](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Upsert, Upsert](OutputMode.Append, timeoutConf) {
         (pk: Long, rows: Iterator[Change], state: GroupState[Upsert]) =>
-          var cur = state.getOption.orNull
-          rows.toSeq.sortBy(c => (c.ts, opRank(c.op))).foreach { c =>
-            if (cur == null || c.ts >= cur.ts) {
-              cur = Upsert(pk, c.ts, c.value, deleted = c.op == "-D")
+          if (state.hasTimedOut) { // TTL eviction: silent, no emission
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption.orNull
+            rows.toSeq.sortBy(c => (c.ts, opRank(c.op))).foreach { c =>
+              if (cur == null || c.ts >= cur.ts) {
+                cur = Upsert(pk, c.ts, c.value, deleted = c.op == "-D")
+              }
             }
+            if (cur != null) {
+              state.update(cur)
+              // re-arm each invocation (Spark clears it per call)
+              ttlMs.foreach(t => state.setTimeoutTimestamp(
+                math.max(cur.ts + t, state.getCurrentWatermarkMs() + 1)))
+            }
+            Iterator.single(cur)
           }
-          if (cur != null) state.update(cur)
-          Iterator.single(cur)
       }
   }
 

@@ -114,6 +114,104 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_count_trigger: residual window after a mid-batch purge times out windowMs after ITS first event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Pipelines.countTriggerAgg(
+        in.toDS().withWatermark("ts", "0 seconds").as[Event],
+        maxCount = 3, windowMs = 5 * 60000L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("counttrig_residual_out").start()
+    try {
+      // one batch: 3 events fire immediately; the 4th (ts=10min) is a
+      // residual window whose end is 15min — NOT 1min+5=6min (the
+      // fired window's anchor, the round-2 bug)
+      in.addData(
+        Event(1, ts(1), 7, "click", 1.0), Event(2, ts(2), 7, "click", 2.0),
+        Event(3, ts(3), 7, "click", 3.0), Event(4, ts(10), 7, "click", 40.0))
+      q.processAllAvailable()
+      assert(spark.table("counttrig_residual_out").as[Pipelines.CountWindowEmit].collect()
+        .map(e => (e.n, e.total_value)).toSeq == Seq((3L, 6.0)))
+      // watermark to 12min: past the stale 6min anchor, before the
+      // correct 15min window end → must NOT fire
+      in.addData(Event(99, ts(12), 8, "view", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(100, ts(12), 8, "view", 0.0)) // evaluate timers at wm=12min
+      q.processAllAvailable()
+      assert(spark.table("counttrig_residual_out").count() == 1)
+      // watermark past 15min → residual fires with its own contents
+      in.addData(Event(101, ts(20), 8, "view", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(102, ts(21), 8, "view", 0.0))
+      q.processAllAvailable()
+      val fired = spark.table("counttrig_residual_out").as[Pipelines.CountWindowEmit].collect()
+        .filter(_.user_id == 7L)
+      assert(fired.map(e => (e.n, e.total_value)).toSet == Set((3L, 6.0), (1L, 40.0)))
+    } finally q.stop()
+  }
+
+  test("stream_count_trigger: partial window spanning several micro-batches keeps its timer armed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Pipelines.countTriggerAgg(
+        in.toDS().withWatermark("ts", "0 seconds").as[Event],
+        maxCount = 10, windowMs = 5 * 60000L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("counttrig_rearm_out").start()
+    try {
+      // window opens at ts=1min in batch 1; a second event arrives in
+      // batch 2 (Spark clears the timeout on that invocation — the
+      // round-2 code never re-armed it, so the window never fired)
+      in.addData(Event(1, ts(1), 9, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(2, ts(2), 9, "click", 3.0))
+      q.processAllAvailable()
+      in.addData(Event(99, ts(30), 10, "view", 0.0)) // watermark past 6min
+      q.processAllAvailable()
+      in.addData(Event(100, ts(31), 10, "view", 0.0)) // evaluate timers
+      q.processAllAvailable()
+      val fired = spark.table("counttrig_rearm_out").as[Pipelines.CountWindowEmit].collect()
+        .filter(_.user_id == 9L)
+      assert(fired.map(e => (e.n, e.total_value)).toSeq == Seq((2L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stream_cdc_upsert: TTL evicts stale/tombstoned keys once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Change]
+    // ts is epoch millis here; TTL = 5 minutes of event time
+    val q = Pipelines.cdcUpsertStream(in.toDS(), ttlMs = Some(5 * 60000L))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("upsert_ttl_out").start()
+    def stateRows(): Long =
+      q.lastProgress.stateOperators.apply(0).numRowsTotal
+    try {
+      in.addData(Change(1, 60000L, "+I", 1.0), Change(2, 60000L, "+I", 2.0))
+      q.processAllAvailable()
+      in.addData(Change(1, 120000L, "-D", 0.0)) // tombstone pk 1
+      q.processAllAvailable()
+      assert(stateRows() == 2) // both keys still resident
+      // watermark far past both keys' ts + TTL → timers fire, evicting
+      // pk 1 (tombstoned) AND pk 2 (abandoned), with no emission
+      val before = spark.table("upsert_ttl_out").count()
+      in.addData(Change(99, 60 * 60000L, "+I", 0.0))
+      q.processAllAvailable()
+      in.addData(Change(99, 61 * 60000L, "+U", 1.0)) // evaluate timers
+      q.processAllAvailable()
+      assert(stateRows() == 1) // only the fresh pk 99 remains
+      val emitted = spark.table("upsert_ttl_out").as[Pipelines.Upsert].collect()
+      assert(!emitted.drop(before.toInt).exists(u => u.pk == 1L || u.pk == 2L)) // eviction is silent
+      // a late change for an evicted key is treated as new state
+      in.addData(Change(1, 62 * 60000L, "+U", 7.0))
+      q.processAllAvailable()
+      assert(spark.table("upsert_ttl_out").as[Pipelines.Upsert].collect()
+        .last == Pipelines.Upsert(1, 62 * 60000L, 7.0, deleted = false))
+    } finally q.stop()
+  }
+
   test("stream_cdc_upsert: per-key state converges to latest image, deletes marked") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
