@@ -25,20 +25,24 @@ object Pipelines {
   /** Kafka2Kafka analog (ref: Kafka2Kafka.java): stream in, pass
     * through a transform, stream out with checkpointing — the file
     * sink's write-ahead log gives the exactly-once the reference got
-    * from transactional Kafka producers. */
-  def passThroughPipeline(spark: SparkSession, inDir: String, outDir: String,
-      checkpointDir: String, transform: DataFrame => DataFrame): Unit = {
-    val schema = spark.read.parquet(inDir).schema
-    val q = transform(spark.readStream.schema(schema).parquet(inDir))
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpointDir)
-      .format("parquet")
-      .option("path", outDir)
-      .start()
+    * from transactional Kafka producers. Endpoints come from the
+    * [[StreamIO]] factory: swap either side to `StreamIO.Kafka(...)`
+    * to front the same pipeline with a broker. */
+  def passThroughPipeline(spark: SparkSession, src: StreamIO.Endpoint, dst: StreamIO.Endpoint,
+      checkpointDir: String, transform: DataFrame => DataFrame,
+      srcSchema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    val q = StreamIO.writer(
+      transform(StreamIO.reader(spark, src, srcSchema)), dst, checkpointDir).start()
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Directory-to-directory convenience overload (schema inferred
+    * from a batch read of the input dir). */
+  def passThroughPipeline(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, transform: DataFrame => DataFrame): Unit =
+    passThroughPipeline(spark, StreamIO.FileDir(inDir), StreamIO.FileDir(outDir),
+      checkpointDir, transform, Some(spark.read.parquet(inDir).schema))
 
   /** Event-time tumbling window + watermark (ref: TimeWindowDemo.java;
     * csv DDL watermark `ts - interval '5' second`). Append mode: a

@@ -275,6 +275,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == expected)
   }
 
+  test("stream_io: kafka endpoints resolve to the documented format/option contract") {
+    import graft.streaming.StreamIO
+    val src = StreamIO.Kafka("broker1:9092,broker2:9092", "events_in",
+      startingOffsets = "earliest", options = Map("kafka.security.protocol" -> "SASL_SSL"))
+    val (rfmt, ropts) = StreamIO.sourceConfig(src)
+    assert(rfmt == "kafka")
+    assert(ropts("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
+    assert(ropts("subscribe") == "events_in")
+    assert(ropts("startingOffsets") == "earliest")
+    assert(ropts("kafka.security.protocol") == "SASL_SSL")
+    val (wfmt, wopts) = StreamIO.sinkConfig(StreamIO.Kafka("b:9092", "events_out"))
+    assert(wfmt == "kafka")
+    assert(wopts("kafka.bootstrap.servers") == "b:9092")
+    assert(wopts("topic") == "events_out")
+    // memory endpoints are sink-only
+    intercept[IllegalArgumentException] { StreamIO.sourceConfig(StreamIO.Memory("x")) }
+    assert(StreamIO.sinkConfig(StreamIO.Memory("x")) == ("memory", Map("queryName" -> "x")))
+  }
+
+  test("stream_custom_source: DataSourceV2 generator resumes from checkpointed offsets across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = Files.createTempDirectory("graft_gen_out").toString
+    val ckpt = Files.createTempDirectory("graft_gen_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.GraftGenSource")
+        .option("rowsPerSecond", "2000").option("numPartitions", "2")
+        .option("payloadLen", "16")
+        .load()
+        .writeStream.trigger(Trigger.Once())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val first = spark.read.parquet(out).count()
+    assert(first > 0)
+    Thread.sleep(300) // let the rate limiter admit more rows
+    runOnce() // restart from the committed offset
+    import spark.implicits._
+    val rows = spark.read.parquet(out).select("id", "payload")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.length > first)
+    // exactly-once across the restart: contiguous ids 0..N-1, no dupes
+    assert(rows.map(_._1).toSeq == (0L until rows.length).toSeq)
+    // parallel: both partitions produced (even and odd ids interleave)
+    assert(rows.count(_._1 % 2 == 0) > 0 && rows.count(_._1 % 2 == 1) > 0)
+    // deterministic payload contract shared with q23
+    assert(rows.forall { case (id, p) => p == graft.sources.GraftGenSource.payload(id, 16) })
+  }
+
   test("stream_dedup: first occurrence kept, later duplicates dropped within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
