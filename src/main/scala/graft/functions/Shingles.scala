@@ -1,0 +1,94 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native word-shingle hashing kernel for the dedup family.
+  *
+  * The relational form — split → filter → transform(sequence) →
+  * concat_ws/slice → md5 → conv(substring(hex)) → distinct — runs
+  * its lambdas INTERPRETED per shingle (Spark HOFs don't codegen
+  * their function bodies) and needs a full shuffle just to dedup
+  * (id, shingle) pairs. At 100 TB the shingle scan dominates the
+  * whole dedup pipeline, so this expression does the entire
+  * tokenize→slide→hash→per-doc-dedup in one codegen'd pass and emits
+  * the already-distinct 60-bit keys, shuffle-free.
+  *
+  * Value parity is EXACT with the relational form and the DuckDB
+  * oracle (`cast(('0x' || substr(md5(shingle), 1, 15)) AS bigint)`):
+  * same single-space tokenization, same "w1 w2 … wn" shingle string,
+  * same MD5 over its UTF-8 bytes, same first-15-hex-chars (= top 60
+  * bits) key. Verified against the HOF path by ShingleParitySpec.
+  */
+object ShingleKernel {
+
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Distinct 60-bit md5-derived keys of the word `n`-grams of `text`
+    * (order of first occurrence). */
+  def keys(text: UTF8String, n: Int): ArrayData = {
+    // split(" ") + drop empties — identical to
+    // filter(split(text, " "), w => w =!= "")
+    val words0 = text.toString.split(" ", -1)
+    var m = 0
+    var i = 0
+    while (i < words0.length) { if (!words0(i).isEmpty) { words0(m) = words0(i); m += 1 }; i += 1 }
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val md = digests.get()
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m - n + 1)
+    var k = 0
+    var s = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (s <= m - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words0(s + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = top 60 bits: big-endian first 8 bytes >>> 4
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = h >>> 4
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      s += 1
+    }
+    new GenericArrayData(if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+  }
+}
+
+/** shingle_keys(text, n) → array<long> of distinct hashed word
+  * n-gram keys, codegen'd. */
+case class ShingleKeys(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_keys"
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleKernel.keys(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.ShingleKernel.keys($v, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleKeys =
+    copy(child = newChild)
+}
+
+object ShingleKeys {
+  def shingleKeys(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleKeys(ColumnBridge.expression(text), n))
+}

@@ -45,9 +45,22 @@ object Dedup {
   private def shingleKey(shingle: Column): Column =
     conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
 
-  /** (id, sh) distinct hashed shingle sets. */
+  /** (id, sh) distinct hashed shingle sets from the string-shingle
+    * form ([[shingles]]) — the relational reference path; see
+    * [[hashedShingleSets]] for the production single-pass kernel. */
   def hashedShingles(sh: DataFrame): DataFrame =
     sh.select(col("id"), shingleKey(col("shingle")).as("sh")).distinct()
+
+  /** (id, sh) distinct hashed shingle sets in ONE codegen'd scan
+    * ([[graft.functions.ShingleKernel]]): tokenize → slide → md5 →
+    * per-doc dedup inside the expression, so there is no interpreted
+    * HOF lambda in the hot path and no global distinct SHUFFLE — the
+    * keys come out of the scan already distinct per doc. Values are
+    * identical to [[hashedShingles]]∘[[shingles]] (same md5-derived
+    * 60-bit keys, oracle-replayable). */
+  def hashedShingleSets(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.as("id"),
+      explode(graft.functions.ShingleKeys.shingleKeys(text, n)).as("sh"))
 
   /** Drop shingles with document frequency > `cap` from the shingle
     * sets. A shingle shared by k docs yields k² rows in any

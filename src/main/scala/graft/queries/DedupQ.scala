@@ -40,14 +40,18 @@ object DedupQ extends QueryPack {
   }
 
   /** Shared df-capped hashed shingle set (feeds counts, signatures,
-    * and the pair/verify joins — persist so the stages share one
-    * computation; drained by CachePool after the query's action). */
+    * and the pair/verify joins). BOTH the raw and capped sets are
+    * persisted: the df-cap's hot-key aggregate and the anti-join's
+    * probe side each scan the raw set (uncached, that recomputes the
+    * whole tokenize→shingle→hash pipeline twice), and the capped set
+    * is then read by 3+ downstream stages. Drained by CachePool after
+    * the query's action. */
   private def cappedShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cap = Adaptive.dfCap(Tables.documents(s, d).count())
-    CachePool.cache(Dedup.dfCapped(
-      Dedup.shingles(augmentedDocs(s, d), $"doc_id", $"text", 5)
-        .transform(Dedup.hashedShingles), cap))
+    val hsRaw = CachePool.cache(
+      Dedup.hashedShingleSets(augmentedDocs(s, d), $"doc_id", $"text", 5))
+    CachePool.cache(Dedup.dfCapped(hsRaw, cap))
   }
 
   private val augSql =

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 import graft.sources.Tables
 
-/** Similarity search over embeddings (SURVEY §2 q29–q31).
+/** Similarity search over embeddings (SURVEY §2 q29–q31, q38).
   *
   * q29: exact brute-force cosine top-k — correct baseline; the query
   * set is small and broadcast, so the corpus is scanned once with no
@@ -16,6 +16,13 @@ import graft.sources.Tables
   * q30 exists: random-hyperplane LSH buckets co-partition corpus and
   * queries (shuffle on bucket id), turning the cross product into a
   * per-bucket join. q31 composes top-k into a kNN classifier.
+  * q38 is the second ANN scale path: IVF coarse quantization — every
+  * corpus vector is assigned to its best of 2^b deterministic
+  * centroids (b from the corpus count), queries probe their top-(b+2)
+  * cells, and only the probed cells are re-ranked exactly. The
+  * corpus shuffles ONCE on cell id (and in a real deployment is
+  * WRITTEN partitioned by cell, making every later query a
+  * partition-pruned scan), versus LSH's bands× duplication.
   */
 object SimilarityQ extends QueryPack {
 
@@ -71,6 +78,44 @@ object SimilarityQ extends QueryPack {
         .select($"query_id", $"neighbor_id")
         .distinct()
       val e = emb(s, d)
+      val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+      cand
+        .join(e.select($"vec_id".as("query_id"), $"v".as("qv")), "query_id")
+        .join(e.select($"vec_id".as("neighbor_id"), $"v"), "neighbor_id")
+        .select($"query_id", $"neighbor_id",
+          VectorFunctions.cosine($"qv", $"v").as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+    }),
+
+    // IVF coarse-quantized ANN: deterministic centroids (the mix2001
+    // avalanche stream, offset 1e6 so they're independent of the LSH
+    // hyperplanes), cell count 2^Adaptive.bits from the corpus count.
+    // Assignment = argmax dot(v, c) with lowest-cell tie-break; the
+    // 16-or-more-row centroid table BROADCASTS, the corpus shuffles
+    // once on cell id, probed-cell candidates get exact cosine re-rank.
+    "q38_ann_ivf_topk" -> ((s, d) => {
+      import s.implicits._
+      // nprobe = cell-count exponent + 2: 6-of-16 cells at test SF,
+      // 10-of-256 at 1M vectors — the probed fraction FALLS as n grows
+      // ((b+2)/2^b) while recall holds via more, finer cells.
+      val cellBits = graft.operators.Adaptive.bits(
+        Tables.embeddings(s, d).count(), targetBucket = 32, lo = 4, hi = 8)
+      val cells = 1 << cellBits
+      val mixed = VectorFunctions.Sql.mixSpark("1000000 + id * 64 + k")
+      val cent = broadcast(s.range(cells).select($"id".as("cell"),
+        expr(s"transform(sequence(0, 63), k -> cast($mixed as double) / 1000.0)").as("c")))
+      val e = emb(s, d)
+      val scored = e.join(cent)
+        .select($"vec_id", $"cell", VectorFunctions.dot($"v", $"c").as("score"))
+      val wCell = Window.partitionBy($"vec_id").orderBy($"score".desc, $"cell".asc)
+      val ranked = scored.withColumn("crnk", row_number().over(wCell))
+      val assign = ranked.filter($"crnk" === 1).select($"vec_id".as("neighbor_id"), $"cell")
+      val probes = ranked.filter($"vec_id" % 50 === 0 && $"crnk" <= cellBits + 2)
+        .select($"vec_id".as("query_id"), $"cell")
+      val cand = probes.join(assign, "cell")
+        .filter($"neighbor_id" =!= $"query_id")
+        .select($"query_id", $"neighbor_id")
       val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
       cand
         .join(e.select($"vec_id".as("query_id"), $"v".as("qv")), "query_id")
@@ -139,6 +184,29 @@ object SimilarityQ extends QueryPack {
          |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
          |  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bkey = b.bkey
          |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+         |s AS (SELECT c.query_id, c.neighbor_id, ${VectorFunctions.Sql.cosine("q.v", "n.v")} AS cos_sim
+         |      FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+         |      FROM s)
+         |SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q38_ann_ivf_topk" ->
+      s"""WITH $embSql,
+         |pc AS (SELECT nb, (1 << nb) AS cells
+         |       FROM (SELECT ${graft.operators.Adaptive.bitsSql("count(*)", 32, 4, 8)} AS nb FROM embeddings)),
+         |cent AS (SELECT j AS cell,
+         |           list_transform(range(0, 64), k ->
+         |             (${VectorFunctions.Sql.mix("1000000 + j * 64 + k")})::DOUBLE / 1000.0) AS c
+         |         FROM (SELECT unnest(range(0, cells)) AS j FROM pc)),
+         |scored AS (SELECT e.vec_id, cent.cell, ${VectorFunctions.Sql.dot("e.v", "cent.c")} AS score
+         |           FROM e, cent),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS crnk
+         |           FROM scored),
+         |assign AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM ranked
+         |           WHERE vec_id % 50 = 0 AND crnk <= (SELECT nb + 2 FROM pc)),
+         |cand AS (SELECT p.query_id, a.neighbor_id FROM probes p JOIN assign a USING (cell)
+         |         WHERE a.neighbor_id <> p.query_id),
          |s AS (SELECT c.query_id, c.neighbor_id, ${VectorFunctions.Sql.cosine("q.v", "n.v")} AS cos_sim
          |      FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk

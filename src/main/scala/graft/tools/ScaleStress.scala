@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.operators.{Cdc, Dedup}
+import graft.operators.{Adaptive, Cdc, Dedup}
 
 /** Scale-stress harness: runs the heavy operator families on
   * generated data 100–1000× the sf0.1 test tables, on local[32], to
@@ -65,8 +65,7 @@ object ScaleStress {
     }
 
     time("minhash_lsh_200k_docs") {
-      val hs = Dedup.hashedShingles(
-        Dedup.shingles(docs(spark, 200000), $"id", $"text", 5)).persist()
+      val hs = Dedup.hashedShingleSets(docs(spark, 200000), $"id", $"text", 5).persist()
       val sig = Dedup.minhashSignatures(hs, 32)
       val cand = Dedup.lshCandidates(sig, 4)
       val out = Dedup.verifyJaccard(cand, hs, 0.6).count()
@@ -98,6 +97,60 @@ object ScaleStress {
         .filter($"id_a" < $"id_b")
         .select($"id_a", $"id_b").distinct()
         .count()
+    }
+
+    // Adaptive q30 shape at two corpus sizes: bits-per-table derive
+    // from n (Adaptive.bits(n, 32, 4, 16)), so candidates PER QUERY
+    // must stay ~flat as the corpus quadruples — the linear-growth
+    // property fixed widths lack (a fixed 4-bit table at 1M vectors
+    // would put ~62k vectors in every bucket: 1000× the candidates).
+    def annAdaptive(n: Long): Unit = {
+      val bits = Adaptive.bits(n, targetBucket = 32, lo = 4, hi = 16)
+      val mixed = graft.functions.VectorFunctions.Sql
+        .mixSpark("cast(id as bigint) * 64 + k + 999999937")
+      val emb = spark.range(n).select(
+        $"id".as("vec_id"),
+        expr(s"transform(sequence(0, 63), k -> cast($mixed as double) / 1000.0)").as("v"))
+      val banded = emb
+        .withColumn("bits", graft.functions.VectorExpressions.hyperplaneBits($"v", 16 * bits))
+        .select($"vec_id",
+          posexplode(expr(
+            s"""transform(sequence(0, 15), t ->
+               |  aggregate(sequence(0, ${bits - 1}), 0, (acc, r) -> acc * 2 + element_at(bits, t * $bits + r + 1)))""".stripMargin))
+            .as(Seq("tbl", "bkey")))
+      val q = banded.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"), $"tbl", $"bkey")
+      time(s"ann_lsh_adaptive_${n / 1000}k_vectors_${bits}bit") {
+        val cand = q
+          .join(banded.select($"vec_id".as("neighbor_id"), $"tbl", $"bkey"), Seq("tbl", "bkey"))
+          .filter($"neighbor_id" =!= $"query_id")
+          .select($"query_id", $"neighbor_id").distinct()
+          .count()
+        println(f"STRESS   candidates_per_query=${cand * 50.0 / n}%.0f (n=$n, bits=$bits)")
+        cand
+      }
+    }
+    annAdaptive(250000)
+    annAdaptive(1000000)
+
+    // Hot-shingle df-cap: 10% of docs share a boilerplate prefix whose
+    // pure-prefix 5-grams have df = 20k. Uncapped, that ONE key forms
+    // 20k²/2 = 2e8 pair rows; with df-cap = n/20 = 10k the key is
+    // dropped from the sets on both engines and the pair join stays
+    // bounded by organic collisions.
+    time("jaccard_dfcap_200k_docs_10pct_boilerplate") {
+      val nDocs = 200000L
+      val base = docs(spark, nDocs)
+      val boiler = base.select($"id",
+        when(pmod($"id", lit(10)) === 0,
+          concat(lit("terms of service apply to all content here "), $"text"))
+          .otherwise($"text").as("text"))
+      val hs = Dedup.dfCapped(
+        Dedup.hashedShingleSets(boiler, $"id", $"text", 5),
+        Adaptive.dfCap(nDocs)).persist()
+      val out = Dedup.jaccardPairsHashed(hs, 0.6).count()
+      hs.unpersist()
+      out
     }
 
     spark.stop()

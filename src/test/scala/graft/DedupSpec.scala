@@ -64,6 +64,21 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("native shingle kernel matches the relational md5 path key-for-key") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+      // exercise the edges too: empty text, multi-space, short doc
+      .unionByName(Seq((900001L, ""), (900002L, "a  b   c"), (900003L, "one two three four five"))
+        .toDF("doc_id", "text"))
+    val relational = Dedup.hashedShingles(Dedup.shingles(docs, $"doc_id", $"text", 5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = Dedup.hashedShingleSets(docs, $"doc_id", $"text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == relational)
+    assert(native.nonEmpty)
+  }
+
   test("adaptive parameters derive deterministically from corpus size") {
     import graft.operators.Adaptive
     // test-SF sizes must reproduce the round-1 fixed widths exactly

@@ -36,6 +36,19 @@ class RecallSpec extends AnyFunSuite {
     assert(perfect.subsetOf(truth))
   }
 
+  test("q38 IVF top-k recall vs q29 brute force is measured and non-degenerate") {
+    val truth = SparkEntry.queries("q29_ann_brute_topk")(spark, sfDir)
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("q38_ann_ivf_topk")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    info(f"IVF recall@5 = $recall%.2f (${(truth & approx).size}/${truth.size})")
+    assert(recall > 0.3, f"IVF recall degenerate: $recall%.2f")
+  }
+
   test("fixed-point money sums are invariant under repartitioning") {
     import spark.implicits._
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
