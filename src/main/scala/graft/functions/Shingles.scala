@@ -70,6 +70,75 @@ object ShingleKernel {
   }
 }
 
+/** Per-document 60-bit SimHash in ONE codegen'd pass: tokenize, count
+  * term frequencies, md5-hash each DISTINCT word (top 60 bits, same
+  * derivation as the relational `conv(substring(md5(w),1,15),16,10)`),
+  * tf-weight the 60 sign counters, emit the fingerprint. The
+  * relational form needs an explode + a (doc, word) tf shuffle + a
+  * sketch-aggregate shuffle; a document is ONE ROW, so none of that
+  * shuffling is inherent — this computes the identical value
+  * ([[SimHashAgg]] semantics, verified by spec and oracle) at scan
+  * speed with zero exchanges before the band join. */
+object SimHashKernel {
+
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  def sim60(text: UTF8String): Long = {
+    val words = text.toString.split(" ", -1)
+    val tf = new java.util.HashMap[String, Long](words.length * 2)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (!w.isEmpty) tf.merge(w, 1L, (a, b) => a + b)
+      i += 1
+    }
+    val counters = new Array[Long](60)
+    val md = digests.get()
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      md.reset()
+      val d = md.digest(e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = h >>> 4
+      val t = e.getValue
+      var j = 0
+      while (j < 60) {
+        if (((h >> j) & 1L) == 1L) counters(j) += t else counters(j) -= t
+        j += 1
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 60) { if (counters(j) >= 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+}
+
+/** simhash60(text) → long, codegen'd. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash60"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SimHashKernel.sim60(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.SimHashKernel.sim60($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  def simhash60(text: Column): Column =
+    ColumnBridge.column(SimHash60(ColumnBridge.expression(text)))
+}
+
 /** shingle_keys(text, n) → array<long> of distinct hashed word
   * n-gram keys, codegen'd. */
 case class ShingleKeys(child: Expression, n: Int) extends UnaryExpression {

@@ -161,6 +161,18 @@ object Dedup {
       .agg(graft.functions.SimHashAgg.simhashAgg(col("tf"), col("h")).as("simhash"))
   }
 
+  /** Per-doc SimHash in a single codegen'd scan (zero shuffles before
+    * the band join — see [[graft.functions.SimHashKernel]]); value-
+    * identical to [[simhash]], which remains the reference/relational
+    * form and the shape to use when the input is already exploded
+    * (e.g. a token stream rather than whole documents). */
+  def simhashDocs(df: DataFrame, id: Column, text: Column): DataFrame =
+    // wordless docs (empty / all-spaces under the single-space
+    // tokenizer) produce no word rows in the relational/oracle form
+    // and so no fingerprint — mirror that domain exactly
+    df.filter(trim(text, " ") =!= "")
+      .select(id.as("id"), graft.functions.SimHash60.simhash60(text).as("simhash"))
+
   /** Near-dup pairs with hamming(simhash) <= maxDist via 15-bit band
     * blocking (4 bands over 60 bits: complete for maxDist <= 3). */
   def simhashPairs(sh: DataFrame, maxDist: Int): DataFrame = {

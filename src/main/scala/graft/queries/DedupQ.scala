@@ -94,7 +94,7 @@ object DedupQ extends QueryPack {
 
     "q27_dedup_simhash" -> ((s, d) => {
       import s.implicits._
-      Dedup.simhashPairs(Dedup.simhash(augmentedDocs(s, d), $"doc_id", $"text"), maxDist = 3)
+      Dedup.simhashPairs(Dedup.simhashDocs(augmentedDocs(s, d), $"doc_id", $"text"), maxDist = 3)
     }),
 
     // Embedding near-dup via sign-LSH band blocking + exact cosine

@@ -79,6 +79,19 @@ class DedupSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("native per-doc simhash matches the sketch-aggregate path value-for-value") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((900001L, ""), (900002L, "a  b   a b a")).toDF("doc_id", "text"))
+    val agg = Dedup.simhash(docs, $"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val native = Dedup.simhashDocs(docs, $"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(native == agg) // including the wordless-doc domain
+    assert(agg.nonEmpty)
+  }
+
   test("adaptive parameters derive deterministically from corpus size") {
     import graft.operators.Adaptive
     // test-SF sizes must reproduce the round-1 fixed widths exactly
