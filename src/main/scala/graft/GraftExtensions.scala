@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{Fingerprint, HyperplaneBits, VecDot}
+import graft.functions.{Fingerprint, HyperplaneBits, ShingleKeys, SimHash60, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hyperplane_bits"),
       info("graft_hyperplane_bits", "graft_hyperplane_bits(v, n) - sign bits of n LSH hyperplane projections"),
       buildHyperplaneBits))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingle_keys"),
+      info("graft_shingle_keys", "graft_shingle_keys(text, n) - distinct 60-bit md5 keys of word n-grams"),
+      buildShingleKeys))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash60"),
+      info("graft_simhash60", "graft_simhash60(text) - 60-bit tf-weighted SimHash fingerprint"),
+      buildSimHash60))
   }
 }
 
@@ -62,14 +70,20 @@ object GraftExtensions {
     arity("graft_hyperplane_bits", args, 2)
     // SQL integer literals default to INT but users write BIGINT/
     // SMALLINT literals too (e.g. `64L`): accept any integral literal
-    // in Int range, and fail ANALYSIS (not ClassCastException at
+    // in range, and fail ANALYSIS (not ClassCastException at
     // execution) for anything else.
+    HyperplaneBits(args(0),
+      intLiteral("graft_hyperplane_bits", args(1), 1, graft.functions.VecKernels.MaxPlanes))
+  }
+
+  /** Integral-literal extractor shared by the count-style arguments:
+    * analysis-time failure (not ClassCastException) for anything else. */
+  private def intLiteral(fn: String, e: Expression, lo: Int, hi: Int): Int = {
     def bad(what: String): Nothing =
       throw new org.apache.spark.sql.AnalysisException(
         "INTERNAL_ERROR",
-        Map("message" ->
-          s"graft_hyperplane_bits: second argument must be an integral literal in [1, ${graft.functions.VecKernels.MaxPlanes}], got $what"))
-    val n = args(1) match {
+        Map("message" -> s"$fn: argument must be an integral literal in [$lo, $hi], got $what"))
+    val n = e match {
       case Literal(v: Int, _) => v
       case Literal(v: Long, _) if v.isValidInt => v.toInt
       case Literal(v: Short, _) => v.toInt
@@ -77,8 +91,18 @@ object GraftExtensions {
       case Literal(v, _) => bad(String.valueOf(v))
       case other => bad(other.sql)
     }
-    if (n < 1 || n > graft.functions.VecKernels.MaxPlanes) bad(n.toString)
-    HyperplaneBits(args(0), n)
+    if (n < lo || n > hi) bad(n.toString)
+    n
+  }
+
+  private[graft] val buildShingleKeys: Seq[Expression] => Expression = { args =>
+    arity("graft_shingle_keys", args, 2)
+    ShingleKeys(args.head, intLiteral("graft_shingle_keys", args(1), 1, 64))
+  }
+
+  private[graft] val buildSimHash60: Seq[Expression] => Expression = { args =>
+    arity("graft_simhash60", args, 1)
+    SimHash60(args.head)
   }
 
   /** Register the same functions on an already-built session (useful in
@@ -88,5 +112,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_fingerprint", buildFingerprint, "scala_udf")
     reg.createOrReplaceTempFunction("graft_vec_dot", buildVecDot, "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane_bits", buildHyperplaneBits, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_keys", buildShingleKeys, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash60", buildSimHash60, "scala_udf")
   }
 }

@@ -19,6 +19,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[Int](2).length == 4)
   }
 
+  test("graft_shingle_keys and graft_simhash60 callable from SQL, matching the Column API") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_shingle_keys('one two three four five six', 5) AS sk,
+        |       graft_simhash60('alpha beta alpha') AS sh""".stripMargin).head
+    val viaCol = Seq(("one two three four five six", "alpha beta alpha")).toDF("a", "b")
+      .select(graft.functions.ShingleKeys.shingleKeys($"a", 5).as("sk"),
+        graft.functions.SimHash60.simhash60($"b").as("sh")).head
+    assert(row.getSeq[Long](0) == viaCol.getSeq[Long](0))
+    assert(row.getSeq[Long](0).length == 2)
+    assert(row.getLong(1) == viaCol.getLong(1))
+  }
+
   test("graft_hyperplane_bits accepts BIGINT literals and rejects non-integral args at analysis") {
     GraftExtensions.register(spark)
     // BIGINT literal (SQL `4L`) must coerce, not ClassCastException
