@@ -65,9 +65,13 @@ object ScaleStress {
     }
 
     time("minhash_lsh_200k_docs") {
+      // production parameters: r/bands derive from the corpus count
+      // (r=6, 21 bands, 126 hashes at 200k — sharper S-curve than the
+      // test-SF 4×8, so far fewer false-positive candidates to verify)
+      val r = Adaptive.minhashRows(200000)
       val hs = Dedup.hashedShingleSets(docs(spark, 200000), $"id", $"text", 5).persist()
-      val sig = Dedup.minhashSignatures(hs, 32)
-      val cand = Dedup.lshCandidates(sig, 4)
+      val sig = Dedup.minhashSignatures(hs, r * Adaptive.minhashBands(r))
+      val cand = Dedup.lshCandidates(sig, r)
       val out = Dedup.verifyJaccard(cand, hs, 0.6).count()
       hs.unpersist()
       out
