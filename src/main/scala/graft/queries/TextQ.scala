@@ -61,6 +61,29 @@ object TextQ extends QueryPack {
       import s.implicits._
       Tables.documents(s, d)
         .select($"doc_id", Fingerprint.fingerprint($"text").as("fp"))
+    }),
+
+    // Corpus n-gram frequency table: top-10 word bigrams per source
+    // (vocab construction / contamination screening staple). Shape:
+    // one scan → partial-agg'd groupBy on (source, ngram) → per-group
+    // top-k window — never a global sort, so the plan holds when
+    // "source" is thousands of crawl snapshots at 100 TB.
+    "q39_ngram_freq" -> ((s, d) => {
+      import s.implicits._
+      val words = filter(split($"text", " "), w => w =!= "")
+      val grams = Tables.documents(s, d).select(
+        $"source",
+        explode(
+          when(size(words) >= 2,
+            transform(sequence(lit(0), size(words) - 2),
+              i => concat_ws(" ", slice(words, i + lit(1), lit(2)))))
+            .otherwise(array().cast("array<string>"))).as("ngram"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"n".desc, $"ngram".asc)
+      grams.groupBy($"source", $"ngram")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 10)
     })
   )
 
@@ -103,6 +126,17 @@ object TextQ extends QueryPack {
         |FROM documents GROUP BY source""".stripMargin,
 
     "q35_fingerprint" ->
-      s"SELECT doc_id, ${Fingerprint.duckdbSql("text")} AS fp FROM documents"
+      s"SELECT doc_id, ${Fingerprint.duckdbSql("text")} AS fp FROM documents",
+
+    "q39_ngram_freq" ->
+      """WITH toks AS (SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS words
+        |              FROM documents),
+        |grams AS (SELECT source, array_to_string(list_slice(words, i + 1, i + 2), ' ') AS ngram
+        |          FROM (SELECT source, words, unnest(generate_series(0, len(words) - 2)) AS i
+        |                FROM toks WHERE len(words) >= 2)),
+        |cnt AS (SELECT source, ngram, count(*) AS n FROM grams GROUP BY source, ngram)
+        |SELECT source, ngram, n, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, ngram) AS rnk FROM cnt)
+        |WHERE rnk <= 10""".stripMargin
   )
 }
