@@ -92,6 +92,26 @@ object DedupQ extends QueryPack {
       Dedup.verifyJaccard(cand, hs, 0.6)
     }),
 
+    // Benchmark-contamination screening (training-data decontam): a
+    // corpus doc is contaminated if it shares ANY 13-gram with the
+    // benchmark set (here a deterministic doc_id % 97 sample standing
+    // in for an eval suite). The benchmark key set is SMALL (eval
+    // suites are MBs; the corpus is TBs) → broadcast semi-ish join:
+    // the corpus scans once, nothing shuffles but the per-doc overlap
+    // counts.
+    "q40_contamination" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val corpus = Dedup.hashedShingleSets(docs, $"doc_id", $"text", 13)
+      val bench = broadcast(
+        Dedup.hashedShingleSets(docs.filter($"doc_id" % 97 === 0), $"doc_id", $"text", 13)
+          .select($"sh").distinct())
+      corpus.join(bench, "sh")
+        .groupBy($"id")
+        .agg(count(lit(1)).as("n_shared"))
+        .select($"id".as("doc_id"), $"n_shared")
+    }),
+
     "q27_dedup_simhash" -> ((s, d) => {
       import s.implicits._
       Dedup.simhashPairs(Dedup.simhashDocs(augmentedDocs(s, d), $"doc_id", $"text"), maxDist = 3)
@@ -177,6 +197,18 @@ object DedupQ extends QueryPack {
          |SELECT id_a, id_b, ic::DOUBLE / (ca.n + cb.n - ic) AS jaccard
          |FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
          |WHERE ic::DOUBLE / (ca.n + cb.n - ic) >= 0.6""".stripMargin,
+
+    "q40_contamination" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id AS id, array_to_string(list_slice(words, i + 1, i + 13), ' ') AS shingle
+        |       FROM (SELECT doc_id, words, unnest(generate_series(0, len(words) - 13)) AS i
+        |             FROM toks WHERE len(words) >= 13)),
+        |shh AS (SELECT DISTINCT id, cast(('0x' || substr(md5(shingle), 1, 15)) AS bigint) AS sh FROM sh),
+        |bench AS (SELECT DISTINCT sh FROM shh WHERE id % 97 = 0)
+        |SELECT id AS doc_id, count(*) AS n_shared
+        |FROM shh JOIN bench USING (sh)
+        |GROUP BY id""".stripMargin,
 
     "q27_dedup_simhash" ->
       s"""WITH $augSql,

@@ -52,6 +52,12 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
   }
 
+  test("q40: the benchmark shingle set broadcasts — no sort-merge join of corpus vs benchmark") {
+    val p = plan("q40_contamination")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q29: brute-force ANN broadcasts the query side — the corpus never shuffles") {
     val p = plan("q29_ann_brute_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
