@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Structured Streaming mirrors of the reference's streaming jobs.
   *
@@ -227,6 +227,87 @@ object Pipelines {
       .withColumn("content_hash", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  // ---- streaming NEAR-dup dedup (SimHash band state) ----
+
+  case class BandRow(band_key: Long, doc_id: Long, ts: Timestamp, fp: Long)
+  case class NearDupVerdict(doc_id: Long, ts: Timestamp, dup: Boolean)
+
+  /** Per-band SimHash matcher: state is the list of fingerprints seen
+    * in this 15-bit band bucket; an incoming doc is a dup IN THIS
+    * BAND if any stored fingerprint is within `maxDist`. State is
+    * bounded by an EVENT-TIME timer (TTL configs are processing-time
+    * only): a bucket quiet for `retention` of watermark time is
+    * cleared wholesale — the session-gap cleanup idiom. Built on
+    * Spark 4's StatefulProcessor so the verdict stream can legally
+    * feed a downstream stateful aggregation (transformWithState's
+    * eventTimeColumnName contract — the pattern
+    * flatMapGroupsWithState forbids via the correctness checker). */
+  private class NearDupProcessor(maxDist: Int, retention: java.time.Duration)
+      extends StatefulProcessor[Long, BandRow, NearDupVerdict] {
+    @transient private var fps: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      fps = getHandle.getListState[Long]("fps", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[BandRow],
+        timers: TimerValues): Iterator[NearDupVerdict] = {
+      val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+      val existing = scala.collection.mutable.ArrayBuffer.empty[Long]
+      fps.get().foreach(existing += _)
+      // re-arm the quiet-bucket cleanup timer to last activity + retention
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(
+        math.max(sorted.last.ts.getTime, timers.getCurrentWatermarkInMs()) + retention.toMillis)
+      sorted.iterator.map { r =>
+        val dup = existing.exists(f => java.lang.Long.bitCount(f ^ r.fp) <= maxDist)
+        existing += r.fp // later same-batch docs compare against this one
+        fps.appendValue(r.fp)
+        NearDupVerdict(r.doc_id, r.ts, dup)
+      }
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[NearDupVerdict] = {
+      fps.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Streaming NEAR-duplicate suppression for an LLM-data ingest:
+    * keep the first occurrence, drop any doc whose 60-bit SimHash is
+    * within `maxDist` of one already seen (batch twin:
+    * graft.operators.Dedup.simhashPairs). Two stateful stages:
+    * (1) each doc fans out to its 4 SimHash bands ([[NearDupProcessor]]
+    * keyed state per 15-bit bucket — pigeonhole-complete for
+    * maxDist <= 3), (2) a windowed aggregation ANDs the four band
+    * verdicts per doc and emits survivors once the watermark closes
+    * their window. Emits (doc_id, w_start) of surviving docs. */
+  def streamingNearDedup(docs: DataFrame, idCol: String, tsCol: String, textCol: String,
+      watermark: String, verdictWindow: String, stateRetention: java.time.Duration,
+      maxDist: Int = 3): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val banded = docs
+      .withColumn("fp", graft.functions.SimHash60.simhash60(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .select(
+        explode(expr(
+          "transform(sequence(0, 3), b -> cast(b as bigint) * 32768 + (fp >> (b * 15)) % 32768)"))
+          .as("band_key"),
+        col(idCol).as("doc_id"), col(tsCol).as("ts"), col("fp"))
+      .as[BandRow]
+    val verdicts = banded
+      .groupByKey(_.band_key)
+      .transformWithState(
+        new NearDupProcessor(maxDist, stateRetention), "ts",
+        OutputMode.Append, Encoders.product[NearDupVerdict])
+    verdicts.toDF()
+      .groupBy(window(col("ts"), verdictWindow), col("doc_id"))
+      .agg(max(when(col("dup"), 1).otherwise(0)).as("any_dup"))
+      .filter(col("any_dup") === 0)
+      .select(col("doc_id"), col("window.start").as("w_start"))
+  }
 
   /** Rate-limited generator stream (ref: CustomSourceV2.java /
     * DataGen2ES DataGeneratorSource + RateLimiterStrategy.perSecond):

@@ -343,6 +343,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_near_dedup: SimHash band state drops near-duplicates, keeps first occurrence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    // find a one-word suffix whose tf-weighted SimHash lands within
+    // hamming 3 of base (appending a word to a short doc usually
+    // flips MORE than 3 bits — searching makes the near-dup case
+    // deterministic instead of luck-of-the-md5)
+    def fp(t: String): Long =
+      graft.functions.SimHashKernel.sim60(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+    val near = (1 to 2000).iterator.map(i => base + s"w$i")
+      .find { t => val h = java.lang.Long.bitCount(fp(base) ^ fp(t)); h >= 1 && h <= 3 }.get
+    val q = Pipelines.streamingNearDedup(
+        in.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "ts", "text",
+        watermark = "0 seconds", verdictWindow = "1 minute",
+        stateRetention = java.time.Duration.ofHours(1))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("near_dedup_out").start()
+    try {
+      in.addData(
+        (1L, ts(1), base),                                  // original
+        (2L, ts(2), base),                                  // exact dup (hamming 0)
+        (3L, ts(3), "totally different words entirely " * 8)) // unrelated
+      q.processAllAvailable()
+      in.addData((4L, ts(4), near))                         // near dup (hamming 1-3)
+      q.processAllAvailable()
+      // push the watermark past every verdict window so survivors emit
+      in.addData((99L, ts(120), "closer of windows " * 10))
+      q.processAllAvailable()
+      in.addData((100L, ts(121), "and once more for the timers " * 6))
+      q.processAllAvailable()
+      val survivors = spark.table("near_dedup_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(survivors.contains(1L), s"original dropped: $survivors")
+      assert(survivors.contains(3L), s"unrelated doc dropped: $survivors")
+      assert(!survivors.contains(2L), s"exact dup kept: $survivors")
+      assert(!survivors.contains(4L), s"near dup kept: $survivors")
+    } finally q.stop()
+  }
+
   test("stream_datagen: rate-source generator produces deterministic payloads") {
     val q = Pipelines.dataGenStream(spark, rowsPerSecond = 500)
       .writeStream.outputMode(OutputMode.Append)
