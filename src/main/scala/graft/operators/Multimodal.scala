@@ -51,4 +51,67 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** Pluggable payload resize kernel (payload → payload at target
+    * dims). */
+  trait ResizeKernel extends Serializable {
+    def resize(payload: Array[Byte], srcW: Int, srcH: Int, dstW: Int, dstH: Int): Array[Byte]
+  }
+
+  /** STUB resize: deterministic proportional byte subsample — the
+    * payload shrinks/grows by the pixel-count ratio, standing in for
+    * a real scaler. Schema, 1:1 cardinality, metadata update, and
+    * partition-wise execution are the real contract. */
+  object FakeResize extends ResizeKernel {
+    def resize(p: Array[Byte], sw: Int, sh: Int, dw: Int, dh: Int): Array[Byte] = {
+      val srcPx = math.max(1L, sw.toLong * sh)
+      val outLen = math.max(1L, p.length * (dw.toLong * dh) / srcPx).toInt
+      Array.tabulate(outLen)(i => p(((i.toLong * p.length) / outLen).toInt))
+    }
+  }
+
+  /** Resize every payload to (dstW, dstH), partition-wise (1:1, no
+    * shuffle; metadata rewritten alongside the bytes). */
+  def resize(rows: Dataset[MediaRow], dstW: Int, dstH: Int,
+      kernel: ResizeKernel = FakeResize): Dataset[MediaRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map(r => MediaRow(r.doc_id, r.fmt, dstW, dstH,
+        kernel.resize(r.payload, r.width, r.height, dstW, dstH)))
+    }
+  }
+
+  case class FrameRow(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Pluggable video→frames kernel. */
+  trait FrameSampleKernel extends Serializable {
+    def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]]
+  }
+
+  /** STUB frame sampler: n contiguous byte slices stand in for
+    * decoded frames. The 1:N explode shape (one media row fans out to
+    * frame rows inside the partition, no shuffle, no driver
+    * involvement) is the production contract. */
+  object FakeFrameSample extends FrameSampleKernel {
+    def frames(p: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val m = math.max(1, math.min(n, p.length))
+      (0 until m).map { i =>
+        val from = (i.toLong * p.length / m).toInt
+        val until = ((i + 1).toLong * p.length / m).toInt
+        java.util.Arrays.copyOfRange(p, from, math.max(from + 1, until))
+      }
+    }
+  }
+
+  /** Sample up to `n` frames per media row, partition-wise (1:N). */
+  def frameSample(rows: Dataset[MediaRow], n: Int,
+      kernel: FrameSampleKernel = FakeFrameSample): Dataset[FrameRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        kernel.frames(r.payload, n).iterator.zipWithIndex
+          .map { case (f, i) => FrameRow(r.doc_id, i, f) }
+      }
+    }
+  }
 }
