@@ -46,6 +46,33 @@ object StreamingDemo {
     cq.processAllAvailable(); cq.stop()
     println("UPSERT_STATE=" + spark.table("demo_up").orderBy("ts").collect().mkString(";"))
 
+    // Streaming near-dup suppression (SimHash band state, Spark 4
+    // transformWithState) — drop the exact copy, keep the rest.
+    val din = MemoryStream[(Long, Timestamp, String)]
+    val dq = Pipelines.streamingNearDedup(
+        din.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+        watermark = "0 seconds", verdictWindow = "1 minute",
+        stateRetention = java.time.Duration.ofHours(1))
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName("demo_nd").start()
+    din.addData(
+      (1L, new Timestamp(60000L), "the quick brown fox jumps over the lazy dog again"),
+      (2L, new Timestamp(120000L), "the quick brown fox jumps over the lazy dog again"),
+      (3L, new Timestamp(180000L), "completely different content goes here instead today"))
+    dq.processAllAvailable()
+    din.addData((99L, new Timestamp(7200000L), "watermark pusher closes the verdict windows"))
+    dq.processAllAvailable(); dq.stop()
+    println("NEAR_DEDUP_SURVIVORS=" + spark.table("demo_nd").orderBy("doc_id").collect().mkString(";"))
+
+    // Checkpointed DataSourceV2 generator source (rate-limited).
+    val out = java.nio.file.Files.createTempDirectory("demo_gen_out").toString
+    val gq = spark.readStream.format("graft.sources.GraftGenSource")
+      .option("rowsPerSecond", "500").option("numPartitions", "2").load()
+      .writeStream.trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("demo_gen_ckpt").toString)
+      .format("parquet").option("path", out).start()
+    gq.awaitTermination()
+    println("GEN_SOURCE_ROWS=" + spark.read.parquet(out).count())
+
     spark.stop()
   }
 }
