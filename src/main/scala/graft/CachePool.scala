@@ -20,6 +20,13 @@ object CachePool {
     df
   }
 
+  /** Track an ALREADY-persisted DataFrame for the next [[drain]]
+    * (e.g. an iterative operator's final materialized state). */
+  def track(df: DataFrame): DataFrame = synchronized {
+    bag += df
+    df
+  }
+
   def drain(): Unit = synchronized {
     bag.foreach(_.unpersist(blocking = false))
     bag.clear()

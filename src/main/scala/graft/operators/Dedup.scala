@@ -161,6 +161,47 @@ object Dedup {
       .agg(graft.functions.SimHashAgg.simhashAgg(col("tf"), col("h")).as("simhash"))
   }
 
+  /** Connected components over a near-dup pair graph (id_a, id_b) →
+    * (doc_id, cluster_id = min doc id reachable): how a dedup
+    * pipeline turns PAIRS into keep/drop decisions (keep the cluster
+    * minimum, drop the rest). Distributed min-label propagation: each
+    * round every vertex takes the min label among itself and its
+    * neighbors — one join + one groupBy per round, converging in
+    * O(cluster diameter) rounds (near-dup clusters are shallow, so
+    * 3–5 in practice; `maxIter` bounds adversarial chains). The
+    * driver loop only orchestrates rounds — all data movement is
+    * joins/aggregations, the same shape GraphX's Pregel runs. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("id")).agg(min(col("label")).as("nbr"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("new_label"))
+        .persist()
+      changed = updated.filter(col("new_label") =!= col("label")).count()
+      val next = updated.select(col("id"), col("new_label").as("label")).persist()
+      next.count() // materialize before dropping the parents
+      labels.unpersist(blocking = false)
+      updated.unpersist(blocking = false)
+      labels = next
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    // the final labels stay materialized (the caller's action reads
+    // them); CachePool drains the persist after that action
+    graft.CachePool.track(labels)
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Per-doc SimHash in a single codegen'd scan (zero shuffles before
     * the band join — see [[graft.functions.SimHashKernel]]); value-
     * identical to [[simhash]], which remains the reference/relational

@@ -92,6 +92,16 @@ object DedupQ extends QueryPack {
       Dedup.verifyJaccard(cand, hs, 0.6)
     }),
 
+    // Pairs → clusters: connected components over the exact-Jaccard
+    // near-dup graph (min-label propagation; cluster_id = minimum doc
+    // id reachable). This is the step that turns pair detection into
+    // keep/drop decisions — keep each cluster's minimum id, drop the
+    // rest.
+    "q41_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairsHashed(cappedShingles(s, d), 0.6)
+      Dedup.connectedComponents(pairs)
+    }),
+
     // Benchmark-contamination screening (training-data decontam): a
     // corpus doc is contaminated if it shares ANY 13-gram with the
     // benchmark set (here a deterministic doc_id % 97 sample standing
@@ -197,6 +207,25 @@ object DedupQ extends QueryPack {
          |SELECT id_a, id_b, ic::DOUBLE / (ca.n + cb.n - ic) AS jaccard
          |FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
          |WHERE ic::DOUBLE / (ca.n + cb.n - ic) >= 0.6""".stripMargin,
+
+    "q41_dedup_clusters" ->
+      s"""WITH RECURSIVE $augSql,
+         |$shinglesSql,
+         |cnt AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+         |          FROM shf a JOIN shf b USING (sh) WHERE a.id < b.id
+         |          GROUP BY a.id, b.id),
+         |pairs AS (SELECT id_a, id_b
+         |          FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+         |          WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.6),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |        UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
 
     "q40_contamination" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words

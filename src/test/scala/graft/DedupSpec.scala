@@ -111,6 +111,19 @@ class DedupSpec extends AnyFunSuite {
     assert(Adaptive.bits(32 * 15, 32, 1, 64) == 4)  // n/target=15 -> bitlen 4
   }
 
+  test("connected components: chains collapse to the minimum id, components stay separate") {
+    import spark.implicits._
+    // two components: a 5-chain 1-2-3-4-5 (diameter 4 — needs several
+    // propagation rounds) and a triangle 10-11-12
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.CachePool.drain()
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("exact dedup keeps the minimum id per content group") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id", $"text")
