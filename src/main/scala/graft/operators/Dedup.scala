@@ -175,9 +175,10 @@ object Dedup {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist()
-    var labels = edges.select(col("id_a").as("id")).distinct()
+    var backing = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist()
+      .persist() // the persisted frame the current labels read from
+    var labels = backing
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -187,18 +188,19 @@ object Dedup {
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("new_label"))
         .persist()
-      changed = updated.filter(col("new_label") =!= col("label")).count()
-      val next = updated.select(col("id"), col("new_label").as("label")).persist()
-      next.count() // materialize before dropping the parents
-      labels.unpersist(blocking = false)
-      updated.unpersist(blocking = false)
-      labels = next
+      // ONE action per round: materializes `updated` into the cache
+      // AND reads off the convergence signal
+      changed = updated.agg(sum(when(col("new_label") =!= col("label"), 1L).otherwise(0L)))
+        .head.getLong(0)
+      backing.unpersist(blocking = false)
+      backing = updated
+      labels = updated.select(col("id"), col("new_label").as("label"))
       i += 1
     }
     edges.unpersist(blocking = false)
-    // the final labels stay materialized (the caller's action reads
-    // them); CachePool drains the persist after that action
-    graft.CachePool.track(labels)
+    // the final round's cache backs `labels`; CachePool drains it
+    // after the caller's action
+    graft.CachePool.track(backing)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
