@@ -139,6 +139,57 @@ object SimHash60 {
     ColumnBridge.column(SimHash60(ColumnBridge.expression(text)))
 }
 
+/** Word n-gram strings in one codegen'd pass — the non-hashed,
+  * occurrence-preserving sibling of [[ShingleKernel.keys]] (frequency
+  * tables need the text and the multiplicity; dedup needs neither).
+  * Tokenization identical: split on single spaces, drop empties. */
+object NgramKernel {
+  def ngrams(text: UTF8String, n: Int): ArrayData = {
+    val words0 = text.toString.split(" ", -1)
+    var m = 0
+    var i = 0
+    while (i < words0.length) { if (!words0(i).isEmpty) { words0(m) = words0(i); m += 1 }; i += 1 }
+    if (m < n) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](m - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var s = 0
+    while (s <= m - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words0(s + j))
+        j += 1
+      }
+      out(s) = UTF8String.fromString(sb.toString)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** ngrams(text, n) → array<string> of word n-grams, codegen'd. */
+case class Ngrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_ngrams"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NgramKernel.ngrams(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.NgramKernel.ngrams($v, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Ngrams =
+    copy(child = newChild)
+}
+
+object Ngrams {
+  def ngrams(text: Column, n: Int): Column =
+    ColumnBridge.column(Ngrams(ColumnBridge.expression(text), n))
+}
+
 /** shingle_keys(text, n) → array<long> of distinct hashed word
   * n-gram keys, codegen'd. */
 case class ShingleKeys(child: Expression, n: Int) extends UnaryExpression {

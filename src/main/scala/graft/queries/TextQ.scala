@@ -70,14 +70,9 @@ object TextQ extends QueryPack {
     // "source" is thousands of crawl snapshots at 100 TB.
     "q39_ngram_freq" -> ((s, d) => {
       import s.implicits._
-      val words = filter(split($"text", " "), w => w =!= "")
       val grams = Tables.documents(s, d).select(
         $"source",
-        explode(
-          when(size(words) >= 2,
-            transform(sequence(lit(0), size(words) - 2),
-              i => concat_ws(" ", slice(words, i + lit(1), lit(2)))))
-            .otherwise(array().cast("array<string>"))).as("ngram"))
+        explode(graft.functions.Ngrams.ngrams($"text", 2)).as("ngram"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"source").orderBy($"n".desc, $"ngram".asc)
       grams.groupBy($"source", $"ngram")

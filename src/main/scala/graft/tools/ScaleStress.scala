@@ -157,6 +157,18 @@ object ScaleStress {
       out
     }
 
+    // Dedup clustering at scale: 1M-edge pair graph of 200k 5-chains
+    // (diameter 4 — the propagation worst case for dup clusters).
+    // Rounds are O(diameter); per-round work is one join + one agg.
+    time("connected_components_1M_edges") {
+      val edges = spark.range(1000000).select(
+        ($"id" + expr("id div 5")).as("id_a"),      // 5 edges per chain, 1-id gap between chains
+        ($"id" + expr("id div 5") + 1).as("id_b"))
+      val out = Dedup.connectedComponents(edges).count()
+      graft.CachePool.drain()
+      out
+    }
+
     spark.stop()
   }
 }
