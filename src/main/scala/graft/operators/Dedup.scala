@@ -190,8 +190,9 @@ object Dedup {
         .persist()
       // ONE action per round: materializes `updated` into the cache
       // AND reads off the convergence signal
-      changed = updated.agg(sum(when(col("new_label") =!= col("label"), 1L).otherwise(0L)))
-        .head.getLong(0)
+      changed = updated
+        .agg(coalesce(sum(when(col("new_label") =!= col("label"), 1L).otherwise(0L)), lit(0L)))
+        .head.getLong(0) // coalesce: an empty pair graph must terminate, not NPE
       backing.unpersist(blocking = false)
       backing = updated
       labels = updated.select(col("id"), col("new_label").as("label"))

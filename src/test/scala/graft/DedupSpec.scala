@@ -122,6 +122,11 @@ class DedupSpec extends AnyFunSuite {
     graft.CachePool.drain()
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // an empty pair graph terminates with an empty labeling
+    val empty = graft.operators.Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(empty.count() == 0)
+    graft.CachePool.drain()
   }
 
   test("exact dedup keeps the minimum id per content group") {
