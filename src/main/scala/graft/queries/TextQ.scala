@@ -68,6 +68,28 @@ object TextQ extends QueryPack {
     // one scan → partial-agg'd groupBy on (source, ngram) → per-group
     // top-k window — never a global sort, so the plan holds when
     // "source" is thousands of crawl snapshots at 100 TB.
+    // End-to-end corpus cleaning — the composition a training-data
+    // pipeline actually runs: language-consistency filter (predicted
+    // lang must match the label) → quality threshold → exact-dedup
+    // keepers (min doc_id per content hash) → training-ready rows.
+    // Single scan for all scoring, one dedup shuffle; every stage is
+    // one of the already-verified operators.
+    "q42_clean_corpus" -> ((s, d) => {
+      import s.implicits._
+      val nt = TF.tokenCount($"text")
+      val sumLen = aggregate(transform(TF.tokens($"text"), w => length(w)), lit(0), (a, x) => a + x)
+      val scored = Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"source", $"n_chars", $"text",
+          TF.langId($"text", markers).as("pred_lang"),
+          (lit(0.4) * (TF.tokensIn($"text", Seq("the", "a")).cast("double") / nt) +
+            lit(0.3) * ((sumLen.cast("double") / nt) / 10.0) +
+            lit(0.3) * least(nt / 100.0, lit(1.0))).as("quality_score"))
+      val kept = scored.filter($"pred_lang" === $"lang" && $"quality_score" >= 0.3)
+      val keepers = kept.groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
+      kept.join(keepers.select($"doc_id"), "doc_id")
+        .select($"doc_id", $"source", $"n_chars", $"quality_score")
+    }),
+
     "q39_ngram_freq" -> ((s, d) => {
       import s.implicits._
       val grams = Tables.documents(s, d).select(
@@ -122,6 +144,28 @@ object TextQ extends QueryPack {
 
     "q35_fingerprint" ->
       s"SELECT doc_id, ${Fingerprint.duckdbSql("text")} AS fp FROM documents",
+
+    "q42_clean_corpus" -> {
+      val g = markers.keys.toSeq.sorted.map(scoreSql).mkString(", ")
+      val cases = markers.keys.toSeq.sorted
+        .map(l => s"WHEN ${scoreSql(l)} >= greatest($g) THEN '$l'")
+        .mkString("\n    ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |    CASE
+         |    $cases
+         |    END AS pred_lang,
+         |    0.4 * (len(list_filter(list_filter(string_split(text, ' '), w -> w <> ''), w -> w in ('the', 'a')))::DOUBLE
+         |           / len(list_filter(string_split(text, ' '), w -> w <> '')))
+         |    + 0.3 * ((list_sum(list_transform(list_filter(string_split(text, ' '), w -> w <> ''), w -> length(w)))::DOUBLE
+         |              / len(list_filter(string_split(text, ' '), w -> w <> ''))) / 10.0)
+         |    + 0.3 * least(len(list_filter(string_split(text, ' '), w -> w <> '')) / 100.0, 1.0) AS quality_score
+         |  FROM documents),
+         |kept AS (SELECT * FROM scored WHERE pred_lang = lang AND quality_score >= 0.3),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+         |SELECT k.doc_id, k.source, k.n_chars, k.quality_score
+         |FROM kept k JOIN keepers USING (doc_id)""".stripMargin
+    },
 
     "q39_ngram_freq" ->
       """WITH toks AS (SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS words
