@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{Fingerprint, HyperplaneBits, ShingleKeys, SimHash60, VecDot}
+import graft.functions.{Fingerprint, HyperplaneBits, Ngrams, ShingleKeys, SimHash60, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash60"),
       info("graft_simhash60", "graft_simhash60(text) - 60-bit tf-weighted SimHash fingerprint"),
       buildSimHash60))
+    e.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      info("graft_ngrams", "graft_ngrams(text, n) - word n-gram strings (occurrence-preserving)"),
+      buildNgrams))
   }
 }
 
@@ -105,6 +109,11 @@ object GraftExtensions {
     SimHash60(args.head)
   }
 
+  private[graft] val buildNgrams: Seq[Expression] => Expression = { args =>
+    arity("graft_ngrams", args, 2)
+    Ngrams(args.head, intLiteral("graft_ngrams", args(1), 1, 64))
+  }
+
   /** Register the same functions on an already-built session (useful in
     * tests and notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -114,5 +123,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_hyperplane_bits", buildHyperplaneBits, "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingle_keys", buildShingleKeys, "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash60", buildSimHash60, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_ngrams", buildNgrams, "scala_udf")
   }
 }

@@ -31,6 +31,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[Long](0) == viaCol.getSeq[Long](0))
     assert(row.getSeq[Long](0).length == 2)
     assert(row.getLong(1) == viaCol.getLong(1))
+    val grams = spark.sql("SELECT graft_ngrams('a b a b', 2) AS g").head.getSeq[String](0)
+    assert(grams == Seq("a b", "b a", "a b")) // occurrence-preserving
   }
 
   test("graft_hyperplane_bits accepts BIGINT literals and rejects non-integral args at analysis") {
