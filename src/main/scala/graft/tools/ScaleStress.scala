@@ -157,6 +157,45 @@ object ScaleStress {
       out
     }
 
+    // Recall at scale for the ADAPTIVE embedding near-dup blocking
+    // (q28 shape): plant 2.5k near-duplicate vectors (small
+    // deterministic perturbation, cos ≈ 0.999) among 250k random
+    // ones, block with Adaptive.bits-derived bands, verify cosine,
+    // and report the fraction of planted pairs recovered. This is the
+    // scale twin of RecallSpec's 500-vector floor: adaptive widths
+    // must keep recall while bounding candidates.
+    time("neardup_recall_250k_vectors_adaptive") {
+      val n = 250000L
+      val bits = Adaptive.bits(n, targetBucket = 2, lo = 8, hi = 16)
+      val bands = bits
+      val mixed = graft.functions.VectorFunctions.Sql
+        .mixSpark("cast(id as bigint) * 64 + k + 999999937")
+      val base = spark.range(n).select(
+        $"id".as("vec_id"),
+        expr(s"transform(sequence(0, 63), k -> cast($mixed as double) / 1000.0)").as("v"))
+      val planted = base.filter($"vec_id" % 100 === 0).select(
+        ($"vec_id" + 10000000L).as("vec_id"),
+        expr(s"transform(sequence(0, 63), k -> element_at(v, k + 1) + cast(${graft.functions.VectorFunctions.Sql.mixSpark("cast(vec_id as bigint) * 64 + k + 777")} as double) / 20000.0)").as("v"))
+      val corpus = base.unionByName(planted)
+      val banded = corpus
+        .withColumn("bits", graft.functions.VectorExpressions.hyperplaneBits($"v", bands * bits))
+        .select($"vec_id",
+          posexplode(expr(
+            s"""transform(sequence(0, ${bands - 1}), b ->
+               |  aggregate(sequence(0, ${bits - 1}), 0, (acc, r) -> acc * 2 + element_at(bits, b * $bits + r + 1)))""".stripMargin))
+            .as(Seq("band", "bkey")))
+      val cand = banded.select($"vec_id".as("id_a"), $"band", $"bkey")
+        .join(banded.select($"vec_id".as("id_b"), $"band", $"bkey"), Seq("band", "bkey"))
+        .filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b").distinct()
+      val found = cand
+        .filter($"id_b" === $"id_a" + 10000000L && $"id_a" % 100 === 0)
+        .count()
+      val recall = found * 100.0 / (n / 100)
+      println(f"STRESS   planted_recall=$recall%.1f%% ($found/${n / 100}, bits=$bits, bands=$bands)")
+      found
+    }
+
     // Dedup clustering at scale: 1M-edge pair graph of 200k 5-chains
     // (diameter 4 — the propagation worst case for dup clusters).
     // Rounds are O(diameter); per-round work is one join + one agg.
