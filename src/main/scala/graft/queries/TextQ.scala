@@ -90,6 +90,27 @@ object TextQ extends QueryPack {
         .select($"doc_id", $"source", $"n_chars", $"quality_score")
     }),
 
+    // Training-mixture rebalancing: deterministically downsample
+    // over-represented sources so every source contributes ~equal
+    // tokens (rate_s = 100·min_tokens/tokens_s percent, md5-hash
+    // selection — reproducible across runs/engines, no RNG). Two
+    // passes: a per-source token aggregate (tiny, broadcast back) and
+    // a scan-side filter — the mixture step of an LLM data pipeline.
+    "q43_source_rebalance" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source", TF.tokenCount($"text").as("n_tokens"))
+      val perSource = docs.groupBy($"source").agg(sum($"n_tokens").as("tok"))
+      val minTok = perSource.agg(min($"tok")).as[Long].head()
+      // integer division, matching the oracle's `//` (Column./ on
+      // longs would promote to double and round differently)
+      val rates = broadcast(perSource.select($"source",
+        least(lit(100L), expr(s"(cast($minTok as bigint) * 100) div tok")).as("rate")))
+      docs.join(rates, "source")
+        .filter(conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10).cast("long") % 100 < $"rate")
+        .select($"doc_id", $"source", $"n_tokens", $"rate")
+    }),
+
     "q39_ngram_freq" -> ((s, d) => {
       import s.implicits._
       val grams = Tables.documents(s, d).select(
@@ -166,6 +187,18 @@ object TextQ extends QueryPack {
          |SELECT k.doc_id, k.source, k.n_chars, k.quality_score
          |FROM kept k JOIN keepers USING (doc_id)""".stripMargin
     },
+
+    "q43_source_rebalance" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |                len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+        |              FROM documents),
+        |per_source AS (SELECT source, cast(sum(n_tokens) AS bigint) AS tok FROM docs GROUP BY source),
+        |rates AS (SELECT source,
+        |            least(100, 100 * (SELECT min(tok) FROM per_source) // tok) AS rate
+        |          FROM per_source)
+        |SELECT doc_id, d.source, n_tokens, rate
+        |FROM docs d JOIN rates r ON d.source = r.source
+        |WHERE cast(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS bigint) % 100 < rate""".stripMargin,
 
     "q39_ngram_freq" ->
       """WITH toks AS (SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS words
