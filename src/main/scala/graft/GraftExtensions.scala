@@ -87,12 +87,18 @@ object GraftExtensions {
       throw new org.apache.spark.sql.AnalysisException(
         "INTERNAL_ERROR",
         Map("message" -> s"$fn: argument must be an integral literal in [$lo, $hi], got $what"))
+    def fromValue(v: Any): Int = v match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => bad(String.valueOf(other))
+    }
     val n = e match {
-      case Literal(v: Int, _) => v
-      case Literal(v: Long, _) if v.isValidInt => v.toInt
-      case Literal(v: Short, _) => v.toInt
-      case Literal(v: Byte, _) => v.toInt
-      case Literal(v, _) => bad(String.valueOf(v))
+      case Literal(v, _) => fromValue(v)
+      // builders run at analysis, BEFORE constant folding: accept any
+      // foldable integral expression (32+32, cast(8 as int), ...)
+      case other if other.foldable => fromValue(other.eval())
       case other => bad(other.sql)
     }
     if (n < lo || n > hi) bad(n.toString)

@@ -199,6 +199,12 @@ object Dedup {
       i += 1
     }
     edges.unpersist(blocking = false)
+    // non-convergence must fail loudly: returning partially-propagated
+    // labels would silently mislabel the far ends of long chains
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter for deep chain components")
     // the final round's cache backs `labels`; CachePool drains it
     // after the caller's action
     graft.CachePool.track(backing)

@@ -64,8 +64,10 @@ object Multimodal {
     * partition-wise execution are the real contract. */
   object FakeResize extends ResizeKernel {
     def resize(p: Array[Byte], sw: Int, sh: Int, dw: Int, dh: Int): Array[Byte] = {
+      if (p.isEmpty) return p // zero-byte/corrupt media: nothing to scale
       val srcPx = math.max(1L, sw.toLong * sh)
-      val outLen = math.max(1L, p.length * (dw.toLong * dh) / srcPx).toInt
+      val outLen = math.min(Int.MaxValue.toLong,
+        math.max(1L, p.length * (dw.toLong * dh) / srcPx)).toInt
       Array.tabulate(outLen)(i => p(((i.toLong * p.length) / outLen).toInt))
     }
   }

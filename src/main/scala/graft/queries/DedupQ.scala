@@ -46,12 +46,11 @@ object DedupQ extends QueryPack {
     * whole tokenize→shingle→hash pipeline twice), and the capped set
     * is then read by 3+ downstream stages. Drained by CachePool after
     * the query's action. */
-  private def cappedShingles(s: SparkSession, d: String): DataFrame = {
+  private def cappedShingles(s: SparkSession, d: String, nDocs: Long): DataFrame = {
     import s.implicits._
-    val cap = Adaptive.dfCap(Tables.documents(s, d).count())
     val hsRaw = CachePool.cache(
       Dedup.hashedShingleSets(augmentedDocs(s, d), $"doc_id", $"text", 5))
-    CachePool.cache(Dedup.dfCapped(hsRaw, cap))
+    CachePool.cache(Dedup.dfCapped(hsRaw, Adaptive.dfCap(nDocs)))
   }
 
   private val augSql =
@@ -80,13 +79,13 @@ object DedupQ extends QueryPack {
     }),
 
     "q25_dedup_ngram_jaccard" -> ((s, d) => {
-      Dedup.jaccardPairsHashed(cappedShingles(s, d), 0.6)
+      Dedup.jaccardPairsHashed(cappedShingles(s, d, Tables.documents(s, d).count()), 0.6)
     }),
 
     "q26_dedup_minhash_lsh" -> ((s, d) => {
       val n = Tables.documents(s, d).count()
       val r = Adaptive.minhashRows(n)
-      val hs = cappedShingles(s, d)
+      val hs = cappedShingles(s, d, n)
       val sig = Dedup.minhashSignatures(hs, numHashes = r * Adaptive.minhashBands(r))
       val cand = Dedup.lshCandidates(sig, rowsPerBand = r)
       Dedup.verifyJaccard(cand, hs, 0.6)
@@ -98,7 +97,8 @@ object DedupQ extends QueryPack {
     // keep/drop decisions — keep each cluster's minimum id, drop the
     // rest.
     "q41_dedup_clusters" -> ((s, d) => {
-      val pairs = Dedup.jaccardPairsHashed(cappedShingles(s, d), 0.6)
+      val pairs = Dedup.jaccardPairsHashed(
+        cappedShingles(s, d, Tables.documents(s, d).count()), 0.6)
       Dedup.connectedComponents(pairs)
     }),
 

@@ -102,9 +102,10 @@ object SimilarityQ extends QueryPack {
       val cellBits = graft.operators.Adaptive.bits(
         Tables.embeddings(s, d).count(), targetBucket = 32, lo = 4, hi = 8)
       val cells = 1 << cellBits
-      val mixed = VectorFunctions.Sql.mixSpark("1000000 + id * 64 + k")
-      val cent = broadcast(s.range(cells).select($"id".as("cell"),
-        expr(s"transform(sequence(0, 63), k -> cast($mixed as double) / 1000.0)").as("c")))
+      // single source of truth for the centroid stream — the on-disk
+      // index (IvfIndex.build) and this inline computation must agree
+      // cell-for-cell
+      val cent = broadcast(graft.operators.IvfIndex.centroids(s, cells))
       val e = emb(s, d)
       val scored = e.join(cent)
         .select($"vec_id", $"cell", VectorFunctions.dot($"v", $"c").as("score"))

@@ -82,22 +82,24 @@ object GraftGenSource {
     }
   }
 
-  private case class GenOffset(rows: Long) extends Offset {
+  private[sources] case class GenOffset(rows: Long) extends Offset {
     override def json(): String = rows.toString
   }
 
-  private class GenMicroBatchStream(rowsPerSecond: Long, numPartitions: Int, payloadLen: Int)
+  private[sources] class GenMicroBatchStream(rowsPerSecond: Long, numPartitions: Int, payloadLen: Int)
       extends MicroBatchStream with SupportsAdmissionControl {
     require(rowsPerSecond > 0 && numPartitions > 0 && payloadLen > 0)
 
-    // Rate limiting via admission control, RELATIVE to the committed
-    // start offset: each restart re-anchors the clock but resumes from
-    // the checkpoint WAL's offset, so by elapsed time t this run has
-    // admitted start + floor(t * rps) rows (the
-    // RateLimiterStrategy.perSecond contract). A plain latestOffset()
-    // anchored to creation time would fall BELOW the committed offset
-    // after a restart and stall the stream.
+    // Rate limiting via admission control: this run admits rows from
+    // a fixed ANCHOR — the offset committed when the stream (re)
+    // started — at anchor + floor(elapsed * rps) (the
+    // RateLimiterStrategy.perSecond contract). The anchor latches on
+    // the FIRST latestOffset call: adding elapsed time to every
+    // batch's own start offset would compound (quadratic admission),
+    // and a plain creation-time latestOffset() would fall below the
+    // committed offset after a restart and stall the stream.
     private val startMs = System.currentTimeMillis()
+    private var anchorRows = -1L
 
     override def initialOffset(): Offset = GenOffset(0L)
 
@@ -107,9 +109,12 @@ object GraftGenSource {
 
     override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-    override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-      GenOffset(start.asInstanceOf[GenOffset].rows +
-        (System.currentTimeMillis() - startMs) * rowsPerSecond / 1000L)
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val s = start.asInstanceOf[GenOffset].rows
+      if (anchorRows < 0) anchorRows = s
+      val admitted = anchorRows + (System.currentTimeMillis() - startMs) * rowsPerSecond / 1000L
+      GenOffset(math.max(s, admitted))
+    }
 
     override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
 

@@ -13,13 +13,15 @@ class PlanSpec extends AnyFunSuite {
   import TestSpark._
 
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    try SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    finally CachePool.drain() // builders persist shingle sets; don't leak them across specs
 
   /** Full (untruncated) formatted explain — toString elides long
     * PushedFilters/ReadSchema lists at 100 chars. */
   private def planFormatted(name: String): String =
-    SparkEntry.queries(name)(spark, sfDir).queryExecution
+    try SparkEntry.queries(name)(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    finally CachePool.drain()
 
   test("q03: predicate AND projection reach the parquet scan") {
     val p = planFormatted("q03_filter_project")
