@@ -67,8 +67,11 @@ object IvfIndex {
     // the probed cell directories are read
     idx.join(broadcast(p), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
+      // zero-norm vectors (padding / failed embeddings) make cosine
+      // 0/0 = NaN, and Spark sorts NaN ABOVE every double — nanvl
+      // ranks such junk last instead of at the top of every probe
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorFunctions.cosine(col("qv"), col("v")).as("cos_sim"))
+        nanvl(VectorFunctions.cosine(col("qv"), col("v")), lit(-2.0)).as("cos_sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }

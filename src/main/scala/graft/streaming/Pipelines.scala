@@ -22,17 +22,29 @@ object Pipelines {
   // ---- events typed view (streaming twins operate on this shape) ----
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
-  /** Kafka2Kafka analog (ref: Kafka2Kafka.java): stream in, pass
-    * through a transform, stream out with checkpointing — the file
-    * sink's write-ahead log gives the exactly-once the reference got
-    * from transactional Kafka producers. Endpoints come from the
-    * [[StreamIO]] factory: swap either side to `StreamIO.Kafka(...)`
-    * to front the same pipeline with a broker. */
+  /** Kafka2Kafka analog (ref: Kafka2Kafka.java): start a checkpointed
+    * stream-in → transform → stream-out pipeline and return the
+    * running query — the caller owns the lifecycle
+    * (`awaitTermination()` for a continuous Kafka-fronted deployment;
+    * the bounded-input overloads below drain-and-stop for tests).
+    * Endpoints come from the [[StreamIO]] factory: swap either side
+    * to `StreamIO.Kafka(...)` to front the same pipeline with a
+    * broker. */
+  def startPassThrough(spark: SparkSession, src: StreamIO.Endpoint, dst: StreamIO.Endpoint,
+      checkpointDir: String, transform: DataFrame => DataFrame,
+      srcSchema: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    StreamIO.writer(
+      transform(StreamIO.reader(spark, src, srcSchema)), dst, checkpointDir).start()
+
+  /** Bounded-input convenience: drain everything currently available,
+    * then stop. `processAllAvailable` never returns against a live
+    * unbounded producer — use [[startPassThrough]] +
+    * `awaitTermination` there. */
   def passThroughPipeline(spark: SparkSession, src: StreamIO.Endpoint, dst: StreamIO.Endpoint,
       checkpointDir: String, transform: DataFrame => DataFrame,
       srcSchema: Option[org.apache.spark.sql.types.StructType]): Unit = {
-    val q = StreamIO.writer(
-      transform(StreamIO.reader(spark, src, srcSchema)), dst, checkpointDir).start()
+    val q = startPassThrough(spark, src, dst, checkpointDir, transform, srcSchema)
     q.processAllAvailable()
     q.stop()
   }
@@ -153,8 +165,17 @@ object Pipelines {
     * at 100 TB/day churn the pk space grows without bound: tombstoned
     * (-D) and abandoned keys must eventually leave the state store.
     * After eviction, a late change for the key is treated as new —
-    * the same trade Flink makes with StateTtlConfig. */
-  def cdcUpsertStream(changes: Dataset[Change], ttlMs: Option[Long] = None): Dataset[Upsert] = {
+    * the same trade Flink makes with StateTtlConfig.
+    *
+    * `lateness` (TTL mode only): the watermark delay. With
+    * EventTimeTimeout, Spark DROPS input rows older than the global
+    * watermark before they reach the state function, so the delay is
+    * the out-of-orderness budget across the whole feed — and it also
+    * lags eviction by the same amount. The default tolerates an hour
+    * of cross-partition skew; tests that fully control ordering can
+    * pass "0 seconds". */
+  def cdcUpsertStream(changes: Dataset[Change], ttlMs: Option[Long] = None,
+      lateness: String = "1 hour"): Dataset[Upsert] = {
     import changes.sparkSession.implicits._
     def opRank(op: String): Int = op match {
       case "-U" => 0
@@ -169,32 +190,37 @@ object Pipelines {
       if (ttlMs.isDefined)
         changes.toDF()
           .withColumn("__event_ts", timestamp_millis(col("ts")))
-          .withWatermark("__event_ts", "0 seconds")
+          .withWatermark("__event_ts", lateness)
           .as[Change]
       else changes
     val timeoutConf =
       if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    // State carries the rank of the APPLIED op so same-ts changelog
+    // ordering (-U before +I/+U before -D) holds across micro-batch
+    // boundaries too: a retract row arriving one batch after its
+    // after-image must not regress the materialized state.
     src
       .groupByKey(_.pk)
-      .flatMapGroupsWithState[Upsert, Upsert](OutputMode.Append, timeoutConf) {
-        (pk: Long, rows: Iterator[Change], state: GroupState[Upsert]) =>
+      .flatMapGroupsWithState[(Upsert, Int), Upsert](OutputMode.Append, timeoutConf) {
+        (pk: Long, rows: Iterator[Change], state: GroupState[(Upsert, Int)]) =>
           if (state.hasTimedOut) { // TTL eviction: silent, no emission
             state.remove()
             Iterator.empty
           } else {
             var cur = state.getOption.orNull
             rows.toSeq.sortBy(c => (c.ts, opRank(c.op))).foreach { c =>
-              if (cur == null || c.ts >= cur.ts) {
-                cur = Upsert(pk, c.ts, c.value, deleted = c.op == "-D")
+              if (cur == null || c.ts > cur._1.ts ||
+                (c.ts == cur._1.ts && opRank(c.op) >= cur._2)) {
+                cur = (Upsert(pk, c.ts, c.value, deleted = c.op == "-D"), opRank(c.op))
               }
             }
             if (cur != null) {
               state.update(cur)
               // re-arm each invocation (Spark clears it per call)
               ttlMs.foreach(t => state.setTimeoutTimestamp(
-                math.max(cur.ts + t, state.getCurrentWatermarkMs() + 1)))
+                math.max(cur._1.ts + t, state.getCurrentWatermarkMs() + 1)))
             }
-            Iterator.single(cur)
+            Iterator.single(cur._1)
           }
       }
   }
@@ -261,8 +287,13 @@ object Pipelines {
         math.max(sorted.last.ts.getTime, timers.getCurrentWatermarkInMs()) + retention.toMillis)
       sorted.iterator.map { r =>
         val dup = existing.exists(f => java.lang.Long.bitCount(f ^ r.fp) <= maxDist)
-        existing += r.fp // later same-batch docs compare against this one
-        fps.appendValue(r.fp)
+        // an fp equal to a stored one adds no matching power — skip
+        // the append so hot boilerplate content can't grow the bucket
+        // (and its scan cost) with traffic volume
+        if (!existing.contains(r.fp)) {
+          existing += r.fp // later same-batch docs compare against this one
+          fps.appendValue(r.fp)
+        }
         NearDupVerdict(r.doc_id, r.ts, dup)
       }
     }
@@ -289,6 +320,10 @@ object Pipelines {
     val s = docs.sparkSession
     import s.implicits._
     val banded = docs
+      // wordless docs are excluded exactly as in the batch twin
+      // (Dedup.simhashDocs): their all-ones fingerprint would
+      // cross-match unrelated blank docs
+      .filter(trim(col(textCol), " ") =!= "")
       .withColumn("fp", graft.functions.SimHash60.simhash60(col(textCol)))
       .withWatermark(tsCol, watermark)
       .select(

@@ -182,8 +182,9 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Change]
-    // ts is epoch millis here; TTL = 5 minutes of event time
-    val q = Pipelines.cdcUpsertStream(in.toDS(), ttlMs = Some(5 * 60000L))
+    // ts is epoch millis here; TTL = 5 minutes of event time. This
+    // test controls ordering fully, so no lateness budget is needed.
+    val q = Pipelines.cdcUpsertStream(in.toDS(), ttlMs = Some(5 * 60000L), lateness = "0 seconds")
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("upsert_ttl_out").start()
     def stateRows(): Long =
@@ -209,6 +210,26 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("upsert_ttl_out").as[Pipelines.Upsert].collect()
         .last == Pipelines.Upsert(1, 62 * 60000L, 7.0, deleted = false))
+    } finally q.stop()
+  }
+
+  test("stream_cdc_upsert: a retract row arriving one batch after its same-ts after-image does not regress state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Change]
+    val q = Pipelines.cdcUpsertStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("upsert_crossbatch_out").start()
+    try {
+      // batch 1: the UPDATE's after-image (+U) at ts=20
+      in.addData(Change(5, 20, "+U", 12.5))
+      q.processAllAvailable()
+      // batch 2: its retract row (-U, same ts) straddled the boundary
+      in.addData(Change(5, 20, "-U", 10.5))
+      q.processAllAvailable()
+      val last = spark.table("upsert_crossbatch_out").as[Pipelines.Upsert].collect().last
+      assert(last == Pipelines.Upsert(5, 20, 12.5, deleted = false),
+        s"state regressed to the before-image: $last")
     } finally q.stop()
   }
 
