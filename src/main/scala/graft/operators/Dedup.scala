@@ -149,6 +149,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Containment pairs: |A∩B| / |A| >= threshold — the asymmetric
+    * near-SUPERSET measure (doc A mostly contained in B: quotes,
+    * aggregator pages, boilerplate-wrapped copies that Jaccard misses
+    * because the symmetric union denominator dilutes them). Same
+    * shared-shingle blocking as [[jaccardPairsHashed]]; emits ordered
+    * (contained, container) pairs both ways when both directions
+    * clear the threshold. */
+  def containmentPairs(hs: DataFrame, threshold: Double): DataFrame = {
+    val counts = hs.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = hs.toDF("id_a", "sh")
+      .join(hs.toDF("id_b", "sh"), "sh")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.toDF("id_a", "n_a"), "id_a")
+      .withColumn("containment", col("inter").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"), col("containment"))
+  }
+
   /** 60-bit SimHash per doc from term-frequency-weighted word hashes,
     * via the native sketch aggregate [[graft.functions.SimHashAgg]]
     * (one 60-counter buffer per doc on the shuffle, map-side combine). */

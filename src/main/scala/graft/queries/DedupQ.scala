@@ -91,6 +91,15 @@ object DedupQ extends QueryPack {
       Dedup.verifyJaccard(cand, hs, 0.6)
     }),
 
+    // Asymmetric near-superset detection: doc A with >= 90% of its
+    // shingles inside doc B (quotes / aggregator pages / boilerplate-
+    // wrapped copies that the symmetric Jaccard union denominator
+    // dilutes below threshold). The first-word-dropped augmented
+    // copies are contained in their originals by construction.
+    "q44_containment" -> ((s, d) => {
+      Dedup.containmentPairs(cappedShingles(s, d, Tables.documents(s, d).count()), 0.9)
+    }),
+
     // Pairs → clusters: connected components over the exact-Jaccard
     // near-dup graph (min-label propagation; cluster_id = minimum doc
     // id reachable). This is the step that turns pair detection into
@@ -207,6 +216,18 @@ object DedupQ extends QueryPack {
          |SELECT id_a, id_b, ic::DOUBLE / (ca.n + cb.n - ic) AS jaccard
          |FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
          |WHERE ic::DOUBLE / (ca.n + cb.n - ic) >= 0.6""".stripMargin,
+
+    "q44_containment" ->
+      s"""WITH $augSql,
+         |$shinglesSql,
+         |cnt AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+         |          FROM shf a JOIN shf b USING (sh) WHERE a.id <> b.id
+         |          GROUP BY a.id, b.id)
+         |SELECT id_a AS contained_id, id_b AS container_id,
+         |  c::DOUBLE / ca.n AS containment
+         |FROM inter JOIN cnt ca ON ca.id = id_a
+         |WHERE c::DOUBLE / ca.n >= 0.9""".stripMargin,
 
     "q41_dedup_clusters" ->
       s"""WITH RECURSIVE $augSql,
