@@ -254,6 +254,21 @@ object Pipelines {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-static join: apply batch-derived per-source sampling
+    * rates (graft.queries q43's rebalancing table) to a LIVE document
+    * stream — Spark's equivalent of Flink's broadcast-state pattern
+    * (a small rule/config table joined against every stream element).
+    * The static side is re-read per micro-batch, so refreshing the
+    * rates parquet re-tunes the mixture without restarting the
+    * stream. Selection is the same deterministic md5 hash as q43:
+    * replayable, no RNG, identical row choices batch or streaming. */
+  def streamingSourceRebalance(docs: DataFrame, rates: DataFrame,
+      idCol: String, sourceCol: String): DataFrame =
+    docs.join(broadcast(rates), sourceCol)
+      .filter(
+        conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long") % 100
+          < col("rate"))
+
   // ---- streaming NEAR-dup dedup (SimHash band state) ----
 
   case class BandRow(band_key: Long, doc_id: Long, ts: Timestamp, fp: Long)

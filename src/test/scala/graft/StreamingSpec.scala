@@ -406,6 +406,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_static_join: batch-derived sampling rates rebalance a live stream deterministically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rates = Seq(("src0", 100L), ("src1", 0L)).toDF("source", "rate")
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.streamingSourceRebalance(
+        in.toDF().toDF("doc_id", "source"), rates, "doc_id", "source")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("rebalance_out").start()
+    try {
+      in.addData((1L, "src0"), (2L, "src0"), (3L, "src1"), (4L, "src1"))
+      q.processAllAvailable()
+      val got = spark.table("rebalance_out").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L)) // rate 100 keeps all, rate 0 keeps none
+      // deterministic md5 selection: identical to the batch-side rule
+      val batchKept = Seq(1L, 2L).filter { id =>
+        val h = BigInt(java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes).take(8).map("%02x".format(_)).mkString.take(15), 16)
+        (h % 100).toLong < 100L
+      }.toSet
+      assert(got == batchKept)
+    } finally q.stop()
+  }
+
   test("stream_datagen: rate-source generator produces deterministic payloads") {
     val q = Pipelines.dataGenStream(spark, rowsPerSecond = 500)
       .writeStream.outputMode(OutputMode.Append)
