@@ -111,6 +111,21 @@ object TextQ extends QueryPack {
         .select($"doc_id", $"source", $"n_tokens", $"rate")
     }),
 
+    // Repetition filter (the Gopher-style quality rule): drop docs
+    // dominated by one repeated term — max term frequency / n_tokens
+    // above threshold marks degenerate/spammy text. Per-doc explode →
+    // tf → max ratio; one scan + one (doc, word) partial-agg shuffle.
+    "q45_repetition_filter" -> ((s, d) => {
+      import s.implicits._
+      val tf = Tables.documents(s, d)
+        .select($"doc_id", explode(TF.tokens($"text")).as("word"))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+        .groupBy($"doc_id").agg(max($"tf").as("max_tf"), sum($"tf").as("n_tokens"))
+        .withColumn("rep_ratio", $"max_tf".cast("double") / $"n_tokens")
+      tf.filter($"rep_ratio" <= 0.1)
+        .select($"doc_id", $"max_tf", $"n_tokens", $"rep_ratio")
+    }),
+
     "q39_ngram_freq" -> ((s, d) => {
       import s.implicits._
       val grams = Tables.documents(s, d).select(
@@ -199,6 +214,16 @@ object TextQ extends QueryPack {
         |SELECT doc_id, d.source, n_tokens, rate
         |FROM docs d JOIN rates r ON d.source = r.source
         |WHERE cast(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS bigint) % 100 < rate""".stripMargin,
+
+    "q45_repetition_filter" ->
+      """WITH tf AS (SELECT doc_id, w, count(*) AS tf
+        |            FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |                  FROM documents)
+        |            GROUP BY doc_id, w),
+        |agg AS (SELECT doc_id, cast(max(tf) AS bigint) AS max_tf, cast(sum(tf) AS bigint) AS n_tokens
+        |        FROM tf GROUP BY doc_id)
+        |SELECT doc_id, max_tf, n_tokens, max_tf::DOUBLE / n_tokens AS rep_ratio
+        |FROM agg WHERE max_tf::DOUBLE / n_tokens <= 0.1""".stripMargin,
 
     "q39_ngram_freq" ->
       """WITH toks AS (SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS words
