@@ -60,13 +60,16 @@ object AvroBinary {
       val avSchema = new Schema.Parser().parse(schemaJson)
       val writer = new GenericDatumWriter[GenericRecord](avSchema)
       val bos = new ByteArrayOutputStream()
+      var encB: org.apache.avro.io.BinaryEncoder = null // reused per partition
       rows.map { r =>
         bos.reset()
-        val encB = EncoderFactory.get().binaryEncoder(bos, null)
+        encB = EncoderFactory.get().binaryEncoder(bos, encB)
         val rec = new GenericData.Record(avSchema)
         names.zipWithIndex.foreach { case (n, i) =>
           rec.put(n, r.get(keep.length + i) match {
             case s: String => new org.apache.avro.util.Utf8(s)
+            // Avro BYTES requires a ByteBuffer; Spark Rows carry Array[Byte]
+            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
             case other => other
           })
         }
@@ -85,8 +88,9 @@ object AvroBinary {
     df.select(col(payloadCol)).mapPartitions { rows =>
       val avSchema = new Schema.Parser().parse(schemaJson)
       val reader = new GenericDatumReader[GenericRecord](avSchema)
+      var dec: org.apache.avro.io.BinaryDecoder = null // reused per partition
       rows.map { r =>
-        val dec = DecoderFactory.get().binaryDecoder(r.getAs[Array[Byte]](0), null)
+        dec = DecoderFactory.get().binaryDecoder(r.getAs[Array[Byte]](0), dec)
         val rec = reader.read(null, dec)
         Row.fromSeq(names.toIndexedSeq.map { n =>
           rec.get(n) match {

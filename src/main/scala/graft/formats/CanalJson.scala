@@ -52,7 +52,10 @@ object CanalJson {
     * empty array IS the filter. */
   def parseChangelog(df: DataFrame, jsonCol: Column, ignoreParseErrors: Boolean = true): DataFrame = {
     val emptyData = array().cast(ArrayType(MapType(StringType, StringType)))
-    val parsed = df.select(from_json(jsonCol, envelopeSchema).as("e"))
+    // ignoreParseErrors=false → Flink's fail-on-malformed: FAILFAST
+    // makes from_json throw instead of yielding a null envelope
+    val mode = if (ignoreParseErrors) "PERMISSIVE" else "FAILFAST"
+    val parsed = df.select(from_json(jsonCol, envelopeSchema, Map("mode" -> mode)).as("e"))
     val exploded = parsed
       .select(
         col("e.type").as("op"),

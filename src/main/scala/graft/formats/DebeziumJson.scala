@@ -38,7 +38,9 @@ object DebeziumJson {
     * plan-shape note. */
   def parseChangelog(df: DataFrame, jsonCol: Column, rowSchema: StructType,
       ignoreParseErrors: Boolean = true): DataFrame = {
-    val parsed = df.select(from_json(jsonCol, envelopeSchema(rowSchema)).as("e"))
+    // ignoreParseErrors=false → Flink's fail-on-malformed (FAILFAST)
+    val mode = if (ignoreParseErrors) "PERMISSIVE" else "FAILFAST"
+    val parsed = df.select(from_json(jsonCol, envelopeSchema(rowSchema), Map("mode" -> mode)).as("e"))
     parsed
       .select(
         col("e.source.table").as("table"),

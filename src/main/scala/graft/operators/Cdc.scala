@@ -23,7 +23,10 @@ object Cdc {
     val w = Window.partitionBy(pk: _*).orderBy(version.map(_.desc): _*)
     changelog
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && !isDelete)
+      // coalesce: a NULL isDelete (e.g. snapshot rows with no op) is
+      // "not a delete" — bare !NULL is NULL and filter would silently
+      // drop the key's latest image
+      .filter(col("__rn") === 1 && !coalesce(isDelete, lit(false)))
       .drop("__rn")
   }
 }

@@ -21,7 +21,11 @@ object Windows {
     df.withColumn("__prev_ts", lag(ts, 1).over(w))
       .withColumn(
         "__new_s",
-        when(col("__prev_ts").isNull || ts > col("__prev_ts") + expr(s"INTERVAL $gap"), 1).otherwise(0))
+        // >= : an event exactly `gap` after its predecessor OPENS a new
+        // session — Flink's EventTimeSessionWindows builds [t, t+gap)
+        // windows and merges only on overlap, so the boundary instant
+        // belongs to the next session
+        when(col("__prev_ts").isNull || ts >= col("__prev_ts") + expr(s"INTERVAL $gap"), 1).otherwise(0))
       .withColumn("session_id", sum(col("__new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("__prev_ts", "__new_s")
   }

@@ -88,7 +88,7 @@ object WindowsQ extends QueryPack {
       s"""WITH flagged AS (
          |  SELECT user_id, event_id, ts, value,
          |    CASE WHEN lag(ts) OVER w IS NULL
-         |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES
+         |           OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTES
          |         THEN 1 ELSE 0 END AS new_s
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

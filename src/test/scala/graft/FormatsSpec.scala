@@ -64,6 +64,43 @@ class FormatsSpec extends AnyFunSuite {
     assert(strict.filter($"a".isNull).count() == 1)
   }
 
+  test("csv: empty non-string fields are NULL, not parse errors; empty string fields stay ''") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType), StructField("c", StringType)))
+    val in = lines("1||x", "2|7|", "3|bad|y")
+    val out = DelimitedText.parse(in, col("payload"), schema).orderBy("a")
+      .collect().map(r => (r.get(0), r.get(1), r.get(2)))
+    // row 1: empty numeric b -> NULL, kept; row 2: empty string c -> ''
+    // kept; row 3: malformed numeric -> dropped
+    assert(out.toSeq == Seq((1L, null, "x"), (2L, 7L, "")))
+  }
+
+  test("canal/debezium: ignoreParseErrors=false fails loudly on malformed envelopes") {
+    import spark.implicits._
+    val bad = lines("""{"not json""")
+    intercept[Exception] {
+      CanalJson.parseChangelog(bad, col("payload"), ignoreParseErrors = false).collect()
+    }
+    val rowSchema = StructType(Seq(StructField("id", LongType)))
+    intercept[Exception] {
+      DebeziumJson.parseChangelog(bad, col("payload"), rowSchema, ignoreParseErrors = false).collect()
+    }
+    // default stays lenient: zero rows, no failure
+    assert(CanalJson.parseChangelog(bad, col("payload")).count() == 0)
+  }
+
+  test("avro roundtrip preserves binary fields (BYTES needs ByteBuffer wrapping)") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("blob", BinaryType)))
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array.empty[Byte]))
+      .toDF("id", "blob")
+    val back = AvroBinary.decode(AvroBinary.encode(df, schema), "payload", schema)
+    val got = back.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(got == Set((1L, Seq[Byte](1, 2, 3)), (2L, Seq.empty[Byte])))
+  }
+
   test("avro roundtrip preserves values including nulls") {
     import spark.implicits._
     val schema = StructType(Seq(
