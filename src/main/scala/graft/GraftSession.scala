@@ -22,6 +22,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // engine default: TIMESTAMP(NANOS) parquet columns read as int64
+      // nanos (Tables.events converts them); set HERE, not hidden
+      // inside a table loader, so parquet typing never depends on
+      // which table happened to load first
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // RocksDB state store: the production choice for large streaming
       // state, and required by transformWithState (column families —
       // the HDFS-backed provider cannot host StatefulProcessor state)

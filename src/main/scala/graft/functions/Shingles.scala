@@ -27,22 +27,48 @@ import org.apache.spark.unsafe.types.UTF8String
   * same MD5 over its UTF-8 bytes, same first-15-hex-chars (= top 60
   * bits) key. Verified against the HOF path by ShingleParitySpec.
   */
-object ShingleKernel {
+/** The two parity-critical primitives shared by every text kernel in
+  * this file — ONE definition each, so the kernels can never
+  * desynchronize from each other or from the oracle SQL. */
+private[functions] object TextKernelUtil {
 
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** Distinct 60-bit md5-derived keys of the word `n`-grams of `text`
-    * (order of first occurrence). */
-  def keys(text: UTF8String, n: Int): ArrayData = {
-    // split(" ") + drop empties — identical to
-    // filter(split(text, " "), w => w =!= "")
+  def md5Digest(): MessageDigest = digests.get()
+
+  /** split(" ") + drop empties — identical to
+    * `filter(split(text, " "), w => w =!= "")`. Compacts in place;
+    * returns (buffer, wordCount). */
+  def tokenize(text: UTF8String): (Array[String], Int) = {
     val words0 = text.toString.split(" ", -1)
     var m = 0
     var i = 0
     while (i < words0.length) { if (!words0(i).isEmpty) { words0(m) = words0(i); m += 1 }; i += 1 }
+    (words0, m)
+  }
+
+  /** Top 60 bits of md5(s-as-UTF-8) — identical to the relational
+    * `conv(substring(md5(s), 1, 15), 16, 10)` (first 15 hex chars =
+    * big-endian first 8 bytes >>> 4). */
+  def md5Top60(md: MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 0
+    while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    h >>> 4
+  }
+}
+
+object ShingleKernel {
+
+  /** Distinct 60-bit md5-derived keys of the word `n`-grams of `text`
+    * (order of first occurrence). */
+  def keys(text: UTF8String, n: Int): ArrayData = {
+    val (words0, m) = TextKernelUtil.tokenize(text)
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
-    val md = digests.get()
+    val md = TextKernelUtil.md5Digest()
     val seen = new java.util.HashSet[java.lang.Long](m * 2)
     val out = new Array[Long](m - n + 1)
     var k = 0
@@ -56,13 +82,7 @@ object ShingleKernel {
         sb.append(words0(s + j))
         j += 1
       }
-      md.reset()
-      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // first 15 hex chars = top 60 bits: big-endian first 8 bytes >>> 4
-      var h = 0L
-      var b = 0
-      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-      h = h >>> 4
+      val h = TextKernelUtil.md5Top60(md, sb.toString)
       if (seen.add(h)) { out(k) = h; k += 1 }
       s += 1
     }
@@ -81,29 +101,17 @@ object ShingleKernel {
   * speed with zero exchanges before the band join. */
 object SimHashKernel {
 
-  private val digests: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
-
   def sim60(text: UTF8String): Long = {
-    val words = text.toString.split(" ", -1)
-    val tf = new java.util.HashMap[String, Long](words.length * 2)
+    val (words, m) = TextKernelUtil.tokenize(text)
+    val tf = new java.util.HashMap[String, Long](m * 2)
     var i = 0
-    while (i < words.length) {
-      val w = words(i)
-      if (!w.isEmpty) tf.merge(w, 1L, (a, b) => a + b)
-      i += 1
-    }
+    while (i < m) { tf.merge(words(i), 1L, (a, b) => a + b); i += 1 }
     val counters = new Array[Long](60)
-    val md = digests.get()
+    val md = TextKernelUtil.md5Digest()
     val it = tf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      md.reset()
-      val d = md.digest(e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      var h = 0L
-      var b = 0
-      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-      h = h >>> 4
+      val h = TextKernelUtil.md5Top60(md, e.getKey)
       val t = e.getValue
       var j = 0
       while (j < 60) {
@@ -145,10 +153,7 @@ object SimHash60 {
   * Tokenization identical: split on single spaces, drop empties. */
 object NgramKernel {
   def ngrams(text: UTF8String, n: Int): ArrayData = {
-    val words0 = text.toString.split(" ", -1)
-    var m = 0
-    var i = 0
-    while (i < words0.length) { if (!words0(i).isEmpty) { words0(m) = words0(i); m += 1 }; i += 1 }
+    val (words0, m) = TextKernelUtil.tokenize(text)
     if (m < n) return new GenericArrayData(Array.empty[AnyRef])
     val out = new Array[AnyRef](m - n + 1)
     val sb = new java.lang.StringBuilder(64)

@@ -18,9 +18,15 @@ import org.apache.spark.sql.types._
   */
 object VecKernels {
   /** Sequential left-to-right dot product — same fold order as
-    * `aggregate(zip_with(a,b,*), 0.0, +)` and the oracle's list_reduce. */
+    * `aggregate(zip_with(a,b,*), 0.0, +)` and the oracle's
+    * list_reduce. A dimension mismatch is data corruption (a
+    * malformed embedding row): fail loudly rather than silently
+    * truncating to the shorter array (the HOF/oracle forms would
+    * yield NULL there — either way the row must not be scored). */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"graft_vec_dot: dimension mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }

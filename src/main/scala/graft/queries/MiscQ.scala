@@ -45,13 +45,22 @@ object MiscQ extends QueryPack {
         |  array_to_string(list_transform(range(0, 64), i -> chr((32 + (id * 31 + i * 17) % 95)::INT)), '') AS payload
         |FROM range(0, 1000) t(id)""".stripMargin,
 
+    // octet_len/checksum are over the UTF-8 BYTES of text (the Spark
+    // side casts text to binary): strlen = byte length, and the
+    // checksum folds each codepoint's UTF-8 byte-sum (1–4 byte forms)
+    // so parity holds for non-ASCII text too, not just this corpus.
     "q36_multimodal_meta" ->
       """SELECT doc_id,
         |  ['png', 'jpeg', 'wav'][(doc_id % 3)::INT + 1] AS fmt,
         |  (16 + (doc_id % 32) * 4)::INT AS width,
         |  (16 + (doc_id % 24) * 4)::INT AS height,
-        |  length(text)::BIGINT AS octet_len,
-        |  (list_sum(list_transform(regexp_split_to_array(text, ''), c -> unicode(c)))::BIGINT % 9973) AS checksum
+        |  strlen(text)::BIGINT AS octet_len,
+        |  (list_sum(list_transform(regexp_split_to_array(text, ''), c -> CASE
+        |     WHEN unicode(c) < 128 THEN unicode(c)
+        |     WHEN unicode(c) < 2048 THEN 320 + (unicode(c) // 64) + (unicode(c) % 64)
+        |     WHEN unicode(c) < 65536 THEN 480 + (unicode(c) // 4096) + ((unicode(c) // 64) % 64) + (unicode(c) % 64)
+        |     ELSE 624 + (unicode(c) // 262144) + ((unicode(c) // 4096) % 64) + ((unicode(c) // 64) % 64) + (unicode(c) % 64)
+        |   END))::BIGINT % 9973) AS checksum
         |FROM documents""".stripMargin
   )
 }

@@ -35,14 +35,17 @@ object Relational extends QueryPack {
           count(lit(1)).as("count_order"))
     }),
 
-    // Star join: every dim side broadcast (region/nation/customer at
-    // TPC-H ratios stay broadcast-able at any SF; only the fact tables
-    // shuffle, on the join key they already share).
+    // Star join: FIXED-SIZE dims (region: 5 rows, nation: 25) carry
+    // explicit broadcast hints — correct at literally any SF.
+    // customer GROWS with SF, so its join is left to the planner: the
+    // size estimate (and AQE at runtime) broadcasts it while it fits
+    // the threshold and degrades to a shuffle join beyond, instead of
+    // a forced hint blowing the 8 GB broadcast limit at 100 TB.
     "q02_join_dim" -> ((s, d) => {
       import s.implicits._
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
-      val c = broadcast(Tables.customer(s, d))
+      val c = Tables.customer(s, d)
       val n = broadcast(Tables.nation(s, d))
       val r = broadcast(Tables.region(s, d))
       li.join(o, $"l_orderkey" === $"o_orderkey")
@@ -139,9 +142,11 @@ object Relational extends QueryPack {
     // the aggregate result is invariant to the partitioning.
     "q10_partition_custom" -> ((s, d) => {
       import s.implicits._
+      // the point is the explicit hash repartition (Flink
+      // partitionCustom); the following hash aggregate neither needs
+      // nor exploits a within-partition sort, so none is paid
       Tables.events(s, d)
         .repartition(32, $"user_id")
-        .sortWithinPartitions($"user_id", $"ts")
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n"), moneySum($"value").as("total_value"))
     }),

@@ -25,11 +25,14 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read it as an int64 nanosecond epoch
-    * (legacy.parquet.nanosAsLong) and convert to a microsecond
-    * TimestampType column — the data is microsecond-granular, so the
-    * conversion is lossless. */
+    * (legacy.parquet.nanosAsLong, set by GraftSession.tuned — a table
+    * LOADER must not mutate session-global parquet semantics as a
+    * side effect) and convert to a microsecond TimestampType column —
+    * the data is microsecond-granular, so the conversion is lossless. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): build the session with GraftSession.tuned " +
+        "(or set spark.sql.legacy.parquet.nanosAsLong=true) before loading it")
     table(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
