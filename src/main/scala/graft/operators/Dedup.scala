@@ -185,37 +185,45 @@ object Dedup {
   /** Connected components over a near-dup pair graph (id_a, id_b) →
     * (doc_id, cluster_id = min doc id reachable): how a dedup
     * pipeline turns PAIRS into keep/drop decisions (keep the cluster
-    * minimum, drop the rest). Distributed min-label propagation: each
-    * round every vertex takes the min label among itself and its
-    * neighbors — one join + one groupBy per round, converging in
-    * O(cluster diameter) rounds (near-dup clusters are shallow, so
-    * 3–5 in practice; `maxIter` bounds adversarial chains). The
-    * driver loop only orchestrates rounds — all data movement is
-    * joins/aggregations, the same shape GraphX's Pregel runs. */
+    * minimum, drop the rest). Distributed min-label propagation WITH
+    * POINTER DOUBLING: each round every vertex takes the min label
+    * among itself and its neighbors, then jumps to its label's label
+    * — so label distance to the component minimum halves per round
+    * and convergence is O(log diameter) rounds, not O(diameter)
+    * (maxIter 20 covers diameters to ~2^18: a chain of incrementally
+    * edited boilerplate can be arbitrarily long without tripping the
+    * non-convergence guard). The driver loop only orchestrates
+    * rounds — all data movement is joins/aggregations, the same
+    * shape GraphX's Pregel runs. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist()
-    var backing = edges.select(col("id_a").as("id")).distinct()
+    // Each round is localCheckpoint'd: the doubling SELF-JOIN would
+    // otherwise double the logical plan every round (exponential
+    // lineage — planning/explain alone OOMs after ~20 rounds), and a
+    // checkpoint both truncates the plan and materializes the round.
+    var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist() // the persisted frame the current labels read from
-    var labels = backing
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges.join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("id")).agg(min(col("label")).as("nbr"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val half = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("new_label"))
-        .persist()
-      // ONE action per round: materializes `updated` into the cache
-      // AND reads off the convergence signal
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("lbl1"))
+      // pointer doubling: follow the (shrunken) label one more hop —
+      // labels are vertex ids of the same component, so label-of-label
+      // is still a reachable id and strictly no larger
+      val jump = half.select(col("id"), col("lbl1")).toDF("jid", "jlbl")
+      val updated = half.join(jump, half("lbl1") === jump("jid"), "left")
+        .select(col("id"), col("label"),
+          least(col("lbl1"), coalesce(col("jlbl"), col("lbl1"))).as("new_label"))
+        .localCheckpoint(true)
       changed = updated
         .agg(coalesce(sum(when(col("new_label") =!= col("label"), 1L).otherwise(0L)), lit(0L)))
         .head.getLong(0) // coalesce: an empty pair graph must terminate, not NPE
-      backing.unpersist(blocking = false)
-      backing = updated
       labels = updated.select(col("id"), col("new_label").as("label"))
       i += 1
     }
@@ -226,9 +234,6 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds " +
           s"($changed labels still changing) — raise maxIter for deep chain components")
-    // the final round's cache backs `labels`; CachePool drains it
-    // after the caller's action
-    graft.CachePool.track(backing)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

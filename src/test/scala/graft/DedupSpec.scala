@@ -111,10 +111,17 @@ class DedupSpec extends AnyFunSuite {
     assert(Adaptive.bits(32 * 15, 32, 1, 64) == 4)  // n/target=15 -> bitlen 4
   }
 
-  test("connected components: chains collapse to the minimum id, components stay separate") {
+  test("connected components: a 40-deep chain collapses within maxIter (pointer doubling), components stay separate") {
     import spark.implicits._
-    // two components: a 5-chain 1-2-3-4-5 (diameter 4 — needs several
-    // propagation rounds) and a triangle 10-11-12
+    // a chain of 40 docs (diameter 39 — plain one-hop propagation
+    // would need 39 rounds and trip maxIter=20; doubling needs ~7)
+    val chain = (100L until 139L).map(i => (i, i + 1))
+    val cc40 = graft.operators.Dedup.connectedComponents(chain.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.CachePool.drain()
+    assert(cc40.keySet == (100L to 139L).toSet)
+    assert(cc40.values.forall(_ == 100L))
+    // two components: a 5-chain 1-2-3-4-5 and a triangle 10-11-12
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (11L, 12L), (10L, 12L))
       .toDF("id_a", "id_b")
     val cc = graft.operators.Dedup.connectedComponents(pairs)
