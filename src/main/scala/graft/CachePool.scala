@@ -13,6 +13,7 @@ import org.apache.spark.sql.DataFrame
   * cached data" on an executor-memory-resident twin. */
 object CachePool {
   private val bag = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  private val rddBag = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
 
   def cache(df: DataFrame): DataFrame = synchronized {
     df.persist()
@@ -27,8 +28,16 @@ object CachePool {
     df
   }
 
+  /** Track an already-persisted RDD (e.g. a localCheckpoint'd
+    * iteration result a returned DataFrame still reads from — its
+    * blocks must outlive the caller's action, then be dropped). */
+  def trackRdd[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] =
+    synchronized { rddBag += rdd; rdd }
+
   def drain(): Unit = synchronized {
     bag.foreach(_.unpersist(blocking = false))
     bag.clear()
+    rddBag.foreach(_.unpersist(blocking = false))
+    rddBag.clear()
   }
 }

@@ -196,38 +196,75 @@ object Dedup {
     * rounds — all data movement is joins/aggregations, the same
     * shape GraphX's Pregel runs. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .persist()
+    val spark = pairs.sparkSession
+    // persist the NARROW pair set (the expensive upstream similarity
+    // pipeline), not the doubled edge view — the union just reads the
+    // cached pairs twice per use
+    val pairsP = pairs.select(col("id_a"), col("id_b")).persist()
+    val edges = pairsP
+      .unionByName(pairsP.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // Seed labels with round 1's half-step — min(self, neighbors) — in
+    // ONE groupBy (every vertex appears as id_a in the symmetrized
+    // edges), instead of a distinct() plus a first full round.
+    var labels = edges.groupBy(col("id_a").as("id"))
+      .agg(least(min(col("id_b")), col("id_a")).as("label"))
     // Each round is localCheckpoint'd: the doubling SELF-JOIN would
     // otherwise double the logical plan every round (exponential
     // lineage — planning/explain alone OOMs after ~20 rounds), and a
     // checkpoint both truncates the plan and materializes the round.
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // ONE action per round: the count that materializes the checkpoint
+    // also fills a changed-labels accumulator, replacing the separate
+    // per-round agg job. (An accumulator in a transformation can
+    // over-count on task retry — harmless here: inflation can only add
+    // a spare no-op round, never terminate early or corrupt labels.)
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val nbrMin = edges.join(labels, edges("id_b") === labels("id"))
-        .groupBy(edges("id_a").as("id")).agg(min(col("label")).as("nbr"))
-      val half = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("lbl1"))
+      // min(self, neighbor labels) in one union+groupBy — no left join;
+      // the self branch also carries the round's OLD label out (as the
+      // max over the group: the single self row) for the changed test
+      val contrib = edges.join(labels, edges("id_b") === labels("id"))
+        .select(edges("id_a").as("id"), col("label"), lit(false).as("self"))
+        .unionByName(labels.select(col("id"), col("label"), lit(true).as("self")))
+      val half = contrib.groupBy(col("id"))
+        .agg(min(col("label")).as("lbl1"),
+          max(when(col("self"), col("label"))).as("old_label"))
+      // checkpoint the half-step BEFORE the doubling self-join: its two
+      // sides shuffle on different keys (lbl1 vs id), so exchange reuse
+      // cannot kick in and an unmaterialized `half` would run the
+      // contrib join + groupBy twice per round
+      val halfRdd = half.rdd
+      halfRdd.localCheckpoint()
+      halfRdd.count() // action 1: contrib + groupBy exactly once
+      if (prevRdd != null) prevRdd.unpersist(blocking = false) // round i-1 fed the contrib just materialized
+      val halfDf = spark.createDataFrame(halfRdd, half.schema)
       // pointer doubling: follow the (shrunken) label one more hop —
       // labels are vertex ids of the same component, so label-of-label
       // is still a reachable id and strictly no larger
-      val jump = half.select(col("id"), col("lbl1")).toDF("jid", "jlbl")
-      val updated = half.join(jump, half("lbl1") === jump("jid"), "left")
-        .select(col("id"), col("label"),
+      val jump = halfDf.select(col("id").as("jid"), col("lbl1").as("jlbl"))
+      val updated = halfDf.join(jump, halfDf("lbl1") === jump("jid"), "left")
+        .select(col("id"), col("old_label"),
           least(col("lbl1"), coalesce(col("jlbl"), col("lbl1"))).as("new_label"))
-        .localCheckpoint(true)
-      changed = updated
-        .agg(coalesce(sum(when(col("new_label") =!= col("label"), 1L).otherwise(0L)), lit(0L)))
-        .head.getLong(0) // coalesce: an empty pair graph must terminate, not NPE
-      labels = updated.select(col("id"), col("new_label").as("label"))
+      val acc = spark.sparkContext.longAccumulator(s"cc-changed-round-$i")
+      val nextRdd = updated.rdd.map { r =>
+        if (r.get(1) != r.get(2)) acc.add(1L) // boxed equals: same numeric type on both sides
+        org.apache.spark.sql.Row(r.get(0), r.get(2))
+      }
+      nextRdd.localCheckpoint()
+      nextRdd.count() // action 2: materializes next labels AND fills the accumulator
+      changed = acc.value
+      halfRdd.unpersist(blocking = false) // both consumers (join sides) are done
+      prevRdd = nextRdd
+      val fields = updated.schema.fields
+      labels = spark.createDataFrame(nextRdd,
+        org.apache.spark.sql.types.StructType(Seq(fields(0), fields(2).copy(name = "label"))))
       i += 1
     }
-    edges.unpersist(blocking = false)
+    pairsP.unpersist(blocking = false)
+    // the returned DataFrame reads the final round's checkpoint blocks —
+    // they must survive the caller's action, then be dropped on drain()
+    if (prevRdd != null) graft.CachePool.trackRdd(prevRdd)
     // non-convergence must fail loudly: returning partially-propagated
     // labels would silently mislabel the far ends of long chains
     if (changed > 0)

@@ -79,11 +79,11 @@ object DedupQ extends QueryPack {
     }),
 
     "q25_dedup_ngram_jaccard" -> ((s, d) => {
-      Dedup.jaccardPairsHashed(cappedShingles(s, d, Tables.documents(s, d).count()), 0.6)
+      Dedup.jaccardPairsHashed(cappedShingles(s, d, Tables.documentCount(s, d)), 0.6)
     }),
 
     "q26_dedup_minhash_lsh" -> ((s, d) => {
-      val n = Tables.documents(s, d).count()
+      val n = Tables.documentCount(s, d)
       val r = Adaptive.minhashRows(n)
       val hs = cappedShingles(s, d, n)
       val sig = Dedup.minhashSignatures(hs, numHashes = r * Adaptive.minhashBands(r))
@@ -97,7 +97,7 @@ object DedupQ extends QueryPack {
     // dilutes below threshold). The first-word-dropped augmented
     // copies are contained in their originals by construction.
     "q44_containment" -> ((s, d) => {
-      Dedup.containmentPairs(cappedShingles(s, d, Tables.documents(s, d).count()), 0.9)
+      Dedup.containmentPairs(cappedShingles(s, d, Tables.documentCount(s, d)), 0.9)
     }),
 
     // Pairs → clusters: connected components over the exact-Jaccard
@@ -107,7 +107,7 @@ object DedupQ extends QueryPack {
     // rest.
     "q41_dedup_clusters" -> ((s, d) => {
       val pairs = Dedup.jaccardPairsHashed(
-        cappedShingles(s, d, Tables.documents(s, d).count()), 0.6)
+        cappedShingles(s, d, Tables.documentCount(s, d)), 0.6)
       Dedup.connectedComponents(pairs)
     }),
 
@@ -145,7 +145,7 @@ object DedupQ extends QueryPack {
     // width 8 × 8 bands ⇒ 8.5e-5; width 16 × 16 bands ⇒ ~1e-4).
     "q28_dedup_embedding" -> ((s, d) => {
       import s.implicits._
-      val bits = Adaptive.bits(Tables.embeddings(s, d).count(), targetBucket = 2, lo = 8, hi = 16)
+      val bits = Adaptive.bits(Tables.embeddingCount(s, d), targetBucket = 2, lo = 8, hi = 16)
       val bands = bits
       val emb = Tables.embeddings(s, d)
         .select($"vec_id", VectorFunctions.vec($"embedding").as("v"))

@@ -67,7 +67,7 @@ object SimilarityQ extends QueryPack {
 
     "q30_ann_lsh_topk" -> ((s, d) => {
       import s.implicits._
-      val banded = withTables(emb(s, d), annBits(Tables.embeddings(s, d).count()))
+      val banded = withTables(emb(s, d), annBits(Tables.embeddingCount(s, d)))
       val q = banded.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("query_id"), $"tbl", $"bkey")
       // candidate ids via any-table bucket match; vectors attached after
@@ -100,7 +100,7 @@ object SimilarityQ extends QueryPack {
       // 10-of-256 at 1M vectors — the probed fraction FALLS as n grows
       // ((b+2)/2^b) while recall holds via more, finer cells.
       val cellBits = graft.operators.Adaptive.bits(
-        Tables.embeddings(s, d).count(), targetBucket = 32, lo = 4, hi = 8)
+        Tables.embeddingCount(s, d), targetBucket = 32, lo = 4, hi = 8)
       val cells = 1 << cellBits
       // single source of truth for the centroid stream — the on-disk
       // index (IvfIndex.build) and this inline computation must agree

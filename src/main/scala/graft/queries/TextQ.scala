@@ -101,7 +101,8 @@ object TextQ extends QueryPack {
       val docs = Tables.documents(s, d)
         .select($"doc_id", $"source", TF.tokenCount($"text").as("n_tokens"))
       val perSource = docs.groupBy($"source").agg(sum($"n_tokens").as("tok"))
-      val minTok = perSource.agg(min($"tok")).as[Long].head()
+      val minTok = Tables.memoizedLong(s, s"$d#q43-minTok")(
+        perSource.agg(min($"tok")).as[Long].head())
       // integer division, matching the oracle's `//` (Column./ on
       // longs would promote to double and round differently)
       val rates = broadcast(perSource.select($"source",

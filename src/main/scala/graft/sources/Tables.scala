@@ -38,4 +38,24 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  // ---- memoized base-table scalars -------------------------------------
+  // Adaptive (operators/Adaptive.scala) derives LSH widths / df-caps from
+  // BASE TABLE counts. Eight query builders each ran their own count()
+  // job inside the timed region — a repeated fixed cost (the count is a
+  // parquet-footer metadata read, but still a scheduled job). The inputs
+  // are immutable driver-generated files, so a (applicationId, key) memo
+  // is safe: a new SparkContext (new test JVM/session) recomputes.
+  private val scalarMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+
+  /** Memoize an expensive deterministic Long-valued driver action under
+    * `key` (callers include the data dir in the key). */
+  def memoizedLong(s: SparkSession, key: String)(compute: => Long): Long =
+    scalarMemo.computeIfAbsent((s.sparkContext.applicationId, key), _ => compute)
+
+  def documentCount(s: SparkSession, d: String): Long =
+    memoizedLong(s, s"$d/documents#count")(documents(s, d).count())
+  def embeddingCount(s: SparkSession, d: String): Long =
+    memoizedLong(s, s"$d/embeddings#count")(embeddings(s, d).count())
 }
