@@ -56,6 +56,28 @@ object Pipelines {
     passThroughPipeline(spark, StreamIO.FileDir(inDir), StreamIO.FileDir(outDir),
       checkpointDir, transform, Some(spark.read.parquet(inDir).schema))
 
+  /** EXACTLY-ONCE delivery to an external sink (ref: Kafka2Kafka.java:27
+    * `enableCheckpointing(..., EXACTLY_ONCE)` + :45
+    * `DeliveryGuarantee.EXACTLY_ONCE`): checkpointed source →
+    * `foreachBatch` staging + atomic ledgered commit
+    * ([[graft.sinks.ExactlyOnce]]). A batch replayed after a crash —
+    * including the crash-after-stage-before-commit window that makes
+    * [[graft.sinks.GraftSink]]'s at-least-once path duplicate — is
+    * re-staged idempotently or skipped via the (sinkId, batchId)
+    * commit ledger, so the published view sees every row exactly once. */
+  def startExactlyOnceSink(spark: SparkSession, src: StreamIO.Endpoint,
+      srcSchema: Option[org.apache.spark.sql.types.StructType], checkpointDir: String,
+      sinkId: String, transport: graft.sinks.ExactlyOnce.TxnTransport,
+      encode: org.apache.spark.sql.Row => Array[Byte],
+      transform: DataFrame => DataFrame = identity)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    transform(StreamIO.reader(spark, src, srcSchema)).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((df: DataFrame, id: Long) =>
+        graft.sinks.ExactlyOnce.batch(df, id, sinkId, transport, encode))
+      .start()
+
   /** Event-time tumbling window + watermark (ref: TimeWindowDemo.java;
     * csv DDL watermark `ts - interval '5' second`). Append mode: a
     * window emits once its watermark passes — Flink's

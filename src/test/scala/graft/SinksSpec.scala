@@ -16,6 +16,26 @@ object SinksSpec {
   /** Statically resolved so executor-side task closures hit the same
     * instance in local mode (closures are serialized even locally). */
   val shared = new GraftSink.MemoryTransport
+
+  /** Object-level so the encode lambda doesn't capture the (non-
+    * serializable) suite instance. */
+  def jsonRow(r: org.apache.spark.sql.Row): Array[Byte] =
+    GraftSink.dorisJsonLine(r.getString(0))
+
+  /** Crashes the process at the worst point: AFTER every partition is
+    * staged (flushed), BEFORE the atomic commit — the window where the
+    * at-least-once path re-delivers the whole batch on replay. */
+  class CrashBeforeCommit(inner: graft.sinks.ExactlyOnce.TxnTransport, crashes: Int)
+      extends graft.sinks.ExactlyOnce.TxnTransport {
+    private var remaining = crashes // commit() runs driver-side only
+    override def stage(txnId: String, part: Int, payload: Array[Array[Byte]]): Unit =
+      inner.stage(txnId, part, payload)
+    override def commit(txnId: String, nParts: Int): Unit = {
+      if (remaining > 0) { remaining -= 1; throw new RuntimeException("injected crash before commit") }
+      inner.commit(txnId, nParts)
+    }
+    override def committed(txnId: String): Boolean = inner.committed(txnId)
+  }
 }
 
 class SinksSpec extends AnyFunSuite {
@@ -97,5 +117,91 @@ class SinksSpec extends AnyFunSuite {
         (r: org.apache.spark.sql.Row) => GraftSink.dorisJsonLine(r.getString(0)), maxActions = 8)
     df.repartition(4).foreachPartition(write)
     assert(SinksSpec.shared.totalActions == 100)
+  }
+
+  // ---- exactly-once commit protocol (ref: Kafka2Kafka EXACTLY_ONCE) ----
+
+  import graft.sinks.ExactlyOnce
+  import graft.sinks.ExactlyOnce._
+  import SinksSpec.{jsonRow, CrashBeforeCommit}
+
+  test("exactly-once: crash after stage, before commit — replay publishes each row once") {
+    import spark.implicits._
+    val mem = MemoryTxnTransport("eo-crash")
+    mem.reset()
+    val t = new CrashBeforeCommit(mem, crashes = 1)
+    val df = spark.range(0, 50).map(i => s"""{"id":$i}""").toDF("json").repartition(4)
+    intercept[RuntimeException](ExactlyOnce.batch(df, batchId = 0, "sink1", t, jsonRow))
+    assert(mem.visibleRequests.isEmpty, "staged-but-uncommitted data must not be visible")
+    ExactlyOnce.batch(df, batchId = 0, "sink1", t, jsonRow) // the replay
+    val seen = mem.visibleRequests.map(new String(_, StandardCharsets.UTF_8).trim).sorted
+    assert(seen == (0 until 50).map(i => s"""{"id":$i}""").sorted, "exactly one copy of every row")
+  }
+
+  test("exactly-once: replay of a committed batch short-circuits via the ledger") {
+    import spark.implicits._
+    val mem = MemoryTxnTransport("eo-ledger")
+    mem.reset()
+    val df = spark.range(0, 20).map(i => s"""{"id":$i}""").toDF("json").repartition(2)
+    ExactlyOnce.batch(df, batchId = 7, "sink1", mem, jsonRow)
+    ExactlyOnce.batch(df, batchId = 7, "sink1", mem, jsonRow) // replayed micro-batch
+    assert(mem.visibleRequests.length == 20)
+    ExactlyOnce.batch(df, batchId = 8, "sink1", mem, jsonRow) // NEXT batch still delivers
+    assert(mem.visibleRequests.length == 40)
+  }
+
+  test("exactly-once file transport: staged-then-atomic-rename survives the crash window") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("eo-file").toString
+    val file = new FileTxnTransport(root)
+    val t = new CrashBeforeCommit(file, crashes = 1)
+    val df = spark.range(0, 30).map(i => s"""{"id":$i}""").toDF("json").repartition(3)
+    intercept[RuntimeException](ExactlyOnce.batch(df, batchId = 0, "s", t, jsonRow))
+    assert(!file.committed("s-0"))
+    ExactlyOnce.batch(df, batchId = 0, "s", t, jsonRow)
+    assert(file.committed("s-0"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, ".staging", "s-0")),
+      "staging is consumed by the atomic rename")
+    val published = java.nio.file.Files.list(java.nio.file.Paths.get(root, "s-0")).toArray
+      .map(_.toString).flatMap(p => new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty))
+    assert(published.sorted.toSeq == (0 until 30).map(i => s"""{"id":$i}""").sorted)
+  }
+
+  test("exactly-once commit publishes only [0, nParts) — orphans of a wider earlier attempt dropped") {
+    val mem = MemoryTxnTransport("eo-orphan")
+    mem.reset()
+    // first attempt ran with 3 partitions, crashed; replay runs with 2
+    mem.stage("s-0", 0, Array(bytes("a"))); mem.stage("s-0", 1, Array(bytes("b")))
+    mem.stage("s-0", 2, Array(bytes("ORPHAN")))
+    mem.commit("s-0", nParts = 2)
+    val seen = mem.visibleRequests.map(new String(_, StandardCharsets.UTF_8))
+    assert(seen.sorted == Seq("a", "b"))
+  }
+
+  test("exactly-once end-to-end: streaming query crash + checkpoint restart delivers once") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("eo-stream")
+    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"
+    spark.range(0, 40).map(i => s"""{"id":$i}""").toDF("json").write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val mem = MemoryTxnTransport("eo-e2e")
+    mem.reset()
+    val crashing = new CrashBeforeCommit(mem, crashes = 1)
+    val q1 = graft.streaming.Pipelines.startExactlyOnceSink(
+      spark, graft.streaming.StreamIO.FileDir(inDir), Some(schema), ckpt, "e2e", crashing, jsonRow)
+    intercept[Exception] { q1.processAllAvailable(); if (q1.exception.isDefined) throw q1.exception.get }
+    q1.stop()
+    assert(mem.visibleRequests.isEmpty, "crashed batch must publish nothing")
+    // restart from the SAME checkpoint: Structured Streaming replays the
+    // failed micro-batch with the same batchId over the same offsets
+    val q2 = graft.streaming.Pipelines.startExactlyOnceSink(
+      spark, graft.streaming.StreamIO.FileDir(inDir), Some(schema), ckpt, "e2e", mem, jsonRow)
+    q2.processAllAvailable()
+    q2.stop()
+    val seen = mem.visibleRequests.map(new String(_, StandardCharsets.UTF_8).trim).sorted
+    assert(seen == (0 until 40).map(i => s"""{"id":$i}""").sorted,
+      "restart after crash-before-commit delivers every row exactly once")
   }
 }
