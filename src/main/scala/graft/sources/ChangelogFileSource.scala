@@ -1,0 +1,305 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, FailureSafeParser, GenericArrayData, MapData, ParseMode}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 format providers for the CDC changelog formats — the
+  * reference's SQL-DDL UX (`'format' = 'canal-json'` /
+  * `'debezium-json'` in format/canal_json/ and format/debezium_json/
+  * DDL) re-expressed as Spark format strings:
+  *
+  * {{{
+  * spark.readStream.format("graft-canal-json")
+  *   .option("path", dir).load()                       // changelog rows
+  * spark.read.format("graft-debezium-json")
+  *   .option("path", dir)
+  *   .option("rowSchema", "id BIGINT, price DOUBLE")   // the DDL schema
+  *   .load()
+  * }}}
+  *
+  * The decode itself delegates to Spark's OWN JacksonParser (the
+  * engine behind `from_json`) against the same envelope schemas as
+  * [[graft.formats.CanalJson]]/[[graft.formats.DebeziumJson]], then a
+  * per-record envelope→changelog expansion identical to the column
+  * forms — FormatsSpec asserts row-for-row parity with the q18/q19
+  * decode paths. `ignoreParseErrors` (default true) mirrors Flink's
+  * `canal-json.ignore-parse-errors`: PERMISSIVE drops undecodable
+  * envelopes, false = FAILFAST.
+  *
+  * Input layout: a directory of newline-delimited envelope files (a
+  * topic dump). Streaming offsets are a PREFIX LENGTH of the
+  * lexically-sorted file list — the append-only, monotonically-named
+  * contract of log rotation and Kafka archival dumps; a restart
+  * resumes at the committed prefix with no dupes or gaps. (Local
+  * filesystem here — the environment's storage; a cluster build
+  * would route the same reader through Hadoop FileSystem streams.)
+  */
+object ChangelogFileSource {
+
+  // ---- per-line decoders -------------------------------------------------
+
+  private[sources] sealed trait LineDecoder extends Serializable {
+    def envelopeSchema: StructType
+    def ignoreParseErrors: Boolean
+    /** Envelope row → zero or more changelog rows. */
+    def expand(env: InternalRow): Iterator[InternalRow]
+
+    private def mode: String = if (ignoreParseErrors) "PERMISSIVE" else "FAILFAST"
+
+    /** from_json's exact parse stack (JacksonParser + FailureSafeParser),
+      * built lazily executor-side. */
+    @transient private lazy val safeParser: FailureSafeParser[UTF8String] = {
+      val raw = new JacksonParser(envelopeSchema, new JSONOptions(Map("mode" -> mode), "UTC"),
+        allowArrayAsStructs = true)
+      new FailureSafeParser[UTF8String](
+        in => raw.parse(in, CreateJacksonParser.utf8String, identity[UTF8String]),
+        ParseMode.fromString(mode), envelopeSchema, "_corrupt_record")
+    }
+
+    final def decodeLine(line: String): Iterator[InternalRow] =
+      safeParser.parse(UTF8String.fromString(line)).flatMap(expand)
+  }
+
+  /** canal-json: see [[graft.formats.CanalJson.parseChangelog]] for the
+    * column twin whose semantics this mirrors exactly (incl. the
+    * old-overlay with map_concat key order and the null-old[i] edge). */
+  private[sources] final case class CanalDecoder(ignoreParseErrors: Boolean) extends LineDecoder {
+    override def envelopeSchema: StructType = graft.formats.CanalJson.envelopeSchema
+
+    // envelope field positions: data 0, old 1, type 2, table 3,
+    // database 4, es 5, ts 6, id 7, isDdl 8, pkNames 9
+    override def expand(env: InternalRow): Iterator[InternalRow] = {
+      if (env.isNullAt(2)) return Iterator.empty // unparseable / typeless
+      if (!env.isNullAt(8) && env.getBoolean(8)) return Iterator.empty // DDL event
+      if (env.isNullAt(0)) return Iterator.empty
+      val op = env.getUTF8String(2).toString
+      val table = if (env.isNullAt(3)) null else env.getUTF8String(3)
+      val ts: Any = if (env.isNullAt(6)) null else env.getLong(6)
+      val data = env.getArray(0)
+      val old = if (env.isNullAt(1)) null else env.getArray(1)
+      def out(kind: String, fields: MapData): InternalRow =
+        new GenericInternalRow(Array[Any](UTF8String.fromString(kind), table, ts, fields))
+      (0 until data.numElements()).iterator.flatMap { i =>
+        if (data.isNullAt(i)) Iterator.empty
+        else {
+          val after = data.getMap(i)
+          op match {
+            case "INSERT" => Iterator(out("+I", after))
+            case "DELETE" => Iterator(out("-D", after))
+            case "UPDATE" =>
+              // before = after overlaid with old[i] — matching
+              // map_concat(map_filter(after, k not in old[i]), old[i]):
+              // filtered-after keys first (in after order), then old
+              // keys; a NULL old[i] element yields a null before map
+              val before: MapData =
+                if (old != null && i < old.numElements()) {
+                  if (old.isNullAt(i)) null else overlay(after, old.getMap(i))
+                } else after
+              Iterator(out("-U", before), out("+U", after))
+            case _ => Iterator.empty
+          }
+        }
+      }
+    }
+
+    private def overlay(after: MapData, old: MapData): MapData = {
+      val oldKeys = new util.HashSet[UTF8String]()
+      (0 until old.numElements()).foreach(i => oldKeys.add(old.keyArray().getUTF8String(i)))
+      val keys = scala.collection.mutable.ArrayBuffer[Any]()
+      val vals = scala.collection.mutable.ArrayBuffer[Any]()
+      (0 until after.numElements()).foreach { i =>
+        val k = after.keyArray().getUTF8String(i)
+        if (!oldKeys.contains(k)) {
+          keys += k
+          vals += (if (after.valueArray().isNullAt(i)) null else after.valueArray().getUTF8String(i))
+        }
+      }
+      (0 until old.numElements()).foreach { i =>
+        keys += old.keyArray().getUTF8String(i)
+        vals += (if (old.valueArray().isNullAt(i)) null else old.valueArray().getUTF8String(i))
+      }
+      new ArrayBasedMapData(new GenericArrayData(keys.toArray), new GenericArrayData(vals.toArray))
+    }
+  }
+
+  /** debezium-json: mirrors [[graft.formats.DebeziumJson.parseChangelog]];
+    * `rowDdl` is the user-declared table schema, as in the reference's
+    * DDL (`id BIGINT, name STRING, ...`). */
+  private[sources] final case class DebeziumDecoder(rowDdl: String, ignoreParseErrors: Boolean)
+      extends LineDecoder {
+    @transient private lazy val rowSchema: StructType = StructType.fromDDL(rowDdl)
+    override def envelopeSchema: StructType = graft.formats.DebeziumJson.envelopeSchema(StructType.fromDDL(rowDdl))
+
+    // envelope field positions: before 0, after 1, op 2, ts_ms 3, source 4
+    override def expand(env: InternalRow): Iterator[InternalRow] = {
+      if (env.isNullAt(2)) return Iterator.empty
+      val op = env.getUTF8String(2).toString
+      val table =
+        if (env.isNullAt(4)) null
+        else { val src = env.getStruct(4, 2); if (src.isNullAt(1)) null else src.getUTF8String(1) }
+      val ts: Any = if (env.isNullAt(3)) null else env.getLong(3)
+      def img(idx: Int): InternalRow =
+        if (env.isNullAt(idx)) null else env.getStruct(idx, rowSchema.length)
+      def out(kind: String, row: InternalRow): InternalRow =
+        new GenericInternalRow(Array[Any](UTF8String.fromString(kind), table, ts, row))
+      op match {
+        case "c" | "r" => Iterator(out("+I", img(1)))
+        case "d"       => Iterator(out("-D", img(0)))
+        case "u"       => Iterator(out("-U", img(0)), out("+U", img(1)))
+        case _         => Iterator.empty
+      }
+    }
+  }
+
+  // ---- file listing + scan plumbing -------------------------------------
+
+  private[sources] def listFiles(dir: String): Array[String] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) return Array.empty
+    val s = Files.list(p)
+    try s.iterator().asScala
+      .filter { f =>
+        val n = f.getFileName.toString
+        Files.isRegularFile(f) && !n.startsWith(".") && !n.startsWith("_")
+      }
+      .map(_.toString).toArray.sorted
+    finally s.close()
+  }
+
+  private[sources] case class FilePartition(file: String) extends InputPartition
+
+  private[sources] case class ReaderFactory(dec: LineDecoder) extends PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val file = partition.asInstanceOf[FilePartition].file
+      new PartitionReader[InternalRow] {
+        private val reader = Files.newBufferedReader(Paths.get(file), StandardCharsets.UTF_8)
+        private var it: Iterator[InternalRow] = Iterator.empty
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          while (!it.hasNext) {
+            val line = reader.readLine()
+            if (line == null) return false
+            if (line.nonEmpty) it = dec.decodeLine(line)
+          }
+          cur = it.next(); true
+        }
+        override def get(): InternalRow = cur
+        override def close(): Unit = reader.close()
+      }
+    }
+  }
+
+  private[sources] case class FileCountOffset(n: Int) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  /** Micro-batch stream over the sorted file list: offset = consumed
+    * prefix length. Newly arriving files must sort AFTER consumed ones
+    * (append-only monotone naming — the log-rotation contract). */
+  private[sources] class ChangelogStream(path: String, dec: LineDecoder) extends MicroBatchStream {
+    override def initialOffset(): Offset = FileCountOffset(0)
+    override def latestOffset(): Offset = FileCountOffset(listFiles(path).length)
+    override def deserializeOffset(json: String): Offset = FileCountOffset(json.toInt)
+    override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+      listFiles(path)
+        .slice(start.asInstanceOf[FileCountOffset].n, end.asInstanceOf[FileCountOffset].n)
+        .map(f => FilePartition(f): InputPartition)
+    override def createReaderFactory(): PartitionReaderFactory = ReaderFactory(dec)
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
+  }
+
+  private[sources] class ChangelogTable(tableName: String, outSchema: StructType,
+      tableOptions: CaseInsensitiveStringMap, mkDecoder: CaseInsensitiveStringMap => LineDecoder)
+      extends Table with SupportsRead {
+    override def name(): String = tableName
+    override def schema(): StructType = outSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+    override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
+      val merged = new util.HashMap[String, String](tableOptions.asCaseSensitiveMap())
+      merged.putAll(scanOptions.asCaseSensitiveMap())
+      val opts = new CaseInsensitiveStringMap(merged)
+      val path = opts.get("path")
+      require(path != null, s"$tableName: option 'path' (envelope file directory) is required")
+      val dec = mkDecoder(opts)
+      new ScanBuilder {
+        override def build(): Scan = new Scan {
+          override def readSchema(): StructType = outSchema
+          override def toBatch: Batch = new Batch {
+            override def planInputPartitions(): Array[InputPartition] =
+              listFiles(path).map(f => FilePartition(f): InputPartition)
+            override def createReaderFactory(): PartitionReaderFactory = ReaderFactory(dec)
+          }
+          override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+            new ChangelogStream(path, dec)
+        }
+      }
+    }
+  }
+
+  val canalOutputSchema: StructType = StructType(Seq(
+    StructField("row_kind", StringType),
+    StructField("table", StringType),
+    StructField("ts", LongType),
+    StructField("fields", MapType(StringType, StringType))))
+
+  def debeziumOutputSchema(rowSchema: StructType): StructType = StructType(Seq(
+    StructField("row_kind", StringType),
+    StructField("table", StringType),
+    StructField("ts_ms", LongType),
+    StructField("row", rowSchema)))
+
+  private[sources] def ignoreErrs(o: CaseInsensitiveStringMap): Boolean =
+    o.getBoolean("ignoreParseErrors", true)
+
+  private[sources] def debeziumDdl(o: CaseInsensitiveStringMap): String = {
+    val ddl = o.get("rowSchema")
+    require(ddl != null,
+      "graft-debezium-json: option 'rowSchema' (the table's DDL, e.g. \"id BIGINT, name STRING\") is required")
+    ddl
+  }
+}
+
+/** `spark.read[Stream].format("graft-canal-json")` provider. */
+class CanalJsonFileSource extends TableProvider with DataSourceRegister {
+  import ChangelogFileSource._
+  override def shortName(): String = "graft-canal-json"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = canalOutputSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ChangelogTable(shortName(), canalOutputSchema,
+      new CaseInsensitiveStringMap(properties), o => CanalDecoder(ignoreErrs(o)))
+}
+
+/** `spark.read[Stream].format("graft-debezium-json")` provider; requires
+  * `rowSchema` (DDL) — the reference declares it in CREATE TABLE DDL. */
+class DebeziumJsonFileSource extends TableProvider with DataSourceRegister {
+  import ChangelogFileSource._
+  override def shortName(): String = "graft-debezium-json"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    debeziumOutputSchema(StructType.fromDDL(debeziumDdl(options)))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ChangelogTable(shortName(), debeziumOutputSchema(StructType.fromDDL(debeziumDdl(opts))),
+      opts, o => DebeziumDecoder(debeziumDdl(o), ignoreErrs(o)))
+  }
+}

@@ -113,4 +113,127 @@ class FormatsSpec extends AnyFunSuite {
     val got = back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(got == Set((1L, "alpha", 1.5), (2L, null, -2.25)))
   }
+
+  // ---- DataSourceV2 format providers (reference: format/ SQL-DDL UX) ----
+
+  private val canalEnvelopes = Seq(
+    """{"data":[{"id":"1","w":"5.0"}],"type":"INSERT","table":"t","ts":1}""",
+    """not json at all""",
+    """{"data":[{"id":"2","w":"6.0"}],"old":[{"w":"5.5"}],"type":"UPDATE","table":"t","ts":2}""",
+    """{"data":[{"id":"3","w":"7.0"}],"type":"UPDATE","table":"t","ts":3}""",
+    """{"data":[{"id":"4","w":"8.0"},{"id":"5","w":"9.0"}],"old":[{"w":"7.5"},{"w":"8.5"}],"type":"UPDATE","table":"t","ts":4}""",
+    """{"data":[{"id":"6","w":"1.0"}],"type":"DELETE","table":"t","ts":5}""",
+    """{"data":[{"id":"7","w":"2.0"}],"type":"ALTER","isDdl":true,"table":"t","ts":6}""")
+
+  private def writeLines(dir: java.nio.file.Path, name: String, xs: Seq[String]): Unit =
+    java.nio.file.Files.write(dir.resolve(name),
+      xs.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def canalKey(r: org.apache.spark.sql.Row) =
+    (r.getString(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+      Option(r.getAs[Map[String, String]](3)).map(_.toSeq.sorted).orNull)
+
+  test("dsv2 graft-canal-json batch read matches the column decoder row for row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("canal-src")
+    writeLines(dir, "00000.json", canalEnvelopes)
+    val viaFormat = spark.read.format("graft-canal-json").option("path", dir.toString).load()
+    assert(viaFormat.schema == graft.sources.ChangelogFileSource.canalOutputSchema)
+    val viaColumns = CanalJson.parseChangelog(canalEnvelopes.toDF("payload"), col("payload"))
+    val a = viaFormat.collect().map(canalKey).sortBy(_.toString).toSeq
+    val b = viaColumns.collect().map(canalKey).sortBy(_.toString).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("dsv2 graft-debezium-json batch read matches the column decoder (typed row via rowSchema DDL)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dbz-src")
+    val envs = Seq(
+      """{"before":null,"after":{"id":1,"v":1.5},"op":"c","ts_ms":9,"source":{"db":"d","table":"t"}}""",
+      """{"before":null,"after":{"id":2,"v":2.5},"op":"r","ts_ms":10,"source":{"db":"d","table":"t"}}""",
+      """{"before":{"id":2,"v":2.5},"after":{"id":2,"v":3.5},"op":"u","ts_ms":11,"source":{"db":"d","table":"t"}}""",
+      """{"before":{"id":1,"v":1.5},"after":null,"op":"d","ts_ms":12,"source":{"db":"d","table":"t"}}""",
+      """broken{""",
+      """{"before":{"id":9,"v":0.5},"after":null,"op":"x","ts_ms":13,"source":{"db":"d","table":"t"}}""")
+    writeLines(dir, "00000.json", envs)
+    val rowSchema = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    val viaFormat = spark.read.format("graft-debezium-json")
+      .option("path", dir.toString).option("rowSchema", "id BIGINT, v DOUBLE").load()
+    val viaColumns = DebeziumJson.parseChangelog(envs.toDF("payload"), col("payload"), rowSchema)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.getStruct(3)).map(s => s.toSeq.toList).orNull)
+    val a = viaFormat.collect().map(key).sortBy(_.toString).toSeq
+    val b = viaColumns.collect().map(key).sortBy(_.toString).toSeq
+    assert(a.length == 5 && a == b) // +I(c), +I(r), -U/+U(u), -D(d) → 5 changelog rows
+  }
+
+  test("dsv2 q18 parity: the format provider decodes the q18 envelope corpus identically") {
+    import spark.implicits._
+    // the same envelope synthesis q18 runs (CdcQ.scala), dumped to files
+    val mapT = ArrayType(MapType(StringType, StringType))
+    val envelopes = graft.sources.Tables.orders(spark, sfDir).select(
+      to_json(struct(
+        array(map(
+          lit("id"), $"o_orderkey".cast("string"),
+          lit("price"), $"o_totalprice".cast("string"),
+          lit("priority"), $"o_orderpriority")).as("data"),
+        when($"o_orderstatus" === "F",
+          array(map(lit("price"), ($"o_totalprice" - 10).cast("string"))))
+          .otherwise(lit(null).cast(mapT)).as("old"),
+        when($"o_orderstatus" === "O", "INSERT")
+          .when($"o_orderstatus" === "F", "UPDATE")
+          .otherwise("DELETE").as("type"),
+        lit("orders").as("table"),
+        lit("inventory").as("database"),
+        ($"o_orderkey" * 1000).as("ts"),
+        lit(false).as("isDdl"),
+        array(lit("id")).as("pkNames"))).as("payload"))
+      .as[String].collect()
+    val dir = java.nio.file.Files.createTempDirectory("canal-q18")
+    writeLines(dir, "00000.json", envelopes.toSeq)
+    def project(df: org.apache.spark.sql.DataFrame) = df.select(
+      $"row_kind",
+      element_at($"fields", "id").cast("long").as("id"),
+      element_at($"fields", "price").cast("double").as("price"),
+      element_at($"fields", "priority").as("priority"))
+    val viaFormat = project(
+      spark.read.format("graft-canal-json").option("path", dir.toString).load())
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val q18 = SparkEntry.queries("q18_canal_parse")(spark, sfDir)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(viaFormat.nonEmpty && viaFormat == q18)
+  }
+
+  test("dsv2 streaming: file-prefix offsets process only new files and resume from checkpoint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("canal-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("canal-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("canal-out").toString
+    writeLines(dir, "00000.json", canalEnvelopes)
+    def startQ() = spark.readStream.format("graft-canal-json")
+      .option("path", dir.toString).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    def ids() = spark.read.parquet(out)
+      .select(element_at($"fields", "id")).as[String].collect().toSeq
+    val q1 = startQ()
+    q1.processAllAvailable()
+    val n1 = ids().length
+    assert(n1 == 10) // +I, -U/+U ×4 (one w/ old, one without, two positional), -D
+    writeLines(dir, "00001.json",
+      Seq("""{"data":[{"id":"8","w":"3.0"}],"type":"INSERT","table":"t","ts":7}"""))
+    q1.processAllAvailable()
+    assert(ids().length == n1 + 1, "only the NEW file is read")
+    q1.stop()
+    // restart from the same checkpoint: a third file arrives while down
+    writeLines(dir, "00002.json",
+      Seq("""{"data":[{"id":"9","w":"4.0"}],"type":"INSERT","table":"t","ts":8}"""))
+    val q2 = startQ()
+    q2.processAllAvailable()
+    q2.stop()
+    val finalIds = ids()
+    assert(finalIds.length == n1 + 2 && finalIds.count(_ == "9") == 1 && finalIds.count(_ == "8") == 1,
+      "restart resumes at the committed file prefix — no reprocessing, no gaps")
+  }
 }
