@@ -79,6 +79,115 @@ object VecKernels {
   }
 }
 
+object IvfKernels {
+  /** Squared-distance ordering key of vector `v` to cell `j`:
+    * csq(j) − 2·dot(v, cent(j)) — the ||v||² term is constant per row
+    * and dropped, preserving the argmin. Fold order of the dot is the
+    * same ascending-k sequential accumulate as the oracle's
+    * list_reduce, so keys are bit-identical across engines. */
+  private def key(v: ArrayData, c: Array[Double], csq: Double): Double = {
+    var acc = 0.0
+    var k = 0
+    val n = math.min(v.numElements(), c.length)
+    while (k < n) { acc += v.getDouble(k) * c(k); k += 1 }
+    csq - 2.0 * acc
+  }
+
+  /** argmin cell (ties → lowest cell id); entries of `cent` may be
+    * null (a residue class with no seed) and are skipped — the oracle
+    * simply has no row for such cells. */
+  def nearestCell(v: ArrayData, cent: Array[Array[Double]], csq: Array[Double]): Int = {
+    var best = Double.PositiveInfinity
+    var bestJ = -1
+    var j = 0
+    while (j < cent.length) {
+      if (cent(j) != null) {
+        val d = key(v, cent(j), csq(j))
+        if (d < best) { best = d; bestJ = j }
+      }
+      j += 1
+    }
+    bestJ
+  }
+
+  /** Top-`nprobe` cells by the same (key asc, cell asc) order —
+    * selection over ≤2^8 cells, strict `<` so ties resolve to the
+    * lowest cell, identical to `row_number() OVER (ORDER BY key,
+    * cell) <= nprobe`. */
+  def probeCells(v: ArrayData, cent: Array[Array[Double]], csq: Array[Double], nprobe: Int): ArrayData = {
+    val m = cent.length
+    val keys = new Array[Double](m)
+    val taken = new Array[Boolean](m)
+    var valid = 0
+    var j = 0
+    while (j < m) {
+      if (cent(j) != null) { keys(j) = key(v, cent(j), csq(j)); valid += 1 }
+      else taken(j) = true
+      j += 1
+    }
+    val out = new Array[Int](math.min(nprobe, valid))
+    var r = 0
+    while (r < out.length) {
+      var best = Double.PositiveInfinity
+      var bestJ = -1
+      var i = 0
+      while (i < m) {
+        if (!taken(i) && keys(i) < best) { best = keys(i); bestJ = i }
+        i += 1
+      }
+      taken(bestJ) = true
+      out(r) = bestJ
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** IVF cell assignment: argmin_j (csq_j − 2·v·c_j) over a driver-
+  * trained centroid matrix, codegen'd — one tight loop per row, no
+  * centroid join, no per-vector window/aggregate, so the corpus-side
+  * assignment is SHUFFLE-FREE. */
+case class NearestCell(child: Expression, cent: Array[Array[Double]], csq: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nearest_cell"
+
+  override protected def nullSafeEval(v: Any): Any =
+    IvfKernels.nearestCell(v.asInstanceOf[ArrayData], cent, csq)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("graftIvfCent", cent, "double[][]")
+    val csqRef = ctx.addReferenceObj("graftIvfCsq", csq, "double[]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.IvfKernels.nearestCell($v, $centRef, $csqRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
+/** Top-`nprobe` IVF probe cells per query vector, codegen'd (array of
+  * cell ids in rank order — explode to fan a query out to its cells). */
+case class ProbeCells(child: Expression, cent: Array[Array[Double]], csq: Array[Double], nprobe: Int)
+    extends UnaryExpression {
+  require(nprobe >= 1, s"graft_probe_cells: nprobe must be >= 1, got $nprobe")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_probe_cells"
+
+  override protected def nullSafeEval(v: Any): Any =
+    IvfKernels.probeCells(v.asInstanceOf[ArrayData], cent, csq, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("graftIvfCent", cent, "double[][]")
+    val csqRef = ctx.addReferenceObj("graftIvfCsq", csq, "double[]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.IvfKernels.probeCells($v, $centRef, $csqRef, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProbeCells =
+    copy(child = newChild)
+}
+
 /** dot(array<double>, array<double>) → double, codegen'd. */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -119,4 +228,10 @@ object VectorExpressions {
 
   def hyperplaneBits(v: Column, numPlanes: Int): Column =
     ColumnBridge.column(HyperplaneBits(ColumnBridge.expression(v), numPlanes))
+
+  def nearestCell(v: Column, cent: Array[Array[Double]], csq: Array[Double]): Column =
+    ColumnBridge.column(NearestCell(ColumnBridge.expression(v), cent, csq))
+
+  def probeCells(v: Column, cent: Array[Array[Double]], csq: Array[Double], nprobe: Int): Column =
+    ColumnBridge.column(ProbeCells(ColumnBridge.expression(v), cent, csq, nprobe))
 }

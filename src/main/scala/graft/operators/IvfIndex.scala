@@ -1,66 +1,133 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{VectorExpressions, VectorFunctions}
 
-/** Persistent IVF index: the at-rest layout for ANN at 100 TB.
+/** IVF coarse quantization with TRAINED centroids — the at-rest ANN
+  * layout for 100 TB (ref scope: the similarity/scale family layered
+  * on the reference's data plane; see SURVEY §2).
   *
-  * q38 computes IVF in one job; a production corpus is INDEXED ONCE —
-  * written `partitionBy(cell)` so every later query triggers Spark's
-  * dynamic partition pruning (DPP): the broadcast probe side's cell
-  * ids prune the scan to nprobe/2^b of the files, no manual pruning
-  * and no driver-side collect. Centroids are the same deterministic
-  * mix2001 stream as q38, so an index built by this class and the
-  * inline q38 computation agree cell-for-cell.
+  * Round-3 shipped IVF with deterministic RANDOM centroids — right
+  * shuffle shape, recall@5 only 0.56. This round trains them with
+  * deterministic Lloyd k-means, engine-replayable end to end:
+  *
+  *  - vectors are NORMALIZED (so Euclidean cells align with the
+  *    cosine ranking queries use — spherical k-means) and QUANTIZED to
+  *    exact-integer doubles `floor(x/‖v‖·1000 + 0.5)`: centroid sums
+  *    become order-independent integer arithmetic (exact below 2^53 —
+  *    ~10^10 vectors per cell), so parallel aggregation and a
+  *    single-threaded SQL oracle agree bit-for-bit;
+  *  - seeds are the quantized vectors of `min(vec_id)` per
+  *    `vec_id % cells` residue class — data-dependent, deterministic,
+  *    no RNG;
+  *  - a FIXED number of Lloyd rounds (assignment by the squared-
+  *    distance key `csq − 2·v·c`, ties to the lowest cell; update =
+  *    exact integer mean, empty cells keep their centroid);
+  *  - assignment/probing run through codegen'd kernels
+  *    ([[graft.functions.NearestCell]]/[[graft.functions.ProbeCells]])
+  *    against the driver-held centroid matrix: the corpus side needs
+  *    NO centroid join, NO per-vector window — zero shuffles until
+  *    the single shuffle on cell id that builds the index.
+  *
+  * The DuckDB oracle replays the identical computation from the same
+  * parquet ([[IvfIndex.Sql.kmeansCtes]] unrolls the rounds as CTEs).
+  *
+  * At rest, the corpus is written `partitionBy(cell)` so a probe
+  * query's broadcast cell ids trigger dynamic partition pruning: only
+  * nprobe/2^b of the files are read, no driver-side pruning.
   */
 object IvfIndex {
 
-  /** Deterministic centroid table (cell, c: array<double>); tiny —
-    * always broadcast. */
-  def centroids(spark: SparkSession, cells: Int): DataFrame = {
-    import spark.implicits._
-    val mixed = VectorFunctions.Sql.mixSpark("1000000 + id * 64 + k")
-    spark.range(cells).select($"id".cast("int").as("cell"),
-      expr(s"transform(sequence(0, 63), k -> cast($mixed as double) / 1000.0)").as("c"))
+  /** Normalized-and-quantized copy of a double-array embedding:
+    * exact-integer doubles in [-1000, 1000]. Zero-norm vectors (failed
+    * embeddings) divide by 1 instead of 0 — all-zero stays all-zero. */
+  def quantize(v: Column): Column = {
+    val nrm = VectorFunctions.norm(v)
+    val safe = when(nrm === 0.0, lit(1.0)).otherwise(nrm)
+    // Spark's floor returns LONG; cast back so the array stays DOUBLE
+    // (exact integer values), matching DuckDB's double-valued floor
+    transform(v, x => floor(x / safe * lit(1000.0) + lit(0.5)).cast("double"))
   }
 
-  /** Best-cell assignment (argmax dot, lowest-cell tie-break):
-    * (vec_id, v, cell). */
-  def assign(emb: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell").asc)
-    emb.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("cell"),
-        VectorFunctions.dot(col("v"), col("c")).as("score"))
-      .withColumn("crnk", row_number().over(w))
-      .filter(col("crnk") === 1)
-      .select(col("vec_id"), col("v"), col("cell"))
+  /** Trained model: dense by cell id; `cent(j) == null` marks a cell
+    * whose residue class had no seed vector (never probed/assigned). */
+  final case class Model(cent: Array[Array[Double]], csq: Array[Double]) {
+    def cells: Int = cent.length
   }
 
-  /** Top-`nprobe` probe cells per query: (query_id, qv, cell). */
-  def probes(queries: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cell").asc)
-    queries.join(broadcast(cent))
-      .select(col("query_id"), col("qv"), col("cell"),
-        VectorFunctions.dot(col("qv"), col("c")).as("score"))
-      .withColumn("crnk", row_number().over(w))
-      .filter(col("crnk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+  private val memo = new java.util.concurrent.ConcurrentHashMap[(String, String), Model]()
+
+  /** Same sequential square-sum fold as the oracle's list_reduce. */
+  private def csqOf(c: Array[Double]): Double = {
+    var acc = 0.0
+    var k = 0
+    while (k < c.length) { acc += c(k) * c(k); k += 1 }
+    acc
   }
+
+  /** Deterministic Lloyd k-means over quantized vectors (driver
+    * orchestrates `iters` rounds; each round is one kernel scan + one
+    * tiny (cell, k) partial-agg collect — the centroid table is at
+    * most 2^8×64 doubles, KB-scale at any corpus size). Memoized per
+    * (application, memoKey): the train cost is paid once, not per
+    * query build. */
+  def train(emb: DataFrame, cells: Int, iters: Int, memoKey: String): Model = {
+    val spark = emb.sparkSession
+    memo.computeIfAbsent((spark.sparkContext.applicationId, s"$memoKey|$cells|$iters"), _ => {
+      val vq = emb.select(col("vec_id"), quantize(col("v")).as("vq")).persist()
+      try {
+        val seeds = vq.groupBy((col("vec_id") % cells).cast("int").as("cell"))
+          .agg(min(col("vec_id")).as("sid"))
+        val cent = new Array[Array[Double]](cells)
+        vq.join(seeds, vq("vec_id") === seeds("sid"))
+          .select(col("cell"), col("vq")).collect()
+          .foreach(r => cent(r.getInt(0)) = r.getSeq[Double](1).toArray)
+        var model = Model(cent, cent.map(c => if (c == null) 0.0 else csqOf(c)))
+        (1 to iters).foreach { _ =>
+          // assignment scan (shuffle-free kernel) + exact integer sums:
+          // the (cell, k) partial agg ships ≤ cells×64 rows per task
+          val sums = vq
+            .select(VectorExpressions.nearestCell(col("vq"), model.cent, model.csq).as("cell"),
+              posexplode(col("vq")).as(Seq("k", "x")))
+            .groupBy(col("cell"), col("k"))
+            .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+            .collect()
+          val next = model.cent.clone()
+          sums.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+            next(cell) = rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toArray
+          }
+          model = Model(next, next.map(c => if (c == null) 0.0 else csqOf(c)))
+        }
+        model
+      } finally vq.unpersist(blocking = false)
+    })
+  }
+
+  /** Best-cell assignment: input (vec_id, v, ...) + `cell` column —
+    * a single codegen'd projection, no join, no shuffle. */
+  def assignCells(emb: DataFrame, model: Model): DataFrame =
+    emb.withColumn("cell", VectorExpressions.nearestCell(quantize(col("v")), model.cent, model.csq))
+
+  /** Top-`nprobe` probe cells per query: (query columns..., cell) —
+    * one codegen'd projection + explode, no join, no window. */
+  def probeCells(queries: DataFrame, qv: Column, model: Model, nprobe: Int): DataFrame =
+    queries.select(queries.columns.map(col) :+
+      explode(VectorExpressions.probeCells(quantize(qv), model.cent, model.csq, nprobe)).as("cell"): _*)
 
   /** Build the index: corpus partitioned by cell on disk. `emb` must
     * have (vec_id, v: array<double>). */
-  def build(emb: DataFrame, cent: DataFrame, dir: String): Unit =
-    assign(emb, cent).write.mode("overwrite").partitionBy("cell").parquet(dir)
+  def build(emb: DataFrame, model: Model, dir: String): Unit =
+    assignCells(emb, model).write.mode("overwrite").partitionBy("cell").parquet(dir)
 
   /** Query the on-disk index: probe cells → DPP-pruned scan → exact
     * cosine top-k. `queries` must have (query_id, qv). */
   def topK(spark: SparkSession, indexDir: String, queries: DataFrame,
-      cent: DataFrame, nprobe: Int, k: Int): DataFrame = {
+      model: Model, nprobe: Int, k: Int): DataFrame = {
     val idx = spark.read.parquet(indexDir)
-    val p = probes(queries, cent, nprobe)
+    val p = probeCells(queries, col("qv"), model, nprobe)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     // join on the PARTITION column with a broadcast-able probe side:
     // Spark inserts a DynamicPruningExpression on the scan, so only
@@ -74,5 +141,48 @@ object IvfIndex {
         nanvl(VectorFunctions.cosine(col("qv"), col("v")), lit(-2.0)).as("cos_sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+  }
+
+  /** DuckDB replay of the full training + assignment pipeline. */
+  object Sql {
+    private def csq(c: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform($c, x -> x * x)), (a, b) -> a + b)"
+
+    private def dot(a: String, b: String): String = VectorFunctions.Sql.dot(a, b)
+
+    /** CTE chain replaying [[train]] + the final assignment ranking.
+      * Requires prior CTEs `e(vec_id, v DOUBLE[])` and `pc(.., cells)`;
+      * emits `vq`, `cent$iters` (the trained centroids) and `rf`
+      * (vec_id, cell, crnk = distance rank of cell for that vector).
+      * Every arithmetic step (normalize, quantize, integer mean, key
+      * fold) mirrors the Spark kernels exactly. */
+    def kmeansCtes(iters: Int): String = {
+      val b = new StringBuilder
+      b ++= s"""nv AS (SELECT vec_id, v,
+        |         CASE WHEN ${VectorFunctions.Sql.norm("v")} = 0 THEN 1.0
+        |              ELSE ${VectorFunctions.Sql.norm("v")} END AS nrm FROM e),
+        |vq AS (SELECT vec_id, list_transform(v, x -> floor(x / nrm * 1000.0 + 0.5)) AS vq FROM nv),
+        |seeds AS (SELECT vec_id % cells AS cell, min(vec_id) AS sid FROM vq, pc GROUP BY vec_id % cells),
+        |cent0 AS (SELECT cell, q.vq AS c FROM seeds s JOIN vq q ON q.vec_id = s.sid)""".stripMargin
+      (1 to iters).foreach { t =>
+        val prev = s"cent${t - 1}"
+        b ++= s""",
+          |kc$t AS (SELECT cell, c, ${csq("c")} AS csq FROM $prev),
+          |sc$t AS (SELECT vec_id, vq, cell, csq - 2 * ${dot("vq", "c")} AS key FROM vq, kc$t),
+          |a$t AS (SELECT vec_id, vq, cell FROM (
+          |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY key, cell) AS rn FROM sc$t)
+          |        WHERE rn = 1),
+          |sx$t AS (SELECT cell, unnest(range(0, 64)) AS k, vq FROM a$t),
+          |sm$t AS (SELECT cell, k, sum(vq[k + 1]) AS s, count(*) AS n FROM sx$t GROUP BY cell, k),
+          |cent$t AS (SELECT p.cell, coalesce(u.c, p.c) AS c FROM $prev p LEFT JOIN
+          |           (SELECT cell, list(s / n ORDER BY k) AS c FROM sm$t GROUP BY cell) u USING (cell))""".stripMargin
+      }
+      b ++= s""",
+        |kf AS (SELECT cell, c, ${csq("c")} AS csq FROM cent$iters),
+        |scf AS (SELECT vec_id, cell, csq - 2 * ${dot("vq", "c")} AS key FROM vq, kf),
+        |rf AS (SELECT vec_id, cell,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY key, cell) AS crnk FROM scf)""".stripMargin
+      b.toString
+    }
   }
 }

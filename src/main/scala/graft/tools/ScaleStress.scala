@@ -17,7 +17,11 @@ import graft.operators.{Adaptive, Cdc, Dedup}
   */
 object ScaleStress {
 
-  private def time(name: String)(f: => Long): Unit = {
+  /** STRESS_ONLY=<substring> runs just the matching rows (dev loop for
+    * a single heavy stage; unset = full suite). */
+  private val only = sys.env.get("STRESS_ONLY")
+
+  private def time(name: String)(f: => Long): Unit = if (only.forall(name.contains)) {
     val t0 = System.nanoTime()
     val rows = f
     println(f"STRESS $name rows=$rows sec=${(System.nanoTime() - t0) / 1e9}%.1f")
@@ -196,6 +200,46 @@ object ScaleStress {
       found
     }
 
+    // Trained-IVF recall at scale (q38 shape): plant 2.5k cos≈0.999
+    // twins among 250k vectors, train the deterministic k-means at the
+    // scale-derived cell count (256 cells, probe 11 ⇒ 4.3% of the
+    // corpus read per query — the probed fraction FALLS as n grows),
+    // and measure how many twins remain reachable through the probed
+    // cells. This is the scale twin of RecallSpec's 0.8 floor: near-
+    // identical vectors must keep landing in probed cells when the
+    // cell count steps up with n.
+    time("ivf_trained_recall_250k_vectors") {
+      val n = 250000L
+      val cellBits = Adaptive.bits(n, targetBucket = 32, lo = 4, hi = 8)
+      val mixed = graft.functions.VectorFunctions.Sql
+        .mixSpark("cast(id as bigint) * 64 + k + 999999937")
+      val base = spark.range(n).select(
+        $"id".as("vec_id"),
+        expr(s"transform(sequence(0, 63), k -> cast($mixed as double) / 1000.0)").as("v"))
+      val planted = base.filter($"vec_id" % 100 === 0).select(
+        ($"vec_id" + 10000000L).as("vec_id"),
+        expr(s"transform(sequence(0, 63), k -> element_at(v, k + 1) + cast(${graft.functions.VectorFunctions.Sql.mixSpark("cast(vec_id as bigint) * 64 + k + 777")} as double) / 20000.0)").as("v"))
+      val corpus = base.unionByName(planted)
+      val model = graft.operators.IvfIndex.train(
+        corpus, cells = 1 << cellBits, iters = 3, memoKey = s"stress-ivf-$n")
+      val assign = graft.operators.IvfIndex.assignCells(corpus, model)
+        .select($"vec_id".as("neighbor_id"), $"cell").persist()
+      val queries = base.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("query_id"), $"v".as("qv"))
+      val probes = graft.operators.IvfIndex.probeCells(queries, $"qv", model, cellBits + 3)
+        .select($"query_id", $"cell")
+      val nQueries = n / 100
+      val candidates = probes.join(assign, "cell").count()
+      val found = probes.join(assign, "cell")
+        .filter($"neighbor_id" === $"query_id" + 10000000L)
+        .select($"query_id").distinct().count()
+      assign.unpersist(blocking = false)
+      val recall = found * 100.0 / nQueries
+      println(f"STRESS   ivf_planted_recall=$recall%.1f%% ($found/$nQueries, cells=${1 << cellBits}, " +
+        f"nprobe=${cellBits + 3}, candidates_per_query=${candidates * 1.0 / nQueries}%.0f)")
+      found
+    }
+
     // Dedup clustering at scale: 1M-edge pair graph of 200k 5-chains
     // (diameter 4 — the propagation worst case for dup clusters).
     // Rounds are O(diameter); per-round work is one join + one agg.
@@ -238,6 +282,49 @@ object ScaleStress {
       in.addData((9999999L, new java.sql.Timestamp(10L * 3600 * 1000), "window closer payload"))
       q.processAllAvailable()
       val n = spark.table("stress_nd").count()
+      q.stop()
+      n
+    }
+
+    // Retention sizing under volume: 1M docs (10 batches × 100k) with
+    // retention longer than the whole run, so band-bucket state GROWS
+    // monotonically to D = 10^6 distinct fingerprints — the worst case
+    // the retention timer normally caps. Per the NearDupProcessor
+    // sizing math (4·D/131072 entries/bucket), per-doc scans grow from
+    // ~0 to ~122 comparisons across the run: per-batch latency must
+    // stay ~flat (the linear bucket scan is noise against RocksDB IO
+    // until ρ·T ≈ 10^7+). A super-linear trend here means the
+    // duplicate-fp suppression or the timer cleanup regressed.
+    time("streaming_near_dedup_1M_docs_retention") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val q = graft.streaming.Pipelines.streamingNearDedup(
+          in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+          watermark = "0 seconds", verdictWindow = "1 minute",
+          stateRetention = java.time.Duration.ofDays(365))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("stress_nd_1m").start()
+      def textOf(id: Long): String = {
+        val base = if (id % 20 == 0) id / 20 else id
+        (0 until 40).map(i => s"w${(base * 2654435761L + i.toLong * i * 19349663L) % 10000000}").mkString(" ")
+      }
+      val batchSecs = (0 until 10).map { b =>
+        val rows = (0 until 100000).map { i =>
+          val id = b * 100000L + i
+          (id, new java.sql.Timestamp(60000L + id), textOf(id))
+        }
+        in.addData(rows: _*)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val head3 = batchSecs.take(3).sum / 3
+      val tail3 = batchSecs.takeRight(3).sum / 3
+      println(f"STRESS   per_batch_secs=[${batchSecs.map(s => f"$s%.1f").mkString(", ")}] " +
+        f"tail3/head3=${tail3 / head3}%.2f (flat ⇒ ~1.0; state at end: 4M band entries)")
+      val n = spark.table("stress_nd_1m").count()
       q.stop()
       n
     }

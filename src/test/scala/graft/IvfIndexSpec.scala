@@ -18,16 +18,17 @@ class IvfIndexSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_ivf_idx").toString
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", VectorFunctions.vec($"embedding").as("v"))
-    val cent = IvfIndex.centroids(spark, cells = 16)
+    val model = IvfIndex.train(emb, cells = 16, iters = 2, memoKey = s"$sfDir#ivfspec")
 
-    IvfIndex.build(emb, cent, dir)
-    // at-rest layout: one directory per cell
-    val cellDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell=")).length
-    assert(cellDirs == 16)
+    IvfIndex.build(emb, model, dir)
+    // at-rest layout: one directory per non-empty cell (trained k-means
+    // may leave sparse cells unassigned at the tiny test SF)
+    val cellDirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("cell="))
+    assert(cellDirs > 8 && cellDirs <= 16)
 
     val queries = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
-    val out = IvfIndex.topK(spark, dir, queries, cent, nprobe = 6, k = 5)
+    val out = IvfIndex.topK(spark, dir, queries, model, nprobe = 6, k = 5)
 
     // the probe join must dynamically prune the partitioned scan
     val plan = out.queryExecution.executedPlan.toString
@@ -37,8 +38,8 @@ class IvfIndexSpec extends AnyFunSuite {
     // on-disk index (assignment is deterministic, so the index adds
     // layout, not semantics)
     val inline = {
-      val assign = IvfIndex.assign(emb, cent)
-      val p = IvfIndex.probes(queries, cent, 6)
+      val assign = IvfIndex.assignCells(emb, model)
+      val p = IvfIndex.probeCells(queries, $"qv", model, 6).select($"query_id", $"qv", $"cell")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
       assign.join(p, Seq("cell"))
@@ -54,5 +55,19 @@ class IvfIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(a == b)
     assert(a.nonEmpty)
+  }
+
+  test("ivf training is deterministic: two fresh trains produce identical centroids") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", VectorFunctions.vec($"embedding").as("v"))
+    // distinct memo keys → both actually train
+    val m1 = IvfIndex.train(emb.repartition(7), cells = 16, iters = 2, memoKey = s"$sfDir#det-a")
+    val m2 = IvfIndex.train(emb.repartition(3), cells = 16, iters = 2, memoKey = s"$sfDir#det-b")
+    assert(m1.cent.length == m2.cent.length)
+    m1.cent.zip(m2.cent).foreach {
+      case (null, c2) => assert(c2 == null)
+      case (c1, c2) => assert(c1.sameElements(c2)) // bit-identical under any partitioning
+    }
   }
 }
