@@ -138,6 +138,67 @@ object TextQ extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 10)
+    }),
+
+    // PII scrubbing — the redaction pass every training-data pipeline
+    // runs before text reaches a model. The synthetic corpus carries
+    // no PII, so the query PLANTS deterministic emails/IPs/phones on a
+    // doc_id schedule (the oracle replays the same planting), then
+    // counts and redacts with patterns in the Java∩RE2 regex subset so
+    // both engines match identically. Redaction order is fixed
+    // (email → ip → phone): an email's digit run must not be re-marked
+    // as a phone. Single scan, shuffle-free — scan speed at 100 TB.
+    "q46_pii_redact" -> ((s, d) => {
+      import s.implicits._
+      val planted = Tables.documents(s, d).select($"doc_id",
+        concat(
+          $"text",
+          when($"doc_id" % 3 === 0, concat(lit(" contact user"), $"doc_id", lit("@example.com"))).otherwise(lit("")),
+          when($"doc_id" % 5 === 0, concat(lit(" host 10.0."), $"doc_id" % 256, lit(".17"))).otherwise(lit("")),
+          when($"doc_id" % 7 === 0, concat(lit(" tel 02"), $"doc_id" % 10, lit("55512340"))).otherwise(lit("")))
+          .as("text"))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phoneRe = "\\d{10,}"
+      planted.select(
+        $"doc_id",
+        regexp_count($"text", lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count($"text", lit(ipRe)).cast("long").as("n_ips"),
+        regexp_count(regexp_replace(regexp_replace($"text", emailRe, "<EMAIL>"), ipRe, "<IP>"),
+          lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(regexp_replace($"text", emailRe, "<EMAIL>"), ipRe, "<IP>"),
+          phoneRe, "<PHONE>").as("clean_text"))
+    }),
+
+    // Context-window packing — the pretraining data-prep step that
+    // concatenates a shard's documents into fixed-length training
+    // sequences (GPT-style: documents are split across sequence
+    // boundaries rather than padded). Deterministic contract: within
+    // each source shard, docs pack in doc_id order; a doc starts at
+    // cumulative token offset `cum_before`, lands in pack
+    // floor(cum_before/2048), and spans `packs_spanned` sequences.
+    // One window cumsum per shard — the per-key total order is the
+    // same keyed-order requirement as count windows (q16); at 100 TB
+    // the shard key is the unit of parallelism, exactly how packing
+    // jobs shard in practice.
+    "q47_sequence_pack" -> ((s, d) => {
+      import s.implicits._
+      val seqLen = 2048L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", TF.tokenCount($"text").cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .select(
+          $"doc_id", $"source", $"n_tokens", $"cum_before",
+          // integer div, matching the oracle's `//` (Column./ on longs
+          // promotes to double — the q43 lesson)
+          expr(s"cum_before div $seqLen").as("pack_id"),
+          ($"cum_before" % seqLen).as("pack_offset"),
+          expr(s"(cum_before + greatest(n_tokens, 1) - 1) div $seqLen - cum_before div $seqLen + 1")
+            .as("packs_spanned"))
     })
   )
 
@@ -235,6 +296,39 @@ object TextQ extends QueryPack {
         |cnt AS (SELECT source, ngram, count(*) AS n FROM grams GROUP BY source, ngram)
         |SELECT source, ngram, n, rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, ngram) AS rnk FROM cnt)
-        |WHERE rnk <= 10""".stripMargin
+        |WHERE rnk <= 10""".stripMargin,
+
+    "q46_pii_redact" -> {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phoneRe = "\\d{10,}"
+      s"""WITH planted AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || (doc_id % 256) || '.17' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' tel 02' || (doc_id % 10) || '55512340' ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+         |  len(regexp_extract_all(text, '$ipRe')) AS n_ips,
+         |  len(regexp_extract_all(
+         |    regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
+         |    '$phoneRe')) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+         |    '$ipRe', '<IP>', 'g'), '$phoneRe', '<PHONE>', 'g') AS clean_text
+         |FROM planted""".stripMargin
+    },
+
+    "q47_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before FROM t)
+        |SELECT doc_id, source, n_tokens, cum_before,
+        |  cum_before // 2048 AS pack_id,
+        |  cum_before % 2048 AS pack_offset,
+        |  (cum_before + greatest(n_tokens, 1) - 1) // 2048 - cum_before // 2048 + 1 AS packs_spanned
+        |FROM c""".stripMargin
   )
 }

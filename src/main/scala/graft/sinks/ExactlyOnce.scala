@@ -81,13 +81,17 @@ object ExactlyOnce {
     override def commit(txnId: String, nParts: Int): Unit = {
       if (committed(txnId)) return
       val dir = stagingDir(txnId)
-      require(Files.isDirectory(dir), s"commit($txnId): nothing staged")
+      // an EMPTY micro-batch (foreachBatch fires with no data) stages
+      // nothing — publish an empty txn dir so the ledger still records
+      // the batch instead of crashing the stream
+      Files.createDirectories(dir)
       // drop tmp litter and orphan parts from an earlier, differently-
       // partitioned attempt; publish exactly parts [0, nParts)
       val keep = (0 until nParts).map(p => s"part-$p").toSet
-      Files.list(dir).forEach { f =>
+      val listing = Files.list(dir)
+      try listing.forEach { f =>
         if (!keep.contains(f.getFileName.toString)) Files.delete(f)
-      }
+      } finally listing.close()
       (0 until nParts).foreach { p =>
         require(Files.exists(dir.resolve(s"part-$p")),
           s"commit($txnId): staged part-$p missing (expected $nParts parts)")
@@ -114,8 +118,8 @@ object ExactlyOnce {
       val s = state(name)
       s.synchronized {
         if (s.visible.contains(txnId)) return
-        val parts = s.staged.getOrElse(txnId,
-          throw new IllegalStateException(s"commit($txnId): nothing staged"))
+        // empty micro-batch: nothing staged, commit records an empty txn
+        val parts = s.staged.getOrElse(txnId, collection.mutable.Map.empty[Int, Array[Array[Byte]]])
         s.visible(txnId) = (0 until nParts).toArray.flatMap(p => parts.getOrElse(p, Array.empty))
         s.staged.remove(txnId)
       }

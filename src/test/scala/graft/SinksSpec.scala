@@ -169,6 +169,20 @@ class SinksSpec extends AnyFunSuite {
     assert(published.sorted.toSeq == (0 until 30).map(i => s"""{"id":$i}""").sorted)
   }
 
+  test("exactly-once: an empty micro-batch commits and is ledgered, not crashed") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val mem = MemoryTxnTransport("eo-empty")
+    mem.reset()
+    val schema = StructType(Seq(StructField("json", StringType)))
+    // zero partitions — foreachBatch fires on empty batches too
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    ExactlyOnce.batch(empty, batchId = 5, "s", mem, jsonRow)
+    assert(mem.committed("s-5") && mem.visibleRequests.isEmpty)
+    val ft = new FileTxnTransport(java.nio.file.Files.createTempDirectory("eo-empty").toString)
+    ft.commit("s-9", nParts = 0)
+    assert(ft.committed("s-9"))
+  }
+
   test("exactly-once commit publishes only [0, nParts) — orphans of a wider earlier attempt dropped") {
     val mem = MemoryTxnTransport("eo-orphan")
     mem.reset()
