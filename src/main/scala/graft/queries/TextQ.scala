@@ -160,10 +160,14 @@ object TextQ extends QueryPack {
       val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
       val phoneRe = "\\d{10,}"
+      // each count runs on the text AFTER the earlier passes redacted
+      // it, so counts agree with what clean_text actually marks (an
+      // IPv4 inside an email address is <EMAIL>, never also an n_ips)
       planted.select(
         $"doc_id",
         regexp_count($"text", lit(emailRe)).cast("long").as("n_emails"),
-        regexp_count($"text", lit(ipRe)).cast("long").as("n_ips"),
+        regexp_count(regexp_replace($"text", emailRe, "<EMAIL>"), lit(ipRe))
+          .cast("long").as("n_ips"),
         regexp_count(regexp_replace(regexp_replace($"text", emailRe, "<EMAIL>"), ipRe, "<IP>"),
           lit(phoneRe)).cast("long").as("n_phones"),
         regexp_replace(
@@ -310,7 +314,7 @@ object TextQ extends QueryPack {
          |  FROM documents)
          |SELECT doc_id,
          |  len(regexp_extract_all(text, '$emailRe')) AS n_emails,
-         |  len(regexp_extract_all(text, '$ipRe')) AS n_ips,
+         |  len(regexp_extract_all(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'), '$ipRe')) AS n_ips,
          |  len(regexp_extract_all(
          |    regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
          |    '$phoneRe')) AS n_phones,

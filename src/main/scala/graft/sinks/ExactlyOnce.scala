@@ -16,20 +16,25 @@ import org.apache.spark.sql.{DataFrame, Row}
   * that a replayed batch must not re-deliver rows already shipped. The
   * standard Spark pattern is `foreachBatch` + a TWO-PHASE transport:
   *
-  *  1. STAGE: each partition writes its complete payload under a
-  *     transaction id `sinkId-batchId`, OVERWRITING any earlier
-  *     attempt's staging for that partition — so replays converge
-  *     instead of appending (Flink analog: the pre-commit "pending
-  *     transaction" a restored job aborts-and-rewrites).
-  *  2. COMMIT: one atomic, idempotent publish of the staged payload.
-  *     The commit marker is itself the persisted (sinkId, batchId)
-  *     LEDGER: a replay of a fully-committed batch short-circuits
-  *     before reading any data.
+  *  1. STAGE: each partition streams its payload under a transaction
+  *     id `sinkId-batchId` AND a per-invocation ATTEMPT epoch,
+  *     replacing any earlier staging for that (attempt, partition).
+  *     The attempt epoch is the WRITER FENCE: a zombie task from a
+  *     crashed earlier attempt keeps writing into ITS OWN attempt's
+  *     staging area, which no commit will ever publish — so a
+  *     straggler can never slip a stale partition into the committed
+  *     view (Flink analog: the transactional producer's epoch/
+  *     producer-id fencing).
+  *  2. COMMIT: one atomic, idempotent publish of exactly partitions
+  *     [0, nParts) of the committing attempt. The commit marker is
+  *     itself the persisted (sinkId, batchId) LEDGER: a replay of a
+  *     fully-committed batch short-circuits before reading any data.
   *
-  * A crash after stage but before commit therefore re-stages (an
-  * overwrite) and commits once; a crash after commit skips; duplicates
-  * are impossible in the published view. This is exactly the window
-  * the at-least-once path gets wrong (it re-sends the whole batch).
+  * A crash after stage but before commit therefore re-stages under a
+  * fresh attempt and commits once; a crash after commit skips;
+  * duplicates are impossible in the published view. This is exactly
+  * the window the at-least-once path gets wrong (it re-sends the
+  * whole batch).
   *
   * Wire transports don't exist in this environment, so the two
   * implementations are a file sink (staged-then-atomic-rename — the
@@ -41,52 +46,60 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object ExactlyOnce {
 
-  /** Two-phase transport: the idempotent staging + atomic commit
-    * contract. `txnId` is `sinkId-batchId` — stable across replays. */
+  /** Two-phase transport: the fenced staging + atomic commit contract.
+    * `txnId` is `sinkId-batchId` — stable across replays; `attempt` is
+    * unique per batch invocation — the zombie-writer fence. */
   trait TxnTransport extends Serializable {
-    /** Stage partition `part`'s COMPLETE payload for `txnId`,
-      * replacing any previous staging for (txnId, part). Called from
-      * executors; must be idempotent under replay. */
-    def stage(txnId: String, part: Int, payload: Array[Array[Byte]]): Unit
-    /** Atomically publish exactly partitions [0, nParts) of `txnId`.
-      * Idempotent: committing a committed txn is a no-op. Driver-side.
-      * Must discard staged partitions >= nParts (orphans of an earlier
-      * attempt that ran with more partitions). */
-    def commit(txnId: String, nParts: Int): Unit
+    /** Stream partition `part`'s payload for (txnId, attempt),
+      * replacing any previous staging for that triple. Called from
+      * executors; must be idempotent under task retry. The iterator is
+      * consumed once — implementations must not buffer the whole
+      * partition unless their medium requires it. */
+    def stage(txnId: String, attempt: String, part: Int, payload: Iterator[Array[Byte]]): Unit
+    /** Atomically publish exactly partitions [0, nParts) of `attempt`.
+      * Idempotent on `txnId`: committing an already-committed txn is a
+      * no-op. Driver-side. Must fail loudly if a staged partition in
+      * [0, nParts) is missing, and must never publish partitions
+      * staged by OTHER attempts. */
+    def commit(txnId: String, attempt: String, nParts: Int): Unit
     /** Has `txnId` been published? Driver-side ledger probe. */
     def committed(txnId: String): Boolean
   }
 
   /** Staged-then-atomic-rename file transport: stage at
-    * `root/.staging/txnId/part-N`, commit = single directory rename to
-    * `root/txnId` (atomic on POSIX and HDFS-like stores; object stores
-    * substitute a manifest write). Committed-directory existence is
-    * the ledger. */
+    * `root/.staging/txnId/attempt/part-N`, commit = single directory
+    * rename of the attempt dir to `root/txnId` (atomic on POSIX and
+    * HDFS-like stores; object stores substitute a manifest write).
+    * Committed-directory existence is the ledger; zombie attempts'
+    * staging stays under `.staging` and is swept on commit. */
   final class FileTxnTransport(root: String) extends TxnTransport {
-    private def stagingDir(txnId: String): Path = Paths.get(root, ".staging", txnId)
+    private def txnStaging(txnId: String): Path = Paths.get(root, ".staging", txnId)
+    private def attemptDir(txnId: String, attempt: String): Path = txnStaging(txnId).resolve(attempt)
     private def commitDir(txnId: String): Path = Paths.get(root, txnId)
 
-    override def stage(txnId: String, part: Int, payload: Array[Array[Byte]]): Unit = {
-      val dir = stagingDir(txnId)
+    override def stage(txnId: String, attempt: String, part: Int,
+        payload: Iterator[Array[Byte]]): Unit = {
+      val dir = attemptDir(txnId, attempt)
       Files.createDirectories(dir)
-      // write-temp-then-rename so a killed task never leaves a torn
-      // part file a later commit could publish
+      // stream-then-rename: rows go to disk as they arrive (no
+      // whole-partition buffering) and a killed task never leaves a
+      // torn part file a later commit could publish
       val tmp = dir.resolve(s".part-$part.tmp-${java.util.UUID.randomUUID()}")
-      val out = Files.newOutputStream(tmp)
+      val out = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
       try payload.foreach(out.write) finally out.close()
       Files.move(tmp, dir.resolve(s"part-$part"),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
 
-    override def commit(txnId: String, nParts: Int): Unit = {
+    override def commit(txnId: String, attempt: String, nParts: Int): Unit = {
       if (committed(txnId)) return
-      val dir = stagingDir(txnId)
+      val dir = attemptDir(txnId, attempt)
       // an EMPTY micro-batch (foreachBatch fires with no data) stages
       // nothing — publish an empty txn dir so the ledger still records
       // the batch instead of crashing the stream
       Files.createDirectories(dir)
-      // drop tmp litter and orphan parts from an earlier, differently-
-      // partitioned attempt; publish exactly parts [0, nParts)
+      // publish exactly parts [0, nParts) of THIS attempt: drop tmp
+      // litter, and fail loudly on a missing part
       val keep = (0 until nParts).map(p => s"part-$p").toSet
       val listing = Files.list(dir)
       try listing.forEach { f =>
@@ -94,10 +107,19 @@ object ExactlyOnce {
       } finally listing.close()
       (0 until nParts).foreach { p =>
         require(Files.exists(dir.resolve(s"part-$p")),
-          s"commit($txnId): staged part-$p missing (expected $nParts parts)")
+          s"commit($txnId, $attempt): staged part-$p missing (expected $nParts parts)")
       }
       Files.createDirectories(Paths.get(root))
       Files.move(dir, commitDir(txnId), StandardCopyOption.ATOMIC_MOVE)
+      // best-effort sweep of other (zombie) attempts' staging — they
+      // were never publishable, this just reclaims space
+      val leftovers = txnStaging(txnId)
+      if (Files.isDirectory(leftovers)) {
+        val l = Files.walk(leftovers)
+        try l.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+        finally l.close()
+      }
     }
 
     override def committed(txnId: String): Boolean = Files.isDirectory(commitDir(txnId))
@@ -110,18 +132,29 @@ object ExactlyOnce {
     * the same maps. */
   final case class MemoryTxnTransport(name: String) extends TxnTransport {
     import MemoryTxnTransport._
-    override def stage(txnId: String, part: Int, payload: Array[Array[Byte]]): Unit = {
+    override def stage(txnId: String, attempt: String, part: Int,
+        payload: Iterator[Array[Byte]]): Unit = {
+      val data = payload.toArray // memory medium: materialize
       val s = state(name)
-      s.synchronized { s.staged.getOrElseUpdate(txnId, collection.mutable.Map()).update(part, payload) }
+      s.synchronized {
+        s.staged.getOrElseUpdate((txnId, attempt), collection.mutable.Map()).update(part, data)
+      }
     }
-    override def commit(txnId: String, nParts: Int): Unit = {
+    override def commit(txnId: String, attempt: String, nParts: Int): Unit = {
       val s = state(name)
       s.synchronized {
         if (s.visible.contains(txnId)) return
         // empty micro-batch: nothing staged, commit records an empty txn
-        val parts = s.staged.getOrElse(txnId, collection.mutable.Map.empty[Int, Array[Array[Byte]]])
-        s.visible(txnId) = (0 until nParts).toArray.flatMap(p => parts.getOrElse(p, Array.empty))
-        s.staged.remove(txnId)
+        val parts = s.staged.getOrElse((txnId, attempt),
+          collection.mutable.Map.empty[Int, Array[Array[Byte]]])
+        // same contract as the file transport: a missing staged part is
+        // a protocol bug and must fail loudly, never publish a hole
+        (0 until nParts).foreach { p =>
+          if (!parts.contains(p)) throw new IllegalStateException(
+            s"commit($txnId, $attempt): staged part-$p missing (expected $nParts parts)")
+        }
+        s.visible(txnId) = (0 until nParts).toArray.flatMap(parts(_))
+        s.staged.filterInPlace { case ((t, _), _) => t != txnId } // sweep all attempts
       }
     }
     override def committed(txnId: String): Boolean = {
@@ -138,7 +171,7 @@ object ExactlyOnce {
   }
   object MemoryTxnTransport {
     private final class State {
-      val staged = collection.mutable.Map[String, collection.mutable.Map[Int, Array[Array[Byte]]]]()
+      val staged = collection.mutable.Map[(String, String), collection.mutable.Map[Int, Array[Array[Byte]]]]()
       val visible = collection.mutable.Map[String, Array[Array[Byte]]]()
     }
     private val registry = new java.util.concurrent.ConcurrentHashMap[String, State]()
@@ -147,21 +180,23 @@ object ExactlyOnce {
   }
 
   /** Deliver one micro-batch exactly once: skip if the ledger says
-    * committed, else stage every partition (executor-parallel, payload
-    * built row-wise with the [[GraftSink]] encoders) and commit.
-    * Use from `writeStream.foreachBatch((df, id) => batch(df, id, ...))`
-    * — Structured Streaming guarantees a replayed micro-batch carries
+    * committed, else stage every partition under a fresh attempt epoch
+    * (executor-parallel, payload streamed row-wise through the
+    * [[GraftSink]] encoders) and commit that attempt. Use from
+    * `writeStream.foreachBatch((df, id) => batch(df, id, ...))` —
+    * Structured Streaming guarantees a replayed micro-batch carries
     * the SAME batchId over the SAME source offsets, which is what makes
     * `sinkId-batchId` a stable transaction id. */
   def batch(df: DataFrame, batchId: Long, sinkId: String, transport: TxnTransport,
       encode: Row => Array[Byte]): Unit = {
     val txnId = s"$sinkId-$batchId"
     if (transport.committed(txnId)) return // replayed, already-published batch
+    val attempt = java.util.UUID.randomUUID().toString // writer fence for THIS invocation
     val nParts = df.rdd.getNumPartitions
     df.foreachPartition { (rows: Iterator[Row]) =>
       val part = org.apache.spark.TaskContext.get().partitionId()
-      transport.stage(txnId, part, rows.map(encode).toArray)
+      transport.stage(txnId, attempt, part, rows.map(encode))
     }
-    transport.commit(txnId, nParts)
+    transport.commit(txnId, attempt, nParts)
   }
 }

@@ -96,24 +96,25 @@ object ChangelogFileSource {
       def out(kind: String, fields: MapData): InternalRow =
         new GenericInternalRow(Array[Any](UTF8String.fromString(kind), table, ts, fields))
       (0 until data.numElements()).iterator.flatMap { i =>
-        if (data.isNullAt(i)) Iterator.empty
-        else {
-          val after = data.getMap(i)
-          op match {
-            case "INSERT" => Iterator(out("+I", after))
-            case "DELETE" => Iterator(out("-D", after))
-            case "UPDATE" =>
-              // before = after overlaid with old[i] — matching
-              // map_concat(map_filter(after, k not in old[i]), old[i]):
-              // filtered-after keys first (in after order), then old
-              // keys; a NULL old[i] element yields a null before map
-              val before: MapData =
-                if (old != null && i < old.numElements()) {
-                  if (old.isNullAt(i)) null else overlay(after, old.getMap(i))
-                } else after
-              Iterator(out("-U", before), out("+U", after))
-            case _ => Iterator.empty
-          }
+        // a NULL data element still yields its changelog row (with a
+        // null fields map) — posexplode in the column decoder emits
+        // null ELEMENTS as rows, it only skips null/empty ARRAYS
+        val after = if (data.isNullAt(i)) null else data.getMap(i)
+        op match {
+          case "INSERT" => Iterator(out("+I", after))
+          case "DELETE" => Iterator(out("-D", after))
+          case "UPDATE" =>
+            // before = after overlaid with old[i] — matching
+            // map_concat(map_filter(after, k not in old[i]), old[i]):
+            // filtered-after keys first (in after order), then old
+            // keys; a NULL after or NULL old[i] yields a null before
+            // (map_filter/map_concat propagate null)
+            val before: MapData =
+              if (old != null && i < old.numElements()) {
+                if (old.isNullAt(i) || after == null) null else overlay(after, old.getMap(i))
+              } else after
+            Iterator(out("-U", before), out("+U", after))
+          case _ => Iterator.empty
         }
       }
     }

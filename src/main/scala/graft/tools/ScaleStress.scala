@@ -229,10 +229,15 @@ object ScaleStress {
       val probes = graft.operators.IvfIndex.probeCells(queries, $"qv", model, cellBits + 3)
         .select($"query_id", $"cell")
       val nQueries = n / 100
-      val candidates = probes.join(assign, "cell").count()
-      val found = probes.join(assign, "cell")
-        .filter($"neighbor_id" === $"query_id" + 10000000L)
-        .select($"query_id").distinct().count()
+      // one pass over the probe join for both aggregates (candidate
+      // volume + planted-twin recall) — don't pay the shuffle twice
+      val agg = probes.join(assign, "cell")
+        .agg(
+          count(lit(1)).as("candidates"),
+          countDistinct(when($"neighbor_id" === $"query_id" + 10000000L, $"query_id")).as("found"))
+        .head()
+      val candidates = agg.getLong(0)
+      val found = agg.getLong(1)
       assign.unpersist(blocking = false)
       val recall = found * 100.0 / nQueries
       println(f"STRESS   ivf_planted_recall=$recall%.1f%% ($found/$nQueries, cells=${1 << cellBits}, " +

@@ -123,7 +123,10 @@ class FormatsSpec extends AnyFunSuite {
     """{"data":[{"id":"3","w":"7.0"}],"type":"UPDATE","table":"t","ts":3}""",
     """{"data":[{"id":"4","w":"8.0"},{"id":"5","w":"9.0"}],"old":[{"w":"7.5"},{"w":"8.5"}],"type":"UPDATE","table":"t","ts":4}""",
     """{"data":[{"id":"6","w":"1.0"}],"type":"DELETE","table":"t","ts":5}""",
-    """{"data":[{"id":"7","w":"2.0"}],"type":"ALTER","isDdl":true,"table":"t","ts":6}""")
+    """{"data":[{"id":"7","w":"2.0"}],"type":"ALTER","isDdl":true,"table":"t","ts":6}""",
+    // null data ELEMENTS: posexplode emits them as rows (null fields)
+    """{"data":[null,{"id":"10","w":"1.5"}],"old":[{"w":"0.5"},{"w":"1.0"}],"type":"UPDATE","table":"t","ts":7}""",
+    """{"data":[null],"type":"INSERT","table":"t","ts":8}""")
 
   private def writeLines(dir: java.nio.file.Path, name: String, xs: Seq[String]): Unit =
     java.nio.file.Files.write(dir.resolve(name),
@@ -220,7 +223,7 @@ class FormatsSpec extends AnyFunSuite {
     val q1 = startQ()
     q1.processAllAvailable()
     val n1 = ids().length
-    assert(n1 == 10) // +I, -U/+U ×4 (one w/ old, one without, two positional), -D
+    assert(n1 == 15) // +I ×2, -U/+U ×5 (w/ old, without, two positional, null-elem), -D
     writeLines(dir, "00001.json",
       Seq("""{"data":[{"id":"8","w":"3.0"}],"type":"INSERT","table":"t","ts":7}"""))
     q1.processAllAvailable()

@@ -28,11 +28,12 @@ object SinksSpec {
   class CrashBeforeCommit(inner: graft.sinks.ExactlyOnce.TxnTransport, crashes: Int)
       extends graft.sinks.ExactlyOnce.TxnTransport {
     private var remaining = crashes // commit() runs driver-side only
-    override def stage(txnId: String, part: Int, payload: Array[Array[Byte]]): Unit =
-      inner.stage(txnId, part, payload)
-    override def commit(txnId: String, nParts: Int): Unit = {
+    override def stage(txnId: String, attempt: String, part: Int,
+        payload: Iterator[Array[Byte]]): Unit =
+      inner.stage(txnId, attempt, part, payload)
+    override def commit(txnId: String, attempt: String, nParts: Int): Unit = {
       if (remaining > 0) { remaining -= 1; throw new RuntimeException("injected crash before commit") }
-      inner.commit(txnId, nParts)
+      inner.commit(txnId, attempt, nParts)
     }
     override def committed(txnId: String): Boolean = inner.committed(txnId)
   }
@@ -179,19 +180,62 @@ class SinksSpec extends AnyFunSuite {
     ExactlyOnce.batch(empty, batchId = 5, "s", mem, jsonRow)
     assert(mem.committed("s-5") && mem.visibleRequests.isEmpty)
     val ft = new FileTxnTransport(java.nio.file.Files.createTempDirectory("eo-empty").toString)
-    ft.commit("s-9", nParts = 0)
+    ft.commit("s-9", "A", nParts = 0)
     assert(ft.committed("s-9"))
   }
 
   test("exactly-once commit publishes only [0, nParts) — orphans of a wider earlier attempt dropped") {
     val mem = MemoryTxnTransport("eo-orphan")
     mem.reset()
-    // first attempt ran with 3 partitions, crashed; replay runs with 2
-    mem.stage("s-0", 0, Array(bytes("a"))); mem.stage("s-0", 1, Array(bytes("b")))
-    mem.stage("s-0", 2, Array(bytes("ORPHAN")))
-    mem.commit("s-0", nParts = 2)
+    // same attempt staged 3 partitions, but the committing invocation
+    // planned 2 — the extra part must not be published
+    mem.stage("s-0", "A", 0, Iterator(bytes("a"))); mem.stage("s-0", "A", 1, Iterator(bytes("b")))
+    mem.stage("s-0", "A", 2, Iterator(bytes("ORPHAN")))
+    mem.commit("s-0", "A", nParts = 2)
     val seen = mem.visibleRequests.map(new String(_, StandardCharsets.UTF_8))
     assert(seen.sorted == Seq("a", "b"))
+  }
+
+  test("exactly-once: zombie writer from a crashed attempt cannot reach the committed view") {
+    val mem = MemoryTxnTransport("eo-zombie")
+    mem.reset()
+    // attempt A staged 3 parts, driver died; the replay (attempt B)
+    // runs with 2 partitions; a network-partitioned straggler of A
+    // re-stages its part AFTER B committed — fenced out by the epoch
+    mem.stage("s-0", "A", 0, Iterator(bytes("stale-a0")))
+    mem.stage("s-0", "A", 1, Iterator(bytes("stale-a1")))
+    mem.stage("s-0", "A", 2, Iterator(bytes("stale-a2")))
+    mem.stage("s-0", "B", 0, Iterator(bytes("b0")))
+    mem.stage("s-0", "B", 1, Iterator(bytes("b1")))
+    mem.commit("s-0", "B", nParts = 2)
+    mem.stage("s-0", "A", 2, Iterator(bytes("zombie"))) // straggler task completes late
+    assert(mem.visibleRequests.map(new String(_, StandardCharsets.UTF_8)).sorted == Seq("b0", "b1"))
+
+    // file transport: the zombie's write lands in .staging, never in
+    // the committed dir
+    val root = java.nio.file.Files.createTempDirectory("eo-fence").toString
+    val ft = new FileTxnTransport(root)
+    ft.stage("t-0", "A", 0, Iterator(bytes("stale")))
+    ft.stage("t-0", "B", 0, Iterator(bytes("good")))
+    ft.commit("t-0", "B", nParts = 1)
+    ft.stage("t-0", "A", 1, Iterator(bytes("zombie"))) // post-commit straggler
+    val committedFiles = java.nio.file.Files.list(java.nio.file.Paths.get(root, "t-0")).toArray
+      .map(_.toString.split("/").last).sorted
+    assert(committedFiles.toSeq == Seq("part-0"))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "t-0", "part-0")), StandardCharsets.UTF_8) == "good")
+  }
+
+  test("exactly-once commit fails loudly on a missing staged partition (both transports)") {
+    val mem = MemoryTxnTransport("eo-missing")
+    mem.reset()
+    mem.stage("s-0", "A", 0, Iterator(bytes("a"))) // part 1 of 2 never staged
+    intercept[IllegalStateException](mem.commit("s-0", "A", nParts = 2))
+    assert(!mem.committed("s-0") && mem.visibleRequests.isEmpty)
+    val ft = new FileTxnTransport(java.nio.file.Files.createTempDirectory("eo-missing").toString)
+    ft.stage("t-0", "A", 0, Iterator(bytes("a")))
+    intercept[IllegalArgumentException](ft.commit("t-0", "A", nParts = 2))
+    assert(!ft.committed("t-0"))
   }
 
   test("exactly-once end-to-end: streaming query crash + checkpoint restart delivers once") {
