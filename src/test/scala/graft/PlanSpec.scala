@@ -72,4 +72,26 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  test("q46: PII redaction is a single shuffle-free scan") {
+    val p = plan("q46_pii_redact")
+    assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q47: sequence packing shuffles exactly once (per-shard window), no global sort") {
+    val p = plan("q47_sequence_pack")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly the per-source shuffle, got $exchanges:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort has no place in packing:\n$p")
+  }
+
+  test("q38: trained-IVF corpus assignment is kernel-only — no centroid join, no per-vector window") {
+    val p = plan("q38_ann_ivf_topk")
+    // the assignment/probing side must plan the codegen kernels, not a
+    // join against a centroid table followed by a per-vec_id window
+    assert(p.contains("graft_nearest_cell"), s"assignment kernel missing from plan:\n$p")
+    assert(p.contains("graft_probe_cells"), s"probe kernel missing from plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"centroid join crept back in:\n$p")
+  }
 }
