@@ -68,16 +68,27 @@ object IvfIndex {
     acc
   }
 
+  /** Deterministic training-sample modulus: k-means needs ~256 points
+    * per centroid (the FAISS rule of thumb), so training reads
+    * `vec_id % m == 0` with m = max(1, n / (cells·256)) — pure integer
+    * arithmetic the oracle replays. At test SF m = 1 (full corpus, no
+    * behavior change); at 100 TB the three Lloyd scans aggregate a
+    * bounded sample instead of the whole table. */
+  def sampleMod(n: Long, cells: Int): Long = math.max(1L, n / (cells.toLong * 256L))
+
   /** Deterministic Lloyd k-means over quantized vectors (driver
     * orchestrates `iters` rounds; each round is one kernel scan + one
     * tiny (cell, k) partial-agg collect — the centroid table is at
-    * most 2^8×64 doubles, KB-scale at any corpus size). Memoized per
+    * most 2^8×64 doubles, KB-scale at any corpus size; seeds and
+    * update sums read the `sampleMod`-thinned sample). Memoized per
     * (application, memoKey): the train cost is paid once, not per
     * query build. */
-  def train(emb: DataFrame, cells: Int, iters: Int, memoKey: String): Model = {
+  def train(emb: DataFrame, cells: Int, iters: Int, memoKey: String,
+      sampleMod: Long = 1L): Model = {
     val spark = emb.sparkSession
-    memo.computeIfAbsent((spark.sparkContext.applicationId, s"$memoKey|$cells|$iters"), _ => {
-      val vq = emb.select(col("vec_id"), quantize(col("v")).as("vq")).persist()
+    memo.computeIfAbsent((spark.sparkContext.applicationId, s"$memoKey|$cells|$iters|$sampleMod"), _ => {
+      val vq = emb.filter(col("vec_id") % sampleMod === 0)
+        .select(col("vec_id"), quantize(col("v")).as("vq")).persist()
       try {
         val seeds = vq.groupBy((col("vec_id") % cells).cast("int").as("cell"))
           .agg(min(col("vec_id")).as("sid"))
@@ -154,21 +165,24 @@ object IvfIndex {
       * Requires prior CTEs `e(vec_id, v DOUBLE[])` and `pc(.., cells)`;
       * emits `vq`, `cent$iters` (the trained centroids) and `rf`
       * (vec_id, cell, crnk = distance rank of cell for that vector).
-      * Every arithmetic step (normalize, quantize, integer mean, key
-      * fold) mirrors the Spark kernels exactly. */
-    def kmeansCtes(iters: Int): String = {
+      * `sampleModSql` replays [[IvfIndex.sampleMod]] (may reference
+      * `cells` — pc is in scope). Every arithmetic step (normalize,
+      * quantize, sample thinning, integer mean, key fold) mirrors the
+      * Spark kernels exactly. */
+    def kmeansCtes(iters: Int, sampleModSql: String = "1"): String = {
       val b = new StringBuilder
       b ++= s"""nv AS (SELECT vec_id, v,
         |         CASE WHEN ${VectorFunctions.Sql.norm("v")} = 0 THEN 1.0
         |              ELSE ${VectorFunctions.Sql.norm("v")} END AS nrm FROM e),
         |vq AS (SELECT vec_id, list_transform(v, x -> floor(x / nrm * 1000.0 + 0.5)) AS vq FROM nv),
-        |seeds AS (SELECT vec_id % cells AS cell, min(vec_id) AS sid FROM vq, pc GROUP BY vec_id % cells),
-        |cent0 AS (SELECT cell, q.vq AS c FROM seeds s JOIN vq q ON q.vec_id = s.sid)""".stripMargin
+        |vqs AS (SELECT vq.vec_id, vq.vq FROM vq, pc WHERE vq.vec_id % ($sampleModSql) = 0),
+        |seeds AS (SELECT vec_id % cells AS cell, min(vec_id) AS sid FROM vqs, pc GROUP BY vec_id % cells),
+        |cent0 AS (SELECT cell, q.vq AS c FROM seeds s JOIN vqs q ON q.vec_id = s.sid)""".stripMargin
       (1 to iters).foreach { t =>
         val prev = s"cent${t - 1}"
         b ++= s""",
           |kc$t AS (SELECT cell, c, ${csq("c")} AS csq FROM $prev),
-          |sc$t AS (SELECT vec_id, vq, cell, csq - 2 * ${dot("vq", "c")} AS key FROM vq, kc$t),
+          |sc$t AS (SELECT vec_id, vq, cell, csq - 2 * ${dot("vq", "c")} AS key FROM vqs, kc$t),
           |a$t AS (SELECT vec_id, vq, cell FROM (
           |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY key, cell) AS rn FROM sc$t)
           |        WHERE rn = 1),

@@ -109,8 +109,10 @@ object SimilarityQ extends QueryPack {
       val cellBits = graft.operators.Adaptive.bits(
         Tables.embeddingCount(s, d), targetBucket = 32, lo = 4, hi = 8)
       val e = emb(s, d)
+      val cells = 1 << cellBits
       val model = graft.operators.IvfIndex.train(
-        e, cells = 1 << cellBits, iters = ivfIters, memoKey = s"$d#ivf")
+        e, cells, iters = ivfIters, memoKey = s"$d#ivf",
+        sampleMod = graft.operators.IvfIndex.sampleMod(Tables.embeddingCount(s, d), cells))
       val assign = graft.operators.IvfIndex.assignCells(e, model)
         .select($"vec_id".as("neighbor_id"), $"cell")
       val probes = graft.operators.IvfIndex.probeCells(
@@ -198,7 +200,8 @@ object SimilarityQ extends QueryPack {
       s"""WITH $embSql,
          |pc AS (SELECT nb, (1 << nb) AS cells
          |       FROM (SELECT ${graft.operators.Adaptive.bitsSql("count(*)", 32, 4, 8)} AS nb FROM embeddings)),
-         |${graft.operators.IvfIndex.Sql.kmeansCtes(ivfIters)},
+         |${graft.operators.IvfIndex.Sql.kmeansCtes(ivfIters,
+             "greatest(1, (SELECT count(*) FROM embeddings) // (cells * 256))")},
          |assign AS (SELECT vec_id AS neighbor_id, cell FROM rf WHERE crnk = 1),
          |probes AS (SELECT vec_id AS query_id, cell FROM rf
          |           WHERE vec_id % 50 = 0 AND crnk <= (SELECT nb + 3 FROM pc)),

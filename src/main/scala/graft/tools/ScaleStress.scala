@@ -220,8 +220,11 @@ object ScaleStress {
         ($"vec_id" + 10000000L).as("vec_id"),
         expr(s"transform(sequence(0, 63), k -> element_at(v, k + 1) + cast(${graft.functions.VectorFunctions.Sql.mixSpark("cast(vec_id as bigint) * 64 + k + 777")} as double) / 20000.0)").as("v"))
       val corpus = base.unionByName(planted)
+      // sampleMod = 3 here: training reads ~84k of the 252.5k vectors
+      // (the FAISS ~256-points-per-centroid rule) — the 100 TB posture
       val model = graft.operators.IvfIndex.train(
-        corpus, cells = 1 << cellBits, iters = 3, memoKey = s"stress-ivf-$n")
+        corpus, cells = 1 << cellBits, iters = 3, memoKey = s"stress-ivf-$n",
+        sampleMod = graft.operators.IvfIndex.sampleMod(n + n / 100, 1 << cellBits))
       val assign = graft.operators.IvfIndex.assignCells(corpus, model)
         .select($"vec_id".as("neighbor_id"), $"cell").persist()
       val queries = base.filter($"vec_id" % 100 === 0)
