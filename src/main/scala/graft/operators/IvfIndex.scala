@@ -70,11 +70,19 @@ object IvfIndex {
 
   /** Deterministic training-sample modulus: k-means needs ~256 points
     * per centroid (the FAISS rule of thumb), so training reads
-    * `vec_id % m == 0` with m = max(1, n / (cells·256)) — pure integer
-    * arithmetic the oracle replays. At test SF m = 1 (full corpus, no
-    * behavior change); at 100 TB the three Lloyd scans aggregate a
-    * bounded sample instead of the whole table. */
-  def sampleMod(n: Long, cells: Int): Long = math.max(1L, n / (cells.toLong * 256L))
+    * `vec_id % m == 0` with m ≈ n / (cells·256) — pure integer
+    * arithmetic the oracle replays. m is forced ODD: cells is always a
+    * power of two, so any even stride would alias with the residue-
+    * class seeding (`vec_id % cells` over multiples of m) and leave
+    * gcd(m, cells)−1 of every gcd cells permanently seedless — at
+    * m = 256 exactly ONE cell would exist and probing would scan the
+    * whole corpus. Odd ⇒ coprime with 2^b ⇒ the sample covers every
+    * residue class. At test SF m = 1 (full corpus, no behavior
+    * change); at 100 TB the Lloyd scans aggregate a bounded sample. */
+  def sampleMod(n: Long, cells: Int): Long = {
+    val m0 = math.max(1L, n / (cells.toLong * 256L))
+    m0 + (1L - m0 % 2L)
+  }
 
   /** Deterministic Lloyd k-means over quantized vectors (driver
     * orchestrates `iters` rounds; each round is one kernel scan + one

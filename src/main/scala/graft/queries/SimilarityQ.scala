@@ -198,10 +198,13 @@ object SimilarityQ extends QueryPack {
 
     "q38_ann_ivf_topk" ->
       s"""WITH $embSql,
-         |pc AS (SELECT nb, (1 << nb) AS cells
-         |       FROM (SELECT ${graft.operators.Adaptive.bitsSql("count(*)", 32, 4, 8)} AS nb FROM embeddings)),
-         |${graft.operators.IvfIndex.Sql.kmeansCtes(ivfIters,
-             "greatest(1, (SELECT count(*) FROM embeddings) // (cells * 256))")},
+         |pc AS (SELECT nb, cells,
+         |         -- IvfIndex.sampleMod replay: ~n/(cells*256), forced ODD
+         |         -- (coprime with the power-of-two cell count)
+         |         greatest(1, nemb // (cells * 256)) + (1 - greatest(1, nemb // (cells * 256)) % 2) AS m
+         |       FROM (SELECT nb, (1 << nb) AS cells, (SELECT count(*) FROM embeddings) AS nemb
+         |             FROM (SELECT ${graft.operators.Adaptive.bitsSql("count(*)", 32, 4, 8)} AS nb FROM embeddings))),
+         |${graft.operators.IvfIndex.Sql.kmeansCtes(ivfIters, "pc.m")},
          |assign AS (SELECT vec_id AS neighbor_id, cell FROM rf WHERE crnk = 1),
          |probes AS (SELECT vec_id AS query_id, cell FROM rf
          |           WHERE vec_id % 50 = 0 AND crnk <= (SELECT nb + 3 FROM pc)),

@@ -81,10 +81,14 @@ object ExactlyOnce {
         payload: Iterator[Array[Byte]]): Unit = {
       val dir = attemptDir(txnId, attempt)
       Files.createDirectories(dir)
-      // stream-then-rename: rows go to disk as they arrive (no
-      // whole-partition buffering) and a killed task never leaves a
-      // torn part file a later commit could publish
-      val tmp = dir.resolve(s".part-$part.tmp-${java.util.UUID.randomUUID()}")
+      // stream-then-rename, with the tmp file OUTSIDE the attempt dir:
+      // rows go to disk as they arrive (no whole-partition buffering),
+      // a killed task never leaves a torn file anywhere a commit could
+      // publish, and a same-attempt straggler racing commit's
+      // cleanup→rename window can only land a COMPLETE part file whose
+      // content equals the committed attempt's (same attempt ⇒ same
+      // partitioning ⇒ same rows) — never torn bytes
+      val tmp = txnStaging(txnId).resolve(s".tmp-part-$part-${java.util.UUID.randomUUID()}")
       val out = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
       try payload.foreach(out.write) finally out.close()
       Files.move(tmp, dir.resolve(s"part-$part"),
@@ -112,14 +116,19 @@ object ExactlyOnce {
       Files.createDirectories(Paths.get(root))
       Files.move(dir, commitDir(txnId), StandardCopyOption.ATOMIC_MOVE)
       // best-effort sweep of other (zombie) attempts' staging — they
-      // were never publishable, this just reclaims space
-      val leftovers = txnStaging(txnId)
-      if (Files.isDirectory(leftovers)) {
-        val l = Files.walk(leftovers)
-        try l.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
-        finally l.close()
-      }
+      // were never publishable, this just reclaims space. The txn IS
+      // committed at this point: nothing below may throw (a concurrent
+      // zombie renaming files makes the walk itself racy, not just the
+      // deletes), or a published batch would crash the stream.
+      try {
+        val leftovers = txnStaging(txnId)
+        if (Files.isDirectory(leftovers)) {
+          val l = Files.walk(leftovers)
+          try l.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+          finally l.close()
+        }
+      } catch { case _: Exception => () }
     }
 
     override def committed(txnId: String): Boolean = Files.isDirectory(commitDir(txnId))
@@ -137,6 +146,10 @@ object ExactlyOnce {
       val data = payload.toArray // memory medium: materialize
       val s = state(name)
       s.synchronized {
+        // a zombie staging AFTER its txn committed would sit in the
+        // map forever (no future commit of this txn runs the sweep) —
+        // drop it at the door
+        if (s.visible.contains(txnId)) return
         s.staged.getOrElseUpdate((txnId, attempt), collection.mutable.Map()).update(part, data)
       }
     }

@@ -223,7 +223,7 @@ class FormatsSpec extends AnyFunSuite {
     val q1 = startQ()
     q1.processAllAvailable()
     val n1 = ids().length
-    assert(n1 == 15) // +I ×2, -U/+U ×5 (w/ old, without, two positional, null-elem), -D
+    assert(n1 == 15) // +I ×2, -U/+U ×6 (w/ old, without, two positional, null-elem + its sibling), -D
     writeLines(dir, "00001.json",
       Seq("""{"data":[{"id":"8","w":"3.0"}],"type":"INSERT","table":"t","ts":7}"""))
     q1.processAllAvailable()
