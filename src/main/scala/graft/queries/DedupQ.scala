@@ -111,6 +111,26 @@ object DedupQ extends QueryPack {
       Dedup.connectedComponents(pairs)
     }),
 
+    // Leakage-safe train/val split: a hash split on doc_id would put a
+    // document in train and its near-duplicate in val — the eval set
+    // then "measures" memorization. Assign each near-dup CLUSTER
+    // (q41's connected components; singletons = own id) wholly to one
+    // side via the q43-style deterministic md5 bucket of the cluster
+    // id. Composition of three verified operators; the extra cost over
+    // q41 is one broadcast-able join and a scan-side hash.
+    "q48_leakage_safe_split" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Dedup.jaccardPairsHashed(
+        cappedShingles(s, d, Tables.documentCount(s, d)), 0.6)
+      val clusters = Dedup.connectedComponents(pairs)
+      augmentedDocs(s, d).select($"doc_id")
+        .join(clusters.withColumnRenamed("cluster_id", "cc"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"cc", $"doc_id").as("cluster_id"))
+        .select($"doc_id", $"cluster_id",
+          when(conv(substring(md5($"cluster_id".cast("string")), 1, 15), 16, 10).cast("long") % 100 < 90,
+            "train").otherwise("val").as("split"))
+    }),
+
     // Benchmark-contamination screening (training-data decontam): a
     // corpus doc is contaminated if it shares ANY 13-gram with the
     // benchmark set (here a deterministic doc_id % 97 sample standing
@@ -247,6 +267,31 @@ object DedupQ extends QueryPack {
          |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a""".stripMargin,
+
+    "q48_leakage_safe_split" ->
+      s"""WITH RECURSIVE $augSql,
+         |$shinglesSql,
+         |cnt AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+         |          FROM shf a JOIN shf b USING (sh) WHERE a.id < b.id
+         |          GROUP BY a.id, b.id),
+         |pairs AS (SELECT id_a, id_b
+         |          FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+         |          WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.6),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |        UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |       FROM reach GROUP BY a),
+         |assigned AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+         |             FROM (SELECT doc_id FROM aug) d LEFT JOIN cc USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN cast(('0x' || substr(md5(cluster_id::VARCHAR), 1, 15)) AS bigint) % 100 < 90
+         |       THEN 'train' ELSE 'val' END AS split
+         |FROM assigned""".stripMargin,
 
     "q40_contamination" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
