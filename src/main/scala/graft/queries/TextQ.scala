@@ -175,6 +175,29 @@ object TextQ extends QueryPack {
           phoneRe, "<PHONE>").as("clean_text"))
     }),
 
+    // Corpus length-distribution profiling: per-source token-count
+    // percentiles — the first chart anyone draws before setting
+    // truncation/packing lengths. Percentiles are defined by INTEGER
+    // ranks (value at row ceil(p·n/100) under (n_tokens, doc_id)
+    // order), not float interpolation, so both engines agree bitwise.
+    // One scan + one per-source window; the rank pick is a
+    // conditional agg, no second pass.
+    "q49_corpus_stats" -> ((s, d) => {
+      import s.implicits._
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"n_tokens", $"doc_id")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      def atP(p: Int) = max(when(
+        $"rn" === expr(s"(cnt * $p + 99) div 100"), $"n_tokens")).as(s"p$p")
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", TF.tokenCount($"text").cast("long").as("n_tokens"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), min($"n_tokens").as("min_tokens"),
+          atP(50), atP(90), atP(99), max($"n_tokens").as("max_tokens"))
+    }),
+
     // Context-window packing — the pretraining data-prep step that
     // concatenates a shard's documents into fixed-length training
     // sequences (GPT-style: documents are split across sequence
@@ -322,6 +345,22 @@ object TextQ extends QueryPack {
          |    '$ipRe', '<IP>', 'g'), '$phoneRe', '<PHONE>', 'g') AS clean_text
          |FROM planted""".stripMargin
     },
+
+    "q49_corpus_stats" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+        |           FROM documents),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS cnt
+        |      FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  cast(min(n_tokens) AS bigint) AS min_tokens,
+        |  cast(max(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN n_tokens END) AS bigint) AS p50,
+        |  cast(max(CASE WHEN rn = (cnt * 90 + 99) // 100 THEN n_tokens END) AS bigint) AS p90,
+        |  cast(max(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN n_tokens END) AS bigint) AS p99,
+        |  cast(max(n_tokens) AS bigint) AS max_tokens
+        |FROM r GROUP BY source""".stripMargin,
 
     "q47_sequence_pack" ->
       """WITH t AS (SELECT doc_id, source,
