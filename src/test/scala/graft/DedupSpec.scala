@@ -145,4 +145,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out.filter($"dup_count" =!= 2).count() == 0)
     assert(out.filter($"keep_id" >= 1000000).count() == 0)
   }
+
+  test("q48: no near-duplicate pair ever straddles the train/val split (the leakage property)") {
+    import spark.implicits._
+    val split = SparkEntry.queries("q48_leakage_safe_split")(spark, sfDir)
+      .select($"doc_id", $"split").persist()
+    // q25 = the same jaccard-0.6 pair set over the same augmented corpus
+    val pairs = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sfDir)
+      .select($"id_a", $"id_b")
+    val straddlers = pairs
+      .join(split.toDF("id_a", "split_a"), "id_a")
+      .join(split.toDF("id_b", "split_b"), "id_b")
+      .filter($"split_a" =!= $"split_b")
+      .count()
+    val sides = split.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    split.unpersist(blocking = false)
+    graft.CachePool.drain()
+    assert(straddlers == 0, s"$straddlers near-dup pairs leak across the split")
+    // and the split is an actual split, not a constant
+    assert(sides.getOrElse("train", 0L) > 0 && sides.getOrElse("val", 0L) > 0, sides.toString)
+  }
 }
