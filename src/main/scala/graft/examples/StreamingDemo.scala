@@ -73,6 +73,28 @@ object StreamingDemo {
     gq.awaitTermination()
     println("GEN_SOURCE_ROWS=" + spark.read.parquet(out).count())
 
+    // Exactly-once delivery to an external sink (ref: Kafka2Kafka
+    // EXACTLY_ONCE): checkpointed stream → 2PC staged/atomic-commit.
+    val eoIn = java.nio.file.Files.createTempDirectory("demo_eo_in").toString
+    spark.range(0, 25).selectExpr("cast(id as string) AS json")
+      .write.mode("overwrite").parquet(eoIn)
+    val eoSink = graft.sinks.ExactlyOnce.MemoryTxnTransport("demo-eo")
+    val eq = Pipelines.startExactlyOnceSink(
+      spark, graft.streaming.StreamIO.FileDir(eoIn), Some(spark.read.parquet(eoIn).schema),
+      java.nio.file.Files.createTempDirectory("demo_eo_ckpt").toString,
+      "demo", eoSink, r => (r.getString(0) + "\n").getBytes("UTF-8"))
+    eq.processAllAvailable(); eq.stop()
+    println("EXACTLY_ONCE_PUBLISHED=" + eoSink.visibleRequests.length)
+
+    // DataSourceV2 changelog format (the reference's SQL-DDL UX).
+    val envDir = java.nio.file.Files.createTempDirectory("demo_canal")
+    java.nio.file.Files.write(envDir.resolve("00000.json"),
+      """{"data":[{"id":"1","price":"9.5"}],"type":"INSERT","table":"orders","ts":1}
+        |{"data":[{"id":"1","price":"11.0"}],"old":[{"price":"9.5"}],"type":"UPDATE","table":"orders","ts":2}"""
+        .stripMargin.getBytes("UTF-8"))
+    val chg = spark.read.format("graft-canal-json").option("path", envDir.toString).load()
+    println("CANAL_FORMAT_CHANGELOG=" + chg.orderBy("ts", "row_kind").collect().mkString(";"))
+
     spark.stop()
   }
 }
