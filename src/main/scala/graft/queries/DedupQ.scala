@@ -72,6 +72,29 @@ object DedupQ extends QueryPack {
       |        WHERE sh IN (SELECT sh FROM shh GROUP BY sh
       |                     HAVING count(*) <= (SELECT cap FROM pc)))""".stripMargin
 
+  /** Jaccard-0.6 pairs → undirected closure → clusters, over the
+    * df-capped shingle sets — the ONE definition of the near-dup
+    * cluster graph, shared verbatim by the q41 and q48 oracles (and
+    * matching q25's cnt/inter shape) so a threshold or blocking change
+    * can never drift between them. Requires `shf` (shinglesSql) and a
+    * RECURSIVE WITH; ends with `cc(doc_id, cluster_id)`. */
+  private val ccSql =
+    """cnt AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+      |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      |          FROM shf a JOIN shf b USING (sh) WHERE a.id < b.id
+      |          GROUP BY a.id, b.id),
+      |pairs AS (SELECT id_a, id_b
+      |          FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+      |          WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.6),
+      |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |        UNION SELECT id_b, id_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM und
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      |cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |       FROM reach GROUP BY a)""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "q24_dedup_exact" -> ((s, d) => {
       import s.implicits._
@@ -252,40 +275,13 @@ object DedupQ extends QueryPack {
     "q41_dedup_clusters" ->
       s"""WITH RECURSIVE $augSql,
          |$shinglesSql,
-         |cnt AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
-         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-         |          FROM shf a JOIN shf b USING (sh) WHERE a.id < b.id
-         |          GROUP BY a.id, b.id),
-         |pairs AS (SELECT id_a, id_b
-         |          FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
-         |          WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.6),
-         |und AS (SELECT id_a AS a, id_b AS b FROM pairs
-         |        UNION SELECT id_b, id_a FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM und
-         |  UNION
-         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
-         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |FROM reach GROUP BY a""".stripMargin,
+         |$ccSql
+         |SELECT doc_id, cluster_id FROM cc""".stripMargin,
 
     "q48_leakage_safe_split" ->
       s"""WITH RECURSIVE $augSql,
          |$shinglesSql,
-         |cnt AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
-         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-         |          FROM shf a JOIN shf b USING (sh) WHERE a.id < b.id
-         |          GROUP BY a.id, b.id),
-         |pairs AS (SELECT id_a, id_b
-         |          FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
-         |          WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.6),
-         |und AS (SELECT id_a AS a, id_b AS b FROM pairs
-         |        UNION SELECT id_b, id_a FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM und
-         |  UNION
-         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-         |cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |       FROM reach GROUP BY a),
+         |$ccSql,
          |assigned AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
          |             FROM (SELECT doc_id FROM aug) d LEFT JOIN cc USING (doc_id))
          |SELECT doc_id, cluster_id,

@@ -189,8 +189,7 @@ object TextQ extends QueryPack {
       val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"source")
       def atP(p: Int) = max(when(
         $"rn" === expr(s"(cnt * $p + 99) div 100"), $"n_tokens")).as(s"p$p")
-      Tables.documents(s, d)
-        .select($"doc_id", $"source", TF.tokenCount($"text").cast("long").as("n_tokens"))
+      tokenizedDocs(s, d)
         .withColumn("rn", row_number().over(wOrd))
         .withColumn("cnt", count(lit(1)).over(wAll))
         .groupBy($"source")
@@ -215,8 +214,7 @@ object TextQ extends QueryPack {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"source").orderBy($"doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
-        .select($"doc_id", $"source", TF.tokenCount($"text").cast("long").as("n_tokens"))
+      tokenizedDocs(s, d)
         .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
         .select(
           $"doc_id", $"source", $"n_tokens", $"cum_before",
@@ -228,6 +226,21 @@ object TextQ extends QueryPack {
             .as("packs_spanned"))
     })
   )
+
+  /** (doc_id, source, n_tokens BIGINT) — the ONE tokenized-docs shape
+    * q47 and q49 share (Spark + oracle twins below); tokenization
+    * drift between packing offsets and length percentiles would
+    * otherwise be silent. */
+  private def tokenizedDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", TF.tokenCount($"text").cast("long").as("n_tokens"))
+  }
+
+  private val tokenizedSql =
+    """t AS (SELECT doc_id, source,
+      |        len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+      |      FROM documents)""".stripMargin
 
   private def scoreSql(lang: String): String = {
     val words = markers(lang).map(w => s"'$w'").mkString(", ")
@@ -347,9 +360,7 @@ object TextQ extends QueryPack {
     },
 
     "q49_corpus_stats" ->
-      """WITH t AS (SELECT doc_id, source,
-        |             len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
-        |           FROM documents),
+      s"""WITH $tokenizedSql,
         |r AS (SELECT *,
         |        row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
         |        count(*) OVER (PARTITION BY source) AS cnt
@@ -363,9 +374,7 @@ object TextQ extends QueryPack {
         |FROM r GROUP BY source""".stripMargin,
 
     "q47_sequence_pack" ->
-      """WITH t AS (SELECT doc_id, source,
-        |             len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
-        |           FROM documents),
+      s"""WITH $tokenizedSql,
         |c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before FROM t)
         |SELECT doc_id, source, n_tokens, cum_before,
