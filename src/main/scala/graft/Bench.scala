@@ -20,8 +20,34 @@ object Bench {
     // q18 additionally warms the json/Jackson/codegen stack.
     SparkEntry.entry(spark).count()
     SparkEntry.queries("q18_canal_parse")(spark, "/root/testdata/sf0.001").count()
+    // warm the k-means / shingle / CC kernel classes at toy scale so the
+    // sf0.1 setup lines below measure the work, not JIT + classloading
+    queries.SimilarityQ.ivfModel(spark, "/root/testdata/sf0.001")
+    queries.DedupQ.ensureClusters(spark, "/root/testdata/sf0.001")
+    CachePool.drain()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // One-time indexing costs, timed under their OWN lines (the
+    // train-once / probe-forever split): q38's k-means and the q41
+    // cluster-artifact build are paid once per session, so charging
+    // them to whichever query runs first made round-over-round
+    // per-query numbers incomparable. Total still includes them.
+    val setups: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+      "q38_train" -> ((s, d) => { queries.SimilarityQ.ivfModel(s, d); () }),
+      "q41_clusters_build" -> ((s, d) => { queries.DedupQ.ensureClusters(s, d); () })
+    )
+    val setupResults = setups.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      CachePool.drain()
+      (name, elapsed, err)
+    }
+
+    val results = setupResults ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() forces every output column to materialize —
       // df.count() would collapse to count(1) and let Catalyst prune

@@ -274,6 +274,31 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Materialize a near-dup cluster table (doc_id, cluster_id) at rest
+    * — the [[IvfIndex.build]] pattern applied to dedup: the expensive
+    * pair→connected-components chain runs ONCE, and every consumer
+    * (leakage-safe split, keep/drop, rebalance, decontam joins) reads
+    * the artifact instead of re-running the similarity pipeline.
+    *
+    * Layout: hash-distributed AND sorted by cluster_id, so per-cluster
+    * consumers (keep the min id, assign a cluster to a split) scan
+    * contiguous runs. No `partitionBy` — cluster ids are
+    * high-cardinality, one directory per cluster would melt the
+    * namenode at corpus scale. The table holds only docs that appear
+    * in a near-dup pair (singletons coalesce to their own id on the
+    * consumer side), so it is orders of magnitude smaller than the
+    * corpus: consumers broadcast it, or shuffle-join on doc_id — never
+    * re-shingle. */
+  def clustersAtRest(clusters: DataFrame, dir: String): Unit =
+    clusters.select(col("doc_id"), col("cluster_id"))
+      .repartition(col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"), col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Read a [[clustersAtRest]] artifact: (doc_id, cluster_id). */
+  def loadClusters(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).select(col("doc_id"), col("cluster_id"))
+
   /** Per-doc SimHash in a single codegen'd scan (zero shuffles before
     * the band join — see [[graft.functions.SimHashKernel]]); value-
     * identical to [[simhash]], which remains the reference/relational

@@ -22,6 +22,31 @@ class DedupSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("at-rest cluster artifact is row-identical to the inline connected-components chain") {
+    import spark.implicits._
+    // inline chain — the pre-artifact q41 definition, built from scratch
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id", $"text")
+    val aug = docs
+      .unionByName(docs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+      .unionByName(docs.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 2000000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val n = docs.count()
+    val hs = Dedup.dfCapped(
+      Dedup.hashedShingleSets(aug, $"doc_id", $"text", 5),
+      graft.operators.Adaptive.dfCap(n)).persist()
+    val inline = Dedup.connectedComponents(Dedup.jaccardPairsHashed(hs, 0.6))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    hs.unpersist(blocking = false)
+    // artifact — what q41/q48 read
+    val atRest = Dedup.loadClusters(spark, graft.queries.DedupQ.ensureClusters(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atRest == inline)
+    assert(atRest.nonEmpty)
+    CachePool.drain()
+  }
+
   test("simhash of identical docs is identical; near-copies are close") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id", $"text")
