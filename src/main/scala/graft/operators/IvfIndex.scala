@@ -136,10 +136,64 @@ object IvfIndex {
     queries.select(queries.columns.map(col) :+
       explode(VectorExpressions.probeCells(quantize(qv), model.cent, model.csq, nprobe)).as("cell"): _*)
 
-  /** Build the index: corpus partitioned by cell on disk. `emb` must
-    * have (vec_id, v: array<double>). */
-  def build(emb: DataFrame, model: Model, dir: String): Unit =
+  /** Build the index: corpus partitioned by cell on disk, PLUS the
+    * trained model persisted alongside it ([[save]]) — a cold session
+    * probes an existing index via [[load]] with zero jobs over the
+    * embeddings table (no retraining scan). `emb` must have
+    * (vec_id, v: array<double>). */
+  def build(emb: DataFrame, model: Model, dir: String): Unit = {
     assignCells(emb, model).write.mode("overwrite").partitionBy("cell").parquet(dir)
+    // after the parquet write: overwrite mode would wipe a pre-written
+    // model file from the directory
+    save(model, dir, emb.sparkSession)
+  }
+
+  private val ModelFile = "_graft_ivf_model.json"
+
+  /** Persist the trained centroids as KB-scale JSON inside the index
+    * dir. Goes through the Hadoop FileSystem of `dir` (not java.nio)
+    * so the same code addresses HDFS/S3 on a cluster. Doubles are
+    * written as JSON numbers via Jackson's shortest-round-trip
+    * rendering, so [[load]] recovers them bit-identically; csq is
+    * derived from cent at load time by the same fold [[train]] uses,
+    * so it is not stored. The leading underscore keeps the file
+    * invisible to the parquet reader scanning the directory. */
+  def save(model: Model, dir: String, spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, ModelFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("version", 1)
+    root.put("cells", model.cells)
+    val rows = root.putArray("cent")
+    model.cent.foreach { c =>
+      if (c == null) rows.addNull()
+      else { val a = rows.addArray(); c.foreach(a.add) }
+    }
+    val out = fs.create(p, true)
+    try out.write(om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+  }
+
+  /** Read a [[save]]d model back: bit-identical centroids, csq
+    * recomputed by the training fold. Pure driver-side file read —
+    * runs zero Spark jobs. */
+  def load(spark: SparkSession, dir: String): Model = {
+    val p = new org.apache.hadoop.fs.Path(dir, ModelFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    require(root.get("version").asInt() == 1, s"unknown ivf model version in $p")
+    val rows = root.get("cent")
+    val cent = Array.tabulate(root.get("cells").asInt()) { j =>
+      val r = rows.get(j)
+      if (r == null || r.isNull) null
+      else Array.tabulate(r.size())(k => r.get(k).asDouble())
+    }
+    Model(cent, cent.map(c => if (c == null) 0.0 else csqOf(c)))
+  }
 
   /** Query the on-disk index: probe cells → DPP-pruned scan → exact
     * cosine top-k. `queries` must have (query_id, qv). */

@@ -57,6 +57,62 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("persisted model: cold session probes an existing index with zero jobs over the embeddings table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ivf_persist").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", VectorFunctions.vec($"embedding").as("v"))
+    val model = IvfIndex.train(emb, cells = 16, iters = 2, memoKey = s"$sfDir#persist")
+    IvfIndex.build(emb, model, dir)
+
+    // queries captured as plain rows BEFORE the "cold" phase, so the
+    // probe below touches only the index directory
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qv",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    val qRows = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv")).collect()
+    val warm = IvfIndex.topK(spark, dir,
+        spark.createDataFrame(java.util.Arrays.asList(qRows: _*), qSchema),
+        model, nprobe = 6, k = 5)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // cold session: fresh session state, model loaded from disk.
+    // load() must be a pure driver-side read — assert zero Spark jobs
+    // (job submission is synchronous on the calling thread, so a
+    // before/after snapshot of the status tracker catches any).
+    val s2 = spark.newSession()
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
+    val loaded = IvfIndex.load(s2, dir)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
+    assert(after == before, s"IvfIndex.load ran Spark jobs ${after -- before}; must be driver-only")
+
+    // bit-identical centroids and csq
+    assert(loaded.cells == model.cells)
+    model.cent.zip(loaded.cent).foreach {
+      case (null, c2) => assert(c2 == null)
+      case (c1, c2) =>
+        assert(c1.length == c2.length)
+        c1.zip(c2).foreach { case (x, y) =>
+          assert(java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y))
+        }
+    }
+    model.csq.zip(loaded.csq).foreach { case (x, y) =>
+      assert(java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y))
+    }
+
+    // probing with the loaded model from the cold session reads ONLY
+    // the index dir and returns the warm-session result exactly
+    val qDf = s2.createDataFrame(java.util.Arrays.asList(qRows: _*), qSchema)
+    val cold = IvfIndex.topK(s2, dir, qDf, loaded, nprobe = 6, k = 5)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(cold == warm)
+    assert(cold.nonEmpty)
+  }
+
   test("ivf training is deterministic: two fresh trains produce identical centroids") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
