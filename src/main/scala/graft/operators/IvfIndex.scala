@@ -170,9 +170,16 @@ object IvfIndex {
       if (c == null) rows.addNull()
       else { val a = rows.addArray(); c.foreach(a.add) }
     }
-    val out = fs.create(p, true)
+    // stage to a temp name and rename into place (atomic on HDFS and
+    // local FS): a concurrent reader / crash mid-write must never
+    // observe a partial model file
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$ModelFile.tmp")
+    val out = fs.create(tmp, true)
     try out.write(om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"failed to publish ivf model $tmp -> $p")
   }
 
   /** Read a [[save]]d model back: bit-identical centroids, csq
@@ -187,6 +194,10 @@ object IvfIndex {
       finally in.close()
     require(root.get("version").asInt() == 1, s"unknown ivf model version in $p")
     val rows = root.get("cent")
+    // a truncated cent array would read as null cells — indistinguishable
+    // from legitimately empty ones — and probes would silently skip them
+    require(rows != null && rows.size() == root.get("cells").asInt(),
+      s"corrupt ivf model in $p: cent has ${if (rows == null) "no" else rows.size().toString} rows, expected ${root.get("cells").asInt()}")
     val cent = Array.tabulate(root.get("cells").asInt()) { j =>
       val r = rows.get(j)
       if (r == null || r.isNull) null

@@ -80,14 +80,31 @@ class IvfIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
     // cold session: fresh session state, model loaded from disk.
-    // load() must be a pure driver-side read — assert zero Spark jobs
-    // (job submission is synchronous on the calling thread, so a
-    // before/after snapshot of the status tracker catches any).
+    // load() must be a pure driver-side read — assert zero Spark jobs.
+    // A null-job-group snapshot would miss jobs submitted under any
+    // group; instead run load() inside a DEDICATED job group (inherited
+    // by any job it would submit from this thread), then run a canary
+    // job in the same group: listener events are ordered, so once the
+    // canary is visible, a load()-submitted job would be visible too —
+    // the group must contain exactly the canary.
     val s2 = spark.newSession()
-    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
-    val loaded = IvfIndex.load(s2, dir)
-    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
-    assert(after == before, s"IvfIndex.load ran Spark jobs ${after -- before}; must be driver-only")
+    s2.sparkContext.setJobGroup("ivf-load-probe", "assert load() is driver-only", false)
+    val loaded =
+      try {
+        val m = IvfIndex.load(s2, dir)
+        // canary: a shuffle-free RDD count is exactly ONE job (an SQL
+        // count under AQE splits into a map-stage job + a result job)
+        s2.sparkContext.parallelize(Seq(1), 1).count()
+        m
+      } finally s2.sparkContext.clearJobGroup()
+    val deadline = System.currentTimeMillis + 30000
+    var probeJobs = spark.sparkContext.statusTracker.getJobIdsForGroup("ivf-load-probe")
+    while (probeJobs.isEmpty && System.currentTimeMillis < deadline) {
+      Thread.sleep(50)
+      probeJobs = spark.sparkContext.statusTracker.getJobIdsForGroup("ivf-load-probe")
+    }
+    assert(probeJobs.length == 1,
+      s"IvfIndex.load ran Spark jobs ${probeJobs.sorted.dropRight(1).mkString(",")}; must be driver-only")
 
     // bit-identical centroids and csq
     assert(loaded.cells == model.cells)
@@ -111,6 +128,27 @@ class IvfIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(cold == warm)
     assert(cold.nonEmpty)
+  }
+
+  test("load() fails loudly on a truncated model file (never silently drops cells)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ivf_trunc").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", VectorFunctions.vec($"embedding").as("v"))
+    val model = IvfIndex.train(emb, cells = 16, iters = 1, memoKey = s"$sfDir#trunc")
+    IvfIndex.save(model, dir, spark)
+    // corrupt: drop half the cent rows but leave cells=16
+    val p = java.nio.file.Paths.get(dir, "_graft_ivf_model.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readAllBytes(p))
+    val cent = root.get("cent").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    while (cent.size() > 8) cent.remove(cent.size() - 1)
+    java.nio.file.Files.write(p, om.writeValueAsBytes(root))
+    // drop the Hadoop local-FS checksum sidecar, stale after the rewrite
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._graft_ivf_model.json.crc"))
+    val e = intercept[IllegalArgumentException](IvfIndex.load(spark, dir))
+    assert(e.getMessage.contains("corrupt ivf model"))
   }
 
   test("ivf training is deterministic: two fresh trains produce identical centroids") {
