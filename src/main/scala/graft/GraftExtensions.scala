@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{Fingerprint, HyperplaneBits, Ngrams, ShingleKeys, SimHash60, VecDot}
+import graft.functions.{Fingerprint, HyperplaneBits, MinHashSig, Ngrams, ShingleKeys, SimHash60, SimHashAgg, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -51,6 +51,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ngrams"),
       info("graft_ngrams", "graft_ngrams(text, n) - word n-gram strings (occurrence-preserving)"),
       buildNgrams))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "graft_minhash_sig(h, n) - aggregate: n-hash MinHash signature over a group of 60-bit keys"),
+      buildMinHashSig))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(tf, h) - aggregate: 60-bit tf-weighted SimHash over (term frequency, word hash) rows"),
+      buildSimHashAgg))
+    // graft_nearest_cell / graft_probe_cells stay Column-API-only by
+    // design: their centroid-matrix argument is driver-held model state
+    // (IvfIndex.Model), not something a SQL literal can express.
   }
 }
 
@@ -120,6 +131,18 @@ object GraftExtensions {
     Ngrams(args.head, intLiteral("graft_ngrams", args(1), 1, 64))
   }
 
+  // aggregate builders return the bare AggregateFunction: the analyzer
+  // wraps it in an AggregateExpression exactly as for built-in sum/min
+  private[graft] val buildMinHashSig: Seq[Expression] => Expression = { args =>
+    arity("graft_minhash_sig", args, 2)
+    MinHashSig(args.head, intLiteral("graft_minhash_sig", args(1), 1, 4096))
+  }
+
+  private[graft] val buildSimHashAgg: Seq[Expression] => Expression = { args =>
+    arity("graft_simhash", args, 2)
+    SimHashAgg(args(0), args(1))
+  }
+
   /** Register the same functions on an already-built session (useful in
     * tests and notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -130,5 +153,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_shingle_keys", buildShingleKeys, "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash60", buildSimHash60, "scala_udf")
     reg.createOrReplaceTempFunction("graft_ngrams", buildNgrams, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash_sig", buildMinHashSig, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash", buildSimHashAgg, "scala_udf")
   }
 }

@@ -170,8 +170,23 @@ object ChangelogFileSource {
 
   // ---- file listing + scan plumbing -------------------------------------
 
+  /** Accept both plain paths and file: URIs: `CREATE TABLE ... USING
+    * graft-canal-json OPTIONS (path ...)` round-trips through the
+    * session catalog, which QUALIFIES the path option to a URI
+    * (`file:/tmp/x`) before handing it back — java.nio would treat
+    * that as a relative path named "file:" and silently list nothing. */
+  private[sources] def localPath(dir: String): java.nio.file.Path = {
+    val uri = try new java.net.URI(dir) catch { case _: java.net.URISyntaxException => null }
+    if (uri == null || uri.getScheme == null) Paths.get(dir)
+    else {
+      require(uri.getScheme == "file",
+        s"graft changelog sources read local paths, got scheme '${uri.getScheme}' in $dir")
+      Paths.get(uri.getPath)
+    }
+  }
+
   private[sources] def listFiles(dir: String): Array[String] = {
-    val p = Paths.get(dir)
+    val p = localPath(dir)
     if (!Files.isDirectory(p)) return Array.empty
     val s = Files.list(p)
     try s.iterator().asScala

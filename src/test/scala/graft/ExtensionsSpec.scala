@@ -35,6 +35,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(grams == Seq("a b", "b a", "a b")) // occurrence-preserving
   }
 
+  test("graft_minhash_sig and graft_simhash aggregates callable from SQL, matching the Column API") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val rows = Seq((1L, 17L, 3L), (1L, 99L, 2L), (2L, 42L, 1L), (2L, 7L, 5L))
+      .toDF("id", "h", "tf")
+    rows.createOrReplaceTempView("mh_rows")
+    val viaSql = spark.sql(
+      """SELECT id, graft_minhash_sig(h, 8) AS sig, graft_simhash(tf, h) AS sh
+        |FROM mh_rows GROUP BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).sortBy(_._1).toSeq
+    val viaCol = rows.groupBy($"id")
+      .agg(graft.functions.MinHashSig.minhashSig($"h", 8).as("sig"),
+        graft.functions.SimHashAgg.simhashAgg($"tf", $"h").as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.map(_._2.length).forall(_ == 8))
+    // partial aggregation must kick in (map-side combine is the point
+    // of the sketch shape): the plan has two HashAggregate levels
+    val plan = spark.sql(
+      "SELECT id, graft_minhash_sig(h, 8) FROM mh_rows GROUP BY id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_minhash_sig"), s"no partial aggregate in:\n$plan")
+  }
+
   test("graft_hyperplane_bits accepts BIGINT literals and rejects non-integral args at analysis") {
     GraftExtensions.register(spark)
     // BIGINT literal (SQL `4L`) must coerce, not ClassCastException

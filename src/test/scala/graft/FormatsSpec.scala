@@ -208,6 +208,48 @@ class FormatsSpec extends AnyFunSuite {
     assert(viaFormat.nonEmpty && viaFormat == q18)
   }
 
+  test("sql ddl: CREATE TABLE ... USING graft-canal-json drives changelog decode through pure SQL") {
+    // the reference's UX is SQL-first (ref: format/csv/Csv2Csv.java:27-41
+    // CREATE TABLE ... WITH ('format'='canal-json')): the provider's
+    // DataSourceRegister short name must work from DDL, not just the
+    // DataFrame reader
+    val dir = java.nio.file.Files.createTempDirectory("canal-ddl")
+    writeLines(dir, "00000.json", canalEnvelopes)
+    spark.sql("DROP TABLE IF EXISTS canal_src")
+    spark.sql(
+      s"""CREATE TABLE canal_src USING `graft-canal-json`
+         |OPTIONS (path '${dir.toString}')""".stripMargin)
+    try {
+      val viaSql = spark.sql(
+        """SELECT row_kind, `table`, ts, fields['id'] AS id
+          |FROM canal_src WHERE row_kind <> '-D'""".stripMargin)
+      assert(viaSql.schema.fieldNames.toSeq == Seq("row_kind", "table", "ts", "id"))
+      val a = viaSql.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val b = spark.read.format("graft-canal-json").option("path", dir.toString).load()
+        .where(col("row_kind") =!= "-D")
+        .select(col("row_kind"), col("table"), col("ts"), col("fields")("id").as("id"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(a.nonEmpty && a == b)
+    } finally spark.sql("DROP TABLE IF EXISTS canal_src")
+  }
+
+  test("sql ddl: CREATE TABLE ... USING graft-debezium-json with rowSchema option, typed access from SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("dbz-ddl")
+    writeLines(dir, "00000.json", Seq(
+      """{"before":null,"after":{"id":1,"v":1.5},"op":"c","ts_ms":9,"source":{"db":"d","table":"t"}}""",
+      """{"before":{"id":1,"v":1.5},"after":{"id":1,"v":2.5},"op":"u","ts_ms":11,"source":{"db":"d","table":"t"}}"""))
+    spark.sql("DROP TABLE IF EXISTS dbz_src")
+    spark.sql(
+      s"""CREATE TABLE dbz_src USING `graft-debezium-json`
+         |OPTIONS (path '${dir.toString}', rowSchema 'id BIGINT, v DOUBLE')""".stripMargin)
+    try {
+      val rows = spark.sql(
+        """SELECT row_kind, row.id AS id, row.v AS v FROM dbz_src ORDER BY ts_ms, row_kind DESC""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq(("+I", 1L, 1.5), ("-U", 1L, 1.5), ("+U", 1L, 2.5)))
+    } finally spark.sql("DROP TABLE IF EXISTS dbz_src")
+  }
+
   test("dsv2 streaming: file-prefix offsets process only new files and resume from checkpoint") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("canal-stream")
