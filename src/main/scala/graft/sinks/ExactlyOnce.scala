@@ -205,11 +205,25 @@ object ExactlyOnce {
     val txnId = s"$sinkId-$batchId"
     if (transport.committed(txnId)) return // replayed, already-published batch
     val attempt = java.util.UUID.randomUUID().toString // writer fence for THIS invocation
-    val nParts = df.rdd.getNumPartitions
+    // the partition count comes from the STAGING JOB itself (every task
+    // reports its partitionId through an accumulator), not a second
+    // walk of the plan (`df.rdd.getNumPartitions` would re-plan, and
+    // nothing guarantees the two walks agree once AQE re-plans between
+    // them). Action accumulators count once per successful task, and
+    // max is idempotent under retries anyway.
+    val partIds = df.sparkSession.sparkContext.collectionAccumulator[Int]("graft.exactlyOnce.parts")
     df.foreachPartition { (rows: Iterator[Row]) =>
       val part = org.apache.spark.TaskContext.get().partitionId()
       transport.stage(txnId, attempt, part, rows.map(encode))
+      partIds.add(part)
     }
+    val staged = { import scala.jdk.CollectionConverters._; partIds.value.asScala.toSet }
+    val nParts = if (staged.isEmpty) 0 else staged.max + 1
+    // RDD partition ids are dense [0, n): a gap means a task staged
+    // without reporting (or vice versa) — a protocol bug, fail loudly
+    // before commit can publish a hole
+    require(staged.size == nParts,
+      s"stage($txnId, $attempt): staged partitions ${staged.toSeq.sorted.mkString(",")} are not dense [0, $nParts)")
     transport.commit(txnId, attempt, nParts)
   }
 }
