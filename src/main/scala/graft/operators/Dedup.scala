@@ -299,6 +299,59 @@ object Dedup {
   def loadClusters(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).select(col("doc_id"), col("cluster_id"))
 
+  /** Fold a batch of NEW near-dup pairs into an existing
+    * (doc_id, cluster_id) cluster table — INCREMENTAL connected
+    * components. Each endpoint is contracted to its current component
+    * root (its own id if unclustered), components merge on the tiny
+    * contracted graph, and only touched rows relabel. Labels are
+    * component MINIMA and min is associative — min over a union of
+    * components equals min over their mins — so folding the edge set
+    * in ANY batch order produces exactly the labels
+    * [[connectedComponents]] assigns to the full edge set at once.
+    * That is what lets a streaming consumer maintain the at-rest
+    * cluster artifact without ever re-running the similarity chain
+    * over history.
+    *
+    * Cost: two joins against the cluster table (which is orders of
+    * magnitude smaller than the corpus — paired docs only) + CC on the
+    * contracted graph, whose nodes are the TOUCHED components, not
+    * docs. A quiet micro-batch costs two cheap joins; a pathological
+    * batch that merges everything costs one CC over #touched-clusters
+    * nodes — never over the corpus. */
+  def foldPairsIntoClusters(clusters: DataFrame, pairs: DataFrame): DataFrame = {
+    val c = clusters.select(col("doc_id"), col("cluster_id"))
+    // contract endpoints to their current roots (own id when unclustered
+    // — singletons are never stored, see clustersAtRest)
+    val joined = pairs.select(col("id_a"), col("id_b"))
+      .join(c.select(col("doc_id").as("id_a"), col("cluster_id").as("ra")), Seq("id_a"), "left")
+      .join(c.select(col("doc_id").as("id_b"), col("cluster_id").as("rb")), Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("ra"), col("id_a")).as("root_a"),
+        coalesce(col("rb"), col("id_b")).as("root_b"))
+    val rootEdges = joined.filter(col("root_a") =!= col("root_b"))
+      .select(col("root_a").as("id_a"), col("root_b").as("id_b")).distinct()
+    // root_a == root_b only when both endpoints are ALREADY in the same
+    // cluster (a new doc's root is its own unseen id, which cannot equal
+    // another component's min): nothing to merge, nothing to insert
+    if (rootEdges.isEmpty) return c
+    val m = connectedComponents(rootEdges)
+      .select(col("doc_id").as("mroot"), col("cluster_id").as("merged"))
+    // relabel existing rows of touched components
+    val relabeled = c.join(m, c("cluster_id") === col("mroot"), "left")
+      .select(c("doc_id"), coalesce(col("merged"), c("cluster_id")).as("cluster_id"))
+    // insert endpoints not yet in the table, labeled via their root
+    val endpointRoots = joined.select(explode(array(
+        struct(col("id_a").as("doc_id"), col("root_a").as("root")),
+        struct(col("id_b").as("doc_id"), col("root_b").as("root")))).as("x"))
+      .select(col("x.doc_id").as("doc_id"), col("x.root").as("root"))
+      .distinct()
+    val newDocs = endpointRoots
+      .join(c.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(m, col("root") === col("mroot"), "left")
+      .select(col("doc_id"), coalesce(col("merged"), col("root")).as("cluster_id"))
+    relabeled.unionByName(newDocs)
+  }
+
   /** Per-doc SimHash in a single codegen'd scan (zero shuffles before
     * the band join — see [[graft.functions.SimHashKernel]]); value-
     * identical to [[simhash]], which remains the reference/relational
