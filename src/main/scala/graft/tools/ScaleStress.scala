@@ -337,6 +337,138 @@ object ScaleStress {
       n
     }
 
+    // The COMPOSED pipeline at volume: clean → dedup-cluster → rebalance
+    // → leakage-safe split → pack over 1M docs, sharing ONE scoring scan
+    // and ONE shingle scan (plus the at-rest cluster artifact) instead
+    // of five isolated rescans. The sharing is asserted the hard way:
+    // after stage 2 the corpus parquet is DELETED from disk — stages
+    // 3–5 must finish from the persisted scans and the artifact, so any
+    // hidden re-scan fails with FileNotFound instead of slipping
+    // through a plan-string check.
+    time("composed_pipeline_1M_docs") {
+      import graft.functions.{TextFunctions => TF}
+      val n = 1000000L
+      val docsDir = java.nio.file.Files.createTempDirectory("graft_stress_docs").toString
+      val clustersDir = java.nio.file.Files.createTempDirectory("graft_stress_cl").toString + "/clusters"
+      // corpus: ~5% exact dups (id % 20 copies id/20), ~7% near-dups
+      // (id % 13 drops the first word of id/13's text), sources skewed
+      // 4:1 by membership (s0 = 40% of docs) so rebalance has work.
+      // Words are md5-derived per (base, position): any LINEAR word
+      // formula mod a 100k vocab makes text identity a function of
+      // base mod 100k — pigeonhole collapses a 1M corpus to 100k
+      // distinct texts and the dup rate stops being designed
+      spark.range(n).select(
+        $"id".as("doc_id"),
+        when(pmod($"id", lit(10)) < 4, "s0")
+          .otherwise(concat(lit("s"), pmod($"id", lit(10)) - 3)).as("source"),
+        expr(s"""concat_ws(' ', transform(sequence(0, 39), i ->
+          |  substring(md5(concat(cast(CASE WHEN id % 20 = 0 THEN id div 20
+          |                                 WHEN id % 13 = 0 THEN id div 13
+          |                                 ELSE id END as string), ':', cast(i as string))), 1, 7)))""".stripMargin).as("t0"))
+        .select($"doc_id", $"source",
+          when($"doc_id" % 13 === 0 && $"doc_id" % 20 =!= 0,
+            expr("substring(t0, instr(t0, ' ') + 1)")).otherwise($"t0").as("text"))
+        .write.mode("overwrite").parquet(docsDir)
+
+      def stage[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val out = f
+        println(f"STRESS   stage_$name=${(System.nanoTime() - t0) / 1e9}%.1f s")
+        out
+      }
+      val raw = spark.read.parquet(docsDir)
+
+      // stage 1 — clean: ONE scoring scan (corpus scan #1: tokens +
+      // content hash; text itself is NOT persisted — at 100 TB the
+      // narrow per-doc metrics fit memory/disk cache, the corpus never
+      // does), then quality gate + exact-dedup keepers
+      val kept = stage("clean") {
+        val scored = raw.select($"doc_id", $"source",
+          TF.tokenCount($"text").cast("long").as("n_tokens"),
+          md5($"text").as("h")).persist()
+        val keepers = scored.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+        val kept = scored.filter($"n_tokens" >= 10)
+          .join(keepers.select($"doc_id"), "doc_id")
+          .select($"doc_id", $"source", $"n_tokens").persist()
+        kept.count()
+        scored.unpersist(blocking = false)
+        kept
+      }
+
+      // stage 2 — near-dup clusters: shingle scan (corpus scan #2,
+      // semi-joined to survivors), df-capped Jaccard pairs, CC, and the
+      // at-rest artifact every downstream consumer joins against
+      stage("dedup_clusters") {
+        val hs = Dedup.hashedShingleSets(
+          raw.join(broadcast(kept.select($"doc_id")), Seq("doc_id"), "left_semi"),
+          $"doc_id", $"text", 5)
+        val capped = Dedup.dfCapped(hs, Adaptive.dfCap(n)).persist()
+        val cc = Dedup.connectedComponents(Dedup.jaccardPairsHashed(capped, 0.6))
+        Dedup.clustersAtRest(cc, clustersDir)
+        capped.unpersist(blocking = false)
+        graft.CachePool.drain()
+      }
+
+      // the corpus is now GONE — the remaining stages must run from the
+      // shared scans (kept) and the cluster artifact alone
+      {
+        val l = java.nio.file.Files.walk(java.nio.file.Paths.get(docsDir))
+        try l.sorted(java.util.Comparator.reverseOrder()).forEach(p => java.nio.file.Files.delete(p))
+        finally l.close()
+      }
+
+      // stage 3 — rebalance: per-source token totals from the persisted
+      // metrics; scan-side md5 rate filter (q43 shape, zero corpus IO)
+      val rebalanced = stage("rebalance") {
+        val perSource = kept.groupBy($"source").agg(sum($"n_tokens").as("tok"))
+        val minTok = perSource.agg(min($"tok")).head.getLong(0)
+        val rates = broadcast(perSource.select($"source",
+          least(lit(100L), expr(s"(cast($minTok as bigint) * 100) div tok")).as("rate")))
+        val out = kept.join(rates, "source")
+          .filter(conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10).cast("long") % 100 < $"rate")
+          .select($"doc_id", $"source", $"n_tokens").persist()
+        out.count()
+        out
+      }
+
+      // stage 4 — leakage-safe split: one broadcast-able join against
+      // the at-rest clusters (q48 shape) — near-dup pairs never straddle
+      val split = stage("split") {
+        val clusters = Dedup.loadClusters(spark, clustersDir)
+          .withColumnRenamed("cluster_id", "cc")
+        val out = rebalanced.join(clusters, Seq("doc_id"), "left")
+          .select($"doc_id", $"source", $"n_tokens",
+            coalesce($"cc", $"doc_id").as("cluster_id"))
+          .select($"doc_id", $"source", $"n_tokens",
+            when(conv(substring(md5($"cluster_id".cast("string")), 1, 15), 16, 10).cast("long") % 100 < 90,
+              "train").otherwise("val").as("split")).persist()
+        out.count()
+        out
+      }
+
+      // stage 5 — pack: per-shard cumsum into 2048-token sequences
+      // (q47 shape) over the train side
+      val packs = stage("pack") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        split.filter($"split" === "train")
+          .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+          .select($"source", expr("cum_before div 2048").as("pack_id"))
+          .groupBy($"source").agg(max($"pack_id") + 1)
+          .count()
+      }
+      println(s"STRESS   pipeline: kept=${kept.count()} rebalanced=${rebalanced.count()} " +
+        s"train+val=${split.count()} packed_shards=$packs (corpus deleted after stage 2 — " +
+        "stages 3-5 ran with zero corpus IO)")
+      val out = split.count()
+      kept.unpersist(blocking = false)
+      rebalanced.unpersist(blocking = false)
+      split.unpersist(blocking = false)
+      graft.CachePool.drain()
+      out
+    }
+
     spark.stop()
   }
 }
