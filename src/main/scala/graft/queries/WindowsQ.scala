@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det._
-import graft.operators.Windows
+import graft.operators.{TemporalJoins, Windows}
 import graft.sources.Tables
 
 /** Windows & event time (SURVEY §2 q13–q17), batch forms.
@@ -69,6 +69,48 @@ object WindowsQ extends QueryPack {
           $"user_id", $"event_id",
           count(lit(1)).over(w).as("running_n"),
           (sum(round($"value" * 100).cast("long")).over(w) / 100.0).as("running_value"))
+    }),
+
+    // AS-OF (temporal) join: each order priced against the credit
+    // limit IN EFFECT at its order date (Flink `FOR SYSTEM_TIME AS OF`
+    // over a CDC-materialized history). The version history is
+    // synthesized deterministically per customer (3 revisions on a
+    // custkey-scheduled calendar) so the oracle can rebuild it and
+    // replay with DuckDB's native ASOF LEFT JOIN. Orders predating
+    // their customer's first revision keep a NULL limit. The union +
+    // running-last window shuffles ONCE on the key — no inequality
+    // join, no per-probe history scan.
+    "q50_asof_join" -> ((s, d) => {
+      import s.implicits._
+      val versions = Tables.customer(s, d)
+        .select($"c_custkey", explode(sequence(lit(0), lit(2))).as("v"))
+        .select(
+          $"c_custkey".as("custkey"),
+          expr("timestampadd(DAY, cast(c_custkey % 500 + v * 800 as int), timestamp '1995-01-01')")
+            .as("eff"),
+          (($"c_custkey" * 31 + $"v" * 17) % 1000).cast("long").as("credit_limit"))
+      TemporalJoins.asOf(
+        Tables.orders(s, d).select($"o_orderkey", $"o_custkey".as("custkey"), $"o_orderdate"),
+        versions, key = "custkey", probeTs = "o_orderdate", versionTs = "eff",
+        payload = Seq("credit_limit"))
+    }),
+
+    // Interval join: each click paired with same-user errors within
+    // the following 10 minutes (Flink DataStream
+    // `intervalJoin.between(0, 10min)` — the error-attribution shape).
+    // Bucketized equi-join on (user, time-bucket): never a nested-loop
+    // join, shuffle bounded by per-user bucket occupancy.
+    "q51_interval_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_ts"))
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id".as("error_id"), $"user_id", $"ts".as("e_ts"))
+      TemporalJoins.interval(clicks, errors, key = "user_id",
+          leftTs = "c_ts", rightTs = "e_ts", lowerUs = 0L, upperUs = 600000000L)
+        .select($"click_id", $"error_id", $"user_id",
+          (unix_micros($"e_ts") - unix_micros($"c_ts")).as("gap_us"))
     })
   )
 
@@ -117,6 +159,24 @@ object WindowsQ extends QueryPack {
         |  sum(cast(round(value * 100) AS bigint)) OVER w / 100.0 AS running_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q50_asof_join" ->
+      """WITH versions AS (
+        |  SELECT c_custkey AS custkey,
+        |    TIMESTAMP '1995-01-01' + INTERVAL (c_custkey % 500 + v * 800) DAY AS eff,
+        |    cast((c_custkey * 31 + v * 17) % 1000 AS bigint) AS credit_limit
+        |  FROM customer, generate_series(0, 2) t(v))
+        |SELECT o_orderkey, o_custkey AS custkey, o_orderdate, credit_limit
+        |FROM orders ASOF LEFT JOIN versions
+        |  ON orders.o_custkey = versions.custkey AND orders.o_orderdate >= versions.eff""".stripMargin,
+
+    "q51_interval_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+        |e AS (SELECT event_id AS error_id, user_id, ts AS e_ts FROM events WHERE event_type = 'error')
+        |SELECT click_id, error_id, c.user_id AS user_id,
+        |  cast(epoch_us(e_ts) - epoch_us(c_ts) AS bigint) AS gap_us
+        |FROM c JOIN e ON c.user_id = e.user_id
+        |  AND e.e_ts >= c.c_ts AND e.e_ts <= c.c_ts + INTERVAL 10 MINUTE""".stripMargin
   )
 }

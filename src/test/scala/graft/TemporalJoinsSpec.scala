@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TemporalJoins
+
+/** AS-OF and interval joins: semantics vs the naive (inequality-join)
+  * definitions, plan shape (no nested-loop join), and edge cases. */
+class TemporalJoinsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("asOf matches the naive latest-version-at-or-before definition, including pre-history NULLs and exact-ts ties") {
+    import spark.implicits._
+    val versions = Seq(
+      (1L, 100L, 10L), (1L, 200L, 20L), (1L, 300L, 30L),
+      (2L, 150L, 99L)).toDF("k", "vt", "payload")
+      .select($"k", expr("timestamp_micros(vt)").as("eff"), $"payload")
+    val probes = Seq(
+      (1L, 50L), (1L, 100L), (1L, 250L), (1L, 300L), (1L, 999L),
+      (2L, 149L), (2L, 150L), (3L, 500L)).toDF("k", "pt")
+      .select($"k", expr("timestamp_micros(pt)").as("at"), $"pt")
+    val out = TemporalJoins.asOf(probes, versions, "k", "at", "eff", Seq("payload"))
+      .select($"k", $"pt", $"payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, 50L, -1L),   // before first version
+      (1L, 100L, 10L),  // tie: version at probe ts applies
+      (1L, 250L, 20L),
+      (1L, 300L, 30L),
+      (1L, 999L, 30L),
+      (2L, 149L, -1L),
+      (2L, 150L, 99L),
+      (3L, 500L, -1L))) // key with no history at all
+  }
+
+  test("interval join equals the naive inequality join on events and plans no nested-loop join") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_ts"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("error_id"), $"user_id", $"ts".as("e_ts"))
+    // 2h band at the tiny SF so the pair set is non-trivial
+    val band = 7200000000L
+    val out = TemporalJoins.interval(clicks, errors, "user_id", "c_ts", "e_ts", 0L, band)
+    val got = out.select($"click_id", $"error_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = clicks.join(errors, Seq("user_id"))
+      .filter(unix_micros($"e_ts") >= unix_micros($"c_ts") &&
+        unix_micros($"e_ts") <= unix_micros($"c_ts") + band)
+      .select($"click_id", $"error_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got.nonEmpty)
+    // each qualifying pair appears exactly once (right rows live in one bucket)
+    assert(out.count() == got.size)
+    // the whole point: an equi-join plan, not BroadcastNestedLoopJoin
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
+  }
+
+  test("asOf runs as one shuffle on the key: no join operator at all in the plan") {
+    import spark.implicits._
+    val versions = spark.range(1000).select(
+      ($"id" % 100).as("k"), expr("timestamp_micros(id * 1000)").as("eff"), $"id".as("payload"))
+    val probes = spark.range(500).select(
+      ($"id" % 100).as("k"), expr("timestamp_micros(id * 1700)").as("at"))
+    val out = TemporalJoins.asOf(probes, versions, "k", "at", "eff", Seq("payload"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asOf must be union+window, found a join:\n$plan")
+    assert(out.count() == 500)
+  }
+}
