@@ -291,6 +291,28 @@ object Pipelines {
         conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long") % 100
           < col("rate"))
 
+  /** Stream-stream interval join — the streaming twin of
+    * q51_interval_join (Flink DataStream `intervalJoin.between(0,
+    * band)`; ref: the keyed two-stream patterns of the reference's
+    * DataStream jobs): left rows matched to right rows of the same
+    * `key` with `rightTs ∈ [leftTs, leftTs + band]`, both inclusive.
+    *
+    * Spark-first: Structured Streaming's NATIVE stream-stream inner
+    * join already implements exactly Flink's interval-join state
+    * machine (a symmetric hash join whose buffered state is evicted
+    * once the watermark passes the time-range bound) — so this is a
+    * join condition, not a custom operator. Both sides need a
+    * watermark and the time-range predicate must bound each side in
+    * terms of the other, which is what lets the state stay finite at
+    * any volume. Column sets must be disjoint except `key`. */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, band: String, watermark: String): DataFrame = {
+    val r = right.withColumnRenamed(key, "__rk").withWatermark(rightTs, watermark)
+    left.withWatermark(leftTs, watermark)
+      .join(r, expr(s"$key = __rk AND $rightTs >= $leftTs AND $rightTs <= $leftTs + interval $band"))
+      .drop("__rk")
+  }
+
   // ---- streaming NEAR-dup dedup (SimHash band state) ----
 
   case class BandRow(band_key: Long, doc_id: Long, ts: Timestamp, fp: Long)

@@ -60,6 +60,47 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("streaming interval join (native stream-stream join) matches the batch operator") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // offset from the epoch: the initial watermark is 0, and Spark's
+    // late-row filter drops input with event time <= watermark — a
+    // row stamped exactly 1970-01-01T00:00:00 is "late" at birth
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    val clickRows = Seq((100L, 1L, ts(0)), (101L, 1L, ts(5)), (102L, 2L, ts(0)))
+    val errorRows = Seq((200L, 1L, ts(3)), (201L, 1L, ts(12)), (202L, 1L, ts(50)), (203L, 2L, ts(11)))
+
+    val cIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val eIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = graft.streaming.Pipelines.streamingIntervalJoin(
+      cIn.toDF().toDF("click_id", "user_id", "c_ts"),
+      eIn.toDF().toDF("error_id", "user_id", "e_ts"),
+      key = "user_id", leftTs = "c_ts", rightTs = "e_ts",
+      band = "10 minutes", watermark = "0 seconds")
+    val q = joined.select($"click_id", $"error_id")
+      .writeStream.format("memory").queryName("t_sij").start()
+    try {
+      cIn.addData(clickRows: _*)
+      eIn.addData(errorRows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_sij").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val batch = graft.operators.TemporalJoins.interval(
+        clickRows.toDF("click_id", "user_id", "c_ts"),
+        errorRows.toDF("error_id", "user_id", "e_ts"),
+        "user_id", "c_ts", "e_ts", 0L, 600000000L)
+      .select($"click_id", $"error_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed == batch)
+    // click@0/u1 ↔ error@3 (3min); click@5/u1 ↔ error@12 (7min);
+    // error@12 is outside click@0's band, error@11/u2 outside click@0/u2's
+    assert(streamed == Set((100L, 200L), (101L, 201L)))
+  }
+
   test("asOf runs as one shuffle on the key: no join operator at all in the plan") {
     import spark.implicits._
     val versions = spark.range(1000).select(
