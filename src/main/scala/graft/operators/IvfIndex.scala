@@ -170,16 +170,18 @@ object IvfIndex {
       if (c == null) rows.addNull()
       else { val a = rows.addArray(); c.foreach(a.add) }
     }
-    // stage to a temp name and rename into place (atomic on HDFS and
-    // local FS): a concurrent reader / crash mid-write must never
-    // observe a partial model file
+    // stage to a temp name and rename into place with OVERWRITE (one
+    // atomic metadata op on HDFS and local FS): a concurrent reader /
+    // crash mid-write must never observe a partial model file, and a
+    // delete-then-rename pair would leave a WINDOW WITH NO MODEL AT
+    // ALL if the process dies between the two calls
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$ModelFile.tmp")
     val out = fs.create(tmp, true)
     try out.write(om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"failed to publish ivf model $tmp -> $p")
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Read a [[save]]d model back: bit-identical centroids, csq

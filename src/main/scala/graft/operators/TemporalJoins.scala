@@ -43,25 +43,32 @@ object TemporalJoins {
     val probeCols = probe.columns.toSeq
     require(probeCols.intersect(payload).isEmpty,
       s"asOf: probe columns ${probeCols.intersect(payload).mkString(",")} collide with payload")
-    // version rows sort BEFORE probe rows at equal timestamps, making
-    // the bound inclusive: a version effective exactly at probe time
-    // is the version in effect
+    // the payload rides in ONE struct: the struct itself is the
+    // version marker (non-null on every version row, null on probes),
+    // so a version whose payload COLUMNS are NULL — a perfectly normal
+    // CDC update setting a field to NULL — still wins the running
+    // last(); per-column last() would skip it (resolving the probe to
+    // an older version) and could even tear columns across different
+    // versions. Version rows sort BEFORE probe rows at equal
+    // timestamps, making the bound inclusive: a version effective
+    // exactly at probe time is the version in effect.
+    val payloadStruct = struct(payload.map(col): _*)
     val vTagged = versions.select(
-      Seq(col(key).as("__k"), col(versionTs).as("__t"), lit(0).as("__p")) ++
-        payload.map(col) ++
+      Seq(col(key).as("__k"), col(versionTs).as("__t"), lit(0).as("__p"),
+        payloadStruct.as("__pl")) ++
         probeCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+    val nullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(payload.map(c => versions.schema(c))))
     val pTagged = probe.select(
-      Seq(col(key).as("__k"), col(probeTs).as("__t"), lit(1).as("__p")) ++
-        payload.map(c => lit(null).cast(versions.schema(c).dataType).as(c)) ++
+      Seq(col(key).as("__k"), col(probeTs).as("__t"), lit(1).as("__p"),
+        nullStruct.as("__pl")) ++
         probeCols.map(col): _*)
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     vTagged.unionByName(pTagged)
-      .select(
-        col("__p") +: (probeCols.map(col) ++
-          payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      .withColumn("__eff", last(col("__pl"), ignoreNulls = true).over(w))
       .filter(col("__p") === 1)
-      .drop("__p")
+      .select(probeCols.map(col) ++ payload.map(c => col("__eff")(c).as(c)): _*)
   }
 
   /** Interval join: pairs (l, r) with the same `key` and

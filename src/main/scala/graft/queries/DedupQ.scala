@@ -65,12 +65,7 @@ object DedupQ extends QueryPack {
   private def registerCleanup(root: java.nio.file.Path): Unit =
     if (cleanupRegistered.add(root.toString))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        if (java.nio.file.Files.exists(root)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
-        }))
+        graft.tools.FileUtil.deleteTree(root)))
 
   /** Build the near-dup cluster artifact for `d` if this session has
     * not yet: the full shingle → Jaccard-pair → connected-components

@@ -177,12 +177,16 @@ object ChangelogFileSource {
     * that as a relative path named "file:" and silently list nothing. */
   private[sources] def localPath(dir: String): java.nio.file.Path = {
     val uri = try new java.net.URI(dir) catch { case _: java.net.URISyntaxException => null }
-    if (uri == null || uri.getScheme == null) Paths.get(dir)
-    else {
-      require(uri.getScheme == "file",
+    // only a well-formed file: URI with a hierarchical path is treated
+    // as a URI; anything else (no scheme, a colon-bearing relative path
+    // that parses with a bogus scheme, an opaque 'file:rel' whose
+    // getPath is null) stays a plain filesystem path
+    if (uri != null && uri.getScheme == "file" && uri.getPath != null) Paths.get(uri.getPath)
+    else if (uri != null && uri.getScheme != null && uri.getScheme.length > 1
+      && uri.getPath != null && uri.getPath.startsWith("/") && uri.getAuthority != null)
+      throw new IllegalArgumentException(
         s"graft changelog sources read local paths, got scheme '${uri.getScheme}' in $dir")
-      Paths.get(uri.getPath)
-    }
+    else Paths.get(dir)
   }
 
   private[sources] def listFiles(dir: String): Array[String] = {

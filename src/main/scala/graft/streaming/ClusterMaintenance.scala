@@ -64,13 +64,18 @@ object ClusterMaintenance {
     if (exists(spark, dir)) spark.read.parquet(dir).filter(col("b") < upTo)
     else emptyDf(spark, ddl)
 
-  /** Cluster version dirs under `root`, ascending by batch id. */
+  /** COMMITTED cluster version dirs under `root`, ascending by batch
+    * id. A version counts only once its `_SUCCESS` marker exists —
+    * a crash mid-write leaves a partial directory that consumers must
+    * never mistake for the artifact (missing cluster rows would let
+    * near-dup pairs straddle a train/val split silently). */
   private def versions(spark: SparkSession, root: String): Seq[(Long, String)] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/clusters")
     val f = fs(spark, s"$root/clusters")
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("v="))
+      .filter(q => f.exists(new org.apache.hadoop.fs.Path(q, "_SUCCESS")))
       .map(q => (q.getName.stripPrefix("v=").toLong, q.toString))
       .sortBy(_._1)
   }
@@ -103,10 +108,15 @@ object ClusterMaintenance {
       val priorCounts = readBefore(spark, s"$root/counts", "id BIGINT, n BIGINT, b BIGINT", batchId)
         .select(col("id"), col("n"))
       // freeze buckets whose running df crosses the cap as of this batch.
-      // Only shingles PRESENT in the batch can join, so the frozen set
-      // only needs batch shingles' totals — and it is tiny (it is the
-      // boilerplate set), so it broadcasts.
-      val priorDf = priorPostings.groupBy(col("sh")).agg(count(lit(1)).as("df0"))
+      // Only shingles PRESENT in the batch can join, so the history is
+      // SEMI-JOINED to the batch's (small, broadcastable) shingle set
+      // before aggregating — the df computation shuffles O(batch)
+      // postings rows, not the whole history. The frozen output is tiny
+      // (it is the boilerplate set), so it broadcasts.
+      val batchShKeys = batchSh.select(col("sh")).distinct()
+      val priorDf = priorPostings
+        .join(broadcast(batchShKeys), Seq("sh"), "left_semi")
+        .groupBy(col("sh")).agg(count(lit(1)).as("df0"))
       val frozen = batchSh.groupBy(col("sh")).agg(count(lit(1)).as("df1"))
         .join(priorDf, Seq("sh"), "left")
         .filter(coalesce(col("df0"), lit(0L)) + col("df1") > dfCap)
@@ -139,7 +149,14 @@ object ClusterMaintenance {
           .write.mode("overwrite").parquet(s"$root/postings/b=$batchId")
         nNew.write.mode("overwrite").parquet(s"$root/counts/b=$batchId")
       } finally capped.unpersist(blocking = false)
-    } finally batchSh.unpersist(blocking = false)
+    } finally {
+      batchSh.unpersist(blocking = false)
+      // connectedComponents (inside foldPairsIntoClusters) tracks its
+      // final round's checkpoint blocks in the global CachePool; the
+      // artifact write above consumed them, and a long-lived stream
+      // would otherwise accumulate one dead checkpoint per micro-batch
+      graft.CachePool.drain()
+    }
   }
 
   /** foreachBatch adapter. */

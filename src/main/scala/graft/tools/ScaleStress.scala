@@ -410,12 +410,9 @@ object ScaleStress {
       }
 
       // the corpus is now GONE — the remaining stages must run from the
-      // shared scans (kept) and the cluster artifact alone
-      {
-        val l = java.nio.file.Files.walk(java.nio.file.Paths.get(docsDir))
-        try l.sorted(java.util.Comparator.reverseOrder()).forEach(p => java.nio.file.Files.delete(p))
-        finally l.close()
-      }
+      // shared scans (kept) and the cluster artifact alone (strict:
+      // this deletion IS the zero-rescan assertion)
+      FileUtil.deleteTree(java.nio.file.Paths.get(docsDir), strict = true)
 
       // stage 3 — rebalance: per-source token totals from the persisted
       // metrics; scan-side md5 rate filter (q43 shape, zero corpus IO)
@@ -452,14 +449,16 @@ object ScaleStress {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"source").orderBy($"doc_id")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        // total sequences = Σ per-source (max pack_id + 1) — counting
+        // the groupBy rows would just count sources
         split.filter($"split" === "train")
           .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
           .select($"source", expr("cum_before div 2048").as("pack_id"))
-          .groupBy($"source").agg(max($"pack_id") + 1)
-          .count()
+          .groupBy($"source").agg((max($"pack_id") + 1).as("k"))
+          .agg(sum($"k")).head.getLong(0)
       }
       println(s"STRESS   pipeline: kept=${kept.count()} rebalanced=${rebalanced.count()} " +
-        s"train+val=${split.count()} packed_shards=$packs (corpus deleted after stage 2 — " +
+        s"train+val=${split.count()} packed_sequences=$packs (corpus deleted after stage 2 — " +
         "stages 3-5 ran with zero corpus IO)")
       val out = split.count()
       kept.unpersist(blocking = false)

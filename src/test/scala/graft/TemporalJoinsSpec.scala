@@ -13,11 +13,12 @@ class TemporalJoinsSpec extends AnyFunSuite {
   test("asOf matches the naive latest-version-at-or-before definition, including pre-history NULLs and exact-ts ties") {
     import spark.implicits._
     val versions = Seq(
-      (1L, 100L, 10L), (1L, 200L, 20L), (1L, 300L, 30L),
-      (2L, 150L, 99L)).toDF("k", "vt", "payload")
+      (1L, 100L, Some(10L)), (1L, 200L, Some(20L)), (1L, 300L, Some(30L)),
+      (1L, 400L, None), // a CDC update setting the column to NULL
+      (2L, 150L, Some(99L))).toDF("k", "vt", "payload")
       .select($"k", expr("timestamp_micros(vt)").as("eff"), $"payload")
     val probes = Seq(
-      (1L, 50L), (1L, 100L), (1L, 250L), (1L, 300L), (1L, 999L),
+      (1L, 50L), (1L, 100L), (1L, 250L), (1L, 300L), (1L, 399L), (1L, 999L),
       (2L, 149L), (2L, 150L), (3L, 500L)).toDF("k", "pt")
       .select($"k", expr("timestamp_micros(pt)").as("at"), $"pt")
     val out = TemporalJoins.asOf(probes, versions, "k", "at", "eff", Seq("payload"))
@@ -28,7 +29,8 @@ class TemporalJoinsSpec extends AnyFunSuite {
       (1L, 100L, 10L),  // tie: version at probe ts applies
       (1L, 250L, 20L),
       (1L, 300L, 30L),
-      (1L, 999L, 30L),
+      (1L, 399L, 30L),
+      (1L, 999L, -1L),  // the NULL-payload version WINS (not skipped back to 30)
       (2L, 149L, -1L),
       (2L, 150L, 99L),
       (3L, 500L, -1L))) // key with no history at all
