@@ -178,12 +178,16 @@ object ChangelogFileSource {
   private[sources] def localPath(dir: String): java.nio.file.Path = {
     val uri = try new java.net.URI(dir) catch { case _: java.net.URISyntaxException => null }
     // only a well-formed file: URI with a hierarchical path is treated
-    // as a URI; anything else (no scheme, a colon-bearing relative path
-    // that parses with a bogus scheme, an opaque 'file:rel' whose
-    // getPath is null) stays a plain filesystem path
+    // as a URI. Any OTHER multi-char scheme with an absolute path
+    // (hdfs://nn/x, hdfs:/x, s3a://b/k — with or without authority) is
+    // a remote URI this local source cannot read: fail loudly rather
+    // than silently listing nothing. Everything else (no scheme, a
+    // single-letter Windows drive, a colon-bearing relative path whose
+    // bogus "scheme" has no absolute path, an opaque 'file:rel') stays
+    // a plain filesystem path.
     if (uri != null && uri.getScheme == "file" && uri.getPath != null) Paths.get(uri.getPath)
     else if (uri != null && uri.getScheme != null && uri.getScheme.length > 1
-      && uri.getPath != null && uri.getPath.startsWith("/") && uri.getAuthority != null)
+      && uri.getPath != null && uri.getPath.startsWith("/"))
       throw new IllegalArgumentException(
         s"graft changelog sources read local paths, got scheme '${uri.getScheme}' in $dir")
     else Paths.get(dir)

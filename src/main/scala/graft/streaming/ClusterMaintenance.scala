@@ -113,9 +113,13 @@ object ClusterMaintenance {
       // before aggregating — the df computation shuffles O(batch)
       // postings rows, not the whole history. The frozen output is tiny
       // (it is the boilerplate set), so it broadcasts.
+      // NO broadcast hint: a steady-state batch's key set is tiny (AQE
+      // picks a broadcast join itself), but a backfill first batch can
+      // carry 10^8+ distinct keys, and a forced broadcast would hit
+      // the size ceiling where a shuffled semi-join just runs slower
       val batchShKeys = batchSh.select(col("sh")).distinct()
       val priorDf = priorPostings
-        .join(broadcast(batchShKeys), Seq("sh"), "left_semi")
+        .join(batchShKeys, Seq("sh"), "left_semi")
         .groupBy(col("sh")).agg(count(lit(1)).as("df0"))
       val frozen = batchSh.groupBy(col("sh")).agg(count(lit(1)).as("df1"))
         .join(priorDf, Seq("sh"), "left")
@@ -140,8 +144,16 @@ object ClusterMaintenance {
           .select(least(col("id_new"), col("id_old")).as("id_a"),
             greatest(col("id_new"), col("id_old")).as("id_b"))
         val pairs = intra.unionByName(cross)
-        val merged = Dedup.foldPairsIntoClusters(clustersBefore(spark, root, batchId), pairs)
-        Dedup.clustersAtRest(merged, s"$root/clusters/v=$batchId")
+        // scoped: connectedComponents (inside foldPairsIntoClusters)
+        // localCheckpoints its final round and registers the blocks
+        // with CachePool — the artifact write consumes them, and the
+        // scope releases exactly THIS batch's blocks on exit (a global
+        // drain could unpersist a concurrent query's truncated-lineage
+        // checkpoints; skipping cleanup would leak one per micro-batch)
+        graft.CachePool.scoped {
+          val merged = Dedup.foldPairsIntoClusters(clustersBefore(spark, root, batchId), pairs)
+          Dedup.clustersAtRest(merged, s"$root/clusters/v=$batchId")
+        }
         // postings keep the UNCAPPED batch shingles: running df must stay
         // monotone (a frozen bucket's occurrences still count), while
         // counts store the capped per-doc sizes the Jaccard math uses
@@ -149,14 +161,7 @@ object ClusterMaintenance {
           .write.mode("overwrite").parquet(s"$root/postings/b=$batchId")
         nNew.write.mode("overwrite").parquet(s"$root/counts/b=$batchId")
       } finally capped.unpersist(blocking = false)
-    } finally {
-      batchSh.unpersist(blocking = false)
-      // connectedComponents (inside foldPairsIntoClusters) tracks its
-      // final round's checkpoint blocks in the global CachePool; the
-      // artifact write above consumed them, and a long-lived stream
-      // would otherwise accumulate one dead checkpoint per micro-batch
-      graft.CachePool.drain()
-    }
+    } finally batchSh.unpersist(blocking = false)
   }
 
   /** foreachBatch adapter. */

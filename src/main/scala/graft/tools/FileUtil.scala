@@ -7,19 +7,25 @@ import java.nio.file.{Files, Path}
 object FileUtil {
 
   /** Recursive delete, deepest-first. `strict = false` (cleanup mode)
-    * swallows per-path failures — a concurrently-removed entry is
-    * fine — and treats an unwalkable/absent root as a no-op;
-    * `strict = true` propagates any failure (for callers where the
-    * deletion IS the assertion, e.g. ScaleStress's deleted-corpus
-    * proof). */
+    * swallows EVERY failure — concurrently-removed entries, traversal
+    * errors surfacing as UncheckedIOException mid-stream, an absent
+    * root — so a shutdown hook can never die half-way and strand the
+    * rest of the tree. `strict = true` propagates any failure AND
+    * requires the root to exist (for callers where the deletion IS the
+    * assertion, e.g. ScaleStress's deleted-corpus proof — silently
+    * no-opping on a wrong path would report the proof without running
+    * it). */
   def deleteTree(root: Path, strict: Boolean = false): Unit = {
-    if (!Files.exists(root)) return
-    val walk =
-      try Files.walk(root)
-      catch { case e: java.io.IOException => if (strict) throw e else return }
-    try walk.sorted(java.util.Comparator.reverseOrder()).forEach { p =>
-      try { Files.deleteIfExists(p); () }
-      catch { case e: java.io.IOException => if (strict) throw e }
-    } finally walk.close()
+    if (!Files.exists(root)) {
+      if (strict) throw new java.nio.file.NoSuchFileException(root.toString)
+      return
+    }
+    try {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder()).forEach { p =>
+        try { Files.deleteIfExists(p); () }
+        catch { case e: Exception => if (strict) throw e }
+      } finally walk.close()
+    } catch { case e: Exception => if (strict) throw e }
   }
 }

@@ -455,7 +455,7 @@ object ScaleStress {
           .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
           .select($"source", expr("cum_before div 2048").as("pack_id"))
           .groupBy($"source").agg((max($"pack_id") + 1).as("k"))
-          .agg(sum($"k")).head.getLong(0)
+          .agg(coalesce(sum($"k"), lit(0L))).head.getLong(0)
       }
       println(s"STRESS   pipeline: kept=${kept.count()} rebalanced=${rebalanced.count()} " +
         s"train+val=${split.count()} packed_sequences=$packs (corpus deleted after stage 2 — " +
