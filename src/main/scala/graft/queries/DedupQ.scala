@@ -193,6 +193,20 @@ object DedupQ extends QueryPack {
             "train").otherwise("val").as("split"))
     }),
 
+    // The keep/drop decision — the terminal step of the dedup
+    // pipeline (q41's clusters exist to produce exactly this): keep
+    // each cluster's minimum doc_id and every singleton, drop the
+    // rest. Reads the at-rest cluster artifact; the query's own cost
+    // is one broadcast-able join (clusters hold only paired docs).
+    "q52_dedup_keep" -> ((s, d) => {
+      import s.implicits._
+      val clusters = Dedup.loadClusters(s, ensureClusters(s, d))
+      augmentedDocs(s, d).select($"doc_id")
+        .join(clusters.withColumnRenamed("cluster_id", "cc"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"cc", $"doc_id").as("cluster_id"))
+        .withColumn("keep", $"doc_id" === $"cluster_id")
+    }),
+
     // Benchmark-contamination screening (training-data decontam): a
     // corpus doc is contaminated if it shares ANY 13-gram with the
     // benchmark set (here a deterministic doc_id % 97 sample standing
@@ -327,6 +341,14 @@ object DedupQ extends QueryPack {
          |  CASE WHEN cast(('0x' || substr(md5(cluster_id::VARCHAR), 1, 15)) AS bigint) % 100 < 90
          |       THEN 'train' ELSE 'val' END AS split
          |FROM assigned""".stripMargin,
+
+    "q52_dedup_keep" ->
+      s"""WITH RECURSIVE $augSql,
+         |$shinglesSql,
+         |$ccSql,
+         |assigned AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+         |             FROM (SELECT doc_id FROM aug) d LEFT JOIN cc USING (doc_id))
+         |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM assigned""".stripMargin,
 
     "q40_contamination" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
