@@ -86,14 +86,46 @@ object StreamingDemo {
     eq.processAllAvailable(); eq.stop()
     println("EXACTLY_ONCE_PUBLISHED=" + eoSink.visibleRequests.length)
 
-    // DataSourceV2 changelog format (the reference's SQL-DDL UX).
+    // DataSourceV2 changelog format — driven through PURE SQL DDL, the
+    // reference's configuration surface (format/csv/Csv2Csv.java DDL).
     val envDir = java.nio.file.Files.createTempDirectory("demo_canal")
     java.nio.file.Files.write(envDir.resolve("00000.json"),
       """{"data":[{"id":"1","price":"9.5"}],"type":"INSERT","table":"orders","ts":1}
         |{"data":[{"id":"1","price":"11.0"}],"old":[{"price":"9.5"}],"type":"UPDATE","table":"orders","ts":2}"""
         .stripMargin.getBytes("UTF-8"))
-    val chg = spark.read.format("graft-canal-json").option("path", envDir.toString).load()
+    spark.sql(s"CREATE TABLE demo_chg USING `graft-canal-json` OPTIONS (path '${envDir.toString}')")
+    val chg = spark.sql("SELECT row_kind, ts, fields['price'] AS price FROM demo_chg")
     println("CANAL_FORMAT_CHANGELOG=" + chg.orderBy("ts", "row_kind").collect().mkString(";"))
+    spark.sql("DROP TABLE demo_chg")
+
+    // Streaming incremental cluster maintenance: micro-batches of docs
+    // fold new near-dup pairs into the at-rest cluster artifact.
+    val cmRoot = java.nio.file.Files.createTempDirectory("demo_cm").toString
+    val cmIn = MemoryStream[(Long, String)]
+    val cmQ = cmIn.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("demo_cm_ckpt").toString)
+      .foreachBatch(graft.streaming.ClusterMaintenance.sink(cmRoot, "doc_id", "text"))
+      .start()
+    cmIn.addData(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "unrelated words entirely here now friend nothing shared at all"))
+    cmQ.processAllAvailable()
+    cmIn.addData((3L, "beta gamma delta epsilon zeta eta theta iota kappa")) // near-copy of doc 1, next batch
+    cmQ.processAllAvailable(); cmQ.stop()
+    println("INCREMENTAL_CLUSTERS=" +
+      graft.streaming.ClusterMaintenance.loadClusters(spark, cmRoot)
+        .orderBy("doc_id").collect().mkString(";"))
+
+    // Temporal joins: AS-OF (one shuffle, no inequality join) and the
+    // native stream-stream interval join.
+    val hist = Seq((1L, 1000L, 10L), (1L, 2000L, 20L)).toDF("k", "t", "limit_v")
+      .selectExpr("k", "timestamp_micros(t) AS eff", "limit_v")
+    val prb = Seq((1L, 1500L), (1L, 2500L), (1L, 500L)).toDF("k", "t")
+      .selectExpr("k", "timestamp_micros(t) AS at")
+    println("ASOF=" + graft.operators.TemporalJoins
+      .asOf(prb, hist, "k", "at", "eff", Seq("limit_v"))
+      .orderBy("at").collect().mkString(";"))
 
     spark.stop()
   }
