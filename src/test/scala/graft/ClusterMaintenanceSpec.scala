@@ -42,6 +42,49 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
     CachePool.drain()
   }
 
+  test("crashed-batch replay: uncommitted versions are invisible, replay reads only older state, result identical to a clean run") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cm_crash").toString
+    val rootClean = Files.createTempDirectory("graft_cm_clean").toString
+    // 3 arrival batches; docs 1/3 and 2/4 are cross-batch near-copies
+    val mk = (id: Long, text: String) => (id, text)
+    val batches = Seq(
+      Seq(mk(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        mk(10, "totally unrelated content lives in this document here now")),
+      Seq(mk(2, "one two three four five six seven eight nine ten eleven"),
+        mk(3, "beta gamma delta epsilon zeta eta theta iota kappa")),
+      Seq(mk(4, "two three four five six seven eight nine ten eleven"),
+        mk(11, "another unrelated document with its own words only")))
+    def run(root: String, b: Int): Unit =
+      graft.streaming.ClusterMaintenance.processBatch(
+        batches(b).toDF("doc_id", "text"), b, root, "doc_id", "text")
+
+    // clean reference run
+    (0 until 3).foreach(b => run(rootClean, b))
+    val expected = clusterSet(graft.streaming.ClusterMaintenance.loadClusters(spark, rootClean))
+    assert(expected == Set((1L, 1L), (3L, 1L), (2L, 2L), (4L, 2L)))
+
+    // crash scenario: batches 0,1 commit; batch 2 crashes mid-write,
+    // leaving an UNCOMMITTED clusters/v=2 (no _SUCCESS) with wrong
+    // content and a half-written postings/b=2
+    run(root, 0); run(root, 1)
+    val afterB1 = clusterSet(graft.streaming.ClusterMaintenance.loadClusters(spark, root))
+    Seq((99L, 99L)).toDF("doc_id", "cluster_id")
+      .write.parquet(s"$root/clusters/v=2")
+    Files.delete(java.nio.file.Paths.get(s"$root/clusters/v=2/_SUCCESS"))
+    batches(2).take(1).toDF("doc_id", "text")
+      .selectExpr("doc_id AS id", "cast(doc_id as bigint) AS sh")
+      .write.parquet(s"$root/postings/b=2")
+    // consumers never see the torn version
+    assert(clusterSet(graft.streaming.ClusterMaintenance.loadClusters(spark, root)) == afterB1)
+    // replay of batch 2 (same batchId, Structured Streaming's contract)
+    // reads only state strictly older than itself and overwrites its own
+    // outputs — the torn leftovers must not poison the result
+    run(root, 2)
+    assert(clusterSet(graft.streaming.ClusterMaintenance.loadClusters(spark, root)) == expected)
+    CachePool.drain()
+  }
+
   test("streaming N batches of docs converges the artifact to the batch q41 clusters") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

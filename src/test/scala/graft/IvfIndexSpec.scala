@@ -130,6 +130,27 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(cold.nonEmpty)
   }
 
+  test("save() atomically OVERWRITES an existing model: load returns the newest centroids") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ivf_over").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", VectorFunctions.vec($"embedding").as("v"))
+    val m1 = IvfIndex.train(emb, cells = 16, iters = 1, memoKey = s"$sfDir#over1")
+    val m2 = IvfIndex.train(emb, cells = 16, iters = 2, memoKey = s"$sfDir#over2")
+    IvfIndex.save(m1, dir, spark)
+    IvfIndex.save(m2, dir, spark) // rename-with-OVERWRITE path
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.cells == m2.cells)
+    m2.cent.zip(loaded.cent).foreach {
+      case (null, c2) => assert(c2 == null)
+      case (c1, c2) => assert(c1.sameElements(c2))
+    }
+    // and it is genuinely the SECOND model (2-iter centroids differ)
+    assert(m1.cent.zip(m2.cent).exists {
+      case (a, b) => a != null && b != null && !a.sameElements(b)
+    })
+  }
+
   test("load() fails loudly on a truncated model file (never silently drops cells)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ivf_trunc").toString

@@ -62,6 +62,31 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("asOf equals the naive inequality-join definition on the orders/history corpus") {
+    import spark.implicits._
+    val versions = graft.sources.Tables.customer(spark, sfDir)
+      .select($"c_custkey", explode(sequence(lit(0), lit(2))).as("v"))
+      .select($"c_custkey".as("custkey"),
+        expr("timestampadd(DAY, cast(c_custkey % 500 + v * 800 as int), timestamp '1995-01-01')").as("eff"),
+        (($"c_custkey" * 31 + $"v" * 17) % 1000).cast("long").as("credit_limit"))
+    val probes = graft.sources.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey".as("custkey"), $"o_orderdate")
+    val got = TemporalJoins.asOf(probes, versions, "custkey", "o_orderdate", "eff", Seq("credit_limit"))
+      .select($"o_orderkey", $"credit_limit")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // naive: per probe, the max-eff qualifying version; probes with no
+    // qualifying version (pre-history) must survive with NULL
+    val best = probes.join(versions, Seq("custkey"))
+      .filter($"eff" <= $"o_orderdate")
+      .groupBy($"o_orderkey").agg(max(struct($"eff", $"credit_limit")).as("b"))
+      .select($"o_orderkey", $"b.credit_limit".as("credit_limit"))
+    val naive = probes.select($"o_orderkey").join(best, Seq("o_orderkey"), "left")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got.nonEmpty && got == naive)
+    // both NULL (pre-history) and non-NULL probes present
+    assert(got.exists(_._2 == -1L) && got.exists(_._2 >= 0L))
+  }
+
   test("streaming interval join (native stream-stream join) matches the batch operator") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
