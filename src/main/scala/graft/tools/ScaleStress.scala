@@ -337,6 +337,77 @@ object ScaleStress {
       n
     }
 
+    // AS-OF join at volume: 20M probes against a 3M-row version history
+    // over 1M keys. The union + running-last window is ONE shuffle on
+    // the key — a per-probe history scan (BroadcastNestedLoopJoin)
+    // would be 20M × 3 version rows per key of wasted compare.
+    time("asof_join_20M_probes_3M_versions") {
+      val versions = spark.range(3L * 1000 * 1000).select(
+        pmod($"id", lit(1000000)).as("k"),
+        expr("timestamp_micros(id * 1000)").as("eff"),
+        $"id".as("payload"))
+      val probes = spark.range(20L * 1000 * 1000).select(
+        pmod($"id", lit(1000000)).as("k"),
+        expr("timestamp_micros(id * 317)").as("at"))
+      graft.operators.TemporalJoins.asOf(probes, versions, "k", "at", "eff", Seq("payload"))
+        .filter($"payload".isNotNull).count()
+    }
+
+    // Interval join at volume: 20M events (2/3 probe, 1/3 build side)
+    // over 100k keys, 10-minute band. Bucketized equi-join: shuffle is
+    // bounded by (key, bucket) occupancy; the naive inequality join
+    // would be a nested-loop over every same-key pair.
+    time("interval_join_20M_events") {
+      // same-key events land every ~300 s (100k keys × 3 ms global
+      // spacing), so each left row sees its next one-or-two same-key
+      // successors inside the 10-min band — sparse but real matching
+      val ev = spark.range(20L * 1000 * 1000).select(
+        $"id",
+        pmod($"id", lit(100000)).as("k"),
+        expr("timestamp_micros(id * 3000)").as("ts"))
+      val lefts = ev.filter(pmod($"id", lit(3)) =!= 0)
+        .select($"id".as("l_id"), $"k", $"ts".as("l_ts"))
+      val rights = ev.filter(pmod($"id", lit(3)) === 0)
+        .select($"id".as("r_id"), $"k", $"ts".as("r_ts"))
+      graft.operators.TemporalJoins.interval(
+        lefts, rights, "k", "l_ts", "r_ts", 0L, 600000000L).count()
+    }
+
+    // Incremental cluster maintenance under sustained ingest: 20
+    // micro-batches × 50k docs (1M cumulative), ~7.7% of each batch
+    // near-duplicating an EARLIER doc. Per-batch latency may grow with
+    // the postings history (the cross-batch candidate join reads it),
+    // but it must grow ~linearly, not quadratically, and the artifact
+    // must track the designed cross-batch pair structure.
+    time("cluster_maintenance_20_batches_1M_docs") {
+      val root = java.nio.file.Files.createTempDirectory("graft_stress_cm").toString
+      val perBatch = 50000L
+      def batchDf(b: Long) = spark.range(b * perBatch, (b + 1) * perBatch).select(
+        $"id".as("doc_id"),
+        expr(s"""concat_ws(' ', transform(sequence(0, 39), i ->
+          |  substring(md5(concat(cast(CASE WHEN id % 13 = 0 THEN id div 13
+          |                                 ELSE id END as string), ':', cast(i as string))), 1, 7)))""".stripMargin)
+          .as("t0"))
+        .select($"doc_id",
+          when($"doc_id" % 13 === 0, expr("substring(t0, instr(t0, ' ') + 1)"))
+            .otherwise($"t0").as("text"))
+      val secs = (0L until 20L).map { b =>
+        val t0 = System.nanoTime()
+        graft.streaming.ClusterMaintenance.processBatch(
+          batchDf(b), b, root, "doc_id", "text",
+          dfCap = Adaptive.dfCap(20 * perBatch))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val head3 = secs.take(3).sum / 3
+      val tail3 = secs.takeRight(3).sum / 3
+      val clusters = graft.streaming.ClusterMaintenance.loadClusters(spark, root)
+      val n = clusters.count()
+      println(f"STRESS   per_batch_secs=[${secs.map(s => f"$s%.1f").mkString(", ")}] " +
+        f"tail3/head3=${tail3 / head3}%.2f clustered_docs=$n")
+      FileUtil.deleteTree(java.nio.file.Paths.get(root))
+      n
+    }
+
     // The COMPOSED pipeline at volume: clean → dedup-cluster → rebalance
     // → leakage-safe split → pack over 1M docs, sharing ONE scoring scan
     // and ONE shingle scan (plus the at-rest cluster artifact) instead
