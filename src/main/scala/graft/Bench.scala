@@ -28,6 +28,7 @@ object Bench {
     // warm the k-means / shingle / CC kernel classes at toy scale so the
     // sf0.1 setup lines below measure the work, not JIT + classloading
     queries.SimilarityQ.ivfModel(spark, "/root/testdata/sf0.001")
+    queries.SimilarityQ.semdedupModel(spark, "/root/testdata/sf0.001")
     queries.DedupQ.ensureClusters(spark, "/root/testdata/sf0.001")
     CachePool.drain()
 
@@ -38,6 +39,7 @@ object Bench {
     // per-query numbers incomparable. Total still includes them.
     val setups: Seq[(String, (SparkSession, String) => Unit)] = Seq(
       "q38_train" -> ((s, d) => { queries.SimilarityQ.ivfModel(s, d); () }),
+      "q53_train" -> ((s, d) => { queries.SimilarityQ.semdedupModel(s, d); () }),
       "q41_clusters_build" -> ((s, d) => { queries.DedupQ.ensureClusters(s, d); () })
     )
     val setupResults = setups.map { case (name, fn) =>

@@ -207,6 +207,50 @@ object DedupQ extends QueryPack {
         .withColumn("keep", $"doc_id" === $"cluster_id")
     }),
 
+    // Exact SUBSTRING deduplication (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): instead of
+    // whole-document verdicts, measure the duplicated SPANS — every
+    // 8-token window whose text occurs verbatim in some other
+    // document marks its positions as duplicated, overlapping windows
+    // merge, and the per-doc output is (n_tokens, dup_tokens,
+    // dup_ratio) — the signal used to trim or drop boilerplate-heavy
+    // docs. Shapes: positions explode LINEARLY in corpus tokens; the
+    // dup-gram decision is one (hash)-keyed partial-agg shuffle;
+    // coverage is a per-doc window over only the HIT positions
+    // (equal-width intervals sorted by start ⇒ merged coverage is
+    // sum(min(k, gap)) via lag — no interval tree). The md5-prefix
+    // gram hash is the same 60-bit convention as the shingle
+    // pipeline, replayed exactly by the oracle.
+    "q54_substring_dedup" -> ((s, d) => {
+      import s.implicits._
+      val k = 8
+      val base = augmentedDocs(s, d)
+        .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("words"))
+        .select($"doc_id", size($"words").cast("long").as("n_tokens"), $"words")
+      val grams = CachePool.cache(
+        base.filter($"n_tokens" >= k)
+          .select($"doc_id", $"words",
+            explode(sequence(lit(1L), $"n_tokens" - (k - 1))).as("s"))
+          .select($"doc_id", $"s",
+            conv(substring(md5(array_join(slice($"words", $"s", lit(k)), " ")), 1, 15), 16, 10)
+              .cast("long").as("h")))
+      val dupG = grams.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2).select($"h")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"s")
+      val cov = grams.join(dupG, "h")
+        .withColumn("contrib",
+          least(lit(k.toLong), $"s" - coalesce(lag($"s", 1).over(w), $"s" - k)))
+        .groupBy($"doc_id").agg(sum($"contrib").as("dup_tokens"))
+      base.select($"doc_id", $"n_tokens")
+        .join(cov, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+          when($"n_tokens" === 0, lit(0.0))
+            .otherwise(coalesce($"dup_tokens", lit(0L)).cast("double") / $"n_tokens")
+            .as("dup_ratio"))
+    }),
+
     // Benchmark-contamination screening (training-data decontam): a
     // corpus doc is contaminated if it shares ANY 13-gram with the
     // benchmark set (here a deterministic doc_id % 97 sample standing
@@ -273,6 +317,26 @@ object DedupQ extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q54_substring_dedup" ->
+      s"""WITH $augSql,
+         |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words FROM aug),
+         |base AS (SELECT doc_id, len(words)::BIGINT AS n_tokens, words FROM toks),
+         |grams AS (SELECT doc_id, i AS s,
+         |            cast(('0x' || substr(md5(array_to_string(list_slice(words, i, i + 7), ' ')), 1, 15)) AS bigint) AS h
+         |          FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 7)) AS i
+         |                FROM base WHERE len(words) >= 8)),
+         |dupg AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM grams GROUP BY h)
+         |         WHERE nd >= 2),
+         |cov AS (SELECT doc_id, sum(contrib)::BIGINT AS dup_tokens FROM (
+         |          SELECT doc_id,
+         |            least(8, s - coalesce(lag(s) OVER (PARTITION BY doc_id ORDER BY s), s - 8)) AS contrib
+         |          FROM grams JOIN dupg USING (h)) GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+         |  CASE WHEN b.n_tokens = 0 THEN 0.0
+         |       ELSE coalesce(c.dup_tokens, 0)::DOUBLE / b.n_tokens END AS dup_ratio
+         |FROM base b LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
     "q24_dedup_exact" ->
       s"""WITH $augSql
          |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count

@@ -63,6 +63,36 @@ object SimilarityQ extends QueryPack {
       sampleMod = graft.operators.IvfIndex.sampleMod(Tables.embeddingCount(s, d), cells))
   }
 
+  /** SemDeDup's corpus: the embeddings table plus exact vector copies
+    * for vec_id % 10 == 0 (ids + 100_000) — the same deterministic
+    * augmentation q28 uses, so the corpus being deduplicated provably
+    * CONTAINS semantic duplicates (the synthetic table has none). */
+  private def augEmb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    e.unionByName(e.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"label", $"v"))
+  }
+
+  /** Train (or fetch the memoized) SemDeDup cell model — k-means over
+    * the augmented corpus itself (SemDeDup clusters the corpus it
+    * deduplicates). Cell count / sample stride derive from the BASE
+    * table count per the Adaptive convention (both engines read it
+    * from parquet metadata identically); memoized apart from q38's
+    * model, and timed under Bench's `q53_train` setup line. */
+  def semdedupModel(s: SparkSession, d: String): graft.operators.IvfIndex.Model = {
+    val n = Tables.embeddingCount(s, d)
+    val cells = 1 << graft.operators.Adaptive.bits(n, targetBucket = 32, lo = 4, hi = 8)
+    graft.operators.IvfIndex.train(
+      augEmb(s, d), cells, iters = ivfIters, memoKey = s"$d#semdedup",
+      sampleMod = graft.operators.IvfIndex.sampleMod(n, cells))
+  }
+
+  /** Cosine threshold above which two same-cell vectors are semantic
+    * duplicates (exact copies score 1.0; the synthetic corpus's
+    * organic neighbors sit far below). */
+  private val semdedupTau = 0.92
+
   private def withTables(df: DataFrame, bits: Int): DataFrame =
     df.withColumn("bits", graft.functions.VectorExpressions.hyperplaneBits(col("v"), 16 * bits))
       .select(df.columns.map(col) :+
@@ -142,6 +172,35 @@ object SimilarityQ extends QueryPack {
         .filter($"rnk" <= 5)
     }),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // deduplication = k-means-cluster the corpus embeddings, then
+    // within each cluster drop every vector that has a sufficiently
+    // cosine-similar neighbor, keeping one representative. The greedy
+    // deterministic keep rule: v is dropped iff some u < v (by vec_id)
+    // in the SAME cell has cos(u,v) >= tau; dup_of = the smallest such
+    // u. Scale shape: the cell id bounds the quadratic pair step —
+    // the corpus shuffles ONCE on cell (Adaptive keeps ~32
+    // vectors/cell at any n, so per-cell pairs are O(32^2) and total
+    // work is LINEAR in n), exactly the SemDeDup paper's design;
+    // training is the one-time q53_train cost (trained-k-means reuse
+    // of IvfIndex, oracle-replayed CTE-for-CTE).
+    "q53_semdedup" -> ((s, d) => {
+      import s.implicits._
+      val model = semdedupModel(s, d)
+      val assign = graft.CachePool.cache(
+        graft.operators.IvfIndex.assignCells(augEmb(s, d), model)
+          .select($"vec_id", $"cell", $"v"))
+      val dups = assign.as("a")
+        .join(assign.as("b"),
+          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id" &&
+            VectorFunctions.cosine($"a.v", $"b.v") >= semdedupTau)
+        .groupBy($"b.vec_id".as("vec_id"))
+        .agg(min($"a.vec_id").as("dup_of"))
+      assign.select($"vec_id", $"cell")
+        .join(dups, Seq("vec_id"), "left")
+        .select($"vec_id", $"cell", $"dup_of".isNull.as("keep"), $"dup_of")
+    }),
+
     "q31_knn_classify" -> ((s, d) => {
       import s.implicits._
       val e = emb(s, d)
@@ -167,6 +226,26 @@ object SimilarityQ extends QueryPack {
     "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
 
   private def cosSql = VectorFunctions.Sql.cosine("q.qv", "n.v")
+
+  /** Cell-count + training-stride derivation shared by the q38 and
+    * q53 oracles — the ONE replay of Adaptive.bits + IvfIndex.
+    * sampleMod, so the Spark/oracle parameter derivations can't
+    * drift between the two queries. */
+  private val pcSql =
+    s"""pc AS (SELECT nb, cells,
+       |         -- IvfIndex.sampleMod replay: ~n/(cells*256), forced ODD
+       |         -- (coprime with the power-of-two cell count)
+       |         greatest(1, nemb // (cells * 256)) + (1 - greatest(1, nemb // (cells * 256)) % 2) AS m
+       |       FROM (SELECT nb, (1 << nb) AS cells, (SELECT count(*) FROM embeddings) AS nemb
+       |             FROM (SELECT ${graft.operators.Adaptive.bitsSql("count(*)", 32, 4, 8)} AS nb FROM embeddings)))""".stripMargin
+
+  /** q53's augmented corpus (q28's embedding augmentation: exact
+    * copies for vec_id % 10 == 0 at ids + 100_000). */
+  private val augEmbSql =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |      UNION ALL
+      |      SELECT vec_id + 100000, label, embedding::DOUBLE[] AS v
+      |      FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin
 
   /** Sign bits of the first `planesSql` hyperplane projections —
     * identical mix/fold as VecKernels.signBits. */
@@ -208,12 +287,7 @@ object SimilarityQ extends QueryPack {
 
     "q38_ann_ivf_topk" ->
       s"""WITH $embSql,
-         |pc AS (SELECT nb, cells,
-         |         -- IvfIndex.sampleMod replay: ~n/(cells*256), forced ODD
-         |         -- (coprime with the power-of-two cell count)
-         |         greatest(1, nemb // (cells * 256)) + (1 - greatest(1, nemb // (cells * 256)) % 2) AS m
-         |       FROM (SELECT nb, (1 << nb) AS cells, (SELECT count(*) FROM embeddings) AS nemb
-         |             FROM (SELECT ${graft.operators.Adaptive.bitsSql("count(*)", 32, 4, 8)} AS nb FROM embeddings))),
+         |$pcSql,
          |${graft.operators.IvfIndex.Sql.kmeansCtes(ivfIters, "pc.m")},
          |assign AS (SELECT vec_id AS neighbor_id, cell FROM rf WHERE crnk = 1),
          |probes AS (SELECT vec_id AS query_id, cell FROM rf
@@ -225,6 +299,19 @@ object SimilarityQ extends QueryPack {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
          |      FROM s)
          |SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q53_semdedup" ->
+      s"""WITH $augEmbSql,
+         |$pcSql,
+         |${graft.operators.IvfIndex.Sql.kmeansCtes(ivfIters, "pc.m")},
+         |assign AS (SELECT vec_id, cell FROM rf WHERE crnk = 1),
+         |av AS (SELECT a.vec_id, a.cell, e.v FROM assign a JOIN e USING (vec_id)),
+         |dups AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+         |         FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |         WHERE ${VectorFunctions.Sql.cosine("a.v", "b.v")} >= $semdedupTau
+         |         GROUP BY b.vec_id)
+         |SELECT av.vec_id, av.cell, dup_of IS NULL AS keep, dup_of
+         |FROM av LEFT JOIN dups USING (vec_id)""".stripMargin,
 
     "q31_knn_classify" ->
       s"""WITH $embSql,

@@ -224,6 +224,35 @@ object TextQ extends QueryPack {
           ($"cum_before" % seqLen).as("pack_offset"),
           expr(s"(cum_before + greatest(n_tokens, 1) - 1) div $seqLen - cum_before div $seqLen + 1")
             .as("packs_spanned"))
+    }),
+
+    // Unigram log-frequency quality scoring — the CCNet-style LM
+    // filter with ENGINE-EXACT arithmetic: a doc's score is the mean
+    // log2-magnitude of its tokens' corpus frequencies, where
+    // log2-magnitude is the BIT LENGTH of the integer count
+    // (length(bin(f)) = floor(log2 f) + 1 — no floating log, so Spark
+    // and DuckDB agree bitwise). Rare-token-heavy (garbled) docs
+    // score low; docs of common well-attested tokens score high —
+    // the head/tail split CCNet uses LM perplexity for. Shapes: the
+    // frequency table IS the language model — vocabulary-sized, built
+    // by one partial-agg shuffle and BROADCAST back to the scan (at
+    // 100 TB a vocab of millions of types is still MBs); per-doc
+    // scoring is one (doc_id) partial-agg shuffle; the corpus mean is
+    // a scalar broadcast. Never a self-join, never a sort.
+    "q55_logfreq_quality" -> ((s, d) => {
+      import s.implicits._
+      val tf = Tables.documents(s, d)
+        .select($"doc_id", explode(TF.tokens($"text")).as("word"))
+      val freq = tf.groupBy($"word").agg(count(lit(1)).as("f"))
+      val scored = tf.join(broadcast(freq), "word")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(length(bin($"f"))).as("sum_bits"))
+        .withColumn("mean_bits", $"sum_bits".cast("double") / $"n_tokens")
+      val corpus = scored.agg(
+        (sum($"sum_bits").cast("double") / sum($"n_tokens")).as("corpus_mean"))
+      scored.crossJoin(broadcast(corpus))
+        .select($"doc_id", $"n_tokens", $"sum_bits", $"mean_bits",
+          when($"mean_bits" >= $"corpus_mean", lit("head")).otherwise(lit("tail")).as("band"))
     })
   )
 
@@ -381,6 +410,19 @@ object TextQ extends QueryPack {
         |  cum_before // 2048 AS pack_id,
         |  cum_before % 2048 AS pack_offset,
         |  (cum_before + greatest(n_tokens, 1) - 1) // 2048 - cum_before // 2048 + 1 AS packs_spanned
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "q55_logfreq_quality" ->
+      """WITH tf AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+        |            FROM documents),
+        |freq AS (SELECT word, count(*) AS f FROM tf GROUP BY word),
+        |scored AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |                  sum(length(bin(f)))::BIGINT AS sum_bits
+        |           FROM tf JOIN freq USING (word) GROUP BY doc_id),
+        |c AS (SELECT sum(sum_bits)::DOUBLE / sum(n_tokens) AS corpus_mean FROM scored)
+        |SELECT doc_id, n_tokens, sum_bits,
+        |  sum_bits::DOUBLE / n_tokens AS mean_bits,
+        |  CASE WHEN sum_bits::DOUBLE / n_tokens >= corpus_mean THEN 'head' ELSE 'tail' END AS band
+        |FROM scored, c""".stripMargin
   )
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+/** Semantic guarantees of the round-6 pipeline additions:
+  * q53 SemDeDup, q54 exact-substring dedup, q55 log-frequency quality.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q53: every planted semantic copy is dropped; per-cell minimum is always kept") {
+    val rows = SparkEntry.queries("q53_semdedup")(spark, sfDir).collect()
+    val planted = rows.filter(_.getLong(0) >= 100000)
+    assert(planted.nonEmpty, "augmentation must plant copies")
+    // a planted copy is an EXACT vector copy of a surviving lower id:
+    // cos = 1.0 >= tau, same cell (identical quantized vector), so the
+    // greedy min-id rule must drop every one of them
+    planted.foreach { r =>
+      assert(!r.getBoolean(2), s"planted copy ${r.getLong(0)} must be dropped")
+      assert(!r.isNullAt(3) && r.getLong(3) < r.getLong(0))
+    }
+    // the smallest vec_id in each cell has no lower same-cell partner,
+    // so it can never be dropped — SemDeDup always keeps a representative
+    rows.groupBy(_.getInt(1)).foreach { case (cell, rs) =>
+      val minRow = rs.minBy(_.getLong(0))
+      assert(minRow.getBoolean(2), s"cell $cell minimum ${minRow.getLong(0)} must be kept")
+    }
+    // dup_of is a same-corpus id strictly below the dropped id
+    val ids = rows.map(_.getLong(0)).toSet
+    rows.filter(!_.isNullAt(3)).foreach(r => assert(ids.contains(r.getLong(3))))
+  }
+
+  test("q54: exact-copy docs are fully covered; merged coverage never exceeds doc length") {
+    val rows = SparkEntry.queries("q54_substring_dedup")(spark, sfDir).collect()
+    // interval merging: overlapping 8-gram windows must not double-count
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1),
+      s"doc ${r.getLong(0)}: dup_tokens ${r.getLong(2)} > n_tokens ${r.getLong(1)}"))
+    // a planted exact copy (doc_id >= 1_000_000) shares EVERY 8-gram
+    // with its original, so its whole token range is one merged span
+    val copies = rows.filter(r => r.getLong(0) >= 1000000 && r.getLong(0) < 2000000 && r.getLong(1) >= 8)
+    assert(copies.nonEmpty)
+    copies.foreach(r => assert(r.getLong(2) == r.getLong(1),
+      s"exact copy ${r.getLong(0)} must be fully duplicated"))
+  }
+
+  test("q54 kernel: overlapping and disjoint duplicated spans merge to the exact union") {
+    import spark.implicits._
+    // shared spans: S = s1..s9 (9 tokens, dup gram starts 1,2 in docA),
+    // T = t1..t8 (8 tokens, dup gram start 15); A's filler a1..a5 is
+    // unique, so expected coverage = |S| + |T| = 17 of A's 22 tokens
+    val S = (1 to 9).map("s" + _).mkString(" ")
+    val T = (1 to 8).map("t" + _).mkString(" ")
+    // ids avoid the %5 / %7 augmentation schedule: a planted near-copy
+    // (first word dropped) would share every remaining gram with its
+    // original and push coverage to 100%
+    val docs = Seq(
+      (11L, s"$S a1 a2 a3 a4 a5 $T"),
+      (23L, s"$S b1 b2 b3 b4 b5 b6 $T"))
+      .toDF("doc_id", "text")
+    // run the same operator shape inline via the public query on a temp
+    // view is not possible (queries read parquet), so replicate the
+    // contract directly with the production query against a planted dir
+    val dir = java.nio.file.Files.createTempDirectory("q54kernel").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // satisfy the other table reads used by augmentation (none beyond documents)
+    val out = SparkEntry.queries("q54_substring_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(11L) == ((22L, 17L)), s"got ${out(11L)}")
+    assert(out(23L) == ((23L, 17L)), s"got ${out(23L)}")
+    graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("q55: band assignment is self-consistent with the corpus mean; token counts match the tokenizer") {
+    val rows = SparkEntry.queries("q55_logfreq_quality")(spark, sfDir).collect()
+    val totBits = rows.map(_.getLong(2)).sum
+    val totToks = rows.map(_.getLong(1)).sum
+    val corpusMean = totBits.toDouble / totToks
+    rows.foreach { r =>
+      val mean = r.getDouble(3)
+      assert(mean == r.getLong(2).toDouble / r.getLong(1))
+      assert(r.getString(4) == (if (mean >= corpusMean) "head" else "tail"))
+    }
+    // every document is scored exactly once
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.length.toLong == nDocs)
+  }
+}
