@@ -234,8 +234,12 @@ object DedupQ extends QueryPack {
           .select($"doc_id", $"s",
             conv(substring(md5(array_join(slice($"words", $"s", lit(k)), " ")), 1, 15), 16, 10)
               .cast("long").as("h")))
+      // "appears in >= 2 distinct docs" == min(doc_id) != max(doc_id):
+      // a plain partial-aggregable min/max instead of count-distinct's
+      // expand + second exchange
       val dupG = grams.groupBy($"h")
-        .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2).select($"h")
+        .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+        .filter($"lo" =!= $"hi").select($"h")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"s")
       val cov = grams.join(dupG, "h")

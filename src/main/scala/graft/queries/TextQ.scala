@@ -244,10 +244,14 @@ object TextQ extends QueryPack {
       val tf = Tables.documents(s, d)
         .select($"doc_id", explode(TF.tokens($"text")).as("word"))
       val freq = tf.groupBy($"word").agg(count(lit(1)).as("f"))
-      val scored = tf.join(broadcast(freq), "word")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum(length(bin($"f"))).as("sum_bits"))
-        .withColumn("mean_bits", $"sum_bits".cast("double") / $"n_tokens")
+      // cached: the per-doc table feeds both the output rows and the
+      // corpus-mean scalar — uncached, the explode+join+agg chain
+      // would run twice
+      val scored = graft.CachePool.cache(
+        tf.join(broadcast(freq), "word")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(length(bin($"f"))).as("sum_bits"))
+          .withColumn("mean_bits", $"sum_bits".cast("double") / $"n_tokens"))
       val corpus = scored.agg(
         (sum($"sum_bits").cast("double") / sum($"n_tokens")).as("corpus_mean"))
       scored.crossJoin(broadcast(corpus))

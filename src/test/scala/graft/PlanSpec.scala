@@ -94,4 +94,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_probe_cells"), s"probe kernel missing from plan:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"centroid join crept back in:\n$p")
   }
+
+  test("q53: the pair step is an equi-join on cell, never a similarity cross product") {
+    val p = plan("q53_semdedup")
+    // losing the cell equi-key would plan the cos>=tau band predicate
+    // as a nested-loop join — the quadratic cliff SemDeDup's cells
+    // exist to prevent
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pairwise step lost its cell key:\n$p")
+    assert(p.contains("graft_nearest_cell"), s"assignment kernel missing:\n$p")
+  }
+
+  test("q54: gram stream is cached once and reused; no global sort") {
+    val p = plan("q54_substring_dedup")
+    // the exploded gram stream feeds both the dup decision and the
+    // coverage join — it must come from the cache, not two explodes
+    assert(p.contains("InMemoryTableScan"), s"gram stream recomputed:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort in span coverage:\n$p")
+  }
+
+  test("q55: the frequency table joins broadcast — the corpus never sort-merges against its vocabulary") {
+    val p = plan("q55_logfreq_quality")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle for a vocab-sized table:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort in scoring:\n$p")
+  }
 }
