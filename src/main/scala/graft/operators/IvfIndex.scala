@@ -95,28 +95,58 @@ object IvfIndex {
       sampleMod: Long = 1L): Model = {
     val spark = emb.sparkSession
     memo.computeIfAbsent((spark.sparkContext.applicationId, s"$memoKey|$cells|$iters|$sampleMod"), _ => {
+      val dbg = sys.env.contains("GRAFT_TRAIN_DEBUG")
+      def tlog(name: String, t0: Long): Unit =
+        if (dbg) println(f"TRAIN $name=${(System.nanoTime() - t0) / 1e9}%.1f s")
       val vq = emb.filter(col("vec_id") % sampleMod === 0)
         .select(col("vec_id"), quantize(col("v")).as("vq")).persist()
       try {
+        val t0 = System.nanoTime()
         val seeds = vq.groupBy((col("vec_id") % cells).cast("int").as("cell"))
           .agg(min(col("vec_id")).as("sid"))
         val cent = new Array[Array[Double]](cells)
         vq.join(seeds, vq("vec_id") === seeds("sid"))
           .select(col("cell"), col("vq")).collect()
           .foreach(r => cent(r.getInt(0)) = r.getSeq[Double](1).toArray)
+        tlog("seeds", t0)
         var model = Model(cent, cent.map(c => if (c == null) 0.0 else csqOf(c)))
         (1 to iters).foreach { _ =>
-          // assignment scan (shuffle-free kernel) + exact integer sums:
-          // the (cell, k) partial agg ships ≤ cells×64 rows per task
+          val ti = System.nanoTime()
+          // assignment scan (shuffle-free kernel) + exact integer sums.
+          // The update fold is per-partition primitive-array adds via
+          // aggregateByKey — quantized components are exact-integer
+          // doubles, so addition is associative and ANY combine order
+          // gives bit-identical sums (the same property the oracle's
+          // single-threaded replay relies on). The relational form
+          // (posexplode to rows × 64 → groupBy(cell, k) over
+          // cells×64 groups) computed the identical sums but paid a
+          // 3M-row explode + 131k-group hash agg per Lloyd round —
+          // ~15 s/round vs ~1 s at 50k vectors × 2048 cells; the
+          // shuffle here is ≤ cells arrays per partition, KB-scale.
           val sums = vq
             .select(VectorExpressions.nearestCell(col("vq"), model.cent, model.csq).as("cell"),
-              posexplode(col("vq")).as(Seq("k", "x")))
-            .groupBy(col("cell"), col("k"))
-            .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+              col("vq"))
+            .rdd.map(r => (r.getInt(0), r.getSeq[Double](1)))
+            .aggregateByKey((null: Array[Double], 0L))(
+              (acc, v) => {
+                val a = if (acc._1 == null) new Array[Double](v.length) else acc._1
+                var k = 0
+                while (k < v.length) { a(k) += v(k); k += 1 }
+                (a, acc._2 + 1)
+              },
+              (x, y) =>
+                if (x._1 == null) y
+                else if (y._1 == null) x
+                else {
+                  var k = 0
+                  while (k < x._1.length) { x._1(k) += y._1(k); k += 1 }
+                  (x._1, x._2 + y._2)
+                })
             .collect()
+          tlog("iter", ti)
           val next = model.cent.clone()
-          sums.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
-            next(cell) = rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toArray
+          sums.foreach { case (cell, (a, n)) =>
+            next(cell) = a.map(_ / n)
           }
           model = Model(next, next.map(c => if (c == null) 0.0 else csqOf(c)))
         }

@@ -74,6 +74,15 @@ object SimilarityQ extends QueryPack {
       .select(($"vec_id" + 100000).as("vec_id"), $"label", $"v"))
   }
 
+  /** q53's cell-count exponent cap: 13 (8192 cells), NOT q38's 8.
+    * q38 probes (b+3)/2^b of the cells per query, so more cells trade
+    * against probe fan-out; SemDeDup has no probe step — each cell
+    * pays its occupancy SQUARED in the pair join, so cells must keep
+    * growing with n (~32/cell) or the quadratic term returns. 2^13
+    * centroids × 64 dims is a 4 MB driver matrix — broadcastable at
+    * any corpus size. */
+  private val semdedupHiBits = 13
+
   /** Train (or fetch the memoized) SemDeDup cell model — k-means over
     * the augmented corpus itself (SemDeDup clusters the corpus it
     * deduplicates). Cell count / sample stride derive from the BASE
@@ -82,7 +91,7 @@ object SimilarityQ extends QueryPack {
     * model, and timed under Bench's `q53_train` setup line. */
   def semdedupModel(s: SparkSession, d: String): graft.operators.IvfIndex.Model = {
     val n = Tables.embeddingCount(s, d)
-    val cells = 1 << graft.operators.Adaptive.bits(n, targetBucket = 32, lo = 4, hi = 8)
+    val cells = 1 << graft.operators.Adaptive.bits(n, targetBucket = 32, lo = 4, hi = semdedupHiBits)
     graft.operators.IvfIndex.train(
       augEmb(s, d), cells, iters = ivfIters, memoKey = s"$d#semdedup",
       sampleMod = graft.operators.IvfIndex.sampleMod(n, cells))
@@ -230,14 +239,16 @@ object SimilarityQ extends QueryPack {
   /** Cell-count + training-stride derivation shared by the q38 and
     * q53 oracles — the ONE replay of Adaptive.bits + IvfIndex.
     * sampleMod, so the Spark/oracle parameter derivations can't
-    * drift between the two queries. */
-  private val pcSql =
+    * drift between the two queries. `hi` is the cell-exponent cap
+    * (q38: 8, bounded by probe fan-out; q53: semdedupHiBits, the
+    * pair join needs cells to keep growing with n). */
+  private def pcSql(hi: Int) =
     s"""pc AS (SELECT nb, cells,
        |         -- IvfIndex.sampleMod replay: ~n/(cells*256), forced ODD
        |         -- (coprime with the power-of-two cell count)
        |         greatest(1, nemb // (cells * 256)) + (1 - greatest(1, nemb // (cells * 256)) % 2) AS m
        |       FROM (SELECT nb, (1 << nb) AS cells, (SELECT count(*) FROM embeddings) AS nemb
-       |             FROM (SELECT ${graft.operators.Adaptive.bitsSql("count(*)", 32, 4, 8)} AS nb FROM embeddings)))""".stripMargin
+       |             FROM (SELECT ${graft.operators.Adaptive.bitsSql("count(*)", 32, 4, hi)} AS nb FROM embeddings)))""".stripMargin
 
   /** q53's augmented corpus (q28's embedding augmentation: exact
     * copies for vec_id % 10 == 0 at ids + 100_000). */
@@ -287,7 +298,7 @@ object SimilarityQ extends QueryPack {
 
     "q38_ann_ivf_topk" ->
       s"""WITH $embSql,
-         |$pcSql,
+         |${pcSql(8)},
          |${graft.operators.IvfIndex.Sql.kmeansCtes(ivfIters, "pc.m")},
          |assign AS (SELECT vec_id AS neighbor_id, cell FROM rf WHERE crnk = 1),
          |probes AS (SELECT vec_id AS query_id, cell FROM rf
@@ -302,7 +313,7 @@ object SimilarityQ extends QueryPack {
 
     "q53_semdedup" ->
       s"""WITH $augEmbSql,
-         |$pcSql,
+         |${pcSql(semdedupHiBits)},
          |${graft.operators.IvfIndex.Sql.kmeansCtes(ivfIters, "pc.m")},
          |assign AS (SELECT vec_id, cell FROM rf WHERE crnk = 1),
          |av AS (SELECT a.vec_id, a.cell, e.v FROM assign a JOIN e USING (vec_id)),

@@ -539,6 +539,99 @@ object ScaleStress {
       out
     }
 
+    // Exact-substring dedup (q54 shape) at 1M docs: ~33M exploded gram
+    // positions (linear in corpus tokens), min/max dup decision on the
+    // gram hash, per-doc island merge over only the HIT positions.
+    // 5% exact dups mark both sides fully; the dup-gram set stays a
+    // small fraction of the gram stream, so the coverage join is
+    // bounded by hits, not by the corpus.
+    time("substring_dedup_1M_docs") {
+      val k = 8
+      // md5-derived words (NOT docs()'s linear formula — its mod-100k
+      // pigeonhole collapses 1M texts to ~100k distinct and every gram
+      // becomes a "duplicate"): ~5% designed dups via id%20 copies
+      val base = spark.range(1000000L).select(
+        $"id".as("doc_id"),
+        expr("""split(concat_ws(' ', transform(sequence(0, 39), i ->
+          |  substring(md5(concat(cast(CASE WHEN id % 20 = 0 THEN id div 20
+          |                                 ELSE id END as string), ':', cast(i as string))), 1, 7))), ' ')""".stripMargin)
+          .as("words"))
+        .select($"doc_id", size($"words").cast("long").as("n_tokens"), $"words")
+      val grams = base.filter($"n_tokens" >= k)
+        .select($"doc_id", $"words",
+          explode(sequence(lit(1L), $"n_tokens" - (k - 1))).as("s"))
+        .select($"doc_id", $"s",
+          conv(substring(md5(array_join(slice($"words", $"s", lit(k)), " ")), 1, 15), 16, 10)
+            .cast("long").as("h")).persist()
+      val dupG = grams.groupBy($"h")
+        .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+        .filter($"lo" =!= $"hi").select($"h")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"s")
+      val cov = grams.join(dupG, "h")
+        .withColumn("contrib",
+          least(lit(k.toLong), $"s" - coalesce(lag($"s", 1).over(w), $"s" - k)))
+        .groupBy($"doc_id").agg(sum($"contrib").as("dup_tokens")).persist()
+      val dupDocs = cov.count()
+      val full = cov.join(base.select($"doc_id", $"n_tokens"), "doc_id")
+        .filter($"dup_tokens" === $"n_tokens").count()
+      println(s"STRESS   docs_with_dup_spans=$dupDocs fully_duplicated=$full " +
+        "(designed: every id%20==0 copy AND its original fully covered)")
+      grams.unpersist(blocking = false)
+      cov.unpersist(blocking = false)
+      dupDocs
+    }
+
+    // SemDeDup (q53 shape) at 250k vectors with 10% planted twins.
+    // The cell cap matters HERE: Adaptive.bits(250k, 32, 4, 13) gives
+    // 8192 cells (~31/cell) — the pair join is ~n·occ/2 candidate
+    // rows, LINEAR in n. q38's hi=8 cap (256 cells, ~977/cell) would
+    // put ~122M pairs through the cosine kernel — the quadratic cliff
+    // the per-query cell derivation exists to avoid.
+    time("semdedup_250k_vectors") {
+      val n = sys.env.get("STRESS_SEMDEDUP_N").map(_.toLong).getOrElse(250000L)
+      def phase[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val out = f
+        println(f"STRESS   phase_$name=${(System.nanoTime() - t0) / 1e9}%.1f s")
+        out
+      }
+      val cells = 1 << Adaptive.bits(n, targetBucket = 32, lo = 4, hi = 13)
+      val mixed = graft.functions.VectorFunctions.Sql
+        .mixSpark("b * 64 + k + 999999937")
+      val emb = spark.range(n)
+        .select($"id".as("vec_id"),
+          when($"id" % 10 === 0 && $"id" > 0, expr("id div 10"))
+            .otherwise($"id").as("b"))
+        .select($"vec_id",
+          expr(s"transform(sequence(0, 63), k -> cast($mixed as double) / 1000.0)").as("v"))
+      val model = phase("train") { graft.operators.IvfIndex.train(
+        emb, cells, iters = 3, memoKey = s"stress#semdedup$n",
+        sampleMod = graft.operators.IvfIndex.sampleMod(n, cells)) }
+      val assign = graft.operators.IvfIndex.assignCells(emb, model)
+        .select($"vec_id", $"cell", $"v").persist()
+      phase("assign") { assign.count() }
+      val candidates = assign.as("a").join(assign.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      val dups = candidates
+        .filter(graft.functions.VectorFunctions.cosine(col("a.v"), col("b.v")) >= 0.92)
+        .groupBy(col("b.vec_id").as("vec_id"))
+        .agg(min(col("a.vec_id")).as("dup_of")).persist()
+      val dropped = phase("pairs") { dups.count() }
+      val twinsCaught = dups.filter($"vec_id" % 10 === 0 && $"dup_of" === $"vec_id" / 10).count()
+      val occ = assign.groupBy($"cell").count()
+        .agg(max($"count").as("mx"), avg($"count").as("av")).head
+      // a twin whose base is ITSELF remapped (id % 100 == 0) gets a
+      // vector no other row carries — the true planted-pair count
+      // excludes those
+      val planted = (n - 1) / 10 - (n - 1) / 100
+      println(f"STRESS   cells=$cells dropped=$dropped planted_twins_caught=$twinsCaught/$planted " +
+        f"cell_occupancy avg=${occ.getDouble(1)}%.1f max=${occ.getLong(0)}")
+      assign.unpersist(blocking = false)
+      dups.unpersist(blocking = false)
+      dropped
+    }
+
     spark.stop()
   }
 }
