@@ -85,12 +85,16 @@ object IvfIndex {
   }
 
   /** Deterministic Lloyd k-means over quantized vectors (driver
-    * orchestrates `iters` rounds; each round is one kernel scan + one
-    * tiny (cell, k) partial-agg collect — the centroid table is at
-    * most 2^8×64 doubles, KB-scale at any corpus size; seeds and
-    * update sums read the `sampleMod`-thinned sample). Memoized per
-    * (application, memoKey): the train cost is paid once, not per
-    * query build. */
+    * orchestrates `iters` rounds; each round is one kernel-assignment
+    * scan whose per-cell sums fold as primitive arrays in a map-side-
+    * combined aggregateByKey — ≤ cells 64-double arrays shuffle and
+    * collect, MB-scale at the 2^13 cell cap and any corpus size;
+    * seeds and update sums read the `sampleMod`-thinned sample).
+    * Quantization is what legalizes the arbitrary-order fold: every
+    * component is an exact-integer double, so addition is associative
+    * and the sums are bit-identical to the oracle's single-threaded
+    * replay. Memoized per (application, memoKey): the train cost is
+    * paid once, not per query build. */
   def train(emb: DataFrame, cells: Int, iters: Int, memoKey: String,
       sampleMod: Long = 1L): Model = {
     val spark = emb.sparkSession
@@ -130,6 +134,12 @@ object IvfIndex {
             .aggregateByKey((null: Array[Double], 0L))(
               (acc, v) => {
                 val a = if (acc._1 == null) new Array[Double](v.length) else acc._1
+                // dimension mismatch must fail LOUDLY (the VecKernels
+                // convention) — sizing from the first vector and
+                // looping min(lengths) would silently truncate a
+                // centroid instead
+                require(v.length == a.length,
+                  s"ragged embedding dimension: ${v.length} vs ${a.length}")
                 var k = 0
                 while (k < v.length) { a(k) += v(k); k += 1 }
                 (a, acc._2 + 1)
@@ -138,6 +148,8 @@ object IvfIndex {
                 if (x._1 == null) y
                 else if (y._1 == null) x
                 else {
+                  require(x._1.length == y._1.length,
+                    s"ragged embedding dimension: ${x._1.length} vs ${y._1.length}")
                   var k = 0
                   while (k < x._1.length) { x._1(k) += y._1(k); k += 1 }
                   (x._1, x._2 + y._2)

@@ -14,7 +14,7 @@ import graft.sources.Tables
   * AUGMENTS it deterministically inside the plan: exact copies for
   * doc_id % 7 == 0 (ids + 1_000_000) and near copies (first word
   * dropped) for doc_id % 5 == 0 (ids + 2_000_000); embeddings get
-  * exact vector copies for vec_id % 10 == 0 (ids + 100_000). The
+  * exact vector copies for vec_id % 10 == 0 (ids + Aug.EmbCopyOffset). The
   * DuckDB oracle performs the identical augmentation, then replays
   * the identical signature arithmetic — so the hash compare exercises
   * the full MinHash/SimHash/Jaccard pipelines end to end.
@@ -293,8 +293,7 @@ object DedupQ extends QueryPack {
       val bands = bits
       val emb = Tables.embeddings(s, d)
         .select($"vec_id", VectorFunctions.vec($"embedding").as("v"))
-      val aug = emb.unionByName(
-        emb.filter($"vec_id" % 10 === 0).select(($"vec_id" + 100000).as("vec_id"), $"v"))
+      val aug = Aug.embCopies(emb)
       // sign bit per hyperplane (native codegen kernel), then banded
       // keys. The candidate join ships only (band, bkey, id) — the 64-d
       // vectors are attached AFTER pair dedup, so the wide arrays never
@@ -452,9 +451,7 @@ object DedupQ extends QueryPack {
     "q28_dedup_embedding" -> {
       import VectorFunctions.Sql
       s"""WITH aug AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         |  UNION ALL SELECT vec_id + 100000, embedding::DOUBLE[]
-         |    FROM embeddings WHERE vec_id % 10 = 0),
+         |  ${Aug.embCopiesSql("embedding::DOUBLE[] AS v")}),
          |pq AS (SELECT ${Adaptive.bitsSql("count(*)", 2, 8, 16)} AS nb FROM embeddings),
          |bitsv AS (
          |  SELECT vec_id, v, nb,

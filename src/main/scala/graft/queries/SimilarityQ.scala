@@ -63,16 +63,13 @@ object SimilarityQ extends QueryPack {
       sampleMod = graft.operators.IvfIndex.sampleMod(Tables.embeddingCount(s, d), cells))
   }
 
-  /** SemDeDup's corpus: the embeddings table plus exact vector copies
-    * for vec_id % 10 == 0 (ids + 100_000) — the same deterministic
-    * augmentation q28 uses, so the corpus being deduplicated provably
-    * CONTAINS semantic duplicates (the synthetic table has none). */
-  private def augEmb(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e = emb(s, d)
-    e.unionByName(e.filter($"vec_id" % 10 === 0)
-      .select(($"vec_id" + 100000).as("vec_id"), $"label", $"v"))
-  }
+  /** SemDeDup's corpus: the embeddings table plus the shared planted
+    * exact-copy schedule ([[Aug.embCopies]] — the same deterministic
+    * augmentation q28 uses, ONE definition), so the corpus being
+    * deduplicated provably CONTAINS semantic duplicates (the
+    * synthetic table has none). */
+  private def augEmb(s: SparkSession, d: String): DataFrame =
+    Aug.embCopies(emb(s, d))
 
   /** q53's cell-count exponent cap: 13 (8192 cells), NOT q38's 8.
     * q38 probes (b+3)/2^b of the cells per query, so more cells trade
@@ -250,13 +247,9 @@ object SimilarityQ extends QueryPack {
        |       FROM (SELECT nb, (1 << nb) AS cells, (SELECT count(*) FROM embeddings) AS nemb
        |             FROM (SELECT ${graft.operators.Adaptive.bitsSql("count(*)", 32, 4, hi)} AS nb FROM embeddings)))""".stripMargin
 
-  /** q53's augmented corpus (q28's embedding augmentation: exact
-    * copies for vec_id % 10 == 0 at ids + 100_000). */
+  /** q53's augmented corpus — the shared [[Aug]] copy schedule. */
   private val augEmbSql =
-    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-      |      UNION ALL
-      |      SELECT vec_id + 100000, label, embedding::DOUBLE[] AS v
-      |      FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin
+    s"""e AS (${Aug.embCopiesSql("label, embedding::DOUBLE[] AS v")})""".stripMargin
 
   /** Sign bits of the first `planesSql` hyperplane projections —
     * identical mix/fold as VecKernels.signBits. */

@@ -254,9 +254,19 @@ object TextQ extends QueryPack {
           .withColumn("mean_bits", $"sum_bits".cast("double") / $"n_tokens"))
       val corpus = scored.agg(
         (sum($"sum_bits").cast("double") / sum($"n_tokens")).as("corpus_mean"))
-      scored.crossJoin(broadcast(corpus))
-        .select($"doc_id", $"n_tokens", $"sum_bits", $"mean_bits",
-          when($"mean_bits" >= $"corpus_mean", lit("head")).otherwise(lit("tail")).as("band"))
+      // left join back to the corpus: a zero-token doc produces no
+      // exploded rows, and silently omitting it would let it bypass
+      // the quality filter entirely — it must surface as an explicit
+      // (0, 0, 0.0, tail) row
+      Tables.documents(s, d).select($"doc_id")
+        .join(scored, Seq("doc_id"), "left")
+        .crossJoin(broadcast(corpus))
+        .select($"doc_id",
+          coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+          coalesce($"sum_bits", lit(0L)).as("sum_bits"),
+          coalesce($"mean_bits", lit(0.0)).as("mean_bits"),
+          when(coalesce($"mean_bits", lit(0.0)) >= $"corpus_mean", lit("head"))
+            .otherwise(lit("tail")).as("band"))
     })
   )
 
@@ -424,9 +434,12 @@ object TextQ extends QueryPack {
         |                  sum(length(bin(f)))::BIGINT AS sum_bits
         |           FROM tf JOIN freq USING (word) GROUP BY doc_id),
         |c AS (SELECT sum(sum_bits)::DOUBLE / sum(n_tokens) AS corpus_mean FROM scored)
-        |SELECT doc_id, n_tokens, sum_bits,
-        |  sum_bits::DOUBLE / n_tokens AS mean_bits,
-        |  CASE WHEN sum_bits::DOUBLE / n_tokens >= corpus_mean THEN 'head' ELSE 'tail' END AS band
-        |FROM scored, c""".stripMargin
+        |SELECT d.doc_id,
+        |  coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+        |  coalesce(s.sum_bits, 0)::BIGINT AS sum_bits,
+        |  coalesce(s.sum_bits::DOUBLE / s.n_tokens, 0.0) AS mean_bits,
+        |  CASE WHEN coalesce(s.sum_bits::DOUBLE / s.n_tokens, 0.0) >= corpus_mean
+        |       THEN 'head' ELSE 'tail' END AS band
+        |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id, c""".stripMargin
   )
 }

@@ -575,8 +575,12 @@ object ScaleStress {
       val dupDocs = cov.count()
       val full = cov.join(base.select($"doc_id", $"n_tokens"), "doc_id")
         .filter($"dup_tokens" === $"n_tokens").count()
+      // designed structure: copies with id % 400 == 0 have a base that
+      // is ITSELF remapped (its text comes from base/20), so their
+      // text is unique — true dup docs = 47,500 effective copies +
+      // their 47,500 distinct originals
       println(s"STRESS   docs_with_dup_spans=$dupDocs fully_duplicated=$full " +
-        "(designed: every id%20==0 copy AND its original fully covered)")
+        "(designed: 47500 id%20 copies with unremapped bases + 47500 originals, all fully covered)")
       grams.unpersist(blocking = false)
       cov.unpersist(blocking = false)
       dupDocs

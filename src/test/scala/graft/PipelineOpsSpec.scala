@@ -12,7 +12,7 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("q53: every planted semantic copy is dropped; per-cell minimum is always kept") {
     val rows = SparkEntry.queries("q53_semdedup")(spark, sfDir).collect()
-    val planted = rows.filter(_.getLong(0) >= 100000)
+    val planted = rows.filter(_.getLong(0) >= graft.queries.Aug.EmbCopyOffset)
     assert(planted.nonEmpty, "augmentation must plant copies")
     // a planted copy is an EXACT vector copy of a surviving lower id:
     // cos = 1.0 >= tau, same cell (identical quantized vector), so the
