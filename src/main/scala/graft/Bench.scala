@@ -37,47 +37,73 @@ object Bench {
     // cluster-artifact build are paid once per session, so charging
     // them to whichever query runs first made round-over-round
     // per-query numbers incomparable. Total still includes them.
-    val setups: Seq[(String, (SparkSession, String) => Unit)] = Seq(
-      "q38_train" -> ((s, d) => { queries.SimilarityQ.ivfModel(s, d); () }),
-      "q53_train" -> ((s, d) => { queries.SimilarityQ.semdedupModel(s, d); () }),
-      "q41_clusters_build" -> ((s, d) => { queries.DedupQ.ensureClusters(s, d); () })
-    )
-    val setupResults = setups.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir); None }
+    // Median-of-REPS measurement (round-7): a single-shot number let
+    // one descheduled executor thread poison a query's time for the
+    // whole round — BENCH_r06 read as a 2.5x collapse that two judge
+    // reruns disproved. Each line now runs REPS times; the reported
+    // per-query number is the MEDIAN (min also emitted), and total =
+    // sum of medians, so one scheduling spike on one rep changes
+    // nothing. `between` restores pre-rep state (drop caches; for the
+    // setup lines also forget the memoized model/artifact) so every
+    // rep pays the full, identical work.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def measure(run: () => Unit, between: () => Unit): (Double, Double, Option[String]) = {
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var err: Option[String] = None
+      var r = 0
+      while (r < reps && err.isEmpty) {
+        if (r > 0) between()
+        val t0 = System.nanoTime()
+        // A crashed query must surface as an error and a nonzero exit,
+        // never as a fast time — and stop repeating.
+        try run()
         catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+          err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
         }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      CachePool.drain()
-      (name, elapsed, err)
+        // stop the clock BEFORE cache cleanup: drain() unpersists
+        // blocks across 32 executor threads and its (variable) latency
+        // is bookkeeping, not query work
+        times += (System.nanoTime() - t0) / 1e9
+        CachePool.drain()
+        r += 1
+      }
+      val sorted = times.sorted
+      (sorted(sorted.length / 2), sorted.head, err)
+    }
+
+    // One-time indexing costs, timed under their OWN lines (the
+    // train-once / probe-forever split). Between reps the memoized
+    // model / at-rest artifact is invalidated so every rep rebuilds;
+    // the LAST rep leaves a valid memo+artifact for the query lines
+    // below to consume, exactly as a real session would.
+    val setups: Seq[(String, () => Unit, () => Unit)] = Seq(
+      ("q38_train", () => { queries.SimilarityQ.ivfModel(spark, sfDir); () },
+        () => graft.operators.IvfIndex.clearMemo()),
+      ("q53_train", () => { queries.SimilarityQ.semdedupModel(spark, sfDir); () },
+        () => graft.operators.IvfIndex.clearMemo()),
+      ("q41_clusters_build", () => { queries.DedupQ.ensureClusters(spark, sfDir); () },
+        () => queries.DedupQ.invalidateClusters(spark, sfDir))
+    )
+    val setupResults = setups.map { case (name, fn, inval) =>
+      val (med, min, err) = measure(fn, () => inval())
+      (name, med, min, err)
     }
 
     val results = setupResults ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // toRdd.count() forces every output column to materialize —
       // df.count() would collapse to count(1) and let Catalyst prune
-      // the projections being benchmarked. A crashed query must surface
-      // as an error and a nonzero exit, never as a fast time.
-      val err =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
-        catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
-        }
-      // stop the clock BEFORE cache cleanup: drain() unpersists blocks
-      // across 32 executor threads and its (variable) latency was being
-      // charged to whichever query ran it — bookkeeping, not query work
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      CachePool.drain()
-      (name, elapsed, err)
+      // the projections being benchmarked.
+      val (med, min, err) =
+        measure(() => { fn(spark, sfDir).queryExecution.toRdd.count(); () }, () => ())
+      (name, med, min, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => s"${MiniJson.quote(k)}:${MiniJson.quote(m)}" }
+    def jmap(sel: ((String, Double, Double, Option[String])) => Double): String =
+      results.map { case r @ (k, _, _, _) => "\"" + k + "\":" + sel(r) }
+        .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(m)) => s"${MiniJson.quote(k)}:${MiniJson.quote(m)}" }
     val errJson = errs.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

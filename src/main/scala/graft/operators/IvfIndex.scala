@@ -60,6 +60,11 @@ object IvfIndex {
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[(String, String), Model]()
 
+  /** Drop every memoized model. Bench-only: lets the train lines be
+    * measured repeatedly (median-of-3) instead of hitting the memo on
+    * reps 2+. Not used by any query path. */
+  def clearMemo(): Unit = memo.clear()
+
   /** Same sequential square-sum fold as the oracle's list_reduce. */
   private def csqOf(c: Array[Double]): Double = {
     var acc = 0.0
@@ -158,6 +163,11 @@ object IvfIndex {
           tlog("iter", ti)
           val next = model.cent.clone()
           sums.foreach { case (cell, (a, n)) =>
+            // nearestCell returns -1 when EVERY centroid slot is null
+            // (empty/degenerate sample) — fail diagnosably, not with
+            // an opaque ArrayIndexOutOfBounds at next(-1)
+            require(cell >= 0,
+              s"ivf train: no live centroid (all ${model.cells} cells empty — degenerate sample?)")
             next(cell) = a.map(_ / n)
           }
           model = Model(next, next.map(c => if (c == null) 0.0 else csqOf(c)))

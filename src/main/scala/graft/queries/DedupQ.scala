@@ -74,6 +74,15 @@ object DedupQ extends QueryPack {
     * times this under its own `q41_clusters_build` line (the IvfIndex
     * train/probe split): the chain is a one-time indexing cost, not a
     * per-query cost. */
+  /** Bench-only: forget the memoized cluster artifact for (session, d)
+    * and delete it at rest, so `q41_clusters_build` can be measured
+    * median-of-3 — each rep rebuilds the full chain instead of
+    * returning the memo. */
+  def invalidateClusters(s: SparkSession, d: String): Unit = {
+    val dir = ccMemo.remove((s.sparkContext.applicationId, d))
+    if (dir != null) graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   def ensureClusters(s: SparkSession, d: String): String =
     ccMemo.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
       // md5 of the full data dir, not String.hashCode: a 32-bit
@@ -224,9 +233,12 @@ object DedupQ extends QueryPack {
     "q54_substring_dedup" -> ((s, d) => {
       import s.implicits._
       val k = 8
-      val base = augmentedDocs(s, d)
+      // cached: base feeds BOTH the gram stream below and the final
+      // per-doc output join — uncached, the full document scan +
+      // tokenize ran twice
+      val base = CachePool.cache(augmentedDocs(s, d)
         .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("words"))
-        .select($"doc_id", size($"words").cast("long").as("n_tokens"), $"words")
+        .select($"doc_id", size($"words").cast("long").as("n_tokens"), $"words"))
       val grams = CachePool.cache(
         base.filter($"n_tokens" >= k)
           .select($"doc_id", $"words",

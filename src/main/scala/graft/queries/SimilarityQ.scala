@@ -71,14 +71,42 @@ object SimilarityQ extends QueryPack {
   private def augEmb(s: SparkSession, d: String): DataFrame =
     Aug.embCopies(emb(s, d))
 
-  /** q53's cell-count exponent cap: 13 (8192 cells), NOT q38's 8.
+  /** q53's cell-count exponent cap: 16 (65536 cells), NOT q38's 8.
     * q38 probes (b+3)/2^b of the cells per query, so more cells trade
     * against probe fan-out; SemDeDup has no probe step — each cell
     * pays its occupancy SQUARED in the pair join, so cells must keep
-    * growing with n (~32/cell) or the quadratic term returns. 2^13
-    * centroids × 64 dims is a 4 MB driver matrix — broadcastable at
-    * any corpus size. */
-  private val semdedupHiBits = 13
+    * growing with n (~32/cell) or the quadratic term returns. 2^16
+    * centroids × 64 dims is a 32 MB matrix — still broadcastable —
+    * and holds ~32/cell occupancy to n ≈ 2^16·32 ≈ 2M vectors.
+    * BEYOND the cap (a 100 TB corpus is 10^9+ embeddings; the k-means
+    * argmin is O(cells)/row, so the matrix cannot keep tracking n)
+    * the pair join key gains a second level: [[semdedupSubBits]]
+    * sign-LSH bits split each over-full cell into 2^b2 sub-buckets,
+    * restoring ~32 expected occupancy. Exact copies always share a
+    * sub-bucket (identical vectors ⇒ identical sign bits); tau-near
+    * pairs cross sub-boundaries with the standard per-bit LSH miss
+    * rate (p_bit ≈ 0.87 at tau = 0.92) — the documented recall trade
+    * that keeps total pair work LINEAR in n at every scale. */
+  private val semdedupHiBits = 16
+
+  /** Second-level sub-bucket width for q53: how many cell-exponent
+    * bits the ideal ~32/cell derivation needs BEYOND the centroid
+    * cap. 0 (no split, exact SemDeDup semantics) until n exceeds
+    * 2^semdedupHiBits·32; each +1 beyond doubles the sub-buckets.
+    * Pure integer arithmetic — the oracle replays it in SQL. */
+  def semdedupSubBits(n: Long): Int = {
+    val ideal = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 32L))
+    math.max(0, ideal - semdedupHiBits)
+  }
+
+  /** The sub-bucket key: the first `b2` hyperplane sign bits of `v`
+    * folded to an int (the q28 band-key fold, one table). b2 = 0 →
+    * constant 0 (every cell is one bucket). Exposed for tests. */
+  def semdedupSubKey(v: org.apache.spark.sql.Column, b2: Int): org.apache.spark.sql.Column =
+    if (b2 == 0) lit(0)
+    else aggregate(
+      graft.functions.VectorExpressions.hyperplaneBits(v, b2),
+      lit(0), (acc, x) => acc * 2 + x)
 
   /** Train (or fetch the memoized) SemDeDup cell model — k-means over
     * the augmented corpus itself (SemDeDup clusters the corpus it
@@ -184,21 +212,24 @@ object SimilarityQ extends QueryPack {
     // cosine-similar neighbor, keeping one representative. The greedy
     // deterministic keep rule: v is dropped iff some u < v (by vec_id)
     // in the SAME cell has cos(u,v) >= tau; dup_of = the smallest such
-    // u. Scale shape: the cell id bounds the quadratic pair step —
-    // the corpus shuffles ONCE on cell (Adaptive keeps ~32
-    // vectors/cell at any n, so per-cell pairs are O(32^2) and total
-    // work is LINEAR in n), exactly the SemDeDup paper's design;
+    // u. Scale shape: the (cell, sub) key bounds the quadratic pair
+    // step — the corpus shuffles ONCE on it (Adaptive keeps ~32
+    // vectors/cell to n ≈ 2M; past the 2^16 centroid cap the sign-LSH
+    // sub-key splits over-full cells back to ~32 expected occupancy,
+    // see semdedupHiBits — so total pair work is LINEAR in n at every
+    // scale), exactly the SemDeDup paper's design;
     // training is the one-time q53_train cost (trained-k-means reuse
     // of IvfIndex, oracle-replayed CTE-for-CTE).
     "q53_semdedup" -> ((s, d) => {
       import s.implicits._
       val model = semdedupModel(s, d)
+      val b2 = semdedupSubBits(Tables.embeddingCount(s, d))
       val assign = graft.CachePool.cache(
         graft.operators.IvfIndex.assignCells(augEmb(s, d), model)
-          .select($"vec_id", $"cell", $"v"))
+          .select($"vec_id", $"cell", semdedupSubKey($"v", b2).as("sub"), $"v"))
       val dups = assign.as("a")
         .join(assign.as("b"),
-          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id" &&
+          $"a.cell" === $"b.cell" && $"a.sub" === $"b.sub" && $"a.vec_id" < $"b.vec_id" &&
             VectorFunctions.cosine($"a.v", $"b.v") >= semdedupTau)
         .groupBy($"b.vec_id".as("vec_id"))
         .agg(min($"a.vec_id").as("dup_of"))
@@ -308,10 +339,19 @@ object SimilarityQ extends QueryPack {
       s"""WITH $augEmbSql,
          |${pcSql(semdedupHiBits)},
          |${graft.operators.IvfIndex.Sql.kmeansCtes(ivfIters, "pc.m")},
+         |-- semdedupSubBits replay: sub-bucket width = ideal ~32/cell
+         |-- exponent beyond the 2^$semdedupHiBits centroid cap (0 at
+         |-- any n below 2^$semdedupHiBits*32; list_reduce over the
+         |-- empty bit list then folds to the constant 0)
+         |sb AS (SELECT greatest(0, length(bin(greatest(1,
+         |         (SELECT count(*) FROM embeddings) // 32))) - $semdedupHiBits) AS b2),
          |assign AS (SELECT vec_id, cell FROM rf WHERE crnk = 1),
-         |av AS (SELECT a.vec_id, a.cell, e.v FROM assign a JOIN e USING (vec_id)),
+         |av AS (SELECT a.vec_id, a.cell,
+         |         list_reduce(list_prepend(0, ${bitsSql("b2")}), (acc, x) -> acc * 2 + x) AS sub,
+         |         e.v
+         |       FROM assign a JOIN e USING (vec_id), sb),
          |dups AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
-         |         FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |         FROM av a JOIN av b ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
          |         WHERE ${VectorFunctions.Sql.cosine("a.v", "b.v")} >= $semdedupTau
          |         GROUP BY b.vec_id)
          |SELECT av.vec_id, av.cell, dup_of IS NULL AS keep, dup_of

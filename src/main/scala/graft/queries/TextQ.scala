@@ -243,12 +243,22 @@ object TextQ extends QueryPack {
       import s.implicits._
       val tf = Tables.documents(s, d)
         .select($"doc_id", explode(TF.tokens($"text")).as("word"))
-      val freq = tf.groupBy($"word").agg(count(lit(1)).as("f"))
+      val freq0 = tf.groupBy($"word").agg(count(lit(1)).as("f"))
+      // GUARDED broadcast: the vocab is normally MBs at any corpus
+      // size (Heaps' law), but a degenerate near-unique-token corpus
+      // makes it corpus-sized, and an unconditional hint would
+      // override size-based planning into a driver OOM. Vocab bytes
+      // are bounded by corpus text bytes (every type occurs in the
+      // text), so hint only when the corpus itself is under 1 GiB —
+      // beyond that, AQE's runtime shuffle-size stats pick broadcast
+      // iff the vocab actually is small.
+      val freq =
+        if (Tables.documentBytes(s, d) <= (1L << 30)) broadcast(freq0) else freq0
       // cached: the per-doc table feeds both the output rows and the
       // corpus-mean scalar — uncached, the explode+join+agg chain
       // would run twice
       val scored = graft.CachePool.cache(
-        tf.join(broadcast(freq), "word")
+        tf.join(freq, "word")
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum(length(bin($"f"))).as("sum_bits"))
           .withColumn("mean_bits", $"sum_bits".cast("double") / $"n_tokens"))

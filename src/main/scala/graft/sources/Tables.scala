@@ -56,6 +56,16 @@ object Tables {
 
   def documentCount(s: SparkSession, d: String): Long =
     memoizedLong(s, s"$d/documents#count")(documents(s, d).count())
+  /** On-disk bytes of the documents table (Hadoop FS metadata, no
+    * Spark job). Upper-bounds any derived vocabulary's size: every
+    * distinct token appears in the text, so vocab bytes ≤ corpus
+    * bytes even on a degenerate all-unique-token corpus. */
+  def documentBytes(s: SparkSession, d: String): Long =
+    memoizedLong(s, s"$d/documents#bytes") {
+      val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
   def embeddingCount(s: SparkSession, d: String): Long =
     memoizedLong(s, s"$d/embeddings#count")(embeddings(s, d).count())
 }

@@ -67,11 +67,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       .withColumn("n_chars", length($"text").cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // satisfy the other table reads used by augmentation (none beyond documents)
-    val out = SparkEntry.queries("q54_substring_dedup")(spark, dir)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(out(11L) == ((22L, 17L)), s"got ${out(11L)}")
-    assert(out(23L) == ((23L, 17L)), s"got ${out(23L)}")
-    graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+    try {
+      val out = SparkEntry.queries("q54_substring_dedup")(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out(11L) == ((22L, 17L)), s"got ${out(11L)}")
+      assert(out(23L) == ((23L, 17L)), s"got ${out(23L)}")
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("q53 sub-bucketing: width derivation kicks in only past the centroid cap; exact copies always share a sub-bucket") {
+    import graft.queries.SimilarityQ
+    // below 2^16 cells * 32/cell the split is OFF (exact SemDeDup semantics)
+    assert(SimilarityQ.semdedupSubBits(50000) == 0)
+    assert(SimilarityQ.semdedupSubBits((1L << 16) * 32 - 1) == 0)
+    // each doubling past the cap adds one sub-bit
+    assert(SimilarityQ.semdedupSubBits((1L << 16) * 32) == 1)
+    assert(SimilarityQ.semdedupSubBits((1L << 20) * 32) == 5)
+    // the sub key is a deterministic function of the vector alone:
+    // an exact vector copy (the q53 augmentation) can NEVER land in a
+    // different sub-bucket, so planted-copy recall is unaffected by
+    // the split at any scale
+    import spark.implicits._
+    val vecs = Seq.tabulate(20)(i =>
+      (i.toLong, Array.tabulate(64)(k => math.sin(i * 64 + k).abs - 0.5)))
+    val df = (vecs ++ vecs.map { case (id, v) => (id + 100L, v) }) // exact copies
+      .toDF("vec_id", "v")
+      .select($"vec_id", SimilarityQ.semdedupSubKey($"v", 6).as("sub"))
+    val subs = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 20).foreach(i => assert(subs(i.toLong) == subs(i + 100L)))
+    subs.values.foreach(s => assert(s >= 0 && s < 64))
+    // and b2 = 0 folds to the constant 0, matching the oracle's
+    // empty-list list_reduce
+    val zero = Seq((1L, Array.fill(64)(0.3))).toDF("vec_id", "v")
+      .select(SimilarityQ.semdedupSubKey($"v", 0)).head().getInt(0)
+    assert(zero == 0)
   }
 
   test("q55: band assignment is self-consistent with the corpus mean; token counts match the tokenizer") {
