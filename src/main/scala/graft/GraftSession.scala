@@ -33,6 +33,14 @@ object GraftSession {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // NOTE: spark.sql.parquet.pushdown.inFilterThreshold stays at its
+      // default (10). In Spark 4 the threshold picks the PUSHDOWN FORM,
+      // not whether to push: <= threshold builds an or-chain of eq()
+      // (which StackOverflows past ~1k values), > threshold pushes the
+      // native set-based FilterApi.in — exactly what the streaming
+      // cluster-maintenance lookup needs when it pushes a micro-batch's
+      // multi-thousand-key shingle set into the sh-sorted compacted
+      // postings scan (verified by the compaction ScaleStress row)
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests/benchmarks. */

@@ -27,9 +27,12 @@ import graft.operators.Dedup
   *     cap — the regime the parity test pins);
   *  3. intra-batch pairs via [[Dedup.jaccardPairsHashed]] and
   *     cross-batch pairs via one join of the batch's capped shingles
-  *     against the postings table (blocked on shingle key, exactly the
-  *     batch chain's join currency — at corpus scale the postings
-  *     table is bucketed by `sh` so this join co-locates);
+  *     against the postings table (blocked on shingle key, exactly
+  *     the batch chain's join currency). Deep history is read through
+  *     the periodically [[compact]]ed sh-sorted table with the
+  *     batch's key set pushed into the scan, so per-batch input is
+  *     flat in history depth — only the bounded un-compacted delta
+  *     tail is scanned in full;
   *  4. fold the new pairs into the latest cluster version with
   *     [[Dedup.foldPairsIntoClusters]] (cost scales with TOUCHED
   *     components) and write `clusters/v=<batchId>`.
@@ -64,6 +67,131 @@ object ClusterMaintenance {
     if (exists(spark, dir)) spark.read.parquet(dir).filter(col("b") < upTo)
     else emptyDf(spark, ddl)
 
+  // ---- postings compaction -----------------------------------------------
+  // Without it, every micro-batch's cross-batch lookup re-scanned the
+  // ENTIRE postings history (all prior b= delta dirs) — per-batch input
+  // linear in corpus history, the one scale-killer at 100 TB streamed
+  // ingest. Every `compactEvery` batches the history is rewritten ONCE
+  // as a GLOBALLY SH-SORTED table cut into ~`compactTargetRows`-row
+  // files (file == row-group at these sizes, so row-group min/max
+  // stats are disjoint contiguous sh ranges). The per-batch lookup
+  // then pushes the batch's distinct sh set into the parquet scan
+  // (In-filter; GraftSession raises the pushdown threshold), so only
+  // row-groups whose range CONTAINS a probed key are read: per-batch
+  // input from deep history is O(batch keys × file granule), flat in
+  // history depth, while the un-compacted tail stays bounded by
+  // compactEvery × batch. The compaction rewrite itself is sequential
+  // columnar I/O amortized over compactEvery batches (a leveled/LSM
+  // scheme that merges deltas into only the affected files is the
+  // production extension; one level keeps replay reasoning simple).
+
+  /** COMMITTED compacted-postings versions under root, ascending. */
+  private def compactVersions(spark: SparkSession, root: String): Seq[(Long, String)] = {
+    val dir = s"$root/postings_compact"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .filter(q => f.exists(new org.apache.hadoop.fs.Path(q, "_SUCCESS")))
+      .map(q => (q.getName.stripPrefix("v=").toLong, q.toString))
+      .sortBy(_._1)
+  }
+
+  /** Rewrite postings history older than `batchId` (prior compact +
+    * delta dirs) as one sh-sorted compact version, then garbage-
+    * collect state that no possible replay can read (versions/deltas
+    * below the PREVIOUS compact version: batches before `batchId` are
+    * committed by the time `batchId` runs, and a replay of `batchId`
+    * itself re-runs this compaction from the previous version, which
+    * is kept). Idempotent under replay: same inputs, same overwrite. */
+  /** `bloomNdv` sizes the per-row-group sh bloom (0 = assume one row
+    * group per file, i.e. min(rows, targetRows)); pass the expected
+    * rows-per-row-group when parquet.block.size is tuned smaller. */
+  private[graft] def compact(spark: SparkSession, root: String, batchId: Long,
+      targetRows: Long, bloomNdv: Long = 0L): Unit = {
+    val prev = compactVersions(spark, root).filter(_._1 < batchId).lastOption
+    val deltaLo = prev.map(_._1).getOrElse(Long.MinValue)
+    val deltas = readBefore(spark, s"$root/postings", "id BIGINT, sh BIGINT, b BIGINT", batchId)
+      .filter(col("b") >= deltaLo)
+      .select(col("id"), col("sh"))
+    val all = prev match {
+      case Some((_, d)) => spark.read.parquet(d).select(col("id"), col("sh")).unionByName(deltas)
+      case None => deltas
+    }
+    val rows = all.count()
+    if (rows > 0) {
+      val nFiles = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
+      // sorted by sh for tight row-group stats, PLUS a bloom filter on
+      // sh per row group: with uniformly-hashed keys the sorted ranges
+      // TILE the key space, so [min,max] stats alone cannot reject a
+      // probed key that is absent from history (it always lands inside
+      // some row-group's range) — and absent keys are the common case
+      // for a fresh micro-batch. The bloom rejects those row-groups
+      // outright; present keys read exactly their granule. ndv is
+      // per-row-group cardinality (≤ file rows), so bloom space stays
+      // proportional, ~1.2 bytes/row
+      all.repartitionByRange(nFiles, col("sh"))
+        .sortWithinPartitions(col("sh"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#sh", "true")
+        .option("parquet.bloom.filter.expected.ndv#sh",
+          (if (bloomNdv > 0) bloomNdv else math.min(rows, targetRows)).toString)
+        // fpp must be << 1/batch-keys: a row group passes if ANY of the
+        // K probed keys false-positives, so per-key fpp compounds K
+        // times — at the default 1% every row group would pass a
+        // 2000-key probe and the false-positive floor grows linearly
+        // with history again. 1e-6 costs ~2x bloom bits (~3B/row)
+        .option("parquet.bloom.filter.fpp#sh", "0.000001")
+        .parquet(s"$root/postings_compact/v=$batchId")
+      // GC: only after the new version committed
+      val f = fs(spark, root)
+      prev.foreach { case (pv, _) =>
+        compactVersions(spark, root).filter(_._1 < pv).foreach { case (_, d) =>
+          f.delete(new org.apache.hadoop.fs.Path(d), true)
+        }
+        val deltaRoot = new org.apache.hadoop.fs.Path(s"$root/postings")
+        if (f.exists(deltaRoot))
+          f.listStatus(deltaRoot).toSeq.map(_.getPath)
+            .filter(_.getName.startsWith("b="))
+            .filter(_.getName.stripPrefix("b=").toLong < pv)
+            .foreach(f.delete(_, true))
+      }
+    }
+  }
+
+  /** Postings visible to batch `batchId`: the newest committed compact
+    * version below it plus the delta dirs after that version. When the
+    * batch's distinct shingle set is small enough to collect
+    * (`pushKeys`), it is pushed into the compact scan as a parquet
+    * In-filter — with sh-sorted files this prunes to the row-groups
+    * actually containing probed keys. Correctness never depends on the
+    * pushdown (the caller still joins/semi-joins on sh); it only cuts
+    * input bytes. */
+  private[graft] def postingsBefore(spark: SparkSession, root: String, batchId: Long,
+      pushKeys: Option[Array[Long]]): DataFrame = {
+    // <= batchId: the compacting batch reads its OWN committed version
+    // (v=batchId holds exactly the deltas b < batchId, written
+    // deterministically from strictly-older state, so a replayed batch
+    // reads identical rows either way — this leg just reads them
+    // pruned instead of as raw deltas)
+    val compactOpt = compactVersions(spark, root).filter(_._1 <= batchId).lastOption
+    val deltaLo = compactOpt.map(_._1).getOrElse(Long.MinValue)
+    val deltas = readBefore(spark, s"$root/postings", "id BIGINT, sh BIGINT, b BIGINT", batchId)
+      .filter(col("b") >= deltaLo)
+      .select(col("id"), col("sh"))
+    compactOpt match {
+      case Some((_, d)) =>
+        val base = spark.read.parquet(d).select(col("id"), col("sh"))
+        val pruned = pushKeys match {
+          case Some(keys) => base.filter(col("sh").isInCollection(keys.toSeq))
+          case None => base
+        }
+        pruned.unionByName(deltas)
+      case None => deltas
+    }
+  }
+
   /** COMMITTED cluster version dirs under `root`, ascending by batch
     * id. A version counts only once its `_SUCCESS` marker exists —
     * a crash mid-write leaves a partial directory that consumers must
@@ -94,17 +222,35 @@ object ClusterMaintenance {
       .getOrElse(emptyDf(spark, "doc_id BIGINT, cluster_id BIGINT"))
 
   /** One micro-batch of the maintenance pipeline; wire via
-    * `docs.writeStream.foreachBatch(sink(root, ...)).start()`. */
+    * `docs.writeStream.foreachBatch(sink(root, ...)).start()`.
+    *
+    * `compactEvery` > 0 compacts the postings history every that many
+    * batches (see [[compact]]); `maxPushdownKeys` bounds the batch
+    * key set collected for scan pruning (a backfill batch with more
+    * distinct shingles than this reads the compact table un-pruned —
+    * at that batch/history ratio most row-groups contain matches
+    * anyway, so pruning could not have helped). */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       idCol: String, textCol: String,
-      shingleN: Int = 5, dfCap: Long = Long.MaxValue, threshold: Double = 0.6): Unit = {
+      shingleN: Int = 5, dfCap: Long = Long.MaxValue, threshold: Double = 0.6,
+      compactEvery: Int = 16, compactTargetRows: Long = 4000000L,
+      maxPushdownKeys: Int = 100000): Unit = {
     val spark = batch.sparkSession
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compact(spark, root, batchId, compactTargetRows)
     val batchSh = Dedup.hashedShingleSets(
       batch.select(col(idCol).cast("long").as("id"), col(textCol).as("text")),
       col("id"), col("text"), shingleN).persist()
     try {
-      val priorPostings = readBefore(spark, s"$root/postings", "id BIGINT, sh BIGINT, b BIGINT", batchId)
-        .select(col("id"), col("sh"))
+      // collect the batch's distinct shingle keys (bounded) for scan
+      // pruning: limit(max+1) caps driver memory — an over-limit batch
+      // yields None, never a truncated (incorrect-looking) push set
+      val keyRows = batchSh.select(col("sh")).distinct()
+        .limit(maxPushdownKeys + 1).collect()
+      val pushKeys =
+        if (keyRows.length > maxPushdownKeys) None
+        else Some(keyRows.map(_.getLong(0)))
+      val priorPostings = postingsBefore(spark, root, batchId, pushKeys)
       val priorCounts = readBefore(spark, s"$root/counts", "id BIGINT, n BIGINT, b BIGINT", batchId)
         .select(col("id"), col("n"))
       // freeze buckets whose running df crosses the cap as of this batch.
@@ -166,8 +312,11 @@ object ClusterMaintenance {
 
   /** foreachBatch adapter. */
   def sink(root: String, idCol: String, textCol: String,
-      shingleN: Int = 5, dfCap: Long = Long.MaxValue, threshold: Double = 0.6)
+      shingleN: Int = 5, dfCap: Long = Long.MaxValue, threshold: Double = 0.6,
+      compactEvery: Int = 16, compactTargetRows: Long = 4000000L,
+      maxPushdownKeys: Int = 100000)
       : (DataFrame, Long) => Unit =
     (batch, batchId) =>
-      processBatch(batch, batchId, root, idCol, textCol, shingleN, dfCap, threshold)
+      processBatch(batch, batchId, root, idCol, textCol, shingleN, dfCap, threshold,
+        compactEvery, compactTargetRows, maxPushdownKeys)
 }

@@ -408,6 +408,118 @@ object ScaleStress {
       n
     }
 
+    // The round-6 scale-killer, measured the way it fails: per-batch
+    // INPUT BYTES of the cross-batch postings lookup. Un-compacted,
+    // every micro-batch re-scanned the whole history (linear in corpus
+    // age). Compacted (sh-sorted files, batch key set pushed into the
+    // scan as a parquet In-filter), the lookup reads only the
+    // row-groups containing probed keys: input ≈ keys × granule,
+    // INDEPENDENT of history depth. 40 batches × 700k postings; a
+    // fixed 2k-key probe (a steady-state micro-batch's shingle set)
+    // measured at history depths 10/20/30/40 batches — bytes must stay
+    // ~flat while history grows 4×, and the pruned read must beat the
+    // un-pruned one by a wide margin at full depth.
+    time("cluster_maintenance_compaction_flat_input_bytes") {
+      val root = java.nio.file.Files.createTempDirectory("graft_stress_cmc").toString
+      val rowsPerBatch = 700000L
+      // small row groups = fine pruning granules (file count stays
+      // modest: ~250k rows/file, ~2k rows/row-group)
+      val hc = spark.sparkContext.hadoopConfiguration
+      val prevBlock = hc.get("parquet.block.size")
+      // granule = 16 KiB row groups (~1k rows): the flat regime needs
+      // row-group count >> probe keys from the first measured depth
+      // (10 batches = 7M rows -> ~6.8k row groups vs 2k probes)
+      hc.set("parquet.block.size", "16384")
+      try {
+        (0L until 40L).foreach { b =>
+          spark.range(b * rowsPerBatch, (b + 1) * rowsPerBatch)
+            .select(($"id" / 40).cast("long").as("id"),
+              expr("xxhash64(concat('s', cast(id as string)))").as("sh"))
+            .write.mode("overwrite").parquet(s"$root/postings/b=$b")
+        }
+        // probe keys: 2000 shingles that live DEEP in history (first 10
+        // batches) — present at every measured depth
+        val probe = spark.range(2000)
+          .select(expr("xxhash64(concat('s', cast(id * 3000 as string)))").as("sh"))
+          .collect().map(_.getLong(0))
+        val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null) bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+        }
+        def measured(f: => Unit): Long = {
+          bytesRead.set(0L)
+          spark.sparkContext.addSparkListener(listener)
+          try {
+            f
+            // listener delivery is async: poll until the counter settles
+            var prev = -1L
+            var cur = bytesRead.get()
+            var i = 0
+            while (cur != prev && i < 40) { Thread.sleep(250); prev = cur; cur = bytesRead.get(); i += 1 }
+            cur
+          } finally spark.sparkContext.removeSparkListener(listener)
+        }
+        // Two views of the same read: task InputMetrics bytes (includes
+        // footer/column-index metadata, which on many-file local runs
+        // can dominate) and the scan node's MATERIALIZED ROWS — rows of
+        // row-groups that survived In-filter pruning, counted before
+        // the residual Spark filter. Materialized rows x row width IS
+        // the data-level input; it is the number that must stay flat.
+        def scanRows(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
+          // manual recursion: TreeNode.collect stops at AQE query-stage
+          // boundaries (their subtrees are not `children`)
+          var s = 0L
+          def go(x: org.apache.spark.sql.execution.SparkPlan): Unit = {
+            x match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => go(a.executedPlan)
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
+              case n => if (n.nodeName.toLowerCase.contains("scan"))
+                s += n.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+            }
+            x.children.foreach(go)
+          }
+          go(plan)
+          s
+        }
+        def lookup(depth: Long, push: Option[Array[Long]]): Long = {
+          // sum of residues, not count(): count() would satisfy from
+          // parquet footer metadata (aggregatePushdown) and read ~zero
+          // bytes; raw sums of full-range hashes overflow under ANSI
+          val agg = graft.streaming.ClusterMaintenance.postingsBefore(spark, root, depth, push)
+            .agg(sum(pmod($"id", lit(1000L))), sum(pmod($"sh", lit(1000L))))
+          agg.collect()
+          scanRows(agg.queryExecution.executedPlan)
+        }
+        val depths = Seq(10L, 20L, 30L, 40L)
+        var rowsByDepth = Seq.empty[(Long, Long)]
+        val pruned = depths.map { d =>
+          graft.streaming.ClusterMaintenance.compact(spark, root, d,
+            targetRows = 250000L, bloomNdv = 2048L)
+          var rows = 0L
+          val bytes = measured { rows = lookup(d, Some(probe)) }
+          rowsByDepth :+= (d -> rows)
+          d -> bytes
+        }
+        var unprunedRows = 0L
+        val unprunedBytes = measured { unprunedRows = lookup(40L, None) }
+        val flatRows = rowsByDepth.last._2.toDouble / rowsByDepth.head._2
+        val gainRows = unprunedRows.toDouble / rowsByDepth.last._2
+        println(f"STRESS   pruned_scan_rows=${rowsByDepth.map { case (d, x) => s"$d:$x" }.mkString(", ")} " +
+          f"depth40/depth10=$flatRows%.2f unpruned_rows=$unprunedRows pruned_gain=${gainRows}%.1fx " +
+          f"pruned_bytes=${pruned.map { case (d, x) => s"$d:${x / 1024 / 1024}MB" }.mkString(", ")} " +
+          f"unpruned_bytes=${unprunedBytes / 1024 / 1024}MB")
+        require(flatRows < 1.5,
+          f"per-batch lookup materialized rows grew $flatRows%.2fx while history grew 4x - compaction pruning is not flat")
+        require(gainRows > 3.0,
+          f"pruned scan only ${gainRows}%.1fx below full scan - In-filter pushdown is not pruning row-groups")
+        FileUtil.deleteTree(java.nio.file.Paths.get(root))
+        40 * rowsPerBatch
+      } finally {
+        if (prevBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prevBlock)
+      }
+    }
+
     // The COMPOSED pipeline at volume: clean → dedup-cluster → rebalance
     // → leakage-safe split → pack over 1M docs, sharing ONE scoring scan
     // and ONE shingle scan (plus the at-rest cluster artifact) instead

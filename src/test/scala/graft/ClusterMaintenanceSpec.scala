@@ -85,6 +85,54 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
     CachePool.drain()
   }
 
+  test("postings compaction: compacted + pruned lookups preserve the artifact exactly; GC drops consumed deltas; compacting batch replays safely") {
+    import spark.implicits._
+    // 9 arrival batches x 30 docs; ~1 in 6 docs near-dups a doc from an
+    // EARLIER batch (id % 6 == 0 drops the first word of doc id/6's
+    // text), so cross-batch lookups stay load-bearing across the
+    // compaction boundary
+    def text(seed: Long) =
+      (0 until 24).map(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$i".getBytes).map("%02x".format(_)).mkString.take(6)).mkString(" ")
+    def batchDocs(b: Long): Seq[(Long, String)] =
+      (b * 30 until (b + 1) * 30).map { id =>
+        if (id % 6 == 0 && id / 6 < id) (id, text(id / 6).split(" ", 2)(1))
+        else (id, text(id))
+      }
+    val rootC = Files.createTempDirectory("graft_cm_compact").toString
+    val rootR = Files.createTempDirectory("graft_cm_ref").toString
+    (0L until 9L).foreach { b =>
+      // compaction every 3 batches, multiple small files, pruning on
+      ClusterMaintenance.processBatch(batchDocs(b).toDF("doc_id", "text"), b, rootC,
+        "doc_id", "text", compactEvery = 3, compactTargetRows = 500, maxPushdownKeys = 100000)
+      // reference: compaction disabled entirely
+      ClusterMaintenance.processBatch(batchDocs(b).toDF("doc_id", "text"), b, rootR,
+        "doc_id", "text", compactEvery = 0)
+    }
+    val got = clusterSet(ClusterMaintenance.loadClusters(spark, rootC))
+    val want = clusterSet(ClusterMaintenance.loadClusters(spark, rootR))
+    assert(got == want)
+    assert(got.nonEmpty)
+    // compact versions committed at batches 3 and 6; v=3 is KEPT (a
+    // replay of batch 6 re-compacts from it), only state below the
+    // previous version is GC'd
+    val cDirs = new java.io.File(s"$rootC/postings_compact").listFiles().map(_.getName).toSet
+    assert(cDirs == Set("v=3", "v=6"), s"got $cDirs")
+    val deltas = new java.io.File(s"$rootC/postings").listFiles().map(_.getName)
+      .filter(_.startsWith("b=")).map(_.stripPrefix("b=").toLong).toSet
+    assert(deltas == (3L until 9L).toSet, s"got $deltas")
+    // multiple sh-range files (file == pruning granule)
+    val nFiles = new java.io.File(s"$rootC/postings_compact/v=6").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles > 1, s"expected several range files, got $nFiles")
+    // replay the COMPACTING batch (6): rewrites v=6 + its own outputs
+    // from strictly-older state — artifact unchanged
+    ClusterMaintenance.processBatch(batchDocs(6).toDF("doc_id", "text"), 6, rootC,
+      "doc_id", "text", compactEvery = 3, compactTargetRows = 500)
+    assert(clusterSet(ClusterMaintenance.loadClusters(spark, rootC)) == want)
+    CachePool.drain()
+  }
+
   test("streaming N batches of docs converges the artifact to the batch q41 clusters") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
