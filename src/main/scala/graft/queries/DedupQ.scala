@@ -46,7 +46,7 @@ object DedupQ extends QueryPack {
     * whole tokenize→shingle→hash pipeline twice), and the capped set
     * is then read by 3+ downstream stages. Drained by CachePool after
     * the query's action. */
-  private def cappedShingles(s: SparkSession, d: String, nDocs: Long): DataFrame = {
+  private[graft] def cappedShingles(s: SparkSession, d: String, nDocs: Long): DataFrame = {
     import s.implicits._
     val hsRaw = CachePool.cache(
       Dedup.hashedShingleSets(augmentedDocs(s, d), $"doc_id", $"text", 5))

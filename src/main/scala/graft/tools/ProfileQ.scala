@@ -22,13 +22,46 @@ object ProfileQ {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-profile"),
       shufflePartitions = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    (1 to iters).foreach { i =>
+    if (name == "q41_clusters_build") {
+      // the one Bench SETUP line: not a queries entry — rebuild the
+      // at-rest cluster artifact per iteration (memo + artifact
+      // invalidated in between), with a phase decomposition on the
+      // last iteration to attribute drift
+      (1 to iters).foreach { i =>
+        graft.queries.DedupQ.invalidateClusters(spark, d)
+        val t0 = System.nanoTime()
+        graft.queries.DedupQ.ensureClusters(spark, d)
+        val el = (System.nanoTime() - t0) / 1e9
+        CachePool.drain()
+        println(f"PROFILE $name iter $i: $el%.3f s")
+      }
+      import graft.operators.{Adaptive, Dedup}
+      import graft.sources.Tables
       val t0 = System.nanoTime()
-      fn(spark, d).queryExecution.toRdd.count()
-      val el = (System.nanoTime() - t0) / 1e9
+      val capped = graft.queries.DedupQ.cappedShingles(spark, d, Tables.documentCount(spark, d))
+      capped.queryExecution.toRdd.count()
+      val t1 = System.nanoTime()
+      val pairs = Dedup.jaccardPairsHashed(capped, 0.6).persist()
+      val nPairs = pairs.count()
+      val t2 = System.nanoTime()
+      val cc = Dedup.connectedComponents(pairs)
+      val nCc = cc.queryExecution.toRdd.count()
+      val t3 = System.nanoTime()
+      Dedup.clustersAtRest(cc, java.nio.file.Files.createTempDirectory("q41prof").toString)
+      val t4 = System.nanoTime()
+      println(f"PROFILE phases: shingle=${(t1 - t0) / 1e9}%.2f pairs=${(t2 - t1) / 1e9}%.2f ($nPairs) " +
+        f"cc=${(t3 - t2) / 1e9}%.2f ($nCc docs) write=${(t4 - t3) / 1e9}%.2f")
+      pairs.unpersist()
       CachePool.drain()
-      println(f"PROFILE $name iter $i: $el%.3f s")
+    } else {
+      val fn = SparkEntry.queries(name)
+      (1 to iters).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, d).queryExecution.toRdd.count()
+        val el = (System.nanoTime() - t0) / 1e9
+        CachePool.drain()
+        println(f"PROFILE $name iter $i: $el%.3f s")
+      }
     }
     spark.stop()
   }
