@@ -93,4 +93,84 @@ object TemporalJoins {
       .filter(col("__rt") >= col("__lt") + lowerUs && col("__rt") <= col("__lt") + upperUs)
       .drop("__b", "__lt", "__rt")
   }
+
+  /** Pure-SQL formulations of the same two plans — the reference UX is
+    * SQL-first (Flink declares the temporal join as `FOR SYSTEM_TIME
+    * AS OF` over DDL-registered tables, e.g. format/csv/Csv2Csv.java's
+    * DDL pattern), so the join shapes are also exposed as SQL
+    * generators over catalog-registered views. Column types for the
+    * NULL padding are read from the session catalog, so the generated
+    * text plans EXACTLY like the Column-API operator (the
+    * TemporalJoinsSpec pins both result parity and plan shape).
+    *
+    * {{{
+    * orders.createOrReplaceTempView("orders_probe")
+    * creditHistory.createOrReplaceTempView("credit_versions")
+    * spark.sql(TemporalJoins.Sql.asOf(spark, "orders_probe", "credit_versions",
+    *   key = "custkey", probeTs = "o_orderdate", versionTs = "eff",
+    *   payload = Seq("credit_limit")))
+    * // ≙ Flink: SELECT ... FROM orders o JOIN credit FOR SYSTEM_TIME
+    * //          AS OF o.o_orderdate AS c ON o.custkey = c.custkey
+    * }}}
+    */
+  object Sql {
+
+    private def q(c: String) = s"`$c`"
+
+    /** SQL twin of [[TemporalJoins.asOf]] over two registered views:
+      * union + per-key running `last(..., true)` window — one shuffle
+      * on the key, join-free. */
+    def asOf(spark: org.apache.spark.sql.SparkSession, probeView: String,
+        versionView: String, key: String, probeTs: String, versionTs: String,
+        payload: Seq[String]): String = {
+      val pSchema = spark.table(probeView).schema
+      val vSchema = spark.table(versionView).schema
+      val probeCols = pSchema.fieldNames.toSeq
+      require(probeCols.intersect(payload).isEmpty,
+        s"asOf SQL: probe columns ${probeCols.intersect(payload).mkString(",")} collide with payload")
+      val payloadStruct = payload.map(c => s"'$c', ${q(c)}").mkString("named_struct(", ", ", ")")
+      val structSql = org.apache.spark.sql.types.StructType(payload.map(c => vSchema(c))).sql
+      val nullProbe = probeCols.map(c => s"CAST(NULL AS ${pSchema(c).dataType.sql}) AS ${q(c)}").mkString(", ")
+      s"""SELECT ${probeCols.map(q).mkString(", ")},
+         |       ${payload.map(c => s"__eff.${q(c)} AS ${q(c)}").mkString(", ")}
+         |FROM (
+         |  SELECT *, last(__pl, true) OVER (PARTITION BY __k ORDER BY __t, __p
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __eff
+         |  FROM (
+         |    SELECT ${q(key)} AS __k, ${q(versionTs)} AS __t, 0 AS __p,
+         |           $payloadStruct AS __pl, $nullProbe
+         |    FROM $versionView
+         |    UNION ALL
+         |    SELECT ${q(key)} AS __k, ${q(probeTs)} AS __t, 1 AS __p,
+         |           CAST(NULL AS $structSql) AS __pl, ${probeCols.map(q).mkString(", ")}
+         |    FROM $probeView
+         |  )
+         |)
+         |WHERE __p = 1""".stripMargin
+    }
+
+    /** SQL twin of [[TemporalJoins.interval]]: bucketized equi-join
+      * with the band predicate applied after — never a nested loop. */
+    def interval(spark: org.apache.spark.sql.SparkSession, leftView: String,
+        rightView: String, key: String, leftTs: String, rightTs: String,
+        lowerUs: Long, upperUs: Long): String = {
+      require(lowerUs >= 0 && upperUs >= lowerUs && upperUs > 0,
+        s"interval SQL: need 0 <= lower <= upper with upper > 0, got [$lowerUs, $upperUs]")
+      val lCols = spark.table(leftView).schema.fieldNames.toSeq.filterNot(_ == key)
+      val rCols = spark.table(rightView).schema.fieldNames.toSeq.filterNot(_ == key)
+      val overlap = lCols.intersect(rCols)
+      require(overlap.isEmpty, s"interval SQL: column collision ${overlap.mkString(",")}")
+      val W = upperUs
+      s"""SELECT ${q(key)}, ${(lCols ++ rCols).map(q).mkString(", ")}
+         |FROM (
+         |  SELECT ${q(key)}, ${lCols.map(q).mkString(", ")}, __lt,
+         |         explode(array(__lt div $W, __lt div $W + 1)) AS __b
+         |  FROM (SELECT *, unix_micros(${q(leftTs)}) AS __lt FROM $leftView)
+         |) JOIN (
+         |  SELECT ${q(key)}, ${rCols.map(q).mkString(", ")}, __rt, __rt div $W AS __b
+         |  FROM (SELECT *, unix_micros(${q(rightTs)}) AS __rt FROM $rightView)
+         |) USING (${q(key)}, __b)
+         |WHERE __rt >= __lt + $lowerUs AND __rt <= __lt + $upperUs""".stripMargin
+    }
+  }
 }

@@ -139,4 +139,63 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"asOf must be union+window, found a join:\n$plan")
     assert(out.count() == 500)
   }
+
+  test("pure-SQL asOf over registered views: q50 semantics via spark.sql only, same rows, same join-free plan") {
+    import spark.implicits._
+    // the q50 shape end-to-end through the catalog: orders probe the
+    // synthesized credit-limit history (the reference declares this as
+    // Flink DDL + FOR SYSTEM_TIME AS OF; here it is two temp views +
+    // the generated Spark SQL)
+    graft.sources.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey".as("custkey"), $"o_orderdate")
+      .createOrReplaceTempView("t_asof_probe")
+    graft.sources.Tables.customer(spark, sfDir)
+      .select($"c_custkey", explode(sequence(lit(0), lit(2))).as("v"))
+      .select($"c_custkey".as("custkey"),
+        expr("timestampadd(DAY, cast(c_custkey % 500 + v * 800 as int), timestamp '1995-01-01')").as("eff"),
+        (($"c_custkey" * 31 + $"v" * 17) % 1000).cast("long").as("credit_limit"))
+      .createOrReplaceTempView("t_asof_versions")
+    val sqlText = TemporalJoins.Sql.asOf(spark, "t_asof_probe", "t_asof_versions",
+      key = "custkey", probeTs = "o_orderdate", versionTs = "eff", payload = Seq("credit_limit"))
+    val viaSql = spark.sql(sqlText)
+    // same join-free plan as the Column API operator
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"SQL asOf must be union+window, found a join:\n$plan")
+    // row-for-row parity with the Column-API q50
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.get(2).toString, if (r.isNullAt(3)) -1L else r.getLong(3))
+    val got = viaSql.select($"o_orderkey", $"custkey", $"o_orderdate", $"credit_limit")
+      .collect().map(key).toSet
+    val want = SparkEntry.queries("q50_asof_join")(spark, sfDir)
+      .select($"o_orderkey", $"custkey", $"o_orderdate", $"credit_limit")
+      .collect().map(key).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("pure-SQL interval join over registered views: same pairs, bucketized equi-join plan") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_ts"))
+      .createOrReplaceTempView("t_iv_clicks")
+    ev.filter($"event_type" === "error")
+      .select($"event_id".as("error_id"), $"user_id", $"ts".as("e_ts"))
+      .createOrReplaceTempView("t_iv_errors")
+    val sqlText = TemporalJoins.Sql.interval(spark, "t_iv_clicks", "t_iv_errors",
+      key = "user_id", leftTs = "c_ts", rightTs = "e_ts", lowerUs = 0L, upperUs = 7200000000L)
+    val viaSql = spark.sql(sqlText)
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"SQL interval join degenerated to a nested loop:\n$plan")
+    val got = viaSql.select($"click_id", $"error_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = TemporalJoins.interval(
+        spark.table("t_iv_clicks"), spark.table("t_iv_errors"),
+        "user_id", "c_ts", "e_ts", 0L, 7200000000L)
+      .select($"click_id", $"error_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
