@@ -89,6 +89,41 @@ object IvfIndex {
     m0 + (1L - m0 % 2L)
   }
 
+  /** Typed partial-merge fold for the Lloyd update: component-wise sum
+    * of quantized vectors + count per cell. The buffer array is
+    * allocated lazily from the first vector's length; a dimension
+    * mismatch is data corruption and must fail LOUDLY (the VecKernels
+    * convention) — sizing from the first vector and looping
+    * min(lengths) would silently truncate a centroid. */
+  private object SumVec extends org.apache.spark.sql.expressions.Aggregator[
+      (Int, Array[Double]), (Array[Double], Long), (Array[Double], Long)] {
+    def zero: (Array[Double], Long) = (null, 0L)
+    def reduce(acc: (Array[Double], Long), row: (Int, Array[Double])): (Array[Double], Long) = {
+      val v = row._2
+      val a = if (acc._1 == null) new Array[Double](v.length) else acc._1
+      require(v.length == a.length,
+        s"ragged embedding dimension: ${v.length} vs ${a.length}")
+      var k = 0
+      while (k < v.length) { a(k) += v(k); k += 1 }
+      (a, acc._2 + 1)
+    }
+    def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) =
+      if (x._1 == null) y
+      else if (y._1 == null) x
+      else {
+        require(x._1.length == y._1.length,
+          s"ragged embedding dimension: ${x._1.length} vs ${y._1.length}")
+        var k = 0
+        while (k < x._1.length) { x._1(k) += y._1(k); k += 1 }
+        (x._1, x._2 + y._2)
+      }
+    def finish(r: (Array[Double], Long)): (Array[Double], Long) = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    def outputEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+  }
+
   /** Deterministic Lloyd k-means over quantized vectors (driver
     * orchestrates `iters` rounds; each round is one kernel-assignment
     * scan whose per-cell sums fold as primitive arrays in a map-side-
@@ -122,43 +157,26 @@ object IvfIndex {
         (1 to iters).foreach { _ =>
           val ti = System.nanoTime()
           // assignment scan (shuffle-free kernel) + exact integer sums.
-          // The update fold is per-partition primitive-array adds via
-          // aggregateByKey — quantized components are exact-integer
-          // doubles, so addition is associative and ANY combine order
-          // gives bit-identical sums (the same property the oracle's
-          // single-threaded replay relies on). The relational form
-          // (posexplode to rows × 64 → groupBy(cell, k) over
-          // cells×64 groups) computed the identical sums but paid a
-          // 3M-row explode + 131k-group hash agg per Lloyd round —
-          // ~15 s/round vs ~1 s at 50k vectors × 2048 cells; the
-          // shuffle here is ≤ cells arrays per partition, KB-scale.
+          // The update fold is a TYPED Aggregator over primitive
+          // arrays: partial (map-side) sums per partition, ≤ cells
+          // 64-double buffers shuffled — same cost shape as the old
+          // aggregateByKey fold but WITHOUT the .rdd hop that exited
+          // Tungsten and boxed every sampled row into Seq[Double]
+          // (Array[Double] decodes via UnsafeArrayData.toDoubleArray,
+          // no per-element boxing). Quantized components are
+          // exact-integer doubles, so addition is associative and ANY
+          // combine order gives bit-identical sums (the property the
+          // oracle's single-threaded replay relies on). The relational
+          // form (posexplode → groupBy(cell, k)) computed identical
+          // sums but paid a 3M-row explode + 131k-group hash agg per
+          // round — ~15 s/round vs ~1 s at 50k vectors × 2048 cells.
+          import spark.implicits._
           val sums = vq
             .select(VectorExpressions.nearestCell(col("vq"), model.cent, model.csq).as("cell"),
               col("vq"))
-            .rdd.map(r => (r.getInt(0), r.getSeq[Double](1)))
-            .aggregateByKey((null: Array[Double], 0L))(
-              (acc, v) => {
-                val a = if (acc._1 == null) new Array[Double](v.length) else acc._1
-                // dimension mismatch must fail LOUDLY (the VecKernels
-                // convention) — sizing from the first vector and
-                // looping min(lengths) would silently truncate a
-                // centroid instead
-                require(v.length == a.length,
-                  s"ragged embedding dimension: ${v.length} vs ${a.length}")
-                var k = 0
-                while (k < v.length) { a(k) += v(k); k += 1 }
-                (a, acc._2 + 1)
-              },
-              (x, y) =>
-                if (x._1 == null) y
-                else if (y._1 == null) x
-                else {
-                  require(x._1.length == y._1.length,
-                    s"ragged embedding dimension: ${x._1.length} vs ${y._1.length}")
-                  var k = 0
-                  while (k < x._1.length) { x._1(k) += y._1(k); k += 1 }
-                  (x._1, x._2 + y._2)
-                })
+            .as[(Int, Array[Double])]
+            .groupByKey(_._1)
+            .agg(SumVec.toColumn)
             .collect()
           tlog("iter", ti)
           val next = model.cent.clone()
