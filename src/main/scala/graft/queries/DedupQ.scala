@@ -53,6 +53,30 @@ object DedupQ extends QueryPack {
     CachePool.cache(Dedup.dfCapped(hsRaw, Adaptive.dfCap(nDocs)))
   }
 
+  /** Window width (tokens) for the exact-substring family (q54/q56). */
+  private val SubK = 8
+
+  /** Shared tokenized-docs + exploded-gram intermediates of the
+    * exact-substring family: `base` (doc_id, n_tokens, words) and
+    * `grams` (doc_id, s, h) — h the 60-bit md5-prefix hash of the
+    * 8-token window starting at 1-based position s. Both cached: base
+    * feeds the gram stream AND the per-doc output joins; grams feed
+    * the dup decision AND the coverage/trim passes. */
+  private def substringGrams(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val base = CachePool.cache(augmentedDocs(s, d)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("words"))
+      .select($"doc_id", size($"words").cast("long").as("n_tokens"), $"words"))
+    val grams = CachePool.cache(
+      base.filter($"n_tokens" >= SubK)
+        .select($"doc_id", $"words",
+          explode(sequence(lit(1L), $"n_tokens" - (SubK - 1))).as("s"))
+        .select($"doc_id", $"s",
+          conv(substring(md5(array_join(slice($"words", $"s", lit(SubK)), " ")), 1, 15), 16, 10)
+            .cast("long").as("h")))
+    (base, grams)
+  }
+
   /** One artifact dir per (application, sf dir): rebuilt on first
     * touch in a session, reused by every later consumer. */
   private val ccMemo =
@@ -232,20 +256,8 @@ object DedupQ extends QueryPack {
     // pipeline, replayed exactly by the oracle.
     "q54_substring_dedup" -> ((s, d) => {
       import s.implicits._
-      val k = 8
-      // cached: base feeds BOTH the gram stream below and the final
-      // per-doc output join — uncached, the full document scan +
-      // tokenize ran twice
-      val base = CachePool.cache(augmentedDocs(s, d)
-        .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("words"))
-        .select($"doc_id", size($"words").cast("long").as("n_tokens"), $"words"))
-      val grams = CachePool.cache(
-        base.filter($"n_tokens" >= k)
-          .select($"doc_id", $"words",
-            explode(sequence(lit(1L), $"n_tokens" - (k - 1))).as("s"))
-          .select($"doc_id", $"s",
-            conv(substring(md5(array_join(slice($"words", $"s", lit(k)), " ")), 1, 15), 16, 10)
-              .cast("long").as("h")))
+      val k = SubK
+      val (base, grams) = substringGrams(s, d)
       // "appears in >= 2 distinct docs" == min(doc_id) != max(doc_id):
       // a plain partial-aggregable min/max instead of count-distinct's
       // expand + second exchange
@@ -265,6 +277,46 @@ object DedupQ extends QueryPack {
           when($"n_tokens" === 0, lit(0.0))
             .otherwise(coalesce($"dup_tokens", lit(0L)).cast("double") / $"n_tokens")
             .as("dup_ratio"))
+    }),
+
+    // The Lee et al. pipeline's TERMINAL step — q54 reports where the
+    // duplicated spans are; this emits the training corpus with them
+    // REMOVED, keeping one canonical occurrence: for each cross-doc
+    // duplicated 8-gram the smallest doc_id holding it is canonical,
+    // and every covered token position OUTSIDE the canonical doc is
+    // dropped (an exact copy is trimmed to nothing; its original is
+    // untouched). Composition over the SAME cached base/grams
+    // intermediates as q54 (the q42/q52 pattern): one extra
+    // (doc_id, p) anti-join — positions explode linearly in corpus
+    // tokens, removable positions linearly in duplicated tokens, and
+    // reconstruction is a per-doc sort of kept tokens, never a global
+    // sort.
+    "q56_substring_trim" -> ((s, d) => {
+      import s.implicits._
+      val k = SubK
+      val (base, grams) = substringGrams(s, d)
+      val dupG = grams.groupBy($"h")
+        .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+        .filter($"lo" =!= $"hi").select($"h", $"lo")
+      // removable positions: the k tokens under every occurrence of a
+      // dup gram in a NON-canonical doc (distinct: overlapping windows
+      // cover a position once)
+      val rem = grams.join(dupG, "h").filter($"doc_id" =!= $"lo")
+        .select($"doc_id", explode(sequence($"s", $"s" + (k - 1))).as("p"))
+        .distinct()
+      val kept = base
+        .select($"doc_id", posexplode($"words").as(Seq("i", "w")))
+        .select($"doc_id", ($"i" + 1).cast("long").as("p"), $"w")
+        .join(rem, Seq("doc_id", "p"), "left_anti")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("kept_tokens"),
+          array_join(transform(array_sort(collect_list(struct($"p", $"w"))), x => x("w")), " ")
+            .as("text_trimmed"))
+      base.select($"doc_id", $"n_tokens")
+        .join(kept, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"kept_tokens", lit(0L)).as("kept_tokens"),
+          coalesce($"text_trimmed", lit("")).as("text_trimmed"))
     }),
 
     // Benchmark-contamination screening (training-data decontam): a
@@ -351,6 +403,30 @@ object DedupQ extends QueryPack {
          |  CASE WHEN b.n_tokens = 0 THEN 0.0
          |       ELSE coalesce(c.dup_tokens, 0)::DOUBLE / b.n_tokens END AS dup_ratio
          |FROM base b LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    "q56_substring_trim" ->
+      s"""WITH $augSql,
+         |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words FROM aug),
+         |base AS (SELECT doc_id, len(words)::BIGINT AS n_tokens, words FROM toks),
+         |grams AS (SELECT doc_id, i AS s,
+         |            cast(('0x' || substr(md5(array_to_string(list_slice(words, i, i + 7), ' ')), 1, 15)) AS bigint) AS h
+         |          FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 7)) AS i
+         |                FROM base WHERE len(words) >= 8)),
+         |dupg AS (SELECT h, min(doc_id) AS lo FROM grams GROUP BY h
+         |         HAVING min(doc_id) <> max(doc_id)),
+         |rem AS (SELECT DISTINCT g.doc_id, g.s + t.u AS p
+         |        FROM grams g JOIN dupg USING (h), range(0, 8) t(u)
+         |        WHERE g.doc_id <> dupg.lo),
+         |pos AS (SELECT doc_id, i AS p, words[i] AS w
+         |        FROM (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i FROM base)),
+         |kept AS (SELECT pos.doc_id, count(*)::BIGINT AS kept_tokens,
+         |           string_agg(w, ' ' ORDER BY p) AS text_trimmed
+         |         FROM pos ANTI JOIN rem ON pos.doc_id = rem.doc_id AND pos.p = rem.p
+         |         GROUP BY pos.doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  coalesce(k.kept_tokens, 0)::BIGINT AS kept_tokens,
+         |  coalesce(k.text_trimmed, '') AS text_trimmed
+         |FROM base b LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     "q24_dedup_exact" ->
       s"""WITH $augSql

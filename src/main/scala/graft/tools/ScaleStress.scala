@@ -662,6 +662,9 @@ object ScaleStress {
       // md5-derived words (NOT docs()'s linear formula — its mod-100k
       // pigeonhole collapses 1M texts to ~100k distinct and every gram
       // becomes a "duplicate"): ~5% designed dups via id%20 copies
+      // persisted: the gram stream AND the trim pass's position/output
+      // scans all read it (regenerating 40M md5 words per scan is the
+      // alternative)
       val base = spark.range(1000000L).select(
         $"id".as("doc_id"),
         expr("""split(concat_ws(' ', transform(sequence(0, 39), i ->
@@ -669,6 +672,7 @@ object ScaleStress {
           |                                 ELSE id END as string), ':', cast(i as string))), 1, 7))), ' ')""".stripMargin)
           .as("words"))
         .select($"doc_id", size($"words").cast("long").as("n_tokens"), $"words")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val grams = base.filter($"n_tokens" >= k)
         .select($"doc_id", $"words",
           explode(sequence(lit(1L), $"n_tokens" - (k - 1))).as("s"))
@@ -693,6 +697,39 @@ object ScaleStress {
       // their 47,500 distinct originals
       println(s"STRESS   docs_with_dup_spans=$dupDocs fully_duplicated=$full " +
         "(designed: 47500 id%20 copies with unremapped bases + 47500 originals, all fully covered)")
+
+      // q56 composition over the SAME cached gram stream: trim the
+      // corpus — every covered position outside the canonical
+      // (smallest-id) holder is dropped. Designed outcome at 1M docs:
+      // exactly the 47,500 effective copies trim to ZERO tokens
+      // (their originals are canonical and keep all 40), so the corpus
+      // loses exactly 47,500 x 40 tokens. Positions explode linearly
+      // in corpus tokens (40M), removable positions linearly in
+      // duplicated tokens; reconstruction is per-doc, no global sort.
+      val dupLo = grams.groupBy($"h")
+        .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+        .filter($"lo" =!= $"hi").select($"h", $"lo")
+      val rem = grams.join(dupLo, "h").filter($"doc_id" =!= $"lo")
+        .select($"doc_id", explode(sequence($"s", $"s" + (k - 1))).as("p"))
+        .distinct()
+      val keptAgg = base
+        .select($"doc_id", posexplode($"words").as(Seq("i", "w")))
+        .select($"doc_id", ($"i" + 1).cast("long").as("p"), $"w")
+        .join(rem, Seq("doc_id", "p"), "left_anti")
+        .groupBy($"doc_id").agg(count(lit(1)).as("kept"))
+      val trim = base.select($"doc_id", $"n_tokens")
+        .join(keptAgg, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens", coalesce($"kept", lit(0L)).as("kept"))
+        .persist()
+      val zeroed = trim.filter($"kept" === 0 && $"n_tokens" > 0).count()
+      val removedTotal = trim.agg(sum($"n_tokens" - $"kept")).head.getLong(0)
+      println(s"STRESS   trim: docs_trimmed_to_zero=$zeroed removed_tokens=$removedTotal " +
+        "(designed: 47500 copies x 40 tokens)")
+      require(zeroed == 47500L, s"expected exactly the 47500 effective copies at zero, got $zeroed")
+      require(removedTotal == 47500L * 40,
+        s"expected 1.9M removed tokens (copies only, originals untouched), got $removedTotal")
+      trim.unpersist(blocking = false)
+      base.unpersist(blocking = false)
       grams.unpersist(blocking = false)
       cov.unpersist(blocking = false)
       dupDocs

@@ -75,6 +75,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("q56: exact copies trim to nothing, removal never exceeds q54 coverage, kept text is exactly the kept tokens") {
+    val trim = SparkEntry.queries("q56_substring_trim")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val dup = SparkEntry.queries("q54_substring_dedup")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // an exact copy (>= 8 tokens) shares EVERY gram with its original
+    // (a strictly smaller id), so no occurrence in it is canonical:
+    // trimmed to the empty document
+    val copies = trim.filter { case (id, (n, _, _)) => id >= 1000000 && id < 2000000 && n >= 8 }
+    assert(copies.nonEmpty)
+    copies.foreach { case (id, (_, kept, text)) =>
+      assert(kept == 0L && text.isEmpty, s"exact copy $id must trim to nothing")
+    }
+    trim.foreach { case (id, (n, kept, text)) =>
+      assert(kept <= n)
+      // reconstruction integrity: the trimmed text IS the kept tokens
+      val tokCount = if (text.isEmpty) 0 else text.split(" ").length
+      assert(tokCount == kept, s"doc $id: text has $tokCount tokens, kept_tokens=$kept")
+      // trim is a sub-operation of q54's coverage: tokens removed here
+      // (non-canonical occurrences only) can never exceed dup_tokens
+      // (all occurrences)
+      assert(n - kept <= dup.getOrElse(id, 0L), s"doc $id removed more than its dup coverage")
+    }
+    // the corpus loses tokens overall (the planted copies exist)
+    assert(trim.values.map { case (n, kept, _) => n - kept }.sum > 0)
+  }
+
   test("q53 sub-bucketing: width derivation kicks in only past the centroid cap; exact copies always share a sub-bucket") {
     import graft.queries.SimilarityQ
     // below 2^16 cells * 32/cell the split is OFF (exact SemDeDup semantics)

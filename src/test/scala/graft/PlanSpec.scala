@@ -113,6 +113,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), s"no global sort in span coverage:\n$p")
   }
 
+  test("q56: trim reuses the cached gram/base intermediates; per-doc reconstruction, no global sort") {
+    val p = plan("q56_substring_trim")
+    assert(p.contains("InMemoryTableScan"), s"gram/base stream recomputed:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort in trim reconstruction:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q55: the frequency table joins broadcast — the corpus never sort-merges against its vocabulary") {
     val p = plan("q55_logfreq_quality")
     assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
