@@ -48,24 +48,7 @@ import graft.operators.Dedup
   */
 object ClusterMaintenance {
 
-  private def fs(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def exists(spark: SparkSession, dir: String): Boolean =
-    fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir))
-
-  private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
-    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType.fromDDL(ddl))
-
-  /** All rows of a batch-versioned table written by batches BEFORE
-    * `upTo` — a replayed batch must never read its own crashed
-    * attempt's output. Partition pruning makes the `b < upTo` filter
-    * a directory-listing decision, not a scan. */
-  private def readBefore(spark: SparkSession, dir: String, ddl: String, upTo: Long): DataFrame =
-    if (exists(spark, dir)) spark.read.parquet(dir).filter(col("b") < upTo)
-    else emptyDf(spark, ddl)
+  import BatchVersioned.{emptyDf, fs, readBefore}
 
   // ---- postings compaction -----------------------------------------------
   // Without it, every micro-batch's cross-batch lookup re-scanned the
@@ -76,7 +59,8 @@ object ClusterMaintenance {
   // files (file == row-group at these sizes, so row-group min/max
   // stats are disjoint contiguous sh ranges). The per-batch lookup
   // then pushes the batch's distinct sh set into the parquet scan
-  // (In-filter; GraftSession raises the pushdown threshold), so only
+  // (native set-based In-filter — Spark pushes it whenever the set is
+  // LARGER than pushdown.inFilterThreshold), so only
   // row-groups whose range CONTAINS a probed key are read: per-batch
   // input from deep history is O(batch keys × file granule), flat in
   // history depth, while the un-compacted tail stays bounded by
@@ -86,17 +70,8 @@ object ClusterMaintenance {
   // production extension; one level keeps replay reasoning simple).
 
   /** COMMITTED compacted-postings versions under root, ascending. */
-  private def compactVersions(spark: SparkSession, root: String): Seq[(Long, String)] = {
-    val dir = s"$root/postings_compact"
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val f = fs(spark, dir)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("v="))
-      .filter(q => f.exists(new org.apache.hadoop.fs.Path(q, "_SUCCESS")))
-      .map(q => (q.getName.stripPrefix("v=").toLong, q.toString))
-      .sortBy(_._1)
-  }
+  private def compactVersions(spark: SparkSession, root: String): Seq[(Long, String)] =
+    BatchVersioned.versions(spark, s"$root/postings_compact")
 
   /** Rewrite postings history older than `batchId` (prior compact +
     * delta dirs) as one sh-sorted compact version, then garbage-
@@ -104,8 +79,8 @@ object ClusterMaintenance {
     * below the PREVIOUS compact version: batches before `batchId` are
     * committed by the time `batchId` runs, and a replay of `batchId`
     * itself re-runs this compaction from the previous version, which
-    * is kept). Idempotent under replay: same inputs, same overwrite. */
-  /** `bloomNdv` sizes the per-row-group sh bloom (0 = assume one row
+    * is kept). Idempotent under replay: same inputs, same overwrite.
+    * `bloomNdv` sizes the per-row-group sh bloom (0 = assume one row
     * group per file, i.e. min(rows, targetRows)); pass the expected
     * rows-per-row-group when parquet.block.size is tuned smaller. */
   private[graft] def compact(spark: SparkSession, root: String, batchId: Long,
@@ -197,16 +172,8 @@ object ClusterMaintenance {
     * a crash mid-write leaves a partial directory that consumers must
     * never mistake for the artifact (missing cluster rows would let
     * near-dup pairs straddle a train/val split silently). */
-  private def versions(spark: SparkSession, root: String): Seq[(Long, String)] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/clusters")
-    val f = fs(spark, s"$root/clusters")
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("v="))
-      .filter(q => f.exists(new org.apache.hadoop.fs.Path(q, "_SUCCESS")))
-      .map(q => (q.getName.stripPrefix("v=").toLong, q.toString))
-      .sortBy(_._1)
-  }
+  private def versions(spark: SparkSession, root: String): Seq[(Long, String)] =
+    BatchVersioned.versions(spark, s"$root/clusters")
 
   /** Latest cluster state (consumers: split/keep-drop/rebalance jobs
     * join against this exactly as against the batch artifact). */

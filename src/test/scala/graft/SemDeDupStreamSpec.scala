@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.SemDeDupStream
+
+/** Streaming SemDeDup: N micro-batches over the augmented corpus must
+  * converge the verdict table to exactly batch q53's output —
+  * including retro-drops, where a LOWER vec_id arriving after its
+  * near-duplicate flips the earlier vector's verdict. */
+class SemDeDupStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def verdictSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Boolean, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+
+  test("N micro-batches over the augmented corpus produce exactly batch q53's keep set, with zero training jobs per batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_sds").toString
+    val modelDir = Files.createTempDirectory("graft_sds_model").toString
+
+    // the persisted model: q53's trained k-means, saved once (offline)
+    graft.operators.IvfIndex.save(
+      graft.queries.SimilarityQ.semdedupModel(spark, sfDir), modelDir, spark)
+    val n = graft.sources.Tables.embeddingCount(spark, sfDir)
+    val subBits = graft.queries.SimilarityQ.semdedupSubBits(n)
+
+    // q53's corpus: embeddings + the shared planted-copy schedule
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", graft.functions.VectorFunctions.vec($"embedding").as("v"))
+    val aug = graft.queries.Aug.embCopies(emb)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+    // 4 arrival batches scattered by vec_id % 4: planted copies (high
+    // ids) and their originals (low ids) land in DIFFERENT batches in
+    // both orders, so both the forward path (old low id drops a new
+    // arrival) and the retro path (a late low id flips an already-kept
+    // vector) are exercised
+    // the per-batch model fetch is a pure driver-side file read — no
+    // Spark job, no scan of the embeddings table (training happened
+    // once, offline, when the model was saved)
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    graft.operators.IvfIndex.load(spark, modelDir)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length == jobsBefore,
+      "IvfIndex.load must run zero Spark jobs")
+
+    (0 until 4).foreach { b =>
+      val rows = aug.filter(_._1 % 4 == b).toDF("vec_id", "v")
+      SemDeDupStream.processBatch(rows, b, root, modelDir, subBits = subBits)
+    }
+
+    val streamed = verdictSet(SemDeDupStream.loadVerdicts(spark, root))
+    val want = verdictSet(SparkEntry.queries("q53_semdedup")(spark, sfDir))
+    CachePool.drain()
+    assert(streamed == want)
+    assert(streamed.nonEmpty)
+    // sanity: the planted copies were actually dropped via the stream
+    assert(streamed.exists { case (id, _, keep, _) => id >= graft.queries.Aug.EmbCopyOffset && !keep })
+    graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
+    graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(modelDir))
+  }
+
+  test("retro-drop: a late-arriving lower id flips an existing verdict; crashed-batch replay converges identically") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_sds_retro").toString
+    val modelDir = Files.createTempDirectory("graft_sds_retro_model").toString
+    // tiny model: one live centroid — everything lands in one cell, so
+    // the test controls pairing purely via cosine
+    graft.operators.IvfIndex.save(
+      graft.operators.IvfIndex.Model(Array(Array.fill(64)(1.0)), Array(64.0)), modelDir, spark)
+    val e1 = Array.tabulate(64)(k => if (k == 0) 1.0 else 0.0)
+    val e2 = Array.tabulate(64)(k => if (k == 1) 1.0 else 0.0) // orthogonal to e1
+    // batch 0: ids 10 (e1) and 20 (e2) — both kept (cos = 0)
+    SemDeDupStream.processBatch(Seq((10L, e1), (20L, e2)).toDF("vec_id", "v"), 0, root, modelDir)
+    val after0 = verdictSet(SemDeDupStream.loadVerdicts(spark, root))
+    assert(after0 == Set((10L, 0, true, -1L), (20L, 0, true, -1L)))
+    // batch 1: id 5 arrives — an exact copy of e1 with a LOWER id:
+    // 10 must retro-flip to dropped with dup_of = 5; 5 itself is kept
+    SemDeDupStream.processBatch(Seq((5L, e1)).toDF("vec_id", "v"), 1, root, modelDir)
+    val after1 = verdictSet(SemDeDupStream.loadVerdicts(spark, root))
+    assert(after1 == Set((5L, 0, true, -1L), (10L, 0, false, 5L), (20L, 0, true, -1L)))
+    // crash-replay of batch 1 (same batchId, Structured Streaming's
+    // contract): strictly-older reads + own-output overwrite converge
+    // to the same table
+    SemDeDupStream.processBatch(Seq((5L, e1)).toDF("vec_id", "v"), 1, root, modelDir)
+    assert(verdictSet(SemDeDupStream.loadVerdicts(spark, root)) == after1)
+    // batch 2: id 7, copy of e2 but HIGHER than nothing... lower than
+    // 20: 20 retro-flips; 10's existing dup_of=5 must survive the
+    // no-op merge (least() with NULL candidate)
+    SemDeDupStream.processBatch(Seq((7L, e2)).toDF("vec_id", "v"), 2, root, modelDir)
+    assert(verdictSet(SemDeDupStream.loadVerdicts(spark, root)) ==
+      Set((5L, 0, true, -1L), (7L, 0, true, -1L), (10L, 0, false, 5L), (20L, 0, false, 7L)))
+    graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
+    graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(modelDir))
+  }
+}
