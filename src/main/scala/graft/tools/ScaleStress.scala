@@ -736,11 +736,13 @@ object ScaleStress {
     }
 
     // SemDeDup (q53 shape) at 250k vectors with 10% planted twins.
-    // The cell cap matters HERE: Adaptive.bits(250k, 32, 4, 13) gives
-    // 8192 cells (~31/cell) — the pair join is ~n·occ/2 candidate
-    // rows, LINEAR in n. q38's hi=8 cap (256 cells, ~977/cell) would
-    // put ~122M pairs through the cosine kernel — the quadratic cliff
-    // the per-query cell derivation exists to avoid.
+    // The cell cap matters HERE: Adaptive.bits(250k, 32, 4, 16) gives
+    // 8192 cells (~31/cell, well under the 2^16 cap — the sign-LSH
+    // sub-bucket level stays dormant until ~2M) — the pair join is
+    // ~n·occ/2 candidate rows, LINEAR in n. q38's hi=8 cap (256
+    // cells, ~977/cell) would put ~122M pairs through the cosine
+    // kernel — the quadratic cliff the per-query cell derivation
+    // exists to avoid.
     time("semdedup_250k_vectors") {
       val n = sys.env.get("STRESS_SEMDEDUP_N").map(_.toLong).getOrElse(250000L)
       def phase[A](name: String)(f: => A): A = {
@@ -749,7 +751,7 @@ object ScaleStress {
         println(f"STRESS   phase_$name=${(System.nanoTime() - t0) / 1e9}%.1f s")
         out
       }
-      val cells = 1 << Adaptive.bits(n, targetBucket = 32, lo = 4, hi = 13)
+      val cells = 1 << Adaptive.bits(n, targetBucket = 32, lo = 4, hi = 16)
       val mixed = graft.functions.VectorFunctions.Sql
         .mixSpark("b * 64 + k + 999999937")
       val emb = spark.range(n)
