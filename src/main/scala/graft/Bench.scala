@@ -47,12 +47,25 @@ object Bench {
     // setup lines also forget the memoized model/artifact) so every
     // rep pays the full, identical work.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    def measure(run: () => Unit, between: () => Unit): (Double, Double, Option[String]) = {
+    def measure(run: () => Unit, between: () => Unit,
+        warmups: Int = 0): (Double, Double, Option[String]) = {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
+      // unmeasured warmup rep(s): the first execution of a query pays
+      // its own codegen + JIT, and with only 3 timed reps that cold
+      // tail still moves the MEDIAN of sub-second lines by 2-3x
+      // between consecutive runs (observed: q06 0.84 vs 0.31 s)
+      var w = 0
+      while (w < warmups && err.isEmpty) {
+        try { run(); CachePool.drain(); between() }
+        catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
+        w += 1
+      }
       var r = 0
       while (r < reps && err.isEmpty) {
-        if (r > 0) between()
+        if (r > 0 || warmups > 0) between()
         val t0 = System.nanoTime()
         // A crashed query must surface as an error and a nonzero exit,
         // never as a fast time — and stop repeating.
@@ -94,7 +107,8 @@ object Bench {
       // df.count() would collapse to count(1) and let Catalyst prune
       // the projections being benchmarked.
       val (med, min, err) =
-        measure(() => { fn(spark, sfDir).queryExecution.toRdd.count(); () }, () => ())
+        measure(() => { fn(spark, sfDir).queryExecution.toRdd.count(); () }, () => (),
+          warmups = 1)
       (name, med, min, err)
     }
     def jmap(sel: ((String, Double, Double, Option[String])) => Double): String =
