@@ -195,12 +195,71 @@ object Dedup {
     * non-convergence guard). The driver loop only orchestrates
     * rounds — all data movement is joins/aggregations, the same
     * shape GraphX's Pregel runs. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** Edge-count bound below which [[connectedComponents]] collects the
+    * pair graph and union-finds on the driver instead of running
+    * distributed rounds: 1M edges is ~16 MB and milliseconds of
+    * union-find, vs ~6 driver-orchestrated join rounds × 2 jobs each
+    * (~300 ms/round of fixed scheduling latency — the q41_build
+    * steady-state floor). The SIZE of the pair graph, not the corpus,
+    * decides: at 100 TB the full-corpus build exceeds the bound and
+    * takes the distributed path, while the contracted graphs the
+    * streaming fold produces ([[foldPairsIntoClusters]] — nodes are
+    * touched COMPONENTS) stay tiny at any corpus size. Same
+    * broadcast-when-small logic as a join. Labels identical either
+    * way: both paths assign every vertex its component MINIMUM. */
+  val DriverCcMaxEdges: Long = 1000000L
+
+  /** Driver-side exact twin: union-find with path compression, then
+    * label = component min. */
+  private def driverCc(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    // roots are not necessarily component minima mid-stream (union by
+    // min root keeps them so here, but derive the min explicitly — the
+    // CONTRACT is min-label, not union order)
+    val minOf = new java.util.HashMap[Long, Long]()
+    parent.keySet().forEach { v =>
+      val r = find(v)
+      val cur = minOf.getOrDefault(r, Long.MaxValue)
+      if (v < cur) minOf.put(r, v)
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { v =>
+      rows.add(org.apache.spark.sql.Row(v, minOf.get(find(v)).longValue()))
+    }
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster_id BIGINT"))
+  }
+
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
     // persist the NARROW pair set (the expensive upstream similarity
     // pipeline), not the doubled edge view — the union just reads the
     // cached pairs twice per use
     val pairsP = pairs.select(col("id_a"), col("id_b")).persist()
+    // size-adaptive: the count doubles as the materialization of the
+    // persisted pair set (the first action was paying it anyway)
+    val nEdges = pairsP.count()
+    if (nEdges <= driverMaxEdges) {
+      val edges = pairsP.collect().map(r => (r.getLong(0), r.getLong(1)))
+      pairsP.unpersist(blocking = false)
+      return driverCc(spark, edges)
+    }
     val edges = pairsP
       .unionByName(pairsP.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     // Seed labels with round 1's half-step — min(self, neighbors) — in

@@ -141,7 +141,10 @@ class DedupSpec extends AnyFunSuite {
     // a chain of 40 docs (diameter 39 — plain one-hop propagation
     // would need 39 rounds and trip maxIter=20; doubling needs ~7)
     val chain = (100L until 139L).map(i => (i, i + 1))
-    val cc40 = graft.operators.Dedup.connectedComponents(chain.toDF("id_a", "id_b"))
+    // driverMaxEdges = 0 forces the DISTRIBUTED rounds (the property
+    // under test); small graphs otherwise take the driver union-find
+    val cc40 = graft.operators.Dedup.connectedComponents(
+        chain.toDF("id_a", "id_b"), driverMaxEdges = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     graft.CachePool.drain()
     assert(cc40.keySet == (100L to 139L).toSet)
@@ -159,6 +162,35 @@ class DedupSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
     assert(empty.count() == 0)
     graft.CachePool.drain()
+  }
+
+  test("size-adaptive CC: driver union-find and distributed rounds assign identical min-labels on a random multi-component graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: ~60 components of varying
+    // shape (chains, stars, cross-links), plus isolated pairs
+    val rnd = new scala.util.Random(20260813)
+    val edges = (0 until 60).flatMap { c =>
+      val base = c * 1000L
+      val n = 2 + rnd.nextInt(30)
+      val chain = (0 until n - 1).map(i => (base + i, base + i + 1))
+      val extra = (0 until rnd.nextInt(10)).map(_ =>
+        (base + rnd.nextInt(n), base + rnd.nextInt(n)))
+      (chain ++ extra).filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    }
+    val df = edges.toDF("id_a", "id_b")
+    val viaDriver = graft.operators.Dedup.connectedComponents(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CachePool.drain()
+    val viaDistributed = graft.operators.Dedup.connectedComponents(df, driverMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CachePool.drain()
+    assert(viaDriver == viaDistributed)
+    assert(viaDriver.nonEmpty)
+    // every component labeled by its minimum member
+    viaDriver.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.map(_._1).min == label)
+    }
   }
 
   test("exact dedup keeps the minimum id per content group") {
