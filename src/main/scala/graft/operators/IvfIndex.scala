@@ -281,8 +281,14 @@ object IvfIndex {
   /** Query the on-disk index: probe cells → DPP-pruned scan → exact
     * cosine top-k. `queries` must have (query_id, qv). */
   def topK(spark: SparkSession, indexDir: String, queries: DataFrame,
+      model: Model, nprobe: Int, k: Int): DataFrame =
+    topK(spark.read.parquet(indexDir), queries, model, nprobe, k)
+
+  /** Same probe over an already-loaded index relation (`idx` must
+    * carry vec_id, v, and the `cell` partition column — e.g. a
+    * committed-paths subset of a streamed index). */
+  def topK(idx: DataFrame, queries: DataFrame,
       model: Model, nprobe: Int, k: Int): DataFrame = {
-    val idx = spark.read.parquet(indexDir)
     val p = probeCells(queries, col("qv"), model, nprobe)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     // join on the PARTITION column with a broadcast-able probe side:
