@@ -277,6 +277,98 @@ object TextQ extends QueryPack {
           coalesce($"mean_bits", lit(0.0)).as("mean_bits"),
           when(coalesce($"mean_bits", lit(0.0)) >= $"corpus_mean", lit("head"))
             .otherwise(lit("tail")).as("band"))
+    }),
+
+    // Keyword retrieval: quantized-BM25 top-k over the corpus — the
+    // query side of a training-data pipeline (targeted corpus pulls,
+    // benchmark-neighborhood inspection; the reference ships an
+    // Elasticsearch sink for exactly this consumer, Kafka2ES.java).
+    // BM25's two ingredients appear in ENGINE-EXACT integer form so
+    // Spark and DuckDB agree bitwise: term-frequency saturation is
+    // least(tf, 4) (BM25's k1 plateau, quantized) and idf is the BIT
+    // LENGTH of N/df (floor-log2 of the inverse document frequency —
+    // no floating log). Shapes for 100 TB: the term filter lands
+    // inside the token explode (one scan, only query-term rows
+    // survive), df is |terms| rows (broadcast unconditionally — it is
+    // bounded by the QUERY, not the corpus), and top-k is
+    // TakeOrdered — never a global sort of the corpus; the rank
+    // window runs over the already-reduced k rows.
+    "q57_keyword_topk" -> ((s, d) => {
+      import s.implicits._
+      val terms = Seq("spark", "window", "hash")
+      val k = 20
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select($"doc_id", explode(TF.tokens($"text")).as("word"))
+        .where($"word".isInCollection(terms))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val dfreq = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(dfreq), "word")
+        .crossJoin(broadcast(n))
+        .withColumn("idf_bits", length(bin(expr("n_docs div df"))))
+        .groupBy($"doc_id")
+        .agg(sum(least($"tf", lit(4)) * $"idf_bits").cast("long").as("score"))
+      val topk = scored.orderBy($"score".desc, $"doc_id".asc).limit(k)
+      topk.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"score".desc, $"doc_id".asc)))
+    }),
+
+    // Bigram LM quality scoring with unigram backoff — q55's unigram
+    // model upgraded one order toward what CCNet actually runs (a
+    // KenLM n-gram LM): each adjacent token pair scores by the bit
+    // length of its corpus bigram count when the pair is attested
+    // elsewhere (c2 >= 2), else BACKS OFF to the trailing unigram's
+    // bit length minus a 4-bit penalty (floored at 1) — all integer,
+    // so both engines agree bitwise; the only division is the final
+    // exact-integer mean. Shapes: bigrams derive ARRAY-SIDE
+    // (slice+zip before the explode — no per-token window, no lag
+    // shuffle); the pair stream is cached once and feeds both the
+    // bigram table and the scoring join; bigram + unigram vocab joins
+    // broadcast under the same Heaps'-law guard as q55; per-doc
+    // scoring is one (doc_id) partial-agg shuffle. Docs with <2
+    // tokens surface explicitly as (0, 0, 0.0, tail).
+    "q58_bigram_lm" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = graft.CachePool.cache(
+        docs.select($"doc_id", TF.tokens($"text").as("words"))
+          .where(size($"words") >= 2)
+          .select($"doc_id", explode(transform(
+            sequence(lit(1), size($"words") - 1),
+            i => struct(
+              element_at($"words", i).as("prev"),
+              element_at($"words", i + 1).as("cur")))).as("p"))
+          .select($"doc_id", $"p.prev".as("prev"), $"p.cur".as("cur")))
+      val big0 = pairs.groupBy($"prev", $"cur").agg(count(lit(1)).as("c2"))
+      val uni0 = docs.select(explode(TF.tokens($"text")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("c1"))
+      val (big, uni) =
+        if (Tables.documentBytes(s, d) <= (1L << 30)) (broadcast(big0), broadcast(uni0))
+        else (big0, uni0)
+      val bits = pairs
+        .join(big, Seq("prev", "cur"))
+        .join(uni, $"cur" === $"word")
+        .withColumn("pb",
+          when($"c2" >= 2, length(bin($"c2")))
+            .otherwise(greatest(length(bin($"c1")) - 4, lit(1))))
+      val scored = graft.CachePool.cache(
+        bits.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_pairs"), sum($"pb").cast("long").as("sum_bits"))
+          .withColumn("mean_bits", $"sum_bits".cast("double") / $"n_pairs"))
+      val corpus = scored.agg(
+        (sum($"sum_bits").cast("double") / sum($"n_pairs")).as("corpus_mean"))
+      docs.select($"doc_id")
+        .join(scored, Seq("doc_id"), "left")
+        .crossJoin(broadcast(corpus))
+        .select($"doc_id",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"sum_bits", lit(0L)).as("sum_bits"),
+          coalesce($"mean_bits", lit(0.0)).as("mean_bits"),
+          when(coalesce($"mean_bits", lit(0.0)) >= $"corpus_mean", lit("head"))
+            .otherwise(lit("tail")).as("band"))
     })
   )
 
@@ -449,6 +541,43 @@ object TextQ extends QueryPack {
         |  coalesce(s.sum_bits, 0)::BIGINT AS sum_bits,
         |  coalesce(s.sum_bits::DOUBLE / s.n_tokens, 0.0) AS mean_bits,
         |  CASE WHEN coalesce(s.sum_bits::DOUBLE / s.n_tokens, 0.0) >= corpus_mean
+        |       THEN 'head' ELSE 'tail' END AS band
+        |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id, c""".stripMargin,
+
+    "q57_keyword_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+        |             FROM documents),
+        |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM tok
+        |       WHERE word IN ('spark', 'window', 'hash') GROUP BY doc_id, word),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+        |scored AS (SELECT doc_id, sum(least(tf, 4) * length(bin(n_docs // df)))::BIGINT AS score
+        |           FROM tf JOIN df USING (word), n GROUP BY doc_id)
+        |SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q58_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+        |              FROM documents),
+        |pairs AS (SELECT doc_id, words[i + 1] AS prev, words[i + 2] AS cur
+        |          FROM (SELECT doc_id, words, unnest(generate_series(0, len(words) - 2)) AS i
+        |                FROM toks WHERE len(words) >= 2)),
+        |b AS (SELECT prev, cur, count(*)::BIGINT AS c2 FROM pairs GROUP BY prev, cur),
+        |u AS (SELECT word, count(*)::BIGINT AS c1
+        |      FROM (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+        |            FROM documents) GROUP BY word),
+        |bits AS (SELECT doc_id,
+        |           CASE WHEN c2 >= 2 THEN length(bin(c2))
+        |                ELSE greatest(length(bin(c1)) - 4, 1) END AS pb
+        |         FROM pairs JOIN b USING (prev, cur) JOIN u ON u.word = pairs.cur),
+        |scored AS (SELECT doc_id, count(*)::BIGINT AS n_pairs, sum(pb)::BIGINT AS sum_bits
+        |           FROM bits GROUP BY doc_id),
+        |c AS (SELECT sum(sum_bits)::DOUBLE / sum(n_pairs) AS corpus_mean FROM scored)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_pairs, 0)::BIGINT AS n_pairs,
+        |  coalesce(s.sum_bits, 0)::BIGINT AS sum_bits,
+        |  coalesce(s.sum_bits::DOUBLE / s.n_pairs, 0.0) AS mean_bits,
+        |  CASE WHEN coalesce(s.sum_bits::DOUBLE / s.n_pairs, 0.0) >= corpus_mean
         |       THEN 'head' ELSE 'tail' END AS band
         |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id, c""".stripMargin
   )

@@ -126,4 +126,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle for a vocab-sized table:\n$p")
     assert(!p.contains("Exchange rangepartitioning"), s"no global sort in scoring:\n$p")
   }
+
+  test("q57: top-k is TakeOrdered — the scored corpus is never globally sorted") {
+    val p = plan("q57_keyword_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered, not sort+limit:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort of the scored corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df/N joins must broadcast (query-bounded):\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q58: bigram + unigram vocab joins broadcast; pair stream cached once") {
+    val p = plan("q58_bigram_lm")
+    assert(p.contains("InMemoryTableScan"), s"pair stream recomputed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle for a vocab-sized table:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort in scoring:\n$p")
+  }
 }
