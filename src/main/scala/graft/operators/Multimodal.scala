@@ -16,11 +16,14 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *
   * Kernels: RASTER IMAGE decode/resize are REAL — `javax.imageio`
   * (PNG/JPEG/BMP/GIF) ships in every JDK and runs headless, see
-  * [[ImageIoDecode]]/[[ImageIoResize]]. Audio/video codecs genuinely
-  * are absent from this environment, so the frame sampler (and the
-  * byte-statistics kernel q36's deterministic oracle corpus uses)
-  * stay clearly-marked fakes; implement the same traits with a real
-  * codec and nothing else changes.
+  * [[ImageIoDecode]]/[[ImageIoResize]] — and so are PCM AUDIO
+  * decode/resample/downmix — `javax.sound.sampled` (WAV/AIFF/AU)
+  * is in the same `java.desktop` module, see
+  * [[JavaSoundDecode]]/[[JavaSoundResample]]. Only VIDEO codecs are
+  * genuinely absent, so the frame sampler (and the byte-statistics
+  * kernel q36's deterministic oracle corpus uses) stay clearly-marked
+  * fakes; implement the same traits with a real codec and nothing
+  * else changes.
   */
 object Multimodal {
 
@@ -179,6 +182,159 @@ object Multimodal {
     rows.mapPartitions { it =>
       it.map(r => MediaRow(r.doc_id, r.fmt, dstW, dstH,
         kernel.resize(r.payload, r.width, r.height, dstW, dstH)))
+    }
+  }
+
+  /** Waveform-derived audio features: container header fields read
+    * from the DECODED stream (not trusted metadata), plus RMS/peak
+    * amplitude over normalized samples. `decoded = false` rows carry
+    * payloads that failed to parse — corrupt media surfaces, never
+    * kills the job. */
+  case class AudioFeatures(doc_id: Long, fmt: String, decoded: Boolean,
+      sample_rate: Int, channels: Int, bits: Int, n_frames: Long,
+      duration_s: Double, rms: Double, peak: Double)
+
+  /** Pluggable REAL audio decode kernel: payload → (rate, channels,
+    * bits, frames, rms, peak), or None for undecodable bytes. */
+  trait AudioDecodeKernel extends Serializable {
+    def decode(payload: Array[Byte]): Option[(Int, Int, Int, Long, Double, Double)]
+  }
+
+  /** JDK-builtin audio decode (`javax.sound.sampled`: WAV/AIFF/AU
+    * containers, PCM encodings), headless-safe — a REAL codec, the
+    * audio twin of [[ImageIoDecode]]. Non-PCM payloads are first
+    * converted to 16-bit signed PCM through the JDK's own conversion
+    * chain; samples normalize to [-1, 1] before the RMS/peak fold so
+    * the statistics are bit-depth-independent. */
+  object JavaSoundDecode extends AudioDecodeKernel {
+    def decode(p: Array[Byte]): Option[(Int, Int, Int, Long, Double, Double)] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(p))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (in == null) None
+      else
+        try {
+          val f0 = in.getFormat
+          // normalize any PCM flavor (8-bit unsigned, big-endian,
+          // float) to 16-bit signed little-endian via the JDK chain
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels,
+            f0.getSampleRate, false)
+          val pcm =
+            if (f0.matches(target)) in else AudioSystem.getAudioInputStream(target, in)
+          val buf = new Array[Byte](1 << 16)
+          var sumSq = 0.0
+          var peak = 0.0
+          var nSamples = 0L
+          var read = pcm.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + 1 < read) {
+              val s = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort / 32768.0
+              sumSq += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              nSamples += 1
+              i += 2
+            }
+            read = pcm.read(buf)
+          }
+          val frames = nSamples / math.max(1, f0.getChannels)
+          val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+          Some((f0.getSampleRate.toInt, f0.getChannels,
+            f0.getSampleSizeInBits, frames, rms, peak))
+        } catch {
+          case _: IllegalArgumentException => None // unconvertible encoding
+          case _: java.io.IOException => None
+        } finally in.close()
+    }
+  }
+
+  /** Decode audio payloads partition-wise (1:1, shuffle-free — the
+    * [[decodeImages]] plan shape on the audio modality). */
+  def decodeAudio(rows: Dataset[MediaRow],
+      kernel: AudioDecodeKernel = JavaSoundDecode): Dataset[AudioFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        kernel.decode(r.payload) match {
+          case Some((rate, ch, bits, frames, rms, peak)) =>
+            AudioFeatures(r.doc_id, r.fmt, decoded = true, rate, ch, bits, frames,
+              frames.toDouble / math.max(1, rate), rms, peak)
+          case None =>
+            AudioFeatures(r.doc_id, r.fmt, decoded = false, 0, 0, 0, 0L, 0.0, 0.0, 0.0)
+        }
+      }
+    }
+  }
+
+  /** Pluggable audio resample/downmix kernel (payload → WAV payload
+    * at the target rate/channel count). */
+  trait AudioResampleKernel extends Serializable {
+    def resample(payload: Array[Byte], dstRate: Int, dstChannels: Int): Array[Byte]
+  }
+
+  /** JDK-builtin resample + downmix: decode, convert through
+    * `AudioSystem`'s PCM conversion chain (rate + channel-count
+    * change in pure Java), re-encode as 16-bit PCM WAV — the audio
+    * twin of [[ImageIoResize]]. Undecodable payloads pass through
+    * UNCHANGED; [[decodeAudio]] downstream is where corruption is
+    * detected and routed. */
+  object JavaSoundResample extends AudioResampleKernel {
+    def resample(p: Array[Byte], dstRate: Int, dstChannels: Int): Array[Byte] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem, AudioFileFormat}
+      val in =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(p))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (in == null) p
+      else
+        try {
+          // two-hop conversion: the JDK converter changes ONE of
+          // (channels, rate) per hop reliably, so downmix first at the
+          // source rate, then resample
+          val f0 = in.getFormat
+          val mid = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            f0.getSampleRate, 16, dstChannels, 2 * dstChannels, f0.getSampleRate, false)
+          val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            dstRate.toFloat, 16, dstChannels, 2 * dstChannels, dstRate.toFloat, false)
+          val converted = AudioSystem.getAudioInputStream(dst,
+            AudioSystem.getAudioInputStream(mid, in))
+          // rate converters report frame length NOT_SPECIFIED, which
+          // the RIFF writer rejects — materialize the PCM and restate
+          // the exact length before encoding
+          val pcm = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](1 << 16)
+          var read = converted.read(buf)
+          while (read > 0) { pcm.write(buf, 0, read); read = converted.read(buf) }
+          val body = pcm.toByteArray
+          val out = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(body), dst,
+            body.length.toLong / (2 * dstChannels)),
+            AudioFileFormat.Type.WAVE, out)
+          out.toByteArray
+        } catch {
+          case _: IllegalArgumentException => p
+          case _: java.io.IOException => p
+        } finally in.close()
+    }
+  }
+
+  /** Resample every audio payload to (dstRate, dstChannels),
+    * partition-wise (1:1, no shuffle). */
+  def resampleAudio(rows: Dataset[MediaRow], dstRate: Int, dstChannels: Int,
+      kernel: AudioResampleKernel = JavaSoundResample): Dataset[MediaRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map(r => MediaRow(r.doc_id, r.fmt, r.width, r.height,
+        kernel.resample(r.payload, dstRate, dstChannels)))
     }
   }
 

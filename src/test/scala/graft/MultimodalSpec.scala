@@ -126,4 +126,89 @@ class MultimodalSpec extends AnyFunSuite {
     val passed = Multimodal.resize(junk, 2, 2, Multimodal.ImageIoResize).collect().head
     assert(java.util.Arrays.equals(passed.payload, Array[Byte](9, 9, 9)))
   }
+
+  /** A real WAV: `seconds` of a sine at `hz`, peak `amp`, 16-bit
+    * signed PCM at `rate`, `channels`-channel, written through
+    * javax.sound.sampled — the audio twin of [[png]]. */
+  private def wav(rate: Int, channels: Int, seconds: Double, hz: Double, amp: Double): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val nFrames = (rate * seconds).toInt
+    val bytes = new Array[Byte](nFrames * 2 * channels)
+    var i = 0
+    while (i < nFrames) {
+      val s = (amp * math.sin(2 * math.Pi * hz * i / rate) * 32767).toInt
+      var c = 0
+      while (c < channels) {
+        val off = (i * channels + c) * 2
+        bytes(off) = (s & 0xff).toByte
+        bytes(off + 1) = ((s >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate.toFloat, 16,
+      channels, 2 * channels, rate.toFloat, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("JavaSound decode: real WAVs yield waveform-derived rate/channels/duration/RMS; corrupt bytes surface") {
+    import spark.implicits._
+    val rows = spark.createDataset(Seq(
+      // 1s of a full-scale 440 Hz sine at 8 kHz mono: RMS = 1/sqrt(2)
+      MediaRow(1, "wav", 0, 0, wav(8000, 1, 1.0, 440, 1.0)),
+      // half-amplitude stereo at 44.1 kHz: RMS = 0.5/sqrt(2)
+      MediaRow(2, "wav", 0, 0, wav(44100, 2, 0.25, 1000, 0.5)),
+      // digital silence
+      MediaRow(3, "wav", 0, 0, wav(16000, 1, 0.5, 440, 0.0)),
+      // not audio at all
+      MediaRow(4, "wav", 0, 0, Array[Byte](1, 2, 3, 4, 5))))
+    val out = Multimodal.decodeAudio(rows)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = out.collect().map(f => f.doc_id -> f).toMap
+    assert(got.size == 4, "every row must survive decode")
+    val sine = got(1L)
+    assert(sine.decoded && sine.sample_rate == 8000 && sine.channels == 1 && sine.bits == 16)
+    assert(sine.n_frames == 8000 && math.abs(sine.duration_s - 1.0) < 1e-9)
+    // sine RMS = amp/sqrt(2); quantization to 16 bits costs < 1e-3
+    assert(math.abs(sine.rms - 1.0 / math.sqrt(2)) < 1e-3, s"rms=${sine.rms}")
+    assert(sine.peak > 0.99 && sine.peak <= 1.0)
+    val st = got(2L)
+    assert(st.decoded && st.sample_rate == 44100 && st.channels == 2)
+    assert(st.n_frames == (44100 * 0.25).toInt)
+    assert(math.abs(st.rms - 0.5 / math.sqrt(2)) < 1e-3)
+    val silent = got(3L)
+    assert(silent.decoded && silent.rms == 0.0 && silent.peak == 0.0)
+    assert(!got(4L).decoded)
+  }
+
+  test("JavaSound resample: output re-decodes at target rate/channels; sine energy survives; junk passes through") {
+    import spark.implicits._
+    val rows = spark.createDataset(Seq(
+      MediaRow(10, "wav", 0, 0, wav(44100, 2, 0.5, 440, 0.8)),
+      MediaRow(11, "wav", 0, 0, Array[Byte](7, 7, 7))))
+    val res = Multimodal.resampleAudio(rows, dstRate = 8000, dstChannels = 1)
+    assert(!res.queryExecution.executedPlan.toString.contains("Exchange"))
+    val feats = Multimodal.decodeAudio(res).collect().map(f => f.doc_id -> f).toMap
+    val r = feats(10L)
+    // the resampled payload is a REAL WAV at exactly the target shape
+    assert(r.decoded && r.sample_rate == 8000 && r.channels == 1)
+    // duration preserved through the rate change (one hop of slack)
+    assert(math.abs(r.duration_s - 0.5) < 0.01, s"duration=${r.duration_s}")
+    // a 440 Hz tone is far below the 4 kHz Nyquist of the target rate:
+    // its RMS survives resampling (JDK converter is zero-order-hold,
+    // not band-limited — allow a generous tolerance)
+    assert(math.abs(r.rms - 0.8 / math.sqrt(2)) < 0.05, s"rms=${r.rms}")
+    // deterministic bytes
+    val a = Multimodal.resampleAudio(rows, 8000, 1).collect().sortBy(_.doc_id)
+    val b = Multimodal.resampleAudio(rows, 8000, 1).collect().sortBy(_.doc_id)
+    assert(a.zip(b).forall { case (x, y) => java.util.Arrays.equals(x.payload, y.payload) })
+    // undecodable payload passes through unchanged (and downstream
+    // decode flags it, exactly like the image path)
+    assert(java.util.Arrays.equals(a.find(_.doc_id == 11).get.payload, Array[Byte](7, 7, 7)))
+    assert(!feats(11L).decoded)
+  }
 }
