@@ -79,6 +79,45 @@ object VecKernels {
   }
 }
 
+/** Int8 scalar quantization (the FAISS "SQ8" codec) — the at-rest
+  * compression path for 100 TB ANN: one byte per dimension instead of
+  * a float64, 8× less index I/O, with exact integer arithmetic both
+  * engines replay bit-for-bit. */
+object Sq8Kernels {
+  /** codes_i = floor(v_i/‖v‖ · 127 + 0.5) ∈ [-127, 127], one byte per
+    * dimension. The norm fold is the same ascending sequential
+    * accumulate as [[VecKernels.dot]]/the oracle's list_reduce, so
+    * codes are bit-identical across engines. Zero-norm vectors (failed
+    * embeddings) divide by 1 — all-zero codes stay all-zero. */
+  def encode(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); ss += x * x; i += 1 }
+    val nrm = math.sqrt(ss)
+    val div = if (nrm == 0.0) 1.0 else nrm
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(v.getDouble(i) / div * 127.0 + 0.5).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Exact integer dot of two code arrays (|value| ≤ 64·127² ≈ 2^20 —
+    * nowhere near overflow). Dimension mismatch is data corruption:
+    * fail loudly, per the VecKernels convention. */
+  def dot(a: Array[Byte], b: Array[Byte]): Long = {
+    require(a.length == b.length,
+      s"graft_sq8_dot: dimension mismatch (${a.length} vs ${b.length})")
+    var acc = 0L
+    var i = 0
+    while (i < a.length) { acc += a(i).toLong * b(i); i += 1 }
+    acc
+  }
+}
+
 object IvfKernels {
   /** Squared-distance ordering key of vector `v` to cell `j`:
     * csq(j) − 2·dot(v, cent(j)) — the ||v||² term is constant per row
@@ -232,7 +271,46 @@ case class HyperplaneBits(child: Expression, numPlanes: Int) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** array<double> → int8 code bytes (SQ8 scalar quantization), codegen'd. */
+case class Sq8Encode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sq8_encode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Sq8Kernels.encode(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.Sq8Kernels.encode($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+/** Exact integer dot of two SQ8 code columns (binary × binary → long),
+  * codegen'd. */
+case class Sq8Dot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sq8_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sq8Kernels.dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sq8Kernels.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Sq8Dot =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
+  def sq8Encode(v: Column): Column =
+    ColumnBridge.column(Sq8Encode(ColumnBridge.expression(v)))
+
+  def sq8Dot(a: Column, b: Column): Column =
+    ColumnBridge.column(Sq8Dot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

@@ -210,9 +210,16 @@ object IvfIndex {
     * trained model persisted alongside it ([[save]]) — a cold session
     * probes an existing index via [[load]] with zero jobs over the
     * embeddings table (no retraining scan). `emb` must have
-    * (vec_id, v: array<double>). */
+    * (vec_id, v: array<double>). Alongside each full vector the row
+    * carries its SQ8 `code` (one byte/dim,
+    * [[graft.functions.Sq8Kernels]]): parquet is columnar, so
+    * [[topK]] (exact) never reads the codes and [[topKSq8]]'s
+    * candidate phase never reads the vectors — one layout serves
+    * both probe paths with no duplicate storage of the corpus. */
   def build(emb: DataFrame, model: Model, dir: String): Unit = {
-    assignCells(emb, model).write.mode("overwrite").partitionBy("cell").parquet(dir)
+    assignCells(emb, model)
+      .withColumn("code", VectorExpressions.sq8Encode(col("v")))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
     // after the parquet write: overwrite mode would wipe a pre-written
     // model file from the directory
     save(model, dir, emb.sparkSession)
@@ -300,6 +307,46 @@ object IvfIndex {
       // 0/0 = NaN, and Spark sorts NaN ABOVE every double — nanvl
       // ranks such junk last instead of at the top of every probe
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        nanvl(VectorFunctions.cosine(col("qv"), col("v")), lit(-2.0)).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Query the on-disk index through its SQ8 codes: probe cells →
+    * DPP-pruned scan of (vec_id, code) ONLY — parquet column pruning
+    * means the approx phase reads one byte per dimension instead of a
+    * float64, 8× less candidate I/O — → integer-dot approximate
+    * cosine shortlist of `k·rerank` per query → exact-cosine re-rank
+    * reading full vectors for the shortlist rows alone (same pruned
+    * cell directories, second column-pruned scan). The at-100 TB
+    * contract: candidate I/O shrinks 8×, exact I/O shrinks from
+    * "every probed vector" to "k·rerank rows per query". */
+  def topKSq8(spark: SparkSession, indexDir: String, queries: DataFrame,
+      model: Model, nprobe: Int, k: Int, rerank: Int = 4): DataFrame = {
+    val p = probeCells(queries, col("qv"), model, nprobe)
+      .withColumn("qcode", VectorExpressions.sq8Encode(col("qv")))
+      .select(col("query_id"), col("cell"), col("qcode"))
+    val idx = spark.read.parquet(indexDir)
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
+    val shortlist = idx.select(col("vec_id").as("neighbor_id"), col("cell"), col("code"))
+      .join(broadcast(p), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qcode"),
+        nanvl(VectorExpressions.sq8Dot(col("qcode"), col("code")).cast("double") /
+          (sqrt(VectorExpressions.sq8Dot(col("qcode"), col("qcode")).cast("double")) *
+            sqrt(VectorExpressions.sq8Dot(col("code"), col("code")).cast("double"))),
+          lit(-2.0)).as("approx_cos"))
+      .withColumn("arnk", row_number().over(wa))
+      .filter(col("arnk") <= k.toLong * rerank)
+    // re-rank: the shortlist is queries×k·rerank rows — broadcast it
+    // back against the SAME pruned index partitions, this time reading
+    // the full vectors (and never the codes)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    idx.select(col("vec_id").as("neighbor_id"), col("v"))
+      .join(broadcast(shortlist.select(col("query_id"), col("neighbor_id"))), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
         nanvl(VectorFunctions.cosine(col("qv"), col("v")), lit(-2.0)).as("cos_sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

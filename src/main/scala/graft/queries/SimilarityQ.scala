@@ -206,6 +206,50 @@ object SimilarityQ extends QueryPack {
         .filter($"rnk" <= 5)
     }),
 
+    // IVF + SQ8 (the FAISS "IVF,SQ8" layout): the candidate phase
+    // runs on int8 scalar-quantized codes — ONE BYTE per dimension,
+    // 8× less I/O than the float64 vectors — and only the
+    // per-query shortlist (4k rows) pays an exact-cosine re-rank
+    // against the full vectors. At 100 TB this is the difference
+    // between scanning 5 TB of probed vectors and 0.6 TB of codes;
+    // the approx arithmetic is exact-integer (floor-quantized codes,
+    // integer dot) + IEEE sqrt/divide, so the DuckDB oracle replays
+    // the shortlist bit-for-bit. Same IVF pruning as q38 (shared
+    // trained model, memoized — no second training cost).
+    "q59_ann_sq8_topk" -> ((s, d) => {
+      import s.implicits._
+      val cellBits = graft.operators.Adaptive.bits(
+        Tables.embeddingCount(s, d), targetBucket = 32, lo = 4, hi = 8)
+      val e = emb(s, d)
+      val model = ivfModel(s, d)
+      val VE = graft.functions.VectorExpressions
+      // corpus side: cell + code from ONE assignment scan — the full
+      // vector never rides the candidate join
+      val assign = graft.operators.IvfIndex.assignCells(e, model)
+        .select($"vec_id".as("neighbor_id"), $"cell", VE.sq8Encode($"v").as("code"))
+      val probes = graft.operators.IvfIndex.probeCells(
+        e.filter($"vec_id" % 50 === 0).select($"vec_id".as("query_id"), $"v".as("qv")),
+        $"qv", model, nprobe = cellBits + 3)
+        .select($"query_id", $"cell", VE.sq8Encode($"qv").as("qcode"))
+      val wa = Window.partitionBy($"query_id").orderBy($"approx_cos".desc, $"neighbor_id".asc)
+      val shortlist = probes.join(assign, "cell")
+        .filter($"neighbor_id" =!= $"query_id")
+        .select($"query_id", $"neighbor_id",
+          (VE.sq8Dot($"qcode", $"code").cast("double") /
+            (sqrt(VE.sq8Dot($"qcode", $"qcode").cast("double")) *
+              sqrt(VE.sq8Dot($"code", $"code").cast("double")))).as("approx_cos"))
+        .withColumn("arnk", row_number().over(wa))
+        .filter($"arnk" <= 20)
+      val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+      shortlist.select($"query_id", $"neighbor_id")
+        .join(e.select($"vec_id".as("query_id"), $"v".as("qv")), "query_id")
+        .join(e.select($"vec_id".as("neighbor_id"), $"v"), "neighbor_id")
+        .select($"query_id", $"neighbor_id",
+          VectorFunctions.cosine($"qv", $"v").as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+    }),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     // deduplication = k-means-cluster the corpus embeddings, then
     // within each cluster drop every vector that has a sufficiently
@@ -331,6 +375,36 @@ object SimilarityQ extends QueryPack {
          |         WHERE a.neighbor_id <> p.query_id),
          |s AS (SELECT c.query_id, c.neighbor_id, ${VectorFunctions.Sql.cosine("q.v", "n.v")} AS cos_sim
          |      FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+         |      FROM s)
+         |SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q59_ann_sq8_topk" ->
+      s"""WITH $embSql,
+         |${pcSql(8)},
+         |${graft.operators.IvfIndex.Sql.kmeansCtes(ivfIters, "pc.m")},
+         |-- Sq8Kernels.encode replay: nv's safe norm, floor-quantize
+         |-- to [-127, 127]; codes are exact small integers as doubles
+         |codes AS (SELECT vec_id,
+         |            list_transform(v, x -> floor(x / nrm * 127.0 + 0.5)) AS code
+         |          FROM nv),
+         |assign AS (SELECT vec_id AS neighbor_id, cell FROM rf WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM rf
+         |           WHERE vec_id % 50 = 0 AND crnk <= (SELECT nb + 3 FROM pc)),
+         |ap AS (SELECT p.query_id, a.neighbor_id,
+         |         ${VectorFunctions.Sql.dot("qc.code", "nc.code")} /
+         |           (sqrt(${VectorFunctions.Sql.dot("qc.code", "qc.code")}) *
+         |            sqrt(${VectorFunctions.Sql.dot("nc.code", "nc.code")})) AS approx_cos
+         |       FROM probes p JOIN assign a USING (cell)
+         |       JOIN codes qc ON qc.vec_id = p.query_id
+         |       JOIN codes nc ON nc.vec_id = a.neighbor_id
+         |       WHERE a.neighbor_id <> p.query_id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY approx_cos DESC, neighbor_id) AS arnk FROM ap)
+         |          WHERE arnk <= 20),
+         |s AS (SELECT c.query_id, c.neighbor_id, ${VectorFunctions.Sql.cosine("q.v", "n.v")} AS cos_sim
+         |      FROM short c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
          |      FROM s)
          |SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,

@@ -38,6 +38,9 @@ object IvfStream {
     val spark = batch.sparkSession
     val model = IvfIndex.load(spark, modelDir)
     IvfIndex.assignCells(batch.select(col("vec_id"), col("v")), model)
+      // same row layout as the batch build: SQ8 codes ride alongside
+      // the vectors so the streamed index serves topKSq8 too
+      .withColumn("code", graft.functions.VectorExpressions.sq8Encode(col("v")))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/b=$batchId")
   }

@@ -135,6 +135,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q59: sq8 candidate phase is an equi-join on cell with windowed shortlist — never a cross product") {
+    val p = plan("q59_ann_sq8_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // two ranking windows: the approx shortlist and the exact re-rank
+    assert("row_number".r.findAllIn(p).size >= 2, s"missing shortlist or rerank window:\n$p")
+  }
+
   test("q58: bigram + unigram vocab joins broadcast; pair stream cached once") {
     val p = plan("q58_bigram_lm")
     assert(p.contains("InMemoryTableScan"), s"pair stream recomputed:\n$p")

@@ -52,6 +52,22 @@ class RecallSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"IVF recall below the trained-centroid floor: $recall%.2f")
   }
 
+  test("q59 IVF+SQ8 recall vs q29 brute force matches the exact-probe floor") {
+    val truth = SparkEntry.queries("q29_ann_brute_topk")(spark, sfDir)
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("q59_ann_sq8_topk")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    info(f"IVF+SQ8 recall@5 = $recall%.2f (${(truth & approx).size}/${truth.size})")
+    // same candidate cells as q38, int8-approximate shortlist + 4x
+    // re-rank: quantization must not cost meaningful recall on top of
+    // the IVF pruning (q38's floor is 0.8)
+    assert(recall >= 0.8, f"SQ8 quantization degraded recall: $recall%.2f")
+  }
+
   test("fixed-point money sums are invariant under repartitioning") {
     import spark.implicits._
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
