@@ -219,6 +219,13 @@ object IvfIndex {
   def build(emb: DataFrame, model: Model, dir: String): Unit = {
     assignCells(emb, model)
       .withColumn("code", VectorExpressions.sq8Encode(col("v")))
+      // co-locate each cell before the partitioned write: without
+      // this every input task writes a sliver into every cell dir —
+      // tasks × cells tiny files whose footers dominate probe I/O
+      // (measured: a 250k-vector build produced 10k 30-row files).
+      // One shuffle at build time buys one file per cell, paid once
+      // for a write-once/probe-forever artifact.
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
     // after the parquet write: overwrite mode would wipe a pre-written
     // model file from the directory

@@ -41,6 +41,10 @@ object IvfStream {
       // same row layout as the batch build: SQ8 codes ride alongside
       // the vectors so the streamed index serves topKSq8 too
       .withColumn("code", graft.functions.VectorExpressions.sq8Encode(col("v")))
+      // and the same cell co-location before the partitioned write:
+      // without it every batch task writes a sliver into every cell
+      // dir, and the file count grows as batches × tasks × cells
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/b=$batchId")
   }

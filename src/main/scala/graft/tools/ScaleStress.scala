@@ -248,6 +248,86 @@ object ScaleStress {
       found
     }
 
+    // IVF+SQ8 at rest: the 8×-candidate-I/O claim measured on real
+    // parquet bytes, not asserted from schema arithmetic. Builds the
+    // code-carrying index at 250k vectors and compares the COLUMN
+    // CHUNK bytes a pruned candidate scan fetches (vec_id + code)
+    // against the exact path's (vec_id + v) — chunk sizes from the
+    // file footers are the ground truth of column-pruned transfer
+    // (task InputMetrics on local FS undercounts the vectorized
+    // reader's page reads and was measured blind to the difference);
+    // then runs the full quantized probe (topKSq8) and checks
+    // planted-twin recall through the int8 shortlist.
+    time("ivf_sq8_at_rest_250k_vectors") {
+      val n = 250000L
+      val cellBits = Adaptive.bits(n, targetBucket = 32, lo = 4, hi = 8)
+      val mixed = graft.functions.VectorFunctions.Sql
+        .mixSpark("cast(id as bigint) * 64 + k + 999999937")
+      // the grid vectors other rows use take only 2001 distinct
+      // component values and parquet DICTIONARY-encodes them down to
+      // code size, hiding the I/O difference this row exists to
+      // measure; real float embeddings are incompressible noise, so
+      // add a per-(vec_id, k) sub-quantization perturbation (1e-12 —
+      // far below the 1e-3 code resolution, cells and codes
+      // unchanged) that makes every component value unique and forces
+      // plain encoding, the honest at-rest layout
+      val base = spark.range(n).select(
+        $"id".as("vec_id"),
+        expr(s"transform(sequence(0, 63), k -> cast($mixed as double) / 1000.0" +
+          " + cast(id * 64 + k as double) * 1e-12)").as("v"))
+      val planted = base.filter($"vec_id" % 100 === 0).select(
+        ($"vec_id" + 10000000L).as("vec_id"),
+        expr(s"transform(sequence(0, 63), k -> element_at(v, k + 1) + cast(${graft.functions.VectorFunctions.Sql.mixSpark("cast(vec_id as bigint) * 64 + k + 777")} as double) / 20000.0)").as("v"))
+      val corpus = base.unionByName(planted)
+      val model = graft.operators.IvfIndex.train(
+        corpus, cells = 1 << cellBits, iters = 3, memoKey = s"stress-ivf-sq8-$n",
+        sampleMod = graft.operators.IvfIndex.sampleMod(n + n / 100, 1 << cellBits))
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_sq8").toString
+      try {
+        graft.operators.IvfIndex.build(corpus, model, dir)
+        val conf = spark.sessionState.newHadoopConf()
+        def columnBytes(cols: Set[String]): Long = {
+          val root = new org.apache.hadoop.fs.Path(dir)
+          val fs = root.getFileSystem(conf)
+          var total = 0L
+          val it = fs.listFiles(root, true)
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet")) {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+                fs.getFileStatus(f.getPath), conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getFooter.getBlocks.forEach { b =>
+                b.getColumns.forEach { c =>
+                  if (cols(c.getPath.toDotString.split("\\.")(0))) total += c.getTotalSize
+                }
+              } finally r.close()
+            }
+          }
+          total
+        }
+        val codeBytes = columnBytes(Set("vec_id", "code"))
+        val vecBytes = columnBytes(Set("vec_id", "v"))
+        val ratio = vecBytes.toDouble / math.max(1L, codeBytes)
+        // raw widths are 512 B vs 64 B per row; parquet framing costs
+        // both sides, so demand >=4x on the bytes a pruned scan fetches
+        require(ratio >= 4.0,
+          f"sq8 candidate scan not smaller: codes=$codeBytes vecs=$vecBytes ($ratio%.1fx)")
+        val queries = base.filter($"vec_id" % 100 === 0)
+          .select($"vec_id".as("query_id"), $"v".as("qv"))
+        val top = graft.operators.IvfIndex.topKSq8(
+          spark, dir, queries, model, nprobe = cellBits + 3, k = 5).persist()
+        val nQueries = n / 100
+        val found = top.filter($"neighbor_id" === $"query_id" + 10000000L)
+          .select($"query_id").distinct().count()
+        val rows = top.count()
+        top.unpersist(blocking = false)
+        println(f"STRESS   sq8_scan_bytes codes=$codeBytes vecs=$vecBytes ratio=$ratio%.1fx " +
+          f"twin_recall=${found * 100.0 / nQueries}%.1f%% ($found/$nQueries)")
+        rows
+      } finally FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+    }
+
     // Dedup clustering at scale: 1M-edge pair graph of 200k 5-chains
     // (diameter 4 — the propagation worst case for dup clusters).
     // Rounds are O(diameter); per-round work is one join + one agg.
