@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** At-rest unigram LM artifact — q55's frequency table persisted the
+  * way the IVF centroid model is ([[IvfIndex.save]]): built ONCE from
+  * a corpus snapshot, loaded by any later session or micro-batch with
+  * zero jobs over the corpus, and scored against a FROZEN banding
+  * threshold so verdicts stay stable as new documents stream in
+  * (CCNet's actual deployment shape: the LM is trained on a reference
+  * corpus, then filters every crawl snapshot after it).
+  *
+  * Layout under `dir`:
+  *  - `freq/` — (word STRING, f BIGINT) parquet, the model itself
+  *    (vocabulary-sized: MBs at any corpus size by Heaps' law);
+  *  - `_graft_lm_meta.json` — the EXACT INTEGER corpus totals
+  *    (sum_bits, n_tokens) the head/tail threshold derives from.
+  *    Stored as integers, not a precomputed double mean, so the one
+  *    floating division happens identically everywhere (the q55
+  *    engine-exactness discipline).
+  *
+  * Scoring semantics match q55 bit-for-bit on in-vocabulary tokens
+  * (bit-length of the corpus frequency); OUT-OF-VOCABULARY tokens —
+  * impossible in q55's self-scoring, routine when scoring new
+  * arrivals — take the 1-bit rare-token floor (the score a
+  * frequency-1 token gets), so unseen junk scores minimally rather
+  * than vanishing from n_tokens.
+  */
+object LmArtifact {
+
+  /** Loaded model: the frequency table plus the frozen totals. */
+  final case class Lm(freq: DataFrame, sumBits: Long, nTokens: Long) {
+    /** The banding threshold — one exact-integer division. */
+    def corpusMean: Double = sumBits.toDouble / math.max(1L, nTokens)
+  }
+
+  private val MetaFile = "_graft_lm_meta.json"
+
+  /** Build + publish the artifact from a corpus snapshot; `docs` must
+    * carry (doc_id, text). Two jobs: the freq write and the totals
+    * aggregate (which re-reads the WRITTEN freq table — the published
+    * model is the single source of truth for its own totals). The
+    * meta file is staged + renamed with OVERWRITE last, so a
+    * concurrent reader never observes a freq table with missing or
+    * torn totals ([[IvfIndex.save]]'s publish contract). */
+  def build(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val tf = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
+    tf.groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .write.mode("overwrite").parquet(s"$dir/freq")
+    val freq = spark.read.parquet(s"$dir/freq")
+    val t = tf.join(freq, "word")
+      .agg(count(lit(1)).as("n_tokens"), sum(length(bin(col("f")))).as("sum_bits"))
+      .head()
+    writeMeta(spark, dir, t.getLong(1), t.getLong(0))
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String, sumBits: Long, nTokens: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("version", 1)
+    root.put("sum_bits", sumBits)
+    root.put("n_tokens", nTokens)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$MetaFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Load a published LM. Pure metadata reads — zero jobs over any
+    * corpus. The freq relation gets a broadcast hint only while its
+    * on-disk size stays under 1 GiB (the q55 Heaps'-law guard:
+    * normal vocabularies are MBs; a degenerate one must degrade to a
+    * shuffle join, not a driver OOM). */
+  def load(spark: SparkSession, dir: String): Lm = {
+    val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no published LM at $dir (missing $MetaFile)")
+    val in = fs.open(p)
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    require(root.get("version").asInt() == 1, s"unknown lm artifact version in $p")
+    val freq0 = spark.read.parquet(s"$dir/freq")
+    val freqBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(dir, "freq")).getLength
+    val freq = if (freqBytes <= (1L << 30)) broadcast(freq0) else freq0
+    Lm(freq, root.get("sum_bits").asLong(), root.get("n_tokens").asLong())
+  }
+
+  /** Score `docs` (doc_id, text) against a loaded LM: q55's exact
+    * output schema — (doc_id, n_tokens, sum_bits, mean_bits, band) —
+    * with the frozen threshold and the 1-bit OOV floor. One scan +
+    * one (doc_id) partial-agg shuffle; zero-token docs surface
+    * explicitly, per the q55 contract. */
+  def score(docs: DataFrame, lm: Lm): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
+    val scored = tf.join(lm.freq, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(length(bin(col("f"))), lit(1))).as("sum_bits"))
+      .withColumn("mean_bits", col("sum_bits").cast("double") / col("n_tokens"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(col("mean_bits"), lit(0.0)).as("mean_bits"),
+        when(coalesce(col("mean_bits"), lit(0.0)) >= lit(lm.corpusMean), lit("head"))
+          .otherwise(lit("tail")).as("band"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.LmArtifact
+
+/** Streaming quality scoring — the micro-batch twin of batch q55,
+  * closing the same batch/stream asymmetry [[SemDeDupStream]] (q53)
+  * and [[IvfStream]] (the ANN index) closed for their families: the
+  * LM is built once offline ([[LmArtifact.build]]) and every arriving
+  * document is scored against the FROZEN model + banding threshold —
+  * CCNet's deployment shape, where one reference-corpus LM filters
+  * every subsequent crawl snapshot.
+  *
+  * Per micro-batch: load the published LM (driver-side metadata reads,
+  * zero jobs over any corpus; the vocabulary-sized freq table
+  * broadcast-joins to the batch scan), score with q55's exact
+  * arithmetic (+ the 1-bit OOV floor for unseen tokens), and write
+  * `root/scores/b=<batchId>`. Scores are IMMUTABLE once written —
+  * frozen model, frozen threshold — so batches are append-only deltas
+  * and a replayed batch overwrites exactly its own directory
+  * ([[BatchVersioned]] contract, `_SUCCESS`-gated reads).
+  */
+object QualityStream {
+
+  /** One micro-batch; `batch` must carry (doc_id, text). Wire via
+    * `docs.writeStream.foreachBatch(sink(root, lmDir)).start()`. */
+  def processBatch(batch: DataFrame, batchId: Long, root: String, lmDir: String): Unit = {
+    val lm = LmArtifact.load(batch.sparkSession, lmDir)
+    LmArtifact.score(batch, lm)
+      .write.mode("overwrite").parquet(s"$root/scores/b=$batchId")
+  }
+
+  /** foreachBatch adapter. */
+  def sink(root: String, lmDir: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => processBatch(batch, batchId, root, lmDir)
+
+  /** All committed scores (`_SUCCESS`-gated — a torn batch directory
+    * is invisible until its replay commits). */
+  def loadScores(spark: SparkSession, root: String): DataFrame = {
+    val committed = BatchVersioned.versions(spark, s"$root/scores", prefix = "b").map(_._2)
+    require(committed.nonEmpty, s"no committed score batches under $root/scores")
+    spark.read.option("basePath", s"$root/scores").parquet(committed: _*)
+      .select("doc_id", "n_tokens", "sum_bits", "mean_bits", "band")
+  }
+}

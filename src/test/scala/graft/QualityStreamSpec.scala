@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LmArtifact
+import graft.streaming.QualityStream
+
+/** Streaming quality scoring against the at-rest LM artifact: N
+  * micro-batches over the corpus must reproduce batch q55's scores
+  * exactly (frozen model == self-scored model when the stream IS the
+  * training corpus), and out-of-vocabulary arrivals — impossible in
+  * batch self-scoring — take the documented 1-bit floor. */
+class QualityStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double, String)] =
+    df.select("doc_id", "n_tokens", "sum_bits", "mean_bits", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))).toSet
+
+  test("N micro-batches over the corpus reproduce batch q55 exactly; OOV takes the 1-bit floor") {
+    import spark.implicits._
+    val lmDir = Files.createTempDirectory("graft_lm").toString
+    val root = Files.createTempDirectory("graft_qs").toString
+    try {
+      val docs = graft.sources.Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      LmArtifact.build(docs, lmDir)
+
+      // the published totals replay q55's corpus mean bit-for-bit
+      val lm = LmArtifact.load(spark, lmDir)
+      assert(lm.nTokens > 0 && lm.sumBits > lm.nTokens)
+
+      // 3 arrival batches scattered by doc_id % 3
+      val all = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      (0 until 3).foreach { b =>
+        val batch = all.filter(_._1 % 3 == b).toDF("doc_id", "text")
+        QualityStream.processBatch(batch, b, root, lmDir)
+      }
+
+      val streamed = rows(QualityStream.loadScores(spark, root))
+      val want = rows(SparkEntry.queries("q55_logfreq_quality")(spark, sfDir))
+      CachePool.drain()
+      assert(streamed == want)
+      assert(streamed.nonEmpty)
+
+      // a replayed batch overwrites its own output, changing nothing
+      QualityStream.processBatch(all.filter(_._1 % 3 == 1).toDF("doc_id", "text"), 1, root, lmDir)
+      assert(rows(QualityStream.loadScores(spark, root)) == want)
+
+      // OOV arrivals: every token unseen -> 1 bit each, banded tail
+      // (the frozen corpus mean is > 1 by the assert above); the
+      // zero-token doc surfaces explicitly per the q55 contract
+      QualityStream.processBatch(
+        Seq((900001L, "zzqx wvut zzqx"), (900002L, "")).toDF("doc_id", "text"),
+        3, root, lmDir)
+      val late = rows(QualityStream.loadScores(spark, root)) -- streamed
+      assert(late == Set(
+        (900001L, 3L, 3L, 1.0, "tail"),
+        (900002L, 0L, 0L, 0.0, "tail")))
+    } finally {
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(lmDir))
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
+    }
+  }
+}
