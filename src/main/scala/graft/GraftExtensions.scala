@@ -59,6 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(tf, h) - aggregate: 60-bit tf-weighted SimHash over (term frequency, word hash) rows"),
       buildSimHashAgg))
+    e.injectFunction((
+      FunctionIdentifier("graft_sq8_encode"),
+      info("graft_sq8_encode", "graft_sq8_encode(v) - int8 scalar-quantized codes (1 byte/dim) of a double array"),
+      buildSq8Encode))
+    e.injectFunction((
+      FunctionIdentifier("graft_sq8_dot"),
+      info("graft_sq8_dot", "graft_sq8_dot(a, b) - exact integer dot product of two sq8 code arrays"),
+      buildSq8Dot))
     // graft_nearest_cell / graft_probe_cells stay Column-API-only by
     // design: their centroid-matrix argument is driver-held model state
     // (IvfIndex.Model), not something a SQL literal can express.
@@ -143,6 +151,16 @@ object GraftExtensions {
     SimHashAgg(args(0), args(1))
   }
 
+  private[graft] val buildSq8Encode: Seq[Expression] => Expression = { args =>
+    arity("graft_sq8_encode", args, 1)
+    graft.functions.Sq8Encode(args.head)
+  }
+
+  private[graft] val buildSq8Dot: Seq[Expression] => Expression = { args =>
+    arity("graft_sq8_dot", args, 2)
+    graft.functions.Sq8Dot(args(0), args(1))
+  }
+
   /** Register the same functions on an already-built session (useful in
     * tests and notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -155,5 +173,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_ngrams", buildNgrams, "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash_sig", buildMinHashSig, "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash", buildSimHashAgg, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sq8_encode", buildSq8Encode, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sq8_dot", buildSq8Dot, "scala_udf")
   }
 }

@@ -35,6 +35,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(grams == Seq("a b", "b a", "a b")) // occurrence-preserving
   }
 
+  test("graft_sq8_encode / graft_sq8_dot callable from SQL, matching the Column API") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // a 3-4-5 triangle normalizes to (0.6, 0.8): codes floor to
+    // (76, 102); self-dot = 76^2 + 102^2
+    val row = spark.sql(
+      """SELECT graft_sq8_encode(array(3.0d, 4.0d)) AS code,
+        |       graft_sq8_dot(graft_sq8_encode(array(3.0d, 4.0d)),
+        |                     graft_sq8_encode(array(3.0d, 4.0d))) AS dp""".stripMargin).head
+    assert(row.getAs[Array[Byte]](0).toSeq == Seq[Byte](76, 102))
+    assert(row.getLong(1) == 76L * 76 + 102L * 102)
+    val viaCol = Seq(Tuple1(Seq(3.0, 4.0))).toDF("v")
+      .select(graft.functions.VectorExpressions.sq8Encode($"v").as("code")).head
+    assert(viaCol.getAs[Array[Byte]](0).toSeq == Seq[Byte](76, 102))
+  }
+
   test("graft_minhash_sig and graft_simhash aggregates callable from SQL, matching the Column API") {
     import spark.implicits._
     GraftExtensions.register(spark)
