@@ -22,6 +22,38 @@ object TextQ extends QueryPack {
     "fr" -> Seq("window", "group"),
     "zh" -> Seq("spark", "table"))
 
+  /** Fixed BPE merge count — unrolled verbatim in the oracle's CTE
+    * chain (the kmeansCtes convention), so both engines run the same
+    * number of steps. */
+  private val BpeSteps = 8
+
+  /** DuckDB replay of q60's merge loop: emits `m1..mN` (the learned
+    * merges) and `s1..sN` (the symbol table after each step). Every
+    * s$t is referenced by THREE consumers (py/pp of step t+1, s of
+    * step t+1, q61's apply) — left un-materialized DuckDB inlines the
+    * whole prefix chain into each reference and the replay blows up
+    * ~3^steps, so each step is AS MATERIALIZED (the oracle-side twin
+    * of the Spark side's CachePool). */
+  private lazy val bpeCtes: String = {
+    val b = new StringBuilder
+    b ++= """w0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS wc
+      |  FROM (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+      |        FROM documents) GROUP BY word),
+      |s0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '|\1', 'g') AS sym, wc FROM w0)""".stripMargin
+    (1 to BpeSteps).foreach { t =>
+      b ++= s""",
+        |py$t AS (SELECT wc, list_filter(string_split(sym, '|'), x -> x <> '') AS syms FROM s${t - 1}),
+        |pp$t AS (SELECT syms[i + 1] AS a, syms[i + 2] AS b, wc
+        |         FROM (SELECT wc, syms, unnest(generate_series(0, len(syms) - 2)) AS i
+        |               FROM py$t WHERE len(syms) >= 2)),
+        |m$t AS MATERIALIZED (SELECT $t AS step, a, b, sum(wc)::BIGINT AS c FROM pp$t GROUP BY a, b
+        |        ORDER BY c DESC, a, b LIMIT 1),
+        |s$t AS MATERIALIZED (SELECT replace(sym, (SELECT '|' || a || '|' || b FROM m$t),
+        |                       (SELECT '|' || a || b FROM m$t)) AS sym, wc FROM s${t - 1})""".stripMargin
+    }
+    b.toString
+  }
+
   def defs: Map[String, Q] = Map(
     "q32_langid" -> ((s, d) => {
       import s.implicits._
@@ -277,6 +309,79 @@ object TextQ extends QueryPack {
           coalesce($"mean_bits", lit(0.0)).as("mean_bits"),
           when(coalesce($"mean_bits", lit(0.0)) >= $"corpus_mean", lit("head"))
             .otherwise(lit("tail")).as("band"))
+    }),
+
+    // BPE tokenizer learning — the tokenizer-training stage of an LLM
+    // data pipeline (Sennrich et al. 2016), distributed the only way
+    // that holds at 100 TB: the corpus is scanned ONCE for the word
+    // histogram, then every merge iteration runs over the
+    // VOCABULARY-sized symbol table (Heaps' law: MBs at any corpus
+    // size), with a 1-row argmax collect per step. Symbols ride as
+    // '|'-prefixed strings ("|h|e|l|l|o"), so a merge is one LITERAL
+    // left-to-right replace("|a|b" -> "|ab") — identical greedy
+    // semantics in Spark and DuckDB, and '|' can't occur inside a
+    // symbol (tokens are whitespace-split), so no false boundaries.
+    // The oracle unrolls the merge steps as CTEs, kmeansCtes-style.
+    // Ties break (count DESC, left, right) — deterministic.
+    "q60_bpe_learn" -> ((s, d) => {
+      import s.implicits._
+      val words0 = Tables.documents(s, d)
+        .select(explode(TF.tokens($"text")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("wc"))
+        .select(regexp_replace($"word", "(.)", "|$1").as("sym"), $"wc")
+      var cur = graft.CachePool.cache(words0)
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      (1 to BpeSteps).foreach { t =>
+        val top = cur
+          .select($"wc", filter(split($"sym", "\\|"), x => x =!= "").as("syms"))
+          .where(size($"syms") >= 2)
+          .select($"wc", explode(transform(
+            sequence(lit(1), size($"syms") - 1),
+            i => struct(
+              element_at($"syms", i).as("a"),
+              element_at($"syms", i + 1).as("b")))).as("p"))
+          .groupBy($"p.a".as("a"), $"p.b".as("b"))
+          .agg(sum($"wc").as("c"))
+          .orderBy($"c".desc, $"a".asc, $"b".asc)
+          .limit(1).collect() // exactly ONE row — bounded by construction
+        val r = top.head
+        val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += ((t, a, b, c))
+        cur = graft.CachePool.cache(cur.select(
+          call_function("replace",
+            $"sym", lit("|" + a + "|" + b), lit("|" + a + b)).as("sym"),
+          $"wc"))
+      }
+      merges.result().toDF("step", "left_sym", "right_sym", "pair_count")
+    }),
+
+    // Tokenize under the LEARNED vocabulary — q60's apply stage, the
+    // real version of q34's regex approximation: re-learn the merges
+    // (vocabulary-scale, cheap — charged to this line honestly), then
+    // ONE shuffle-free corpus scan applies them array-side per token
+    // (encode '|'-prefixed, chain the literal replaces, count
+    // surviving symbols as the '|' count). Each merge is a sequential
+    // string pass; a production 32k-merge vocab would apply via a
+    // trie, but the plan shape — learn on the vocab, apply in the
+    // scan — is exactly what holds at 100 TB. Zero-token docs
+    // surface as (0, 0).
+    "q61_bpe_tokenize" -> ((s, d) => {
+      import s.implicits._
+      val learned = defs("q60_bpe_learn")(s, d)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2)))
+      def symCountOf(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val applied = learned.foldLeft(regexp_replace(w, "(.)", "|$1")) {
+          case (c, (a, b)) =>
+            call_function("replace", c, lit("|" + a + "|" + b), lit("|" + a + b))
+        }
+        length(applied) - length(call_function("replace", applied, lit("|"), lit("")))
+      }
+      Tables.documents(s, d).select(
+        $"doc_id",
+        TF.tokenCount($"text").cast("long").as("ws_tokens"),
+        aggregate(TF.tokens($"text"), lit(0), (acc, x) => acc + symCountOf(x))
+          .cast("long").as("bpe_tokens"))
     }),
 
     // Keyword retrieval: quantized-BM25 top-k over the corpus — the
@@ -543,6 +648,31 @@ object TextQ extends QueryPack {
         |  CASE WHEN coalesce(s.sum_bits::DOUBLE / s.n_tokens, 0.0) >= corpus_mean
         |       THEN 'head' ELSE 'tail' END AS band
         |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id, c""".stripMargin,
+
+    "q60_bpe_learn" ->
+      s"""WITH $bpeCtes
+         |SELECT step, a AS left_sym, b AS right_sym, c AS pair_count FROM (
+         |${(1 to BpeSteps).map(t => s"SELECT * FROM m$t").mkString(" UNION ALL ")})""".stripMargin,
+
+    "q61_bpe_tokenize" -> {
+      // apply the learned merges (nested literal replaces with scalar
+      // subqueries from the m$t CTEs) to the token stream; surviving
+      // symbols = '|' count
+      val applied = (1 to BpeSteps).foldLeft("regexp_replace(word, '(.)', '|\\1', 'g')") {
+        (e, t) =>
+          s"replace($e, (SELECT '|' || a || '|' || b FROM m$t), (SELECT '|' || a || b FROM m$t))"
+      }
+      s"""WITH $bpeCtes,
+         |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+         |        FROM documents),
+         |cnt AS (SELECT doc_id,
+         |          sum(length(sym) - length(replace(sym, '|', '')))::BIGINT AS bpe
+         |        FROM (SELECT doc_id, $applied AS sym FROM tok) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  len(list_filter(string_split(d.text, ' '), w -> w <> ''))::BIGINT AS ws_tokens,
+         |  coalesce(c.bpe, 0)::BIGINT AS bpe_tokens
+         |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id""".stripMargin
+    },
 
     "q57_keyword_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word

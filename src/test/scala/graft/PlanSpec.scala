@@ -142,6 +142,14 @@ class PlanSpec extends AnyFunSuite {
     assert("row_number".r.findAllIn(p).size >= 2, s"missing shortlist or rerank window:\n$p")
   }
 
+  test("q61: the BPE apply stage is one shuffle-free corpus scan") {
+    // the learn loop runs at query-construction time over the
+    // vocabulary; the returned plan is the APPLY — a single projection
+    // over documents with zero exchanges
+    val p = plan("q61_bpe_tokenize")
+    assert(!p.contains("Exchange"), s"BPE apply must not shuffle:\n$p")
+  }
+
   test("q58: bigram + unigram vocab joins broadcast; pair stream cached once") {
     val p = plan("q58_bigram_lm")
     assert(p.contains("InMemoryTableScan"), s"pair stream recomputed:\n$p")
