@@ -328,6 +328,55 @@ object ScaleStress {
       } finally FileUtil.deleteTree(java.nio.file.Paths.get(dir))
     }
 
+    // BPE learning at scale: the q60 design claim is that the corpus
+    // is scanned ONCE (word histogram) and every merge iteration runs
+    // over the VOCABULARY — so quadrupling the corpus must grow the
+    // histogram cost ~4x while iteration cost stays ~flat (the
+    // docs() generator draws from a fixed 100k-word vocabulary, the
+    // Heaps'-law saturation this row exploits).
+    time("bpe_learn_vocab_bounded") {
+      def learn(n: Long): (Double, Double) = {
+        val dd = docs(spark, n)
+        val t0 = System.nanoTime()
+        var cur = dd
+          .select(explode(filter(split($"text", " "), w => w =!= "")).as("word"))
+          .groupBy($"word").agg(count(lit(1)).as("wc"))
+          .select(regexp_replace($"word", "(.)", "|$1").as("sym"), $"wc")
+          .persist()
+        cur.count()
+        val hist = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val persisted = scala.collection.mutable.ArrayBuffer(cur)
+        (1 to 8).foreach { _ =>
+          val top = cur
+            .select($"wc", filter(split($"sym", "\\|"), x => x =!= "").as("syms"))
+            .where(size($"syms") >= 2)
+            .select($"wc", explode(transform(sequence(lit(1), size($"syms") - 1),
+              i => struct(element_at($"syms", i).as("a"), element_at($"syms", i + 1).as("b")))).as("p"))
+            .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"wc").as("c"))
+            .orderBy($"c".desc, $"a".asc, $"b".asc).limit(1).collect().head
+          val (a, b) = (top.getString(0), top.getString(1))
+          cur = cur.select(call_function("replace",
+            $"sym", lit("|" + a + "|" + b), lit("|" + a + b)).as("sym"), $"wc").persist()
+          persisted += cur
+        }
+        cur.count()
+        val iters = (System.nanoTime() - t1) / 1e9
+        persisted.foreach(_.unpersist(blocking = false))
+        (hist, iters)
+      }
+      learn(250000L) // unmeasured warmup: codegen + JIT for both shapes
+      val (h1, i1) = learn(250000L)
+      val (h4, i4) = learn(1000000L)
+      println(f"STRESS   bpe hist_250k=$h1%.1f iters_250k=$i1%.1f hist_1M=$h4%.1f iters_1M=$i4%.1f")
+      // iteration cost is vocab-bounded: a 4x corpus must not move it
+      // materially (allow 2x for scheduling noise); the histogram IS
+      // allowed to grow — it is the one corpus-scan
+      require(i4 < i1 * 2.0 + 1.0,
+        f"bpe iterations scale with corpus, not vocab: $i1%.1f -> $i4%.1f s")
+      8L
+    }
+
     // Dedup clustering at scale: 1M-edge pair graph of 200k 5-chains
     // (diameter 4 — the propagation worst case for dup clusters).
     // Rounds are O(diameter); per-round work is one join + one agg.
