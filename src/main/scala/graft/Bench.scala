@@ -80,8 +80,15 @@ object Bench {
         CachePool.drain()
         r += 1
       }
-      val sorted = times.sorted
-      (sorted(sorted.length / 2), sorted.head, err)
+      // a query can die on its WARMUP (or first timed) rep, leaving
+      // zero recorded times — that must still surface as the error
+      // entry + nonzero exit, not an IndexOutOfBounds that kills the
+      // whole bench with no JSON line
+      if (times.isEmpty) (0.0, 0.0, err)
+      else {
+        val sorted = times.sorted
+        (sorted(sorted.length / 2), sorted.head, err)
+      }
     }
 
     // One-time indexing costs, timed under their OWN lines (the
@@ -90,10 +97,14 @@ object Bench {
     // the LAST rep leaves a valid memo+artifact for the query lines
     // below to consume, exactly as a real session would.
     val setups: Seq[(String, () => Unit, () => Unit)] = Seq(
+      // invalidations are SCOPED per memo key: a blanket clearMemo()
+      // here would evict q38's just-measured model when q53_train
+      // reps run, and the q38-family query lines would re-pay the
+      // whole training scan inside their unmeasured warmups
       ("q38_train", () => { queries.SimilarityQ.ivfModel(spark, sfDir); () },
-        () => graft.operators.IvfIndex.clearMemo()),
+        () => graft.operators.IvfIndex.clearMemo("#ivf|")),
       ("q53_train", () => { queries.SimilarityQ.semdedupModel(spark, sfDir); () },
-        () => graft.operators.IvfIndex.clearMemo()),
+        () => graft.operators.IvfIndex.clearMemo("#semdedup|")),
       ("q41_clusters_build", () => { queries.DedupQ.ensureClusters(spark, sfDir); () },
         () => queries.DedupQ.invalidateClusters(spark, sfDir))
     )

@@ -65,6 +65,13 @@ object IvfIndex {
     * reps 2+. Not used by any query path. */
   def clearMemo(): Unit = memo.clear()
 
+  /** Drop only the memoized models whose memo key contains `substr` —
+    * so invalidating one train line between bench reps can't evict a
+    * DIFFERENT line's just-measured model (which would silently
+    * re-pay that training inside a later query's warmup). */
+  def clearMemo(substr: String): Unit =
+    memo.keySet.removeIf(_._2.contains(substr))
+
   /** Same sequential square-sum fold as the oracle's list_reduce. */
   private def csqOf(c: Array[Double]): Double = {
     var acc = 0.0
@@ -339,7 +346,7 @@ object IvfIndex {
     val shortlist = idx.select(col("vec_id").as("neighbor_id"), col("cell"), col("code"))
       .join(broadcast(p), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qcode"),
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("qcode"),
         nanvl(VectorExpressions.sq8Dot(col("qcode"), col("code")).cast("double") /
           (sqrt(VectorExpressions.sq8Dot(col("qcode"), col("qcode")).cast("double")) *
             sqrt(VectorExpressions.sq8Dot(col("code"), col("code")).cast("double"))),
@@ -348,10 +355,15 @@ object IvfIndex {
       .filter(col("arnk") <= k.toLong * rerank)
     // re-rank: the shortlist is queries×k·rerank rows — broadcast it
     // back against the SAME pruned index partitions, this time reading
-    // the full vectors (and never the codes)
+    // the full vectors (and never the codes). The join MUST keep
+    // `cell` (the partition column) in its keys: on neighbor_id alone
+    // no dynamic partition pruning applies and this scan would read
+    // EVERY cell's vector column — more exact-phase I/O than the
+    // plain exact probe, inverting the whole point
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    idx.select(col("vec_id").as("neighbor_id"), col("v"))
-      .join(broadcast(shortlist.select(col("query_id"), col("neighbor_id"))), Seq("neighbor_id"))
+    idx.select(col("vec_id").as("neighbor_id"), col("cell"), col("v"))
+      .join(broadcast(shortlist.select(col("query_id"), col("neighbor_id"), col("cell"))),
+        Seq("cell", "neighbor_id"))
       .join(broadcast(queries.select(col("query_id"), col("qv"))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         nanvl(VectorFunctions.cosine(col("qv"), col("v")), lit(-2.0)).as("cos_sim"))

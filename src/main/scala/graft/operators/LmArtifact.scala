@@ -42,28 +42,57 @@ object LmArtifact {
   /** Build + publish the artifact from a corpus snapshot; `docs` must
     * carry (doc_id, text). Two jobs: the freq write and the totals
     * aggregate (which re-reads the WRITTEN freq table — the published
-    * model is the single source of truth for its own totals). The
-    * meta file is staged + renamed with OVERWRITE last, so a
-    * concurrent reader never observes a freq table with missing or
-    * torn totals ([[IvfIndex.save]]'s publish contract). */
+    * model is the single source of truth for its own totals).
+    *
+    * REBUILD atomicity: the freq table is written to a fresh
+    * `freq-<epoch>` directory and the meta file — staged + renamed
+    * with OVERWRITE, [[IvfIndex.save]]'s publish contract — names it,
+    * so a reader mid-rebuild sees either (old freq, old totals) or
+    * (new freq, new totals), never a cross-pairing (overwriting one
+    * `freq/` dir in place would pair new frequencies with old totals
+    * for the whole duration of the totals job). Epochs older than the
+    * one being replaced are GC'd; the immediately-previous epoch is
+    * kept for readers that loaded just before the publish. */
   def build(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
+    val epoch = readMeta(spark, dir).map(_.get("epoch").asLong() + 1L).getOrElse(0L)
+    val freqDir = s"freq-$epoch"
     val tf = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
     tf.groupBy(col("word")).agg(count(lit(1)).as("f"))
-      .write.mode("overwrite").parquet(s"$dir/freq")
-    val freq = spark.read.parquet(s"$dir/freq")
+      .write.mode("overwrite").parquet(s"$dir/$freqDir")
+    val freq = spark.read.parquet(s"$dir/$freqDir")
     val t = tf.join(freq, "word")
       .agg(count(lit(1)).as("n_tokens"), sum(length(bin(col("f")))).as("sum_bits"))
       .head()
-    writeMeta(spark, dir, t.getLong(1), t.getLong(0))
+    writeMeta(spark, dir, epoch, t.getLong(1), t.getLong(0))
+    // GC epochs nobody can reach anymore (older than the replaced one)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.startsWith("freq-"))
+      .filter(_.getPath.getName.stripPrefix("freq-").toLong < epoch - 1)
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
-  private def writeMeta(spark: SparkSession, dir: String, sumBits: Long, nTokens: Long): Unit = {
+  private def readMeta(spark: SparkSession, dir: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(in))
+      finally in.close()
+    }
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String, epoch: Long,
+      sumBits: Long, nTokens: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
     root.put("version", 1)
+    root.put("epoch", epoch)
     root.put("sum_bits", sumBits)
     root.put("n_tokens", nTokens)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$MetaFile.tmp")
@@ -81,16 +110,14 @@ object LmArtifact {
     * normal vocabularies are MBs; a degenerate one must degrade to a
     * shuffle join, not a driver OOM). */
   def load(spark: SparkSession, dir: String): Lm = {
-    val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no published LM at $dir (missing $MetaFile)")
-    val in = fs.open(p)
-    val root =
-      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-      finally in.close()
-    require(root.get("version").asInt() == 1, s"unknown lm artifact version in $p")
-    val freq0 = spark.read.parquet(s"$dir/freq")
-    val freqBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(dir, "freq")).getLength
+    val root = readMeta(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no published LM at $dir (missing $MetaFile)"))
+    require(root.get("version").asInt() == 1, s"unknown lm artifact version in $dir")
+    val freqDir = s"freq-${root.get("epoch").asLong()}"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val freq0 = spark.read.parquet(s"$dir/$freqDir")
+    val freqBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(dir, freqDir)).getLength
     val freq = if (freqBytes <= (1L << 30)) broadcast(freq0) else freq0
     Lm(freq, root.get("sum_bits").asLong(), root.get("n_tokens").asLong())
   }

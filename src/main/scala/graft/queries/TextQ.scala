@@ -39,17 +39,19 @@ object TextQ extends QueryPack {
     b ++= """w0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS wc
       |  FROM (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
       |        FROM documents) GROUP BY word),
-      |s0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '|\1', 'g') AS sym, wc FROM w0)""".stripMargin
+      |s0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', ' \1', 'g') AS sym, wc FROM w0)""".stripMargin
     (1 to BpeSteps).foreach { t =>
       b ++= s""",
-        |py$t AS (SELECT wc, list_filter(string_split(sym, '|'), x -> x <> '') AS syms FROM s${t - 1}),
+        |py$t AS (SELECT wc, list_filter(string_split(sym, ' '), x -> x <> '') AS syms FROM s${t - 1}),
         |pp$t AS (SELECT syms[i + 1] AS a, syms[i + 2] AS b, wc
         |         FROM (SELECT wc, syms, unnest(generate_series(0, len(syms) - 2)) AS i
         |               FROM py$t WHERE len(syms) >= 2)),
         |m$t AS MATERIALIZED (SELECT $t AS step, a, b, sum(wc)::BIGINT AS c FROM pp$t GROUP BY a, b
         |        ORDER BY c DESC, a, b LIMIT 1),
-        |s$t AS MATERIALIZED (SELECT replace(sym, (SELECT '|' || a || '|' || b FROM m$t),
-        |                       (SELECT '|' || a || b FROM m$t)) AS sym, wc FROM s${t - 1})""".stripMargin
+        |s$t AS MATERIALIZED (SELECT replace(sym,
+        |                         coalesce((SELECT ' ' || a || ' ' || b FROM m$t), '  '),
+        |                         coalesce((SELECT ' ' || a || b FROM m$t), '')) AS sym, wc
+        |                       FROM s${t - 1})""".stripMargin
     }
     b.toString
   }
@@ -317,10 +319,12 @@ object TextQ extends QueryPack {
     // histogram, then every merge iteration runs over the
     // VOCABULARY-sized symbol table (Heaps' law: MBs at any corpus
     // size), with a 1-row argmax collect per step. Symbols ride as
-    // '|'-prefixed strings ("|h|e|l|l|o"), so a merge is one LITERAL
-    // left-to-right replace("|a|b" -> "|ab") — identical greedy
-    // semantics in Spark and DuckDB, and '|' can't occur inside a
-    // symbol (tokens are whitespace-split), so no false boundaries.
+    // SPACE-prefixed strings (" h e l l o"), so a merge is one
+    // LITERAL left-to-right replace(" a b" -> " ab") — identical
+    // greedy semantics in Spark and DuckDB. Space is the ONE
+    // character provably absent from a whitespace-split token (any
+    // other delimiter, e.g. '|', corrupts the encoding of corpora
+    // that contain it), so symbol boundaries can never be forged.
     // The oracle unrolls the merge steps as CTEs, kmeansCtes-style.
     // Ties break (count DESC, left, right) — deterministic.
     "q60_bpe_learn" -> ((s, d) => {
@@ -328,12 +332,14 @@ object TextQ extends QueryPack {
       val words0 = Tables.documents(s, d)
         .select(explode(TF.tokens($"text")).as("word"))
         .groupBy($"word").agg(count(lit(1)).as("wc"))
-        .select(regexp_replace($"word", "(.)", "|$1").as("sym"), $"wc")
+        .select(regexp_replace($"word", "(.)", " $1").as("sym"), $"wc")
       var cur = graft.CachePool.cache(words0)
       val merges = Seq.newBuilder[(Int, String, String, Long)]
-      (1 to BpeSteps).foreach { t =>
+      var t = 1
+      var exhausted = false
+      while (t <= BpeSteps && !exhausted) {
         val top = cur
-          .select($"wc", filter(split($"sym", "\\|"), x => x =!= "").as("syms"))
+          .select($"wc", filter(split($"sym", " "), x => x =!= "").as("syms"))
           .where(size($"syms") >= 2)
           .select($"wc", explode(transform(
             sequence(lit(1), size($"syms") - 1),
@@ -343,14 +349,22 @@ object TextQ extends QueryPack {
           .groupBy($"p.a".as("a"), $"p.b".as("b"))
           .agg(sum($"wc").as("c"))
           .orderBy($"c".desc, $"a".asc, $"b".asc)
-          .limit(1).collect() // exactly ONE row — bounded by construction
-        val r = top.head
-        val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
-        merges += ((t, a, b, c))
-        cur = graft.CachePool.cache(cur.select(
-          call_function("replace",
-            $"sym", lit("|" + a + "|" + b), lit("|" + a + b)).as("sym"),
-          $"wc"))
+          .limit(1).collect() // at most ONE row — bounded by construction
+        if (top.isEmpty) {
+          // vocabulary fully merged (or all single-char words) before
+          // step budget ran out: stop, exactly like the oracle's
+          // empty m$t CTEs — fewer merge rows, never a crash
+          exhausted = true
+        } else {
+          val r = top.head
+          val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += ((t, a, b, c))
+          cur = graft.CachePool.cache(cur.select(
+            call_function("replace",
+              $"sym", lit(" " + a + " " + b), lit(" " + a + b)).as("sym"),
+            $"wc"))
+        }
+        t += 1
       }
       merges.result().toDF("step", "left_sym", "right_sym", "pair_count")
     }),
@@ -359,8 +373,8 @@ object TextQ extends QueryPack {
     // real version of q34's regex approximation: re-learn the merges
     // (vocabulary-scale, cheap — charged to this line honestly), then
     // ONE shuffle-free corpus scan applies them array-side per token
-    // (encode '|'-prefixed, chain the literal replaces, count
-    // surviving symbols as the '|' count). Each merge is a sequential
+    // (encode space-prefixed, chain the literal replaces, count
+    // surviving symbols as the delimiter count). Each merge is a sequential
     // string pass; a production 32k-merge vocab would apply via a
     // trie, but the plan shape — learn on the vocab, apply in the
     // scan — is exactly what holds at 100 TB. Zero-token docs
@@ -371,11 +385,11 @@ object TextQ extends QueryPack {
         .collect().sortBy(_.getInt(0))
         .map(r => (r.getString(1), r.getString(2)))
       def symCountOf(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val applied = learned.foldLeft(regexp_replace(w, "(.)", "|$1")) {
+        val applied = learned.foldLeft(regexp_replace(w, "(.)", " $1")) {
           case (c, (a, b)) =>
-            call_function("replace", c, lit("|" + a + "|" + b), lit("|" + a + b))
+            call_function("replace", c, lit(" " + a + " " + b), lit(" " + a + b))
         }
-        length(applied) - length(call_function("replace", applied, lit("|"), lit("")))
+        length(applied) - length(call_function("replace", applied, lit(" "), lit("")))
       }
       Tables.documents(s, d).select(
         $"doc_id",
@@ -450,9 +464,15 @@ object TextQ extends QueryPack {
       val big0 = pairs.groupBy($"prev", $"cur").agg(count(lit(1)).as("c2"))
       val uni0 = docs.select(explode(TF.tokens($"text")).as("word"))
         .groupBy($"word").agg(count(lit(1)).as("c1"))
-      val (big, uni) =
-        if (Tables.documentBytes(s, d) <= (1L << 30)) (broadcast(big0), broadcast(uni0))
-        else (big0, uni0)
+      // the unigram guard bounds vocab bytes by corpus bytes (every
+      // type occurs in the text) — but a DISTINCT BIGRAM stores both
+      // of its tokens, so the bigram table can reach ~2x corpus
+      // bytes on a near-unique-token corpus: its hint gets half the
+      // headroom
+      val big =
+        if (Tables.documentBytes(s, d) <= (1L << 29)) broadcast(big0) else big0
+      val uni =
+        if (Tables.documentBytes(s, d) <= (1L << 30)) broadcast(uni0) else uni0
       val bits = pairs
         .join(big, Seq("prev", "cur"))
         .join(uni, $"cur" === $"word")
@@ -657,16 +677,22 @@ object TextQ extends QueryPack {
     "q61_bpe_tokenize" -> {
       // apply the learned merges (nested literal replaces with scalar
       // subqueries from the m$t CTEs) to the token stream; surviving
-      // symbols = '|' count
-      val applied = (1 to BpeSteps).foldLeft("regexp_replace(word, '(.)', '|\\1', 'g')") {
+      // symbols = delimiter count
+      // coalesce guards: on a corpus that exhausts its merges early,
+      // m$t is EMPTY and a bare scalar subquery would make replace()
+      // return NULL, poisoning every symbol string — '  ' (two
+      // spaces) never occurs in an encoding, so the fallback is a
+      // provable no-op
+      val applied = (1 to BpeSteps).foldLeft("regexp_replace(word, '(.)', ' \\1', 'g')") {
         (e, t) =>
-          s"replace($e, (SELECT '|' || a || '|' || b FROM m$t), (SELECT '|' || a || b FROM m$t))"
+          s"replace($e, coalesce((SELECT ' ' || a || ' ' || b FROM m$t), '  '), " +
+            s"coalesce((SELECT ' ' || a || b FROM m$t), ''))"
       }
       s"""WITH $bpeCtes,
          |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
          |        FROM documents),
          |cnt AS (SELECT doc_id,
-         |          sum(length(sym) - length(replace(sym, '|', '')))::BIGINT AS bpe
+         |          sum(length(sym) - length(replace(sym, ' ', '')))::BIGINT AS bpe
          |        FROM (SELECT doc_id, $applied AS sym FROM tok) GROUP BY doc_id)
          |SELECT d.doc_id,
          |  len(list_filter(string_split(d.text, ' '), w -> w <> ''))::BIGINT AS ws_tokens,

@@ -81,7 +81,12 @@ class IvfIndexSpec extends AnyFunSuite {
         s"no codes-only scan:\n$fmt")
       assert(reads.exists(l => l.contains("v:") && !l.contains("code")),
         s"no vectors-only scan:\n$fmt")
-      assert(fmt.contains("dynamicpruning"), s"no DPP on the sq8 probe:\n$fmt")
+      // BOTH phases prune: the codes-only candidate scan AND the
+      // vectors-only re-rank scan (the re-rank join keeps `cell` in
+      // its keys precisely so DPP applies — losing it would scan
+      // every cell's vector column)
+      assert("dynamicpruning".r.findAllIn(fmt).size >= 2,
+        s"both sq8 scans must dynamically prune:\n$fmt")
 
       // int8 quantization of 64-dim normalized vectors keeps ~0.5%
       // cosine error — with a 4x re-rank the exact probe's top-5 is

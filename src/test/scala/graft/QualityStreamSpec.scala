@@ -64,4 +64,26 @@ class QualityStreamSpec extends AnyFunSuite {
       graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
     }
   }
+
+  test("LM rebuild publishes atomically: epoched freq dirs, previous epoch kept for in-flight readers, older GC'd") {
+    import spark.implicits._
+    val lmDir = Files.createTempDirectory("graft_lm_epoch").toString
+    try {
+      def dirs() = new java.io.File(lmDir).listFiles()
+        .map(_.getName).filter(_.startsWith("freq-")).toSet
+      LmArtifact.build(Seq((1L, "a b a")).toDF("doc_id", "text"), lmDir)
+      assert(dirs() == Set("freq-0"))
+      val v0 = LmArtifact.load(spark, lmDir)
+      LmArtifact.build(Seq((1L, "c c c c")).toDF("doc_id", "text"), lmDir)
+      // both epochs on disk: a reader that loaded v0 just before the
+      // publish still resolves its freq files
+      assert(dirs() == Set("freq-0", "freq-1"))
+      assert(v0.freq.count() == 2) // old epoch still readable
+      val v1 = LmArtifact.load(spark, lmDir)
+      assert(v1.nTokens == 4 && v1.sumBits == 4 * 3) // c: f=4 -> 3 bits
+      LmArtifact.build(Seq((1L, "d d")).toDF("doc_id", "text"), lmDir)
+      // epoch 0 is now unreachable by any correct reader -> GC'd
+      assert(dirs() == Set("freq-1", "freq-2"))
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(lmDir))
+  }
 }
