@@ -3,6 +3,7 @@ package graft.examples
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.GraftSession
@@ -126,6 +127,38 @@ object StreamingDemo {
     println("ASOF=" + graft.operators.TemporalJoins
       .asOf(prb, hist, "k", "at", "eff", Seq("limit_v"))
       .orderBy("at").collect().mkString(";"))
+
+    // At-rest LM + streaming quality scoring (the q55 deployment
+    // shape): build the LM once from a reference corpus, then score
+    // every arriving micro-batch against the FROZEN model +
+    // threshold; unseen tokens take the 1-bit OOV floor.
+    val lmDir = java.nio.file.Files.createTempDirectory("demo_lm").toString
+    val qsRoot = java.nio.file.Files.createTempDirectory("demo_qs").toString
+    graft.operators.LmArtifact.build(
+      Seq((1L, "the quick brown fox"), (2L, "the lazy dog"), (3L, "the the the")).toDF("doc_id", "text"),
+      lmDir)
+    val qsIn = MemoryStream[(Long, String)]
+    val qsQ = qsIn.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("demo_qs_ckpt").toString)
+      .foreachBatch(graft.streaming.QualityStream.sink(qsRoot, lmDir))
+      .start()
+    qsIn.addData((10L, "the quick dog"), (11L, "zzqx wvut unseen garble"))
+    qsQ.processAllAvailable(); qsQ.stop()
+    println("STREAM_QUALITY=" + graft.streaming.QualityStream.loadScores(spark, qsRoot)
+      .orderBy("doc_id").collect().mkString(";"))
+
+    // IVF+SQ8 at rest: build a code-carrying index (one byte per
+    // dimension rides next to each vector), probe through the int8
+    // codes with an exact re-rank of the shortlist only.
+    val emb = spark.range(200).select($"id".as("vec_id"),
+      expr("transform(sequence(0, 7), k -> cast(pmod(id * 7 + k * 13, 19) as double))").as("v"))
+    val model = graft.operators.IvfIndex.train(emb, cells = 4, iters = 2, memoKey = "demo-sq8")
+    val idxDir = java.nio.file.Files.createTempDirectory("demo_idx").toString
+    graft.operators.IvfIndex.build(emb, model, idxDir)
+    val probes = emb.filter($"vec_id" % 100 === 0).select($"vec_id".as("query_id"), $"v".as("qv"))
+    println("SQ8_TOPK=" + graft.operators.IvfIndex
+      .topKSq8(spark, idxDir, probes, model, nprobe = 2, k = 3)
+      .orderBy("query_id", "rnk").collect().mkString(";"))
 
     spark.stop()
   }
