@@ -56,6 +56,24 @@ object TextQ extends QueryPack {
     b.toString
   }
 
+  /** q55's oracle, shared verbatim with q62 (which wraps it as a CTE
+    * and applies band-dependent sampling on top). */
+  private val q55OracleSql =
+    """WITH tf AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+      |            FROM documents),
+      |freq AS (SELECT word, count(*) AS f FROM tf GROUP BY word),
+      |scored AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |                  sum(length(bin(f)))::BIGINT AS sum_bits
+      |           FROM tf JOIN freq USING (word) GROUP BY doc_id),
+      |c AS (SELECT sum(sum_bits)::DOUBLE / sum(n_tokens) AS corpus_mean FROM scored)
+      |SELECT d.doc_id,
+      |  coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+      |  coalesce(s.sum_bits, 0)::BIGINT AS sum_bits,
+      |  coalesce(s.sum_bits::DOUBLE / s.n_tokens, 0.0) AS mean_bits,
+      |  CASE WHEN coalesce(s.sum_bits::DOUBLE / s.n_tokens, 0.0) >= corpus_mean
+      |       THEN 'head' ELSE 'tail' END AS band
+      |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id, c""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "q32_langid" -> ((s, d) => {
       import s.implicits._
@@ -311,6 +329,22 @@ object TextQ extends QueryPack {
           coalesce($"mean_bits", lit(0.0)).as("mean_bits"),
           when(coalesce($"mean_bits", lit(0.0)) >= $"corpus_mean", lit("head"))
             .otherwise(lit("tail")).as("band"))
+    }),
+
+    // Quality-based resampling — the step that CONSUMES q55's bands
+    // (every LLM-data paper's move after scoring: keep the head
+    // whole, thin the tail): head rate 100, tail rate 30, selection
+    // by the q43 md5-hash idiom — reproducible, engine-exact, no RNG.
+    // Plan shape: q55's scoring plan + one scan-side filter; nothing
+    // new shuffles.
+    "q62_quality_resample" -> ((s, d) => {
+      import s.implicits._
+      defs("q55_logfreq_quality")(s, d)
+        .withColumn("rate",
+          when($"band" === "head", lit(100L)).otherwise(lit(30L)))
+        .filter(conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100 < $"rate")
+        .select($"doc_id", $"band", $"mean_bits", $"rate")
     }),
 
     // BPE tokenizer learning — the tokenizer-training stage of an LLM
@@ -653,21 +687,22 @@ object TextQ extends QueryPack {
         |  (cum_before + greatest(n_tokens, 1) - 1) // 2048 - cum_before // 2048 + 1 AS packs_spanned
         |FROM c""".stripMargin,
 
-    "q55_logfreq_quality" ->
-      """WITH tf AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
-        |            FROM documents),
-        |freq AS (SELECT word, count(*) AS f FROM tf GROUP BY word),
-        |scored AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
-        |                  sum(length(bin(f)))::BIGINT AS sum_bits
-        |           FROM tf JOIN freq USING (word) GROUP BY doc_id),
-        |c AS (SELECT sum(sum_bits)::DOUBLE / sum(n_tokens) AS corpus_mean FROM scored)
-        |SELECT d.doc_id,
-        |  coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
-        |  coalesce(s.sum_bits, 0)::BIGINT AS sum_bits,
-        |  coalesce(s.sum_bits::DOUBLE / s.n_tokens, 0.0) AS mean_bits,
-        |  CASE WHEN coalesce(s.sum_bits::DOUBLE / s.n_tokens, 0.0) >= corpus_mean
-        |       THEN 'head' ELSE 'tail' END AS band
-        |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id, c""".stripMargin,
+    "q55_logfreq_quality" -> q55OracleSql,
+
+    // q55's scoring as a CTE + band-dependent deterministic sampling:
+    // head kept whole, tail md5-thinned to 30% (the q43 selection
+    // idiom -- reproducible, engine-exact, no RNG)
+    "q62_quality_resample" -> {
+      val idx = q55OracleSql.lastIndexOf("SELECT d.doc_id")
+      val (ctes, fin) = q55OracleSql.splitAt(idx)
+      s"""${ctes.trim},
+         |q55 AS ($fin)
+         |SELECT doc_id, band, mean_bits,
+         |  CASE WHEN band = 'head' THEN 100 ELSE 30 END AS rate
+         |FROM q55
+         |WHERE cast(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS bigint) % 100
+         |      < CASE WHEN band = 'head' THEN 100 ELSE 30 END""".stripMargin
+    },
 
     "q60_bpe_learn" ->
       s"""WITH $bpeCtes
