@@ -68,15 +68,18 @@ object Bench {
         if (r > 0 || warmups > 0) between()
         val t0 = System.nanoTime()
         // A crashed query must surface as an error and a nonzero exit,
-        // never as a fast time — and stop repeating.
-        try run()
-        catch { case e: Throwable =>
+        // never as a time — its time-to-crash must NOT enter `times`
+        // (a crash 0.3 s into rep 0 would otherwise be reported as
+        // the line's median) — and it stops the repeats.
+        try {
+          run()
+          // stop the clock BEFORE cache cleanup: drain() unpersists
+          // blocks across 32 executor threads and its (variable)
+          // latency is bookkeeping, not query work
+          times += (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
         }
-        // stop the clock BEFORE cache cleanup: drain() unpersists
-        // blocks across 32 executor threads and its (variable) latency
-        // is bookkeeping, not query work
-        times += (System.nanoTime() - t0) / 1e9
         CachePool.drain()
         r += 1
       }

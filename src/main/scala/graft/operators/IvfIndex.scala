@@ -60,15 +60,13 @@ object IvfIndex {
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[(String, String), Model]()
 
-  /** Drop every memoized model. Bench-only: lets the train lines be
-    * measured repeatedly (median-of-3) instead of hitting the memo on
-    * reps 2+. Not used by any query path. */
-  def clearMemo(): Unit = memo.clear()
-
   /** Drop only the memoized models whose memo key contains `substr` —
-    * so invalidating one train line between bench reps can't evict a
-    * DIFFERENT line's just-measured model (which would silently
-    * re-pay that training inside a later query's warmup). */
+    * Bench's between-rep invalidation (lets the train lines be
+    * measured repeatedly instead of hitting the memo on reps 2+),
+    * SCOPED so invalidating one train line can't evict a DIFFERENT
+    * line's just-measured model (which would silently re-pay that
+    * training inside a later query's warmup — the bug a blanket
+    * clear() had). Not used by any query path. */
   def clearMemo(substr: String): Unit =
     memo.keySet.removeIf(_._2.contains(substr))
 

@@ -14,13 +14,15 @@ import graft.functions.{TextFunctions => TF}
   * corpus, then filters every crawl snapshot after it).
   *
   * Layout under `dir`:
-  *  - `freq/` — (word STRING, f BIGINT) parquet, the model itself
-  *    (vocabulary-sized: MBs at any corpus size by Heaps' law);
-  *  - `_graft_lm_meta.json` — the EXACT INTEGER corpus totals
-  *    (sum_bits, n_tokens) the head/tail threshold derives from.
-  *    Stored as integers, not a precomputed double mean, so the one
-  *    floating division happens identically everywhere (the q55
-  *    engine-exactness discipline).
+  *  - `freq-<epoch>/` — (word STRING, f BIGINT) parquet, the model
+  *    itself (vocabulary-sized: MBs at any corpus size by Heaps'
+  *    law); the LIVE epoch is named by the meta file, rebuilds
+  *    publish a fresh epoch dir (see [[build]]);
+  *  - `_graft_lm_meta.json` — the live epoch plus the EXACT INTEGER
+  *    corpus totals (sum_bits, n_tokens) the head/tail threshold
+  *    derives from. Stored as integers, not a precomputed double
+  *    mean, so the one floating division happens identically
+  *    everywhere (the q55 engine-exactness discipline).
   *
   * Scoring semantics match q55 bit-for-bit on in-vocabulary tokens
   * (bit-length of the corpus frequency); OUT-OF-VOCABULARY tokens —
@@ -55,7 +57,10 @@ object LmArtifact {
     * kept for readers that loaded just before the publish. */
   def build(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
-    val epoch = readMeta(spark, dir).map(_.get("epoch").asLong() + 1L).getOrElse(0L)
+    // pre-epoch (version 1) metas have no epoch field: start a fresh
+    // epoch chain rather than NPE on the missing node
+    val epoch = readMeta(spark, dir)
+      .flatMap(m => Option(m.get("epoch")).map(_.asLong() + 1L)).getOrElse(0L)
     val freqDir = s"freq-$epoch"
     val tf = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
     tf.groupBy(col("word")).agg(count(lit(1)).as("f"))
@@ -91,7 +96,7 @@ object LmArtifact {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
-    root.put("version", 1)
+    root.put("version", 2)
     root.put("epoch", epoch)
     root.put("sum_bits", sumBits)
     root.put("n_tokens", nTokens)
@@ -113,7 +118,9 @@ object LmArtifact {
     val root = readMeta(spark, dir)
       .getOrElse(throw new IllegalArgumentException(
         s"no published LM at $dir (missing $MetaFile)"))
-    require(root.get("version").asInt() == 1, s"unknown lm artifact version in $dir")
+    require(root.get("version").asInt() == 2,
+      s"unsupported lm artifact version ${root.get("version").asInt()} in $dir " +
+        "(version 2 = epoched freq dirs; rebuild the artifact)")
     val freqDir = s"freq-${root.get("epoch").asLong()}"
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val freq0 = spark.read.parquet(s"$dir/$freqDir")

@@ -39,7 +39,7 @@ object TextQ extends QueryPack {
     b ++= """w0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS wc
       |  FROM (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
       |        FROM documents) GROUP BY word),
-      |s0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', ' \1', 'g') AS sym, wc FROM w0)""".stripMargin
+      |s0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS sym, wc FROM w0)""".stripMargin
     (1 to BpeSteps).foreach { t =>
       b ++= s""",
         |py$t AS (SELECT wc, list_filter(string_split(sym, ' '), x -> x <> '') AS syms FROM s${t - 1}),
@@ -49,8 +49,8 @@ object TextQ extends QueryPack {
         |m$t AS MATERIALIZED (SELECT $t AS step, a, b, sum(wc)::BIGINT AS c FROM pp$t GROUP BY a, b
         |        ORDER BY c DESC, a, b LIMIT 1),
         |s$t AS MATERIALIZED (SELECT replace(sym,
-        |                         coalesce((SELECT ' ' || a || ' ' || b FROM m$t), '  '),
-        |                         coalesce((SELECT ' ' || a || b FROM m$t), '')) AS sym, wc
+        |                         coalesce((SELECT ' ' || a || '  ' || b || ' ' FROM m$t), '   '),
+        |                         coalesce((SELECT ' ' || a || b || ' ' FROM m$t), '')) AS sym, wc
         |                       FROM s${t - 1})""".stripMargin
     }
     b.toString
@@ -352,13 +352,18 @@ object TextQ extends QueryPack {
     // that holds at 100 TB: the corpus is scanned ONCE for the word
     // histogram, then every merge iteration runs over the
     // VOCABULARY-sized symbol table (Heaps' law: MBs at any corpus
-    // size), with a 1-row argmax collect per step. Symbols ride as
-    // SPACE-prefixed strings (" h e l l o"), so a merge is one
-    // LITERAL left-to-right replace(" a b" -> " ab") — identical
-    // greedy semantics in Spark and DuckDB. Space is the ONE
-    // character provably absent from a whitespace-split token (any
-    // other delimiter, e.g. '|', corrupts the encoding of corpora
-    // that contain it), so symbol boundaries can never be forged.
+    // size), with a 1-row argmax collect per step. Symbols ride
+    // SPACE-WRAPPED (" h  e  l  l  o " — every symbol carries its own
+    // leading and trailing space), so a merge is one LITERAL
+    // left-to-right replace(" a  b " -> " ab ") with identical greedy
+    // semantics in Spark and DuckDB. Space is the one character
+    // provably absent from a whitespace-split token, and wrapping
+    // BOTH sides is load-bearing: a prefix-only delimiter forges a
+    // merge when the right element is a proper PREFIX of the next
+    // symbol (" a b" matches inside " a bc"), a suffix-only one has
+    // the mirrored flaw, and single-shared-delimiter forms drop
+    // adjacent repeats of the same pair ("a b a b" must become
+    // "ab ab"; the wrapped form provably does — see the spec).
     // The oracle unrolls the merge steps as CTEs, kmeansCtes-style.
     // Ties break (count DESC, left, right) — deterministic.
     "q60_bpe_learn" -> ((s, d) => {
@@ -366,7 +371,7 @@ object TextQ extends QueryPack {
       val words0 = Tables.documents(s, d)
         .select(explode(TF.tokens($"text")).as("word"))
         .groupBy($"word").agg(count(lit(1)).as("wc"))
-        .select(regexp_replace($"word", "(.)", " $1").as("sym"), $"wc")
+        .select(regexp_replace($"word", "(.)", " $1 ").as("sym"), $"wc")
       var cur = graft.CachePool.cache(words0)
       val merges = Seq.newBuilder[(Int, String, String, Long)]
       var t = 1
@@ -395,7 +400,7 @@ object TextQ extends QueryPack {
           merges += ((t, a, b, c))
           cur = graft.CachePool.cache(cur.select(
             call_function("replace",
-              $"sym", lit(" " + a + " " + b), lit(" " + a + b)).as("sym"),
+              $"sym", lit(" " + a + "  " + b + " "), lit(" " + a + b + " ")).as("sym"),
             $"wc"))
         }
         t += 1
@@ -419,11 +424,15 @@ object TextQ extends QueryPack {
         .collect().sortBy(_.getInt(0))
         .map(r => (r.getString(1), r.getString(2)))
       def symCountOf(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val applied = learned.foldLeft(regexp_replace(w, "(.)", " $1")) {
+        val applied = learned.foldLeft(regexp_replace(w, "(.)", " $1 ")) {
           case (c, (a, b)) =>
-            call_function("replace", c, lit(" " + a + " " + b), lit(" " + a + b))
+            call_function("replace", c,
+              lit(" " + a + "  " + b + " "), lit(" " + a + b + " "))
         }
-        length(applied) - length(call_function("replace", applied, lit(" "), lit("")))
+        // every surviving symbol carries exactly TWO spaces (its own
+        // wrap), so the count is spaces/2 — exact even division
+        ((length(applied) - length(call_function("replace", applied, lit(" "), lit("")))) / 2)
+          .cast("int")
       }
       Tables.documents(s, d).select(
         $"doc_id",
@@ -718,16 +727,18 @@ object TextQ extends QueryPack {
       // return NULL, poisoning every symbol string — '  ' (two
       // spaces) never occurs in an encoding, so the fallback is a
       // provable no-op
-      val applied = (1 to BpeSteps).foldLeft("regexp_replace(word, '(.)', ' \\1', 'g')") {
+      // the '   ' (triple-space) fallback is a provable no-op: wrapped
+      // encodings hold at most two consecutive spaces
+      val applied = (1 to BpeSteps).foldLeft("regexp_replace(word, '(.)', ' \\1 ', 'g')") {
         (e, t) =>
-          s"replace($e, coalesce((SELECT ' ' || a || ' ' || b FROM m$t), '  '), " +
-            s"coalesce((SELECT ' ' || a || b FROM m$t), ''))"
+          s"replace($e, coalesce((SELECT ' ' || a || '  ' || b || ' ' FROM m$t), '   '), " +
+            s"coalesce((SELECT ' ' || a || b || ' ' FROM m$t), ''))"
       }
       s"""WITH $bpeCtes,
          |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
          |        FROM documents),
          |cnt AS (SELECT doc_id,
-         |          sum(length(sym) - length(replace(sym, ' ', '')))::BIGINT AS bpe
+         |          sum((length(sym) - length(replace(sym, ' ', ''))) // 2)::BIGINT AS bpe
          |        FROM (SELECT doc_id, $applied AS sym FROM tok) GROUP BY doc_id)
          |SELECT d.doc_id,
          |  len(list_filter(string_split(d.text, ' '), w -> w <> ''))::BIGINT AS ws_tokens,

@@ -84,9 +84,14 @@ class IvfIndexSpec extends AnyFunSuite {
       // BOTH phases prune: the codes-only candidate scan AND the
       // vectors-only re-rank scan (the re-rank join keeps `cell` in
       // its keys precisely so DPP applies — losing it would scan
-      // every cell's vector column)
-      assert("dynamicpruning".r.findAllIn(fmt).size >= 2,
-        s"both sq8 scans must dynamically prune:\n$fmt")
+      // every cell's vector column). Count PRUNED SCANS, not raw
+      // "dynamicpruning" occurrences: one pruned scan already prints
+      // the marker twice (PartitionFilters line + the Subqueries
+      // hosting-expression line), so a raw count of 2 could pass
+      // with the re-rank scan unpruned
+      val prunedScans = fmt.linesIterator
+        .count(l => l.contains("PartitionFilters") && l.contains("dynamicpruning"))
+      assert(prunedScans >= 2, s"both sq8 scans must dynamically prune ($prunedScans did):\n$fmt")
 
       // int8 quantization of 64-dim normalized vectors keeps ~0.5%
       // cosine error — with a 4x re-rank the exact probe's top-5 is
