@@ -57,10 +57,7 @@ object LmArtifact {
     * kept for readers that loaded just before the publish. */
   def build(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
-    // pre-epoch (version 1) metas have no epoch field: start a fresh
-    // epoch chain rather than NPE on the missing node
-    val epoch = readMeta(spark, dir)
-      .flatMap(m => Option(m.get("epoch")).map(_.asLong() + 1L)).getOrElse(0L)
+    val epoch = EpochedArtifact.nextEpoch(spark, dir, MetaFile)
     val freqDir = s"freq-$epoch"
     val tf = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
     tf.groupBy(col("word")).agg(count(lit(1)).as("f"))
@@ -69,44 +66,8 @@ object LmArtifact {
     val t = tf.join(freq, "word")
       .agg(count(lit(1)).as("n_tokens"), sum(length(bin(col("f")))).as("sum_bits"))
       .head()
-    writeMeta(spark, dir, epoch, t.getLong(1), t.getLong(0))
-    // GC epochs nobody can reach anymore (older than the replaced one)
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(_.getPath.getName.startsWith("freq-"))
-      .filter(_.getPath.getName.stripPrefix("freq-").toLong < epoch - 1)
-      .foreach(s => fs.delete(s.getPath, true))
-  }
-
-  private def readMeta(spark: SparkSession, dir: String)
-      : Option[com.fasterxml.jackson.databind.JsonNode] = {
-    val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(in))
-      finally in.close()
-    }
-  }
-
-  private def writeMeta(spark: SparkSession, dir: String, epoch: Long,
-      sumBits: Long, nTokens: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = om.createObjectNode()
-    root.put("version", 2)
-    root.put("epoch", epoch)
-    root.put("sum_bits", sumBits)
-    root.put("n_tokens", nTokens)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".$MetaFile.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    EpochedArtifact.commit(spark, dir, MetaFile, "freq", version = 2, epoch,
+      Map("sum_bits" -> t.getLong(1), "n_tokens" -> t.getLong(0)))
   }
 
   /** Load a published LM. Pure metadata reads — zero jobs over any
@@ -115,17 +76,17 @@ object LmArtifact {
     * normal vocabularies are MBs; a degenerate one must degrade to a
     * shuffle join, not a driver OOM). */
   def load(spark: SparkSession, dir: String): Lm = {
-    val root = readMeta(spark, dir)
+    val root = EpochedArtifact.readMeta(spark, dir, MetaFile)
       .getOrElse(throw new IllegalArgumentException(
         s"no published LM at $dir (missing $MetaFile)"))
     require(root.get("version").asInt() == 2,
       s"unsupported lm artifact version ${root.get("version").asInt()} in $dir " +
         "(version 2 = epoched freq dirs; rebuild the artifact)")
     val freqDir = s"freq-${root.get("epoch").asLong()}"
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val freq0 = spark.read.parquet(s"$dir/$freqDir")
-    val freqBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(dir, freqDir)).getLength
-    val freq = if (freqBytes <= (1L << 30)) broadcast(freq0) else freq0
+    val freq =
+      if (EpochedArtifact.dirBytes(spark, dir, freqDir) <= (1L << 30)) broadcast(freq0)
+      else freq0
     Lm(freq, root.get("sum_bits").asLong(), root.get("n_tokens").asLong())
   }
 

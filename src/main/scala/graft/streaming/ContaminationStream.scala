@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.BenchmarkShingles
+
+/** Streaming benchmark-contamination screening — q40's micro-batch
+  * twin, in the [[QualityStream]] design language: the benchmark
+  * shingle guard is published once ([[BenchmarkShingles.build]]) and
+  * every arriving batch screens against the FROZEN set — the
+  * production guard that keeps held-out evaluation data out of a
+  * continuously-ingested training corpus.
+  *
+  * Per micro-batch: load the guard (driver-side metadata reads, zero
+  * corpus jobs; the hash set broadcast-joins to the batch scan),
+  * screen, and write `root/screen/b=<batchId>` with an EXPLICIT
+  * verdict row per doc — clean docs included, because in a screening
+  * stream a missing row is indistinguishable from a missed batch.
+  * Verdicts are immutable (frozen guard), so batches are append-only
+  * deltas and a replayed batch overwrites exactly its own directory
+  * ([[BatchVersioned]] contract, `_SUCCESS`-gated reads).
+  */
+object ContaminationStream {
+
+  /** One micro-batch; `batch` must carry (doc_id, text). Wire via
+    * `docs.writeStream.foreachBatch(sink(root, guardDir)).start()`. */
+  def processBatch(batch: DataFrame, batchId: Long, root: String, guardDir: String): Unit = {
+    val g = BenchmarkShingles.load(batch.sparkSession, guardDir)
+    BenchmarkShingles.screen(batch, g, col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$root/screen/b=$batchId")
+  }
+
+  /** foreachBatch adapter. */
+  def sink(root: String, guardDir: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => processBatch(batch, batchId, root, guardDir)
+
+  /** All committed verdicts (`_SUCCESS`-gated). */
+  def loadVerdicts(spark: SparkSession, root: String): DataFrame = {
+    val committed = BatchVersioned.versions(spark, s"$root/screen", prefix = "b").map(_._2)
+    require(committed.nonEmpty, s"no committed screen batches under $root/screen")
+    spark.read.option("basePath", s"$root/screen").parquet(committed: _*)
+      .select("doc_id", "n_shared", "contaminated")
+  }
+}
