@@ -341,7 +341,7 @@ object ScaleStress {
         var cur = dd
           .select(explode(filter(split($"text", " "), w => w =!= "")).as("word"))
           .groupBy($"word").agg(count(lit(1)).as("wc"))
-          .select(regexp_replace($"word", "(.)", "|$1").as("sym"), $"wc")
+          .select(regexp_replace($"word", "(.)", " $1 ").as("sym"), $"wc")
           .persist()
         cur.count()
         val hist = (System.nanoTime() - t0) / 1e9
@@ -349,7 +349,7 @@ object ScaleStress {
         val persisted = scala.collection.mutable.ArrayBuffer(cur)
         (1 to 8).foreach { _ =>
           val top = cur
-            .select($"wc", filter(split($"sym", "\\|"), x => x =!= "").as("syms"))
+            .select($"wc", filter(split($"sym", " "), x => x =!= "").as("syms"))
             .where(size($"syms") >= 2)
             .select($"wc", explode(transform(sequence(lit(1), size($"syms") - 1),
               i => struct(element_at($"syms", i).as("a"), element_at($"syms", i + 1).as("b")))).as("p"))
@@ -357,7 +357,7 @@ object ScaleStress {
             .orderBy($"c".desc, $"a".asc, $"b".asc).limit(1).collect().head
           val (a, b) = (top.getString(0), top.getString(1))
           cur = cur.select(call_function("replace",
-            $"sym", lit("|" + a + "|" + b), lit("|" + a + b)).as("sym"), $"wc").persist()
+            $"sym", lit(" " + a + "  " + b + " "), lit(" " + a + b + " ")).as("sym"), $"wc").persist()
           persisted += cur
         }
         cur.count()
