@@ -140,7 +140,7 @@ object StreamingDemo {
     val qsIn = MemoryStream[(Long, String)]
     val qsQ = qsIn.toDF().toDF("doc_id", "text").writeStream
       .option("checkpointLocation", java.nio.file.Files.createTempDirectory("demo_qs_ckpt").toString)
-      .foreachBatch(graft.streaming.QualityStream.sink(qsRoot, lmDir))
+      .foreachBatch(graft.streaming.QualityStream.sink(spark, qsRoot, lmDir))
       .start()
     qsIn.addData((10L, "the quick dog"), (11L, "zzqx wvut unseen garble"))
     qsQ.processAllAvailable(); qsQ.stop()

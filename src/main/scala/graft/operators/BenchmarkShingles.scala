@@ -21,18 +21,17 @@ object BenchmarkShingles {
 
   private val MetaFile = "_graft_bench_meta.json"
 
-  /** Publish the guard from the benchmark docs; `bench` must carry
-    * (doc_id, text). */
-  def build(bench: DataFrame, dir: String, n: Int = 13): Unit = {
+  /** Publish the guard from the benchmark docs. */
+  def build(bench: DataFrame, dir: String, n: Int = 13,
+      docId: Column = col("doc_id"), text: Column = col("text")): Unit = {
     val spark = bench.sparkSession
     val epoch = EpochedArtifact.nextEpoch(spark, dir, MetaFile)
     val shDir = s"sh-$epoch"
-    Dedup.hashedShingleSets(bench, col("doc_id"), col("text"), n)
+    Dedup.hashedShingleSets(bench, docId, text, n)
       .select(col("sh")).distinct()
       .write.mode("overwrite").parquet(s"$dir/$shDir")
-    val count = spark.read.parquet(s"$dir/$shDir").count()
     EpochedArtifact.commit(spark, dir, MetaFile, "sh", version = 1, epoch,
-      Map("n" -> n.toLong, "n_shingles" -> count))
+      Map("n" -> n.toLong))
   }
 
   /** Load a published guard: metadata reads only, zero jobs over any
@@ -46,12 +45,9 @@ object BenchmarkShingles {
         s"no published benchmark guard at $dir (missing $MetaFile)"))
     require(root.get("version").asInt() == 1,
       s"unknown benchmark guard version in $dir")
-    val shDir = s"sh-${root.get("epoch").asLong()}"
-    val sh0 = spark.read.parquet(s"$dir/$shDir")
-    val sh =
-      if (EpochedArtifact.dirBytes(spark, dir, shDir) <= (1L << 30)) broadcast(sh0)
-      else sh0
-    Guard(sh, root.get("n").asInt())
+    Guard(
+      EpochedArtifact.loadGated(spark, dir, s"sh-${root.get("epoch").asLong()}"),
+      root.get("n").asInt())
   }
 
   /** Screen docs against a loaded guard: EVERY doc surfaces with its

@@ -66,4 +66,17 @@ object EpochedArtifact {
     * hints). */
   def dirBytes(spark: SparkSession, dir: String, name: String): Long =
     fs(spark, dir).getContentSummary(new org.apache.hadoop.fs.Path(dir, name)).getLength
+
+  /** Read an epoch data dir with a SIZE-GATED broadcast hint: the
+    * artifact tables are normally MBs (Heaps'-law vocabularies,
+    * benchmark shingle sets) and belong on the build side of every
+    * scan join — but a degenerate giant one must degrade to a shuffle
+    * join, not a driver OOM. One policy, shared by every artifact. */
+  def loadGated(spark: SparkSession, dir: String, name: String,
+      maxBroadcastBytes: Long = 1L << 30): org.apache.spark.sql.DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name")
+    if (dirBytes(spark, dir, name) <= maxBroadcastBytes)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
 }

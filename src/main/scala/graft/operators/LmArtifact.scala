@@ -82,12 +82,9 @@ object LmArtifact {
     require(root.get("version").asInt() == 2,
       s"unsupported lm artifact version ${root.get("version").asInt()} in $dir " +
         "(version 2 = epoched freq dirs; rebuild the artifact)")
-    val freqDir = s"freq-${root.get("epoch").asLong()}"
-    val freq0 = spark.read.parquet(s"$dir/$freqDir")
-    val freq =
-      if (EpochedArtifact.dirBytes(spark, dir, freqDir) <= (1L << 30)) broadcast(freq0)
-      else freq0
-    Lm(freq, root.get("sum_bits").asLong(), root.get("n_tokens").asLong())
+    Lm(
+      EpochedArtifact.loadGated(spark, dir, s"freq-${root.get("epoch").asLong()}"),
+      root.get("sum_bits").asLong(), root.get("n_tokens").asLong())
   }
 
   /** Score `docs` (doc_id, text) against a loaded LM: q55's exact

@@ -32,11 +32,10 @@ import graft.operators.IvfIndex
   */
 object IvfStream {
 
-  /** One micro-batch of index ingest; `batch` carries (vec_id, v).
-    * Wire via `emb.writeStream.foreachBatch(sink(root, modelDir))`. */
-  def processBatch(batch: DataFrame, batchId: Long, root: String, modelDir: String): Unit = {
-    val spark = batch.sparkSession
-    val model = IvfIndex.load(spark, modelDir)
+  /** One micro-batch of index ingest against an already-loaded
+    * model; `batch` carries (vec_id, v). */
+  def processBatch(batch: DataFrame, batchId: Long, root: String,
+      model: IvfIndex.Model): Unit = {
     IvfIndex.assignCells(batch.select(col("vec_id"), col("v")), model)
       // same row layout as the batch build: SQ8 codes ride alongside
       // the vectors so the streamed index serves topKSq8 too
@@ -49,9 +48,22 @@ object IvfStream {
       .parquet(s"$root/b=$batchId")
   }
 
-  /** foreachBatch adapter. */
-  def sink(root: String, modelDir: String): (DataFrame, Long) => Unit =
-    (batch, batchId) => processBatch(batch, batchId, root, modelDir)
+  /** Convenience: load-then-ingest in one call (tests / one-shot
+    * use). Long-lived streams should use [[sink]], which PINS the
+    * model. */
+  def processBatch(batch: DataFrame, batchId: Long, root: String, modelDir: String): Unit =
+    processBatch(batch, batchId, root, IvfIndex.load(batch.sparkSession, modelDir))
+
+  /** foreachBatch adapter. The model is loaded ONCE and pinned for
+    * the sink's lifetime: per-batch reloads would let a retrain
+    * mid-stream assign different batches under different centroid
+    * spaces INSIDE ONE ROOT — the probe then prunes wrong cells for
+    * every pre-retrain batch. A retrain swaps in a whole new root
+    * (see the class doc), never mutates a live one. */
+  def sink(spark: SparkSession, root: String, modelDir: String): (DataFrame, Long) => Unit = {
+    val model = IvfIndex.load(spark, modelDir)
+    (batch, batchId) => processBatch(batch, batchId, root, model)
+  }
 
   /** Probe the streamed index: identical semantics and plan shape to
     * [[IvfIndex.topK]] over a batch-built index — broadcast probe

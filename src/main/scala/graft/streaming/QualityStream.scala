@@ -23,17 +23,29 @@ import graft.operators.LmArtifact
   */
 object QualityStream {
 
-  /** One micro-batch; `batch` must carry (doc_id, text). Wire via
-    * `docs.writeStream.foreachBatch(sink(root, lmDir)).start()`. */
-  def processBatch(batch: DataFrame, batchId: Long, root: String, lmDir: String): Unit = {
-    val lm = LmArtifact.load(batch.sparkSession, lmDir)
+  /** One micro-batch against an already-loaded LM; `batch` must
+    * carry (doc_id, text). */
+  def processBatch(batch: DataFrame, batchId: Long, root: String,
+      lm: LmArtifact.Lm): Unit =
     LmArtifact.score(batch, lm)
       .write.mode("overwrite").parquet(s"$root/scores/b=$batchId")
-  }
 
-  /** foreachBatch adapter. */
-  def sink(root: String, lmDir: String): (DataFrame, Long) => Unit =
-    (batch, batchId) => processBatch(batch, batchId, root, lmDir)
+  /** Convenience: load-then-score in one call (tests / one-shot use).
+    * Long-lived streams should use [[sink]], which PINS the model. */
+  def processBatch(batch: DataFrame, batchId: Long, root: String, lmDir: String): Unit =
+    processBatch(batch, batchId, root, LmArtifact.load(batch.sparkSession, lmDir))
+
+  /** foreachBatch adapter. The LM is loaded ONCE here and pinned for
+    * the sink's lifetime: reloading per batch would let a model
+    * republish mid-stream score different batches against different
+    * epochs/thresholds — and a crash-replayed batch against a
+    * DIFFERENT model than its original commit, breaking the
+    * immutable-scores contract. A new reference LM means re-scoring
+    * into a fresh `root`. */
+  def sink(spark: SparkSession, root: String, lmDir: String): (DataFrame, Long) => Unit = {
+    val lm = LmArtifact.load(spark, lmDir)
+    (batch, batchId) => processBatch(batch, batchId, root, lm)
+  }
 
   /** All committed scores (`_SUCCESS`-gated — a torn batch directory
     * is invisible until its replay commits). */

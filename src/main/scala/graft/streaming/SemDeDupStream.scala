@@ -58,9 +58,14 @@ object SemDeDupStream {
     * v ARRAY<DOUBLE>). Wire via
     * `emb.writeStream.foreachBatch(sink(root, modelDir)).start()`. */
   def processBatch(batch: DataFrame, batchId: Long, root: String, modelDir: String,
-      tau: Double = 0.92, subBits: Int = 0): Unit = {
+      tau: Double = 0.92, subBits: Int = 0): Unit =
+    processBatch(batch, batchId, root,
+      IvfIndex.load(batch.sparkSession, modelDir), tau, subBits)
+
+  /** Same, against an already-loaded (pinned) model. */
+  def processBatch(batch: DataFrame, batchId: Long, root: String,
+      model: IvfIndex.Model, tau: Double, subBits: Int): Unit = {
     val spark = batch.sparkSession
-    val model = IvfIndex.load(spark, modelDir)
     val assigned = IvfIndex.assignCells(batch.select(col("vec_id"), col("v")), model)
       .withColumn("sub", graft.queries.SimilarityQ.semdedupSubKey(col("v"), subBits))
       .select(col("vec_id"), col("cell"), col("sub"), col("v"))
@@ -105,8 +110,13 @@ object SemDeDupStream {
     } finally assigned.unpersist(blocking = false)
   }
 
-  /** foreachBatch adapter. */
-  def sink(root: String, modelDir: String, tau: Double = 0.92, subBits: Int = 0)
-      : (DataFrame, Long) => Unit =
-    (batch, batchId) => processBatch(batch, batchId, root, modelDir, tau, subBits)
+  /** foreachBatch adapter. The model is loaded ONCE and pinned for
+    * the sink's lifetime (the [[IvfStream.sink]] argument: a
+    * mid-stream retrain must swap in a new root, never re-cell a
+    * live verdict table). */
+  def sink(spark: SparkSession, root: String, modelDir: String,
+      tau: Double = 0.92, subBits: Int = 0): (DataFrame, Long) => Unit = {
+    val model = IvfIndex.load(spark, modelDir)
+    (batch, batchId) => processBatch(batch, batchId, root, model, tau, subBits)
+  }
 }
