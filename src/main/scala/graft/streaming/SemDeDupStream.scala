@@ -56,7 +56,7 @@ object SemDeDupStream {
 
   /** One micro-batch; `batch` must carry (vec_id BIGINT,
     * v ARRAY<DOUBLE>). Wire via
-    * `emb.writeStream.foreachBatch(sink(root, modelDir)).start()`. */
+    * `emb.writeStream.foreachBatch(sink(spark, root, modelDir)).start()`. */
   def processBatch(batch: DataFrame, batchId: Long, root: String, modelDir: String,
       tau: Double = 0.92, subBits: Int = 0): Unit =
     processBatch(batch, batchId, root,
