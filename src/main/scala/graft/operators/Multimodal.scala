@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
 
 /** Multimodal (binary-payload) column processing — SURVEY §2 q36.
   *
@@ -125,6 +126,88 @@ object Multimodal {
       }
     }
   }
+
+  /** Pluggable perceptual image hash kernel: payload → 60-bit
+    * fingerprint, or None for undecodable bytes. */
+  trait ImageHashKernel extends Serializable {
+    def hash(payload: Array[Byte]): Option[Long]
+  }
+
+  /** 60-bit average-hash (aHash) perceptual fingerprint — the
+    * classic near-dup IMAGE detector: decode, bilinear-scale to the
+    * 8×8 grid, take BT.601 luma per cell, set bit i iff cell i's
+    * luma ≥ the grid mean (first 60 of the 64 cells, so the hash
+    * drops straight into [[Dedup.simhashPairs]]' 4×15-bit band
+    * blocking, complete for hamming ≤ 3). Scale invariance by
+    * construction: any resolution of the same image lands on the
+    * same 8×8 grid. Solid-color images all share one hash — the
+    * standard aHash property; callers wanting to split them add a
+    * mean-luma refinement. */
+  object AHash60 extends ImageHashKernel {
+    def hash(p: Array[Byte]): Option[Long] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 8, 8, null)
+        } finally g.dispose()
+        val luma = new Array[Double](64)
+        var i = 0
+        var sum = 0.0
+        while (i < 64) {
+          val rgb = dst.getRGB(i % 8, i / 8)
+          luma(i) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          sum += luma(i)
+          i += 1
+        }
+        val mean = sum / 64
+        var h = 0L
+        i = 0
+        while (i < 60) {
+          if (luma(i) >= mean) h |= (1L << i)
+          i += 1
+        }
+        Some(h)
+      }
+    }
+  }
+
+  /** Perceptual fingerprints partition-wise (1:1, shuffle-free):
+    * (doc_id, decoded, simhash) — column named to feed
+    * [[Dedup.simhashPairs]] directly. Undecodable payloads surface
+    * as decoded = false with a zero hash, never silently vanish. */
+  def hashImages(rows: Dataset[MediaRow],
+      kernel: ImageHashKernel = AHash60): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        kernel.hash(r.payload) match {
+          case Some(h) => (r.doc_id, true, h)
+          case None => (r.doc_id, false, 0L)
+        }
+      }
+    }.toDF("id", "decoded", "simhash")
+  }
+
+  /** Near-duplicate IMAGE pairs — the multimodal dedup composition:
+    * aHash fingerprints ([[hashImages]], one shuffle-free scan of the
+    * payload column) fed through the TEXT dedup family's banded
+    * blocking ([[Dedup.simhashPairs]]: 4×15-bit bands, complete for
+    * `maxDist` ≤ 3, candidate pairs bounded by band-bucket occupancy
+    * — never an all-pairs comparison). Undecodable payloads are
+    * excluded (they have no visual content to match; they surface in
+    * [[hashImages]]/[[decodeImages]] output for routing). */
+  def imageNearDups(rows: Dataset[MediaRow], maxDist: Int = 3,
+      kernel: ImageHashKernel = AHash60): DataFrame =
+    Dedup.simhashPairs(
+      hashImages(rows, kernel).filter(col("decoded")).select(col("id"), col("simhash")),
+      maxDist)
 
   /** Pluggable payload resize kernel (payload → payload at target
     * dims). */

@@ -127,6 +127,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(passed.payload, Array[Byte](9, 9, 9)))
   }
 
+  /** A real PNG with an x-gradient (left dark → right bright),
+    * optionally value-shifted by `shift` per pixel — renders the same
+    * VISUAL content at any resolution. */
+  private def gradientPng(w: Int, h: Int, shift: Int = 0, invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v0 = (x * 255) / math.max(1, w - 1)
+        val v = math.min(255, math.max(0, (if (invert) 255 - v0 else v0) + shift))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("aHash image near-dups: scale- and brightness-invariant matches, distinct content stays apart, junk excluded") {
+    import spark.implicits._
+    val rows = spark.createDataset(Seq(
+      MediaRow(1, "png", 64, 48, gradientPng(64, 48)),
+      // the SAME visual content at a different resolution
+      MediaRow(2, "png", 32, 24, gradientPng(32, 24)),
+      // slightly brightened copy: aHash thresholds at the grid MEAN,
+      // so a uniform shift leaves every bit unchanged
+      MediaRow(3, "png", 64, 48, gradientPng(64, 48, shift = 10)),
+      // visually DIFFERENT content (inverted gradient)
+      MediaRow(4, "png", 64, 48, gradientPng(64, 48, invert = true)),
+      // not an image
+      MediaRow(5, "png", 8, 8, Array[Byte](1, 2, 3))))
+
+    val hashes = Multimodal.hashImages(rows)
+    assert(!hashes.queryExecution.executedPlan.toString.contains("Exchange"))
+    val byId = hashes.collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(byId(5L)._1 == false, "junk must surface as undecoded")
+    // scale invariance: both resolutions land on the same 8x8 grid
+    assert(byId(1L)._2 == byId(2L)._2, f"scale variance: ${byId(1L)._2}%x vs ${byId(2L)._2}%x")
+    // brightness invariance: mean-relative threshold
+    assert(byId(1L)._2 == byId(3L)._2)
+    // the inverted gradient is (near-)complementary, far in hamming
+    assert(java.lang.Long.bitCount(byId(1L)._2 ^ byId(4L)._2) > 30)
+
+    val pairs = Multimodal.imageNearDups(rows, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected exactly the three same-content pairs, got $pairs")
+  }
+
   /** A real WAV: `seconds` of a sine at `hz`, peak `amp`, 16-bit
     * signed PCM at `rate`, `channels`-channel, written through
     * javax.sound.sampled — the audio twin of [[png]]. */
