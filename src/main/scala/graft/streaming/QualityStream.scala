@@ -55,4 +55,27 @@ object QualityStream {
     spark.read.option("basePath", s"$root/scores").parquet(committed: _*)
       .select("doc_id", "n_tokens", "sum_bits", "mean_bits", "band")
   }
+
+  // ---- bigram twin (q58's model, graft.operators.BigramLm) ----
+
+  /** One micro-batch against an already-loaded bigram LM. */
+  def processBigramBatch(batch: DataFrame, batchId: Long, root: String,
+      lm: graft.operators.BigramLm.Lm2): Unit =
+    graft.operators.BigramLm.score(batch, lm)
+      .write.mode("overwrite").parquet(s"$root/scores2/b=$batchId")
+
+  /** foreachBatch adapter for BIGRAM scoring — q58's micro-batch twin,
+    * same pinned-model contract as [[sink]]. */
+  def bigramSink(spark: SparkSession, root: String, lmDir: String): (DataFrame, Long) => Unit = {
+    val lm = graft.operators.BigramLm.load(spark, lmDir)
+    (batch, batchId) => processBigramBatch(batch, batchId, root, lm)
+  }
+
+  /** All committed bigram scores. */
+  def loadBigramScores(spark: SparkSession, root: String): DataFrame = {
+    val committed = BatchVersioned.versions(spark, s"$root/scores2", prefix = "b").map(_._2)
+    require(committed.nonEmpty, s"no committed score batches under $root/scores2")
+    spark.read.option("basePath", s"$root/scores2").parquet(committed: _*)
+      .select("doc_id", "n_pairs", "sum_bits", "mean_bits", "band")
+  }
 }

@@ -65,6 +65,42 @@ class QualityStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram twin: N micro-batches reproduce batch q58 exactly; unseen bigrams back off, unseen words floor at 1 bit") {
+    import spark.implicits._
+    val lmDir = Files.createTempDirectory("graft_lm2").toString
+    val root = Files.createTempDirectory("graft_qs2").toString
+    try {
+      val docs = graft.sources.Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      graft.operators.BigramLm.build(docs, lmDir)
+      CachePool.drain()
+      val lm = graft.operators.BigramLm.load(spark, lmDir)
+      assert(lm.nPairs > 0 && lm.sumBits > 0)
+
+      val all = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val sink = graft.streaming.QualityStream.bigramSink(spark, root, lmDir)
+      (0 until 3).foreach { b => sink(all.filter(_._1 % 3 == b).toDF("doc_id", "text"), b) }
+
+      val streamed = rows(graft.streaming.QualityStream.loadBigramScores(spark, root)
+        .withColumnRenamed("n_pairs", "n_tokens"))
+      val want = rows(SparkEntry.queries("q58_bigram_lm")(spark, sfDir)
+        .withColumnRenamed("n_pairs", "n_tokens"))
+      CachePool.drain()
+      assert(streamed == want)
+      assert(streamed.nonEmpty)
+
+      // OOV: an entirely unseen bigram of SEEN words backs off to the
+      // trailing unigram's bits - 4 (floored); fully unseen words
+      // floor at 1 bit per pair
+      sink(Seq((900001L, "zzqx wvut")).toDF("doc_id", "text"), 3)
+      val late = rows(graft.streaming.QualityStream.loadBigramScores(spark, root)
+        .withColumnRenamed("n_pairs", "n_tokens")) -- streamed
+      assert(late == Set((900001L, 1L, 1L, 1.0, "tail")))
+    } finally {
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(lmDir))
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
+    }
+  }
+
   test("LM rebuild publishes atomically: epoched freq dirs, previous epoch kept for in-flight readers, older GC'd") {
     import spark.implicits._
     val lmDir = Files.createTempDirectory("graft_lm_epoch").toString
