@@ -64,6 +64,11 @@ object BigramLm {
     val t = scoredPairs(pairs, big, uni)
       .agg(count(lit(1)).as("n_pairs"), sum(col("pb")).cast("long").as("sum_bits"))
       .head()
+    // sum over zero pair rows is NULL — reachable whenever no doc has
+    // >= 2 tokens, so fail loudly before getLong NPEs and no model
+    // half-publishes
+    require(t.getLong(0) > 0,
+      s"bigram LM build over $dir: corpus has no document with >= 2 tokens — no pairs to model")
     EpochedArtifact.commit(spark, dir, MetaFile, "lm2", version = 1, epoch,
       Map("sum_bits" -> t.getLong(1), "n_pairs" -> t.getLong(0)))
   }

@@ -77,18 +77,28 @@ object Multimodal {
     def decode(payload: Array[Byte]): Option[(Int, Int, Int, Double)]
   }
 
+  /** Shared ImageIO decode guard: None for undecodable payloads.
+    * Catches NonFatal, not just IOException — JDK decoder plugins
+    * throw RuntimeExceptions (ArrayIndexOutOfBounds, NegativeArraySize,
+    * IllegalArgument) on malformed-but-recognized bodies, and a
+    * corrupt payload must surface as a flag on its row, never kill
+    * the task. */
+  private[operators] def readImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** BT.601 integer-RGB luma of one sRGB pixel. */
+  @inline private[operators] def lumaOf(rgb: Int): Double =
+    0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+
   /** JDK-builtin raster decode (`javax.imageio`: PNG/JPEG/BMP/GIF),
     * headless-safe — a REAL codec, not a stub. Luma is the BT.601
     * integer-RGB weighting summed in pixel-raster order; getRGB
     * converts any source color model to sRGB, so the statistic is
     * format-independent. */
   object ImageIoDecode extends ImageDecodeKernel {
-    def decode(p: Array[Byte]): Option[(Int, Int, Int, Double)] = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-        catch { case _: java.io.IOException => null }
-      if (img == null) None
-      else {
+    def decode(p: Array[Byte]): Option[(Int, Int, Int, Double)] =
+      readImage(p).map { img =>
         val w = img.getWidth
         val h = img.getHeight
         var sum = 0.0
@@ -96,15 +106,13 @@ object Multimodal {
         while (y < h) {
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            sum += lumaOf(img.getRGB(x, y))
             x += 1
           }
           y += 1
         }
-        Some((w, h, img.getColorModel.getNumComponents, sum / (w.toLong * h)))
+        (w, h, img.getColorModel.getNumComponents, sum / (w.toLong * h))
       }
-    }
   }
 
   /** Decode real image payloads partition-wise (1:1, shuffle-free —
@@ -134,48 +142,57 @@ object Multimodal {
   }
 
   /** 60-bit average-hash (aHash) perceptual fingerprint — the
-    * classic near-dup IMAGE detector: decode, bilinear-scale to the
-    * 8×8 grid, take BT.601 luma per cell, set bit i iff cell i's
+    * classic near-dup IMAGE detector: decode, AREA-AVERAGE the full
+    * raster onto the 8×8 grid (every source pixel contributes to
+    * exactly one cell — NOT a one-step bilinear drawImage, which
+    * point-samples 2×2 neighborhoods and ignores ~99% of a large
+    * image's pixels, breaking cross-resolution matching on textured
+    * content), take BT.601 luma per cell, set bit i iff cell i's
     * luma ≥ the grid mean (first 60 of the 64 cells, so the hash
     * drops straight into [[Dedup.simhashPairs]]' 4×15-bit band
-    * blocking, complete for hamming ≤ 3). Scale invariance by
-    * construction: any resolution of the same image lands on the
-    * same 8×8 grid. Solid-color images all share one hash — the
-    * standard aHash property; callers wanting to split them add a
-    * mean-luma refinement. */
+    * blocking, complete for hamming ≤ 3). Scale invariance: cell
+    * means are pixel averages over proportional regions, so any
+    * resolution of the same image yields the same cell statistics
+    * (up to ±1-pixel cell-boundary rounding, absorbed by the hamming
+    * tolerance). Images narrower/shorter than 8px leave empty cells,
+    * which take the grid mean (bit set). Solid-color images all
+    * share one hash — the standard aHash property; callers wanting
+    * to split them add a mean-luma refinement. */
   object AHash60 extends ImageHashKernel {
-    def hash(p: Array[Byte]): Option[Long] = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-        catch { case _: java.io.IOException => null }
-      if (img == null) None
-      else {
-        val dst = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = dst.createGraphics()
-        try {
-          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, 8, 8, null)
-        } finally g.dispose()
-        val luma = new Array[Double](64)
+    def hash(p: Array[Byte]): Option[Long] =
+      readImage(p).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Double](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = (y.toLong * 8 / h).toInt * 8
+          var x = 0
+          while (x < w) {
+            val c = cy + (x.toLong * 8 / w).toInt
+            sums(c) += lumaOf(img.getRGB(x, y))
+            counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var total = 0.0
+        var n = 0
         var i = 0
-        var sum = 0.0
         while (i < 64) {
-          val rgb = dst.getRGB(i % 8, i / 8)
-          luma(i) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-          sum += luma(i)
+          if (counts(i) > 0) { sums(i) /= counts(i); total += sums(i); n += 1 }
           i += 1
         }
-        val mean = sum / 64
-        var h = 0L
+        val mean = total / math.max(1, n)
+        var out = 0L
         i = 0
         while (i < 60) {
-          if (luma(i) >= mean) h |= (1L << i)
+          if (counts(i) == 0 || sums(i) >= mean) out |= (1L << i)
           i += 1
         }
-        Some(h)
+        out
       }
-    }
   }
 
   /** Perceptual fingerprints partition-wise (1:1, shuffle-free):
@@ -223,24 +240,21 @@ object Multimodal {
     * corrupt media is detected and routed; a resize stage silently
     * fabricating bytes (or killing the job) would hide it. */
   object ImageIoResize extends ResizeKernel {
-    def resize(p: Array[Byte], sw: Int, sh: Int, dw: Int, dh: Int): Array[Byte] = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-        catch { case _: java.io.IOException => null }
-      if (img == null) p
-      else {
-        val dst = new java.awt.image.BufferedImage(dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = dst.createGraphics()
-        try {
-          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, dw, dh, null)
-        } finally g.dispose()
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(dst, "png", out)
-        out.toByteArray
+    def resize(p: Array[Byte], sw: Int, sh: Int, dw: Int, dh: Int): Array[Byte] =
+      readImage(p) match {
+        case None => p
+        case Some(img) =>
+          val dst = new java.awt.image.BufferedImage(dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, dw, dh, null)
+          } finally g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          out.toByteArray
       }
-    }
   }
 
   /** STUB resize: deterministic proportional byte subsample — the

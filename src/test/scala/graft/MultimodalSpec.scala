@@ -148,6 +148,33 @@ class MultimodalSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  /** A real PNG rendering one fixed high-frequency texture: a 32×24
+    * grid of deterministic pseudo-random gray blocks (splitmix-style
+    * hash of the block coords), rasterized at any resolution — the
+    * SAME visual content at 64×48 or 512×384. Each aHash cell spans
+    * 4×3 texture blocks, so a point-sampling downscale reads
+    * different blocks at different resolutions (the bug this pins
+    * against), while area averaging recovers identical cell means. */
+  private def texturePng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var z = (x.toLong * 32 / w) * 24 + (y.toLong * 24 / h) + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        val v = ((z ^ (z >>> 31)) & 0xff).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   test("aHash image near-dups: scale- and brightness-invariant matches, distinct content stays apart, junk excluded") {
     import spark.implicits._
     val rows = spark.createDataset(Seq(
@@ -160,7 +187,12 @@ class MultimodalSpec extends AnyFunSuite {
       // visually DIFFERENT content (inverted gradient)
       MediaRow(4, "png", 64, 48, gradientPng(64, 48, invert = true)),
       // not an image
-      MediaRow(5, "png", 8, 8, Array[Byte](1, 2, 3))))
+      MediaRow(5, "png", 8, 8, Array[Byte](1, 2, 3)),
+      // one textured image at an 8x resolution gap: cells average
+      // 4×3 vs 64×48 pixels of the same blocks — smooth gradients
+      // can't tell area averaging from point sampling; this can
+      MediaRow(6, "png", 64, 48, texturePng(64, 48)),
+      MediaRow(7, "png", 512, 384, texturePng(512, 384))))
 
     val hashes = Multimodal.hashImages(rows)
     assert(!hashes.queryExecution.executedPlan.toString.contains("Exchange"))
@@ -172,11 +204,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(1L)._2 == byId(3L)._2)
     // the inverted gradient is (near-)complementary, far in hamming
     assert(java.lang.Long.bitCount(byId(1L)._2 ^ byId(4L)._2) > 30)
+    // textured content across an 8x resolution gap: area averaging
+    // recovers the same cell means (block/cell boundaries align at
+    // these dims, so exactly equal)
+    assert(byId(6L)._2 == byId(7L)._2, f"texture scale variance: ${byId(6L)._2}%x vs ${byId(7L)._2}%x")
 
     val pairs = Multimodal.imageNearDups(rows, maxDist = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
-      s"expected exactly the three same-content pairs, got $pairs")
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (6L, 7L)),
+      s"expected exactly the four same-content pairs, got $pairs")
   }
 
   /** A real WAV: `seconds` of a sine at `hz`, peak `amp`, 16-bit

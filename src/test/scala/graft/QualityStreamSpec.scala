@@ -74,7 +74,10 @@ class QualityStreamSpec extends AnyFunSuite {
       graft.operators.BigramLm.build(docs, lmDir)
       CachePool.drain()
       val lm = graft.operators.BigramLm.load(spark, lmDir)
-      assert(lm.nPairs > 0 && lm.sumBits > 0)
+      // sumBits > nPairs pins corpusMean > 1, which the OOV "tail"
+      // expectation below depends on (mean 1.0 must fall under the
+      // frozen threshold) — same guard as the unigram twin
+      assert(lm.nPairs > 0 && lm.sumBits > lm.nPairs)
 
       val all = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       val sink = graft.streaming.QualityStream.bigramSink(spark, root, lmDir)
