@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, greatest, least, lit, shiftright}
 
 /** Multimodal (binary-payload) column processing — SURVEY §2 q36.
   *
@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions.col
   * [[ImageIoDecode]]/[[ImageIoResize]] — and so are PCM AUDIO
   * decode/resample/downmix — `javax.sound.sampled` (WAV/AIFF/AU)
   * is in the same `java.desktop` module, see
-  * [[JavaSoundDecode]]/[[JavaSoundResample]]. Only VIDEO codecs are
-  * genuinely absent, so the frame sampler (and the byte-statistics
-  * kernel q36's deterministic oracle corpus uses) stay clearly-marked
-  * fakes; implement the same traits with a real codec and nothing
-  * else changes.
+  * [[JavaSoundDecode]]/[[JavaSoundResample]]. VIDEO is real for the
+  * two containers a bare JDK can decode — MJPEG (concatenated JPEG
+  * frames → ImageIO) and Y4M/YUV4MPEG2 (plain-text header + raw
+  * 4:2:0 planes), see [[JdkVideoDecode]]/[[JdkVideoFrames]]; only
+  * inter-frame codecs (H.264/VP9/AV1) are genuinely absent, so the
+  * byte-statistics kernel q36's deterministic oracle corpus uses and
+  * the byte-slice frame sampler stay clearly-marked fakes for those;
+  * implement the same traits with a real codec and nothing else
+  * changes.
   */
 object Multimodal {
 
@@ -467,5 +471,208 @@ object Multimodal {
           .map { case (f, i) => FrameRow(r.doc_id, i, f) }
       }
     }
+  }
+
+  // ──────────────────────────── video ────────────────────────────
+
+  /** Parsed Y4M (YUV4MPEG2) container: dims, frame rate, and the
+    * byte offset of each frame's plane data (C420 layout: w×h luma
+    * then two quarter-size chroma planes). */
+  private final case class Y4m(w: Int, h: Int, fps: Double, frameOffsets: Array[Int]) {
+    def frameSize: Int = w * h + 2 * ((w + 1) / 2) * ((h + 1) / 2)
+  }
+
+  /** Parse a Y4M payload: `YUV4MPEG2 W.. H.. F<n>:<d> .. C420..\n`
+    * then per frame a `FRAME[ params]\n` line + raw planes. None for
+    * non-Y4M bytes, truncated frames, or non-4:2:0 color (C444 etc.
+    * would need different plane math — refuse rather than misread). */
+  private def parseY4m(p: Array[Byte]): Option[Y4m] =
+    try {
+      val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+      if (p.length < magic.length || !magic.indices.forall(i => p(i) == magic(i))) return None
+      val eol = p.indexOf('\n'.toByte)
+      if (eol < 0) return None
+      var w = 0; var h = 0; var fps = 0.0; var colorOk = true
+      new String(p, 0, eol, "US-ASCII").split(' ').drop(1).foreach { t =>
+        if (t.nonEmpty) t.charAt(0) match {
+          case 'W' => w = t.drop(1).toInt
+          case 'H' => h = t.drop(1).toInt
+          case 'F' =>
+            val nd = t.drop(1).split(':')
+            fps = nd(0).toDouble / nd(1).toDouble
+          case 'C' => colorOk = t.startsWith("C420")
+          case _ => () // interlacing/aspect/extension params: ignored
+        }
+      }
+      if (w <= 0 || h <= 0 || !colorOk) return None
+      val frameSize = w * h + 2 * ((w + 1) / 2) * ((h + 1) / 2)
+      val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var pos = eol + 1
+      while (pos < p.length) {
+        var e = pos
+        while (e < p.length && p(e) != '\n') e += 1
+        if (e >= p.length) return None // truncated frame header
+        if (!new String(p, pos, math.min(5, e - pos), "US-ASCII").equals("FRAME")) return None
+        if (e + 1 + frameSize > p.length) return None // truncated planes
+        offs += e + 1
+        pos = e + 1 + frameSize
+      }
+      Some(Y4m(w, h, fps, offs.toArray))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Byte ranges [start, end) of each JPEG in an MJPEG concatenation
+    * (SOI 0xFFD8 … EOI 0xFFD9, repeated). None unless the payload
+    * starts at an SOI and partitions cleanly into frames. */
+  private def mjpegRanges(p: Array[Byte]): Option[Array[(Int, Int)]] = {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var pos = 0
+    while (pos < p.length) {
+      if (pos + 1 >= p.length || (p(pos) & 0xff) != 0xff || (p(pos + 1) & 0xff) != 0xd8) return None
+      var i = pos + 2
+      var end = -1
+      while (end < 0 && i + 1 < p.length) {
+        if ((p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xd9) end = i + 2
+        i += 1
+      }
+      if (end < 0) return None // no EOI: truncated frame
+      frames += ((pos, end))
+      pos = end
+    }
+    if (frames.isEmpty) None else Some(frames.toArray)
+  }
+
+  /** Container-derived video features — header fields read from the
+    * PARSED stream, never trusted metadata. MJPEG carries no timing,
+    * so fps/duration are 0 there; `decoded = false` rows surface
+    * corrupt or unsupported payloads without killing the job. */
+  case class VideoFeatures(doc_id: Long, fmt: String, decoded: Boolean,
+      width: Int, height: Int, fps: Double, n_frames: Int, duration_s: Double)
+
+  /** Pluggable video container decode kernel: payload → (w, h, fps,
+    * n_frames); fps 0 when the container carries no timing. */
+  trait VideoDecodeKernel extends Serializable {
+    def decode(payload: Array[Byte]): Option[(Int, Int, Double, Int)]
+  }
+
+  /** JDK-only REAL video decode for the two containers a bare JDK
+    * can parse: Y4M (header math above) and MJPEG (frame count from
+    * the SOI/EOI scan, dims from ImageIO on the first frame). */
+  object JdkVideoDecode extends VideoDecodeKernel {
+    def decode(p: Array[Byte]): Option[(Int, Int, Double, Int)] =
+      parseY4m(p) match {
+        case Some(y) => Some((y.w, y.h, y.fps, y.frameOffsets.length))
+        case None => mjpegRanges(p).flatMap { fs =>
+          readImage(java.util.Arrays.copyOfRange(p, fs(0)._1, fs(0)._2))
+            .map(img => (img.getWidth, img.getHeight, 0.0, fs.length))
+        }
+      }
+  }
+
+  /** Decode video payloads partition-wise (1:1, shuffle-free — the
+    * [[decodeImages]] plan shape on the video modality). */
+  def decodeVideo(rows: Dataset[MediaRow],
+      kernel: VideoDecodeKernel = JdkVideoDecode): Dataset[VideoFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        kernel.decode(r.payload) match {
+          case Some((w, h, fps, n)) =>
+            VideoFeatures(r.doc_id, r.fmt, decoded = true, w, h, fps, n,
+              if (fps > 0) n / fps else 0.0)
+          case None =>
+            VideoFeatures(r.doc_id, r.fmt, decoded = false, 0, 0, 0.0, 0, 0.0)
+        }
+      }
+    }
+  }
+
+  @inline private def clamp255(d: Double): Int =
+    math.max(0, math.min(255, math.round(d).toInt))
+
+  /** One Y4M frame → PNG bytes: BT.601 full-range YCbCr→RGB over the
+    * 4:2:0 planes (each chroma sample covers a 2×2 luma block). */
+  private def y4mFramePng(p: Array[Byte], y4m: Y4m, idx: Int): Array[Byte] = {
+    val off = y4m.frameOffsets(idx)
+    val w = y4m.w
+    val h = y4m.h
+    val cw = (w + 1) / 2
+    val uOff = off + w * h
+    val vOff = uOff + cw * ((h + 1) / 2)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val lum = p(off + y * w + x) & 0xff
+        val u = (p(uOff + (y / 2) * cw + x / 2) & 0xff) - 128
+        val v = (p(vOff + (y / 2) * cw + x / 2) & 0xff) - 128
+        img.setRGB(x, y,
+          (clamp255(lum + 1.402 * v) << 16) |
+          (clamp255(lum - 0.344136 * u - 0.714136 * v) << 8) |
+          clamp255(lum + 1.772 * u))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Evenly-spaced sample of `n` indices from [0, total). */
+  private def sampleIdx(total: Int, n: Int): Seq[Int] = {
+    val m = math.max(1, math.min(n, total))
+    (0 until m).map(i => (i.toLong * total / m).toInt)
+  }
+
+  /** REAL frame sampler for the JDK-decodable containers: n evenly
+    * spaced frames, each a REAL image payload the downstream image
+    * family consumes directly — Y4M frames re-encode as lossless PNG
+    * ([[y4mFramePng]]), MJPEG frames are their JPEG bytes verbatim.
+    * Undecodable payloads yield NO frames (routing corrupt media is
+    * [[decodeVideo]]'s job; fabricating frame bytes here would hide
+    * it). */
+  object JdkVideoFrames extends FrameSampleKernel {
+    def frames(p: Array[Byte], n: Int): Seq[Array[Byte]] =
+      try parseY4m(p) match {
+        case Some(y) if y.frameOffsets.nonEmpty =>
+          sampleIdx(y.frameOffsets.length, n).map(i => y4mFramePng(p, y, i))
+        case Some(_) => Seq.empty // header-only Y4M: no frames to sample
+        case None => mjpegRanges(p) match {
+          case Some(fs) => sampleIdx(fs.length, n)
+            .map { i => java.util.Arrays.copyOfRange(p, fs(i)._1, fs(i)._2) }
+          case None => Seq.empty
+        }
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+  }
+
+  /** Near-duplicate VIDEO pairs — the video member of the dedup
+    * family: sample `framesPerVideo` REAL frames per video
+    * ([[JdkVideoFrames]]), aHash each frame ([[AHash60]] — the frames
+    * are real images), and feed ALL frame fingerprints through ONE
+    * banded-blocking pass ([[Dedup.simhashPairs]]), so candidate
+    * pairs stay bounded by band-bucket occupancy across the whole
+    * corpus — never per-video-pair frame comparison. Frame identity
+    * packs as `doc_id << 10 | frame_idx` (hence framesPerVideo ≤
+    * 1024); a video pair survives with ≥ `minMatchingFrames` near-dup
+    * frame pairs, which catches re-cuts/re-encodes sharing content
+    * while one coincidental frame collision does not pair two
+    * videos. Output: (id_a, id_b, matching_frames). */
+  def videoNearDups(rows: Dataset[MediaRow], framesPerVideo: Int = 8,
+      maxDist: Int = 3, minMatchingFrames: Int = 2,
+      kernel: FrameSampleKernel = JdkVideoFrames): DataFrame = {
+    require(framesPerVideo >= 1 && framesPerVideo <= 1024,
+      s"frame index packs into 10 bits, got framesPerVideo=$framesPerVideo")
+    import rows.sparkSession.implicits._
+    val hashed = frameSample(rows, framesPerVideo, kernel).mapPartitions { it =>
+      it.flatMap(f => AHash60.hash(f.payload).map(h => ((f.doc_id << 10) | f.frame_idx, h)))
+    }.toDF("id", "simhash")
+    Dedup.simhashPairs(hashed, maxDist)
+      .select(shiftright(col("id_a"), 10).as("va"), shiftright(col("id_b"), 10).as("vb"))
+      .filter(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("id_a"), greatest(col("va"), col("vb")).as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("matching_frames"))
+      .filter(col("matching_frames") >= minMatchingFrames)
   }
 }

@@ -299,4 +299,128 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(a.find(_.doc_id == 11).get.payload, Array[Byte](7, 7, 7)))
     assert(!feats(11L).decoded)
   }
+
+  /** A real Y4M video: `nFrames` gray frames (chroma planes at the
+    * 128 neutral), per-pixel luma from `lum(frame, x, y)` — gray
+    * means the full-range YCbCr→RGB inverse recovers R=G=B=Y
+    * exactly. */
+  private def y4m(w: Int, h: Int, nFrames: Int, fps: String = "25:1")(
+      lum: (Int, Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F$fps Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    val cw = (w + 1) / 2
+    val ch = (h + 1) / 2
+    (0 until nFrames).foreach { f =>
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      val buf = new Array[Byte](w * h + 2 * cw * ch)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { buf(i) = lum(f, x, y).toByte; i += 1; x += 1 }
+        y += 1
+      }
+      java.util.Arrays.fill(buf, w * h, buf.length, 128.toByte)
+      out.write(buf)
+    }
+    out.toByteArray
+  }
+
+  /** Resolution-independent gray texture on a 32×24 block grid:
+    * splitmix hash of (block, seed) — the same visual content at any
+    * raster size, per-seed distinct. */
+  private def tex(seed: Int, w: Int, h: Int)(f: Int, x: Int, y: Int): Int = {
+    var z = ((x.toLong * 32 / w) * 24 + (y.toLong * 24 / h)) * 4096 + seed * 64 + f + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    ((z ^ (z >>> 31)) & 0xff).toInt
+  }
+
+  /** A real JPEG of the seeded texture (64×48). */
+  private def texJpeg(seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 48) {
+      var x = 0
+      while (x < 64) {
+        val v = tex(seed, 64, 48)(0, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  test("JDK video decode: Y4M header math and MJPEG SOI/EOI scan yield real dims/fps/frame counts; corrupt bytes surface") {
+    import spark.implicits._
+    val mjpeg = texJpeg(1) ++ texJpeg(2) ++ texJpeg(3)
+    val goodY4m = y4m(32, 24, 10)((f, _, _) => 20 * f)
+    val rows = spark.createDataset(Seq(
+      MediaRow(1, "y4m", 32, 24, goodY4m),
+      MediaRow(2, "mjpeg", 64, 48, mjpeg),
+      MediaRow(3, "y4m", 32, 24, Array[Byte](1, 2, 3)),
+      // truncated mid-frame: must refuse, not misread planes
+      MediaRow(4, "y4m", 32, 24, java.util.Arrays.copyOf(goodY4m, goodY4m.length - 7))))
+    val feats = Multimodal.decodeVideo(rows)
+    assert(!feats.queryExecution.executedPlan.toString.contains("Exchange"))
+    val byId = feats.collect().map(f => f.doc_id -> f).toMap
+    val y = byId(1L)
+    assert(y.decoded && y.width == 32 && y.height == 24 && y.fps == 25.0 && y.n_frames == 10)
+    assert(math.abs(y.duration_s - 0.4) < 1e-9)
+    val m = byId(2L)
+    // MJPEG: dims from ImageIO on frame 0; the container has no timing
+    assert(m.decoded && m.width == 64 && m.height == 48 && m.fps == 0.0 && m.n_frames == 3)
+    assert(!byId(3L).decoded && !byId(4L).decoded)
+  }
+
+  test("JDK frame sampling: real evenly-spaced frames that the image family decodes directly") {
+    import spark.implicits._
+    val rows = spark.createDataset(Seq(
+      MediaRow(1, "y4m", 16, 8, y4m(16, 8, 10)((f, _, _) => 20 * f + 5)),
+      MediaRow(2, "mjpeg", 64, 48, texJpeg(7) ++ texJpeg(8)),
+      MediaRow(3, "y4m", 0, 0, Array[Byte](9, 9))))
+    val frames = Multimodal.frameSample(rows, n = 5, Multimodal.JdkVideoFrames)
+    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
+    // every sampled frame is a REAL image: run them through decodeImages
+    val feats = Multimodal.decodeImages(
+        frames.map(f => MediaRow(f.doc_id * 100 + f.frame_idx, "frame", 0, 0, f.payload)))
+      .collect().map(f => f.doc_id -> f).toMap
+    // 5 evenly spaced of 10 -> source frames 0,2,4,6,8; gray luma
+    // recovers the source Y exactly (integer-exact inverse at U=V=128)
+    val y4mFrames = feats.filterKeys(_ < 200)
+    assert(y4mFrames.size == 5)
+    (0 until 5).foreach { i =>
+      val f = feats(100L + i)
+      assert(f.decoded && f.px_width == 16 && f.px_height == 8)
+      assert(math.abs(f.mean_luma - (20 * (2 * i) + 5)) <= 1.0,
+        s"frame $i luma ${f.mean_luma}, want ${20 * (2 * i) + 5}")
+    }
+    // MJPEG: both frames come back as decodable JPEGs at true dims
+    assert(feats(200L).decoded && feats(200L).px_width == 64 && feats(201L).decoded)
+    // junk yields no frames (decodeVideo is where corruption routes)
+    assert(!feats.keys.exists(_ >= 300))
+  }
+
+  test("videoNearDups: re-cut MJPEG shares frames, cross-resolution Y4M texture matches, unrelated content stays apart") {
+    import spark.implicits._
+    val rows = spark.createDataset(Seq(
+      // the same textured 4-frame video at an 8x resolution gap
+      MediaRow(1, "y4m", 64, 48, y4m(64, 48, 4)(tex(50, 64, 48))),
+      MediaRow(2, "y4m", 512, 384, y4m(512, 384, 4)(tex(50, 512, 384))),
+      // different content entirely
+      MediaRow(3, "y4m", 64, 48, y4m(64, 48, 4)(tex(99, 64, 48))),
+      // an MJPEG "re-cut": videos 4 and 5 share two exact frames
+      MediaRow(4, "mjpeg", 64, 48, texJpeg(10) ++ texJpeg(11) ++ texJpeg(12)),
+      MediaRow(5, "mjpeg", 64, 48, texJpeg(12) ++ texJpeg(11) ++ texJpeg(13)),
+      MediaRow(6, "mjpeg", 64, 48, Array[Byte](1, 2, 3))))
+    val dups = Multimodal.videoNearDups(rows, framesPerVideo = 4, minMatchingFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dups.keySet == Set((1L, 2L), (4L, 5L)), s"got $dups")
+    // all four texture frames survive the resolution gap
+    assert(dups((1L, 2L)) == 4, s"cross-resolution matches: ${dups((1L, 2L))}")
+    assert(dups((4L, 5L)) == 2, s"re-cut matches: ${dups((4L, 5L))}")
+  }
 }
