@@ -108,4 +108,20 @@ object LmArtifact {
         when(coalesce(col("mean_bits"), lit(0.0)) >= lit(lm.corpusMean), lit("head"))
           .otherwise(lit("tail")).as("band"))
   }
+
+  /** q62's kernel, shared by the batch query and the streaming view:
+    * band-dependent deterministic resampling over any scored frame
+    * carrying (doc_id, band, mean_bits) — head keeps `headRate`%,
+    * tail keeps `tailRate`%, membership decided by a per-doc md5
+    * hash. Stateless per row: the SAME docs survive whether scored
+    * in one batch pass or across arbitrary micro-batch replays, so
+    * the quality→mixture closure holds batch/stream identically. */
+  def bandResample(scored: DataFrame, headRate: Long = 100L,
+      tailRate: Long = 30L): DataFrame =
+    scored
+      .withColumn("rate",
+        when(col("band") === "head", lit(headRate)).otherwise(lit(tailRate)))
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100 < col("rate"))
+      .select(col("doc_id"), col("band"), col("mean_bits"), col("rate"))
 }

@@ -337,15 +337,8 @@ object TextQ extends QueryPack {
     // by the q43 md5-hash idiom — reproducible, engine-exact, no RNG.
     // Plan shape: q55's scoring plan + one scan-side filter; nothing
     // new shuffles.
-    "q62_quality_resample" -> ((s, d) => {
-      import s.implicits._
-      defs("q55_logfreq_quality")(s, d)
-        .withColumn("rate",
-          when($"band" === "head", lit(100L)).otherwise(lit(30L)))
-        .filter(conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-          .cast("long") % 100 < $"rate")
-        .select($"doc_id", $"band", $"mean_bits", $"rate")
-    }),
+    "q62_quality_resample" -> ((s, d) =>
+      graft.operators.LmArtifact.bandResample(defs("q55_logfreq_quality")(s, d))),
 
     // BPE tokenizer learning — the tokenizer-training stage of an LLM
     // data pipeline (Sennrich et al. 2016), distributed the only way

@@ -56,6 +56,16 @@ object QualityStream {
       .select("doc_id", "n_tokens", "sum_bits", "mean_bits", "band")
   }
 
+  /** q62's streaming view — the score→mixture closure over committed
+    * streamed scores: [[LmArtifact.bandResample]] is stateless per
+    * row (md5 of doc_id against the band's keep rate), so composing
+    * it over [[loadScores]] equals batch q62 exactly whenever the
+    * frozen LM was built on the streamed corpus, for ANY arrival
+    * order or replay history. No extra state to maintain: the
+    * resample IS a view of the scores. */
+  def resampledScores(spark: SparkSession, root: String): DataFrame =
+    LmArtifact.bandResample(loadScores(spark, root))
+
   // ---- bigram twin (q58's model, graft.operators.BigramLm) ----
 
   /** One micro-batch against an already-loaded bigram LM. */

@@ -45,6 +45,18 @@ class QualityStreamSpec extends AnyFunSuite {
       assert(streamed == want)
       assert(streamed.nonEmpty)
 
+      // the score→mixture closure holds on the stream side too: the
+      // resampled VIEW of streamed scores equals batch q62 (stateless
+      // per-doc sampling decisions, no extra streaming state)
+      val resampled = QualityStream.resampledScores(spark, root)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+      val wantResampled = SparkEntry.queries("q62_quality_resample")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+      CachePool.drain()
+      assert(resampled == wantResampled)
+      assert(resampled.nonEmpty && resampled.size < streamed.size,
+        "tail band must actually drop docs")
+
       // a replayed batch overwrites its own output, changing nothing
       QualityStream.processBatch(all.filter(_._1 % 3 == 1).toDF("doc_id", "text"), 1, root, lmDir)
       assert(rows(QualityStream.loadScores(spark, root)) == want)
