@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sq8_dot"),
       info("graft_sq8_dot", "graft_sq8_dot(a, b) - exact integer dot product of two sq8 code arrays"),
       buildSq8Dot))
+    e.injectFunction((
+      FunctionIdentifier("graft_ahash"),
+      info("graft_ahash", "graft_ahash(payload) - 60-bit perceptual average-hash of an image payload (NULL if undecodable)"),
+      buildAHash))
     // graft_nearest_cell / graft_probe_cells stay Column-API-only by
     // design: their centroid-matrix argument is driver-held model state
     // (IvfIndex.Model), not something a SQL literal can express.
@@ -161,6 +165,11 @@ object GraftExtensions {
     graft.functions.Sq8Dot(args(0), args(1))
   }
 
+  private[graft] val buildAHash: Seq[Expression] => Expression = { args =>
+    arity("graft_ahash", args, 1)
+    graft.functions.AHash(args.head)
+  }
+
   /** Register the same functions on an already-built session (useful in
     * tests and notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -175,5 +184,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_simhash", buildSimHashAgg, "scala_udf")
     reg.createOrReplaceTempFunction("graft_sq8_encode", buildSq8Encode, "scala_udf")
     reg.createOrReplaceTempFunction("graft_sq8_dot", buildSq8Dot, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_ahash", buildAHash, "scala_udf")
   }
 }

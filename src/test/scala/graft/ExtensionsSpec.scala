@@ -91,4 +91,28 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("graft_hyperplane_bits"))
   }
+
+  test("graft_ahash callable from SQL, matching the kernel; NULL for undecodable payloads") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // a real 16x16 PNG: perceptual hash must match the kernel object
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(y => (0 until 16).foreach { x =>
+      val v = x * 17
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    })
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val png = out.toByteArray
+    Seq((1L, png), (2L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+      .createOrReplaceTempView("ah_rows")
+    val got = spark.sql("SELECT id, graft_ahash(payload) AS h FROM ah_rows ORDER BY id").collect()
+    assert(got(0).getLong(1) == graft.operators.Multimodal.AHash60.hash(png).get)
+    // undecodable bytes -> NULL (the SQL twin of decoded = false)
+    assert(got(1).isNullAt(1))
+    // binary-typed argument is enforced at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_ahash(42)").queryExecution.analyzed
+    }
+  }
 }
