@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, NullType}
 
 /** 60-bit perceptual average-hash of an image payload as a Catalyst
   * expression over BinaryType — the SQL surface of
@@ -24,9 +24,11 @@ case class AHash(child: Expression) extends UnaryExpression with CodegenFallback
   override def prettyName: String = "graft_ahash"
 
   // ExpectsInputTypes' AbstractDataType is private[sql]; enforce the
-  // binary argument at analysis by hand (failure, not runtime CCE)
+  // binary argument at analysis by hand (failure, not runtime CCE).
+  // An untyped NULL literal is accepted like every builtin does —
+  // eval never reaches nullSafeEval for it, so NULL in → NULL out
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == BinaryType || child.dataType == NullType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_ahash expects BINARY, got ${child.dataType.sql}")
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.{col, count, greatest, least, lit, shiftright}
+import org.apache.spark.sql.functions.{col, countDistinct, least, lit, shiftright, when}
 
 /** Multimodal (binary-payload) column processing — SURVEY §2 q36.
   *
@@ -163,8 +163,12 @@ object Multimodal {
     * share one hash — the standard aHash property; callers wanting
     * to split them add a mean-luma refinement. */
   object AHash60 extends ImageHashKernel {
-    def hash(p: Array[Byte]): Option[Long] =
-      readImage(p).map { img =>
+    def hash(p: Array[Byte]): Option[Long] = readImage(p).map(hashImage)
+
+    /** The kernel over an already-decoded frame — lets in-memory
+      * compositions ([[videoNearDups]]) skip an encode/decode
+      * round-trip through payload bytes. */
+    def hashImage(img: java.awt.image.BufferedImage): Long = {
         val w = img.getWidth
         val h = img.getHeight
         val sums = new Array[Double](64)
@@ -478,9 +482,7 @@ object Multimodal {
   /** Parsed Y4M (YUV4MPEG2) container: dims, frame rate, and the
     * byte offset of each frame's plane data (C420 layout: w×h luma
     * then two quarter-size chroma planes). */
-  private final case class Y4m(w: Int, h: Int, fps: Double, frameOffsets: Array[Int]) {
-    def frameSize: Int = w * h + 2 * ((w + 1) / 2) * ((h + 1) / 2)
-  }
+  private final case class Y4m(w: Int, h: Int, fps: Double, frameOffsets: Array[Int])
 
   /** Parse a Y4M payload: `YUV4MPEG2 W.. H.. F<n>:<d> .. C420..\n`
     * then per frame a `FRAME[ params]\n` line + raw planes. None for
@@ -505,7 +507,12 @@ object Multimodal {
         }
       }
       if (w <= 0 || h <= 0 || !colorOk) return None
-      val frameSize = w * h + 2 * ((w + 1) / 2) * ((h + 1) / 2)
+      // plane math in Long: crafted header dims (46341×46341) wrap a
+      // 32-bit product negative and would defeat the truncation guard
+      // below — refuse anything that can't even fit one frame offset
+      val frameSizeL = w.toLong * h + 2L * ((w + 1) / 2) * ((h + 1) / 2)
+      if (frameSizeL > Int.MaxValue) return None
+      val frameSize = frameSizeL.toInt
       val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
       var pos = eol + 1
       while (pos < p.length) {
@@ -513,27 +520,60 @@ object Multimodal {
         while (e < p.length && p(e) != '\n') e += 1
         if (e >= p.length) return None // truncated frame header
         if (!new String(p, pos, math.min(5, e - pos), "US-ASCII").equals("FRAME")) return None
-        if (e + 1 + frameSize > p.length) return None // truncated planes
+        if (e.toLong + 1 + frameSize > p.length) return None // truncated planes
         offs += e + 1
         pos = e + 1 + frameSize
       }
       Some(Y4m(w, h, fps, offs.toArray))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** End offset (exclusive) of the JPEG starting at `soi`, walking
+    * marker SEGMENTS by their length fields rather than raw-scanning
+    * for FF D9 — camera JPEGs routinely embed an EXIF APP1 thumbnail
+    * with its OWN SOI/EOI, which a raw scan would mistake for the
+    * frame end. Inside entropy-coded data (after SOS) every FF is
+    * either 00-stuffed or a D0–D7 restart, so there the first FF D9
+    * IS the real EOI. -1 for malformed/truncated streams. (A
+    * progressive multi-scan JPEG whose post-first-SOS table segments
+    * happen to contain FF D9 could still terminate early; baseline
+    * JPEG — every camera MJPEG and ImageIO default — has one SOS.) */
+  private def jpegEnd(p: Array[Byte], soi: Int): Int = {
+    var i = soi + 2
+    while (i + 1 < p.length) {
+      if ((p(i) & 0xff) != 0xff) return -1 // expected a marker
+      val m = p(i + 1) & 0xff
+      if (m == 0xd9) return i + 2
+      else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+      else if (m == 0xda) {
+        // SOS header, then entropy-coded data until the true EOI
+        if (i + 3 >= p.length) return -1
+        var j = i + 2 + (((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff))
+        while (j + 1 < p.length) {
+          if ((p(j) & 0xff) == 0xff && (p(j + 1) & 0xff) == 0xd9) return j + 2
+          j += 1
+        }
+        return -1
+      } else {
+        // segment with a 2-byte big-endian length (self-inclusive)
+        if (i + 3 >= p.length) return -1
+        val len = ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+        if (len < 2) return -1
+        i += 2 + len
+      }
+    }
+    -1
+  }
+
   /** Byte ranges [start, end) of each JPEG in an MJPEG concatenation
-    * (SOI 0xFFD8 … EOI 0xFFD9, repeated). None unless the payload
-    * starts at an SOI and partitions cleanly into frames. */
+    * (SOI 0xFFD8 … EOI 0xFFD9, repeated; frame ends found by
+    * [[jpegEnd]]'s segment walk). None unless the payload starts at
+    * an SOI and partitions cleanly into frames. */
   private def mjpegRanges(p: Array[Byte]): Option[Array[(Int, Int)]] = {
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var pos = 0
     while (pos < p.length) {
       if (pos + 1 >= p.length || (p(pos) & 0xff) != 0xff || (p(pos + 1) & 0xff) != 0xd8) return None
-      var i = pos + 2
-      var end = -1
-      while (end < 0 && i + 1 < p.length) {
-        if ((p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xd9) end = i + 2
-        i += 1
-      }
+      val end = jpegEnd(p, pos)
       if (end < 0) return None // no EOI: truncated frame
       frames += ((pos, end))
       pos = end
@@ -589,9 +629,9 @@ object Multimodal {
   @inline private def clamp255(d: Double): Int =
     math.max(0, math.min(255, math.round(d).toInt))
 
-  /** One Y4M frame → PNG bytes: BT.601 full-range YCbCr→RGB over the
-    * 4:2:0 planes (each chroma sample covers a 2×2 luma block). */
-  private def y4mFramePng(p: Array[Byte], y4m: Y4m, idx: Int): Array[Byte] = {
+  /** One Y4M frame → decoded image: BT.601 full-range YCbCr→RGB over
+    * the 4:2:0 planes (each chroma sample covers a 2×2 luma block). */
+  private def y4mFrameImage(p: Array[Byte], y4m: Y4m, idx: Int): java.awt.image.BufferedImage = {
     val off = y4m.frameOffsets(idx)
     val w = y4m.w
     val h = y4m.h
@@ -614,8 +654,14 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  /** One Y4M frame → lossless PNG bytes (the payload-valued contract
+    * [[JdkVideoFrames]] exposes to generic consumers). */
+  private def y4mFramePng(p: Array[Byte], y4m: Y4m, idx: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    javax.imageio.ImageIO.write(y4mFrameImage(p, y4m, idx), "png", out)
     out.toByteArray
   }
 
@@ -646,33 +692,66 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => Seq.empty }
   }
 
+  /** Frame perceptual hashes for the JDK containers WITHOUT the
+    * encode/decode round-trip [[JdkVideoFrames]] pays for generic
+    * consumers: Y4M frames hash the in-memory decoded image
+    * directly, MJPEG frames decode their JPEG bytes exactly once.
+    * Undecodable payloads/frames yield no hashes. */
+  private def frameHashes(p: Array[Byte], n: Int): Seq[Long] =
+    try parseY4m(p) match {
+      case Some(y) if y.frameOffsets.nonEmpty =>
+        sampleIdx(y.frameOffsets.length, n).map(i => AHash60.hashImage(y4mFrameImage(p, y, i)))
+      case Some(_) => Seq.empty
+      case None => mjpegRanges(p) match {
+        case Some(fs) => sampleIdx(fs.length, n).flatMap { i =>
+          readImage(java.util.Arrays.copyOfRange(p, fs(i)._1, fs(i)._2)).map(AHash60.hashImage)
+        }
+        case None => Seq.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
   /** Near-duplicate VIDEO pairs — the video member of the dedup
-    * family: sample `framesPerVideo` REAL frames per video
-    * ([[JdkVideoFrames]]), aHash each frame ([[AHash60]] — the frames
-    * are real images), and feed ALL frame fingerprints through ONE
-    * banded-blocking pass ([[Dedup.simhashPairs]]), so candidate
-    * pairs stay bounded by band-bucket occupancy across the whole
-    * corpus — never per-video-pair frame comparison. Frame identity
-    * packs as `doc_id << 10 | frame_idx` (hence framesPerVideo ≤
-    * 1024); a video pair survives with ≥ `minMatchingFrames` near-dup
-    * frame pairs, which catches re-cuts/re-encodes sharing content
-    * while one coincidental frame collision does not pair two
-    * videos. Output: (id_a, id_b, matching_frames). */
+    * family: sample `framesPerVideo` REAL frames per video, aHash
+    * each ([[frameHashes]] — in-memory, no payload round-trip), and
+    * feed ALL frame fingerprints through ONE banded-blocking pass
+    * ([[Dedup.simhashPairs]]), so candidate pairs stay bounded by
+    * band-bucket occupancy across the whole corpus — never
+    * per-video-pair frame comparison. Frame identity packs as
+    * `doc_id << 10 | idx` (framesPerVideo ≤ 1024; doc_id must fit
+    * 53 bits, enforced loudly — hash-derived 64-bit ids would lose
+    * their top bits silently). `matching_frames` counts DISTINCT
+    * matched frames on the weaker side (min over the two videos),
+    * not frame pairs: a static clip whose k identical frames all hit
+    * ONE frame of another video contributes 1, not k — so
+    * `minMatchingFrames` ≥ 2 genuinely requires two shared scenes.
+    * Output: (id_a, id_b, matching_frames). */
   def videoNearDups(rows: Dataset[MediaRow], framesPerVideo: Int = 8,
-      maxDist: Int = 3, minMatchingFrames: Int = 2,
-      kernel: FrameSampleKernel = JdkVideoFrames): DataFrame = {
+      maxDist: Int = 3, minMatchingFrames: Int = 2): DataFrame = {
     require(framesPerVideo >= 1 && framesPerVideo <= 1024,
       s"frame index packs into 10 bits, got framesPerVideo=$framesPerVideo")
     import rows.sparkSession.implicits._
-    val hashed = frameSample(rows, framesPerVideo, kernel).mapPartitions { it =>
-      it.flatMap(f => AHash60.hash(f.payload).map(h => ((f.doc_id << 10) | f.frame_idx, h)))
+    val hashed = rows.mapPartitions { it =>
+      it.flatMap { r =>
+        require(r.doc_id >= 0 && r.doc_id < (1L << 53),
+          s"videoNearDups: doc_id ${r.doc_id} does not pack into 53+10 bits")
+        frameHashes(r.payload, framesPerVideo).iterator.zipWithIndex
+          .map { case (h, i) => ((r.doc_id << 10) | i, h) }
+      }
     }.toDF("id", "simhash")
-    Dedup.simhashPairs(hashed, maxDist)
-      .select(shiftright(col("id_a"), 10).as("va"), shiftright(col("id_b"), 10).as("vb"))
+    val pairs = Dedup.simhashPairs(hashed, maxDist)
+      .select(shiftright(col("id_a"), 10).as("va"), col("id_a").bitwiseAND(lit(1023L)).as("fa"),
+        shiftright(col("id_b"), 10).as("vb"), col("id_b").bitwiseAND(lit(1023L)).as("fb"))
       .filter(col("va") =!= col("vb"))
-      .select(least(col("va"), col("vb")).as("id_a"), greatest(col("va"), col("vb")).as("id_b"))
+    // normalize pair order WITH each frame id following its video
+    val swap = col("va") > col("vb")
+    pairs.select(
+        when(swap, col("vb")).otherwise(col("va")).as("id_a"),
+        when(swap, col("fb")).otherwise(col("fa")).as("frame_a"),
+        when(swap, col("va")).otherwise(col("vb")).as("id_b"),
+        when(swap, col("fa")).otherwise(col("fb")).as("frame_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("matching_frames"))
+      .agg(countDistinct(col("frame_a")).as("ma"), countDistinct(col("frame_b")).as("mb"))
+      .select(col("id_a"), col("id_b"), least(col("ma"), col("mb")).as("matching_frames"))
       .filter(col("matching_frames") >= minMatchingFrames)
   }
 }

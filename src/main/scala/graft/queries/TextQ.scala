@@ -107,7 +107,12 @@ object TextQ extends QueryPack {
     * charged to q60 (which always learns fresh and refreshes this
     * memo), while q61 and any other APPLY consumer reads the
     * vocabulary here. Determinism makes the split safe: whichever
-    * call populates the memo, the merges are identical. */
+    * call populates the memo, the merges are identical. The memo has
+    * NO data-version component (same contract as IvfIndex's): if the
+    * corpus under `d` is rewritten in-place within one application,
+    * either re-run q60 (it re-learns and overwrites the entry) or
+    * call [[clearBpeMemo]] — otherwise q61 tokenizes under the old
+    * vocabulary. */
   private val bpeMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Array[(String, String)]]()
 

@@ -24,4 +24,26 @@ class BatchQueriesSpec extends AnyFunSuite {
       assert(df.count() > 0, s"$name returned no rows")
     }
   }
+
+  test("BPE memo lifecycle: q61 reuses q60's vocabulary; an in-place corpus rewrite needs q60 or clearBpeMemo") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_memo").toString
+    def write(texts: Seq[String]): Unit =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      write(Seq.fill(20)("alpha beta alpha beta"))
+      val m1 = queries.TextQ.bpeMerges(spark, dir)
+      assert(m1.nonEmpty)
+      // rewrite the corpus in place: the memo (deliberately, same
+      // contract as IvfIndex's) still serves the OLD vocabulary
+      write(Seq.fill(20)("gamma delta gamma delta"))
+      assert(queries.TextQ.bpeMerges(spark, dir).toSeq == m1.toSeq)
+      // eviction (or re-running q60) picks up the new corpus
+      queries.TextQ.clearBpeMemo(dir)
+      val m2 = queries.TextQ.bpeMerges(spark, dir)
+      assert(m2.toSeq != m1.toSeq && m2.nonEmpty)
+      CachePool.drain()
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }

@@ -114,5 +114,7 @@ class ExtensionsSpec extends AnyFunSuite {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_ahash(42)").queryExecution.analyzed
     }
+    // but an untyped NULL literal behaves like every builtin: NULL out
+    assert(spark.sql("SELECT graft_ahash(NULL) AS h").head.isNullAt(0))
   }
 }

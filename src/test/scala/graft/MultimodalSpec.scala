@@ -415,12 +415,53 @@ class MultimodalSpec extends AnyFunSuite {
       // an MJPEG "re-cut": videos 4 and 5 share two exact frames
       MediaRow(4, "mjpeg", 64, 48, texJpeg(10) ++ texJpeg(11) ++ texJpeg(12)),
       MediaRow(5, "mjpeg", 64, 48, texJpeg(12) ++ texJpeg(11) ++ texJpeg(13)),
-      MediaRow(6, "mjpeg", 64, 48, Array[Byte](1, 2, 3))))
+      MediaRow(6, "mjpeg", 64, 48, Array[Byte](1, 2, 3)),
+      // a STATIC clip (4 identical frames) vs a video sharing that
+      // one scene: frame-PAIR counting would report 4 matches; the
+      // distinct-frames-per-side contract reports 1 -> no pair
+      MediaRow(8, "y4m", 64, 48, y4m(64, 48, 4)((_, x, y) => tex(77, 64, 48)(0, x, y))),
+      MediaRow(9, "y4m", 64, 48, y4m(64, 48, 4)((f, x, y) =>
+        if (f == 0) tex(77, 64, 48)(0, x, y) else tex(88, 64, 48)(f, x, y)))))
     val dups = Multimodal.videoNearDups(rows, framesPerVideo = 4, minMatchingFrames = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(dups.keySet == Set((1L, 2L), (4L, 5L)), s"got $dups")
     // all four texture frames survive the resolution gap
     assert(dups((1L, 2L)) == 4, s"cross-resolution matches: ${dups((1L, 2L))}")
     assert(dups((4L, 5L)) == 2, s"re-cut matches: ${dups((4L, 5L))}")
+    // 64-bit hash-derived ids would silently lose their top bits in
+    // the frame packing: refused loudly instead
+    intercept[org.apache.spark.SparkException] {
+      spark.createDataset(Seq(MediaRow(Long.MaxValue, "y4m", 64, 48,
+        y4m(64, 48, 2)((_, x, y) => tex(1, 64, 48)(0, x, y)))))
+        .transform(ds => Multimodal.videoNearDups(ds)).collect()
+    }
+  }
+
+  test("MJPEG segment walk: EXIF APP1 with an embedded thumbnail EOI does not split the frame; Y4M dim overflow refused") {
+    import spark.implicits._
+    // inject an APP1 segment (marker FF E1, self-inclusive length)
+    // whose payload contains a fake embedded thumbnail SOI/EOI — a
+    // raw FF D9 scan would end the frame inside the metadata
+    val base = texJpeg(42)
+    val thumb = Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2, 3, 0xff.toByte, 0xd9.toByte)
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+      (((thumb.length + 8) >> 8) & 0xff).toByte, ((thumb.length + 8) & 0xff).toByte,
+      'E', 'x', 'i', 'f', 0, 0) ++ thumb
+    val exifJpeg = base.take(2) ++ app1 ++ base.drop(2)
+    val rows = spark.createDataset(Seq(
+      MediaRow(1, "mjpeg", 64, 48, exifJpeg ++ exifJpeg),
+      // header dims whose 32-bit pixel product wraps negative: the
+      // Long-math guard must refuse, not misread plane offsets
+      MediaRow(2, "y4m", 0, 0,
+        "YUV4MPEG2 W46341 H46341 F25:1 Ip A1:1 C420\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3))))
+    val byId = Multimodal.decodeVideo(rows).collect().map(f => f.doc_id -> f).toMap
+    assert(byId(1L).decoded && byId(1L).n_frames == 2,
+      s"EXIF frame miscounted: ${byId(1L)}")
+    assert(!byId(2L).decoded)
+    // both sampled frames re-decode as real images despite the APP1
+    val frames = Multimodal.frameSample(rows.filter(_.doc_id == 1), n = 2, Multimodal.JdkVideoFrames)
+    val feats = Multimodal.decodeImages(
+      frames.map(f => MediaRow(f.frame_idx.toLong, "frame", 0, 0, f.payload))).collect()
+    assert(feats.length == 2 && feats.forall(f => f.decoded && f.px_width == 64))
   }
 }
