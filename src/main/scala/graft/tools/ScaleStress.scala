@@ -649,6 +649,61 @@ object ScaleStress {
       }
     }
 
+    // Video near-dup at scale: 5k Y4M clips (4 frames each, ~20k real
+    // frame decodes + aHashes) through ONE banding pass over all frame
+    // fingerprints. Every 25th clip is a CROSS-RESOLUTION re-encode
+    // (128×96 vs the source's 64×48) of clip id/25 — the planted pair
+    // set must come back EXACTLY (no misses: area-averaged cells are
+    // resolution-invariant; no extras: unrelated 60-bit fingerprints
+    // land within hamming 3 on ≥2 distinct frames with probability
+    // ~1e-5 across all 2e8 frame pairs). Candidate blocking is the
+    // text family's simhash machinery, already stress-proven flat.
+    time("video_neardup_5k_clips") {
+      import graft.operators.Multimodal
+      def texLum(seed: Long, w: Int, h: Int, f: Int, x: Int, y: Int): Int = {
+        var z = ((x.toLong * 32 / w) * 24 + (y.toLong * 24 / h)) * 8192 + seed * 8 + f + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        ((z ^ (z >>> 31)) & 0xff).toInt
+      }
+      def clip(seed: Long, w: Int, h: Int): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+        val cw = (w + 1) / 2
+        val chh = (h + 1) / 2
+        (0 until 4).foreach { f =>
+          out.write("FRAME\n".getBytes("US-ASCII"))
+          val buf = new Array[Byte](w * h + 2 * cw * chh)
+          var i = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { buf(i) = texLum(seed, w, h, f, x, y).toByte; i += 1; x += 1 }
+            y += 1
+          }
+          java.util.Arrays.fill(buf, w * h, buf.length, 128.toByte)
+          out.write(buf)
+        }
+        out.toByteArray
+      }
+      val n = 5000L
+      val clips = spark.range(n).mapPartitions(_.map { id =>
+        if (id % 25 == 0 && id >= 25) Multimodal.MediaRow(id, "y4m", 128, 96, clip(id / 25, 128, 96))
+        else Multimodal.MediaRow(id, "y4m", 64, 48, clip(id, 64, 48))
+      })
+      val got = Multimodal.videoNearDups(clips, framesPerVideo = 4, minMatchingFrames = 2)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      // a source that is ITSELF a dup clip (id % 25 == 0) renders
+      // with seed id/25, not its own id — those 7 pairs don't exist
+      val planted = (25L until n by 25).map(d => (d / 25, d)).filter(_._1 % 25 != 0).toSet
+      require(got.map(_._1).toSet == planted,
+        s"video pair set mismatch: ${got.length} found vs ${planted.size} planted; " +
+          s"extras=${(got.map(_._1).toSet -- planted).take(5)} missed=${(planted -- got.map(_._1).toSet).take(5)}")
+      require(got.forall(_._2 == 4),
+        s"cross-resolution clips must match on all 4 frames: ${got.filter(_._2 != 4).take(5).toSeq}")
+      n
+    }
+
     // The COMPOSED pipeline at volume: clean → dedup-cluster → rebalance
     // → leakage-safe split → pack over 1M docs, sharing ONE scoring scan
     // and ONE shingle scan (plus the at-rest cluster artifact) instead
