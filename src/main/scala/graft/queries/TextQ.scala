@@ -126,6 +126,17 @@ object TextQ extends QueryPack {
   def clearBpeMemo(substr: String): Unit =
     bpeMemo.keySet.removeIf(_._2.contains(substr))
 
+  /** The q63 anomaly-augmentation twins (Spark literal / SQL chr()
+    * chain side by side, the [[Aug]] convention): accented letters
+    * (non-ASCII), two U+FFFD replacement chars (decoder damage), and
+    * a BEL control char — the three mojibake signals the query
+    * screens for. Appended to doc_id % 11 == 0 copies at +3_000_000
+    * so the corpus (pure ASCII by construction) gets a deterministic
+    * dirty stratum both engines replay. */
+  private val encAnomalySuffix = " caf\u00e9 na\u00efve \uFFFD\uFFFD \u0007end"
+  private val encAnomalySuffixSql =
+    "' caf' || chr(233) || ' na' || chr(239) || 've ' || chr(65533) || chr(65533) || ' ' || chr(7) || 'end'"
+
   /** q55's oracle, shared verbatim with q62 (which wraps it as a CTE
     * and applies band-dependent sampling on top). */
   private val q55OracleSql =
@@ -409,6 +420,37 @@ object TextQ extends QueryPack {
     // new shuffles.
     "q62_quality_resample" -> ((s, d) =>
       graft.operators.LmArtifact.bandResample(defs("q55_logfreq_quality")(s, d))),
+
+    // Encoding-anomaly screening — the C4/CCNet cleanup step the text
+    // family lacked: per doc, counts of non-ASCII codepoints, C0
+    // control chars (tab/newline/CR excluded — those are formatting,
+    // not damage), and U+FFFD replacement chars (the tombstone a
+    // lossy decode leaves behind), plus a keep/flag verdict
+    // (replacement or control chars flag outright; non-ASCII flags
+    // above 30%, integer-compared as 10*n > 3*chars so neither
+    // engine divides). One shuffle-free corpus scan. The base corpus
+    // is pure ASCII by construction, so a deterministic dirty
+    // stratum (encAnomalySuffix twins above) is appended, the Aug
+    // convention.
+    "q63_encoding_anomaly" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      docs.unionByName(docs.filter($"doc_id" % 11 === 0)
+          .select(($"doc_id" + 3000000L).as("doc_id"),
+            concat($"text", lit(encAnomalySuffix)).as("text")))
+        .select(
+          $"doc_id",
+          length($"text").cast("long").as("n_chars"),
+          length(regexp_replace($"text", "[\\x00-\\x7F]", "")).cast("long").as("n_non_ascii"),
+          (length($"text") -
+            length(regexp_replace($"text", "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
+            .cast("long").as("n_control"),
+          (length($"text") - length(translate($"text", "\uFFFD", "")))
+            .cast("long").as("n_replacement"))
+        .withColumn("verdict",
+          when($"n_replacement" === 0 && $"n_control" === 0 &&
+            $"n_non_ascii" * 10 <= $"n_chars" * 3, "keep").otherwise("flag"))
+    }),
 
     // BPE tokenizer learning — the tokenizer-training stage of an LLM
     // data pipeline (Sennrich et al. 2016), distributed the only way
@@ -742,6 +784,24 @@ object TextQ extends QueryPack {
          |WHERE cast(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS bigint) % 100
          |      < CASE WHEN band = 'head' THEN 100 ELSE 30 END""".stripMargin
     },
+
+    "q63_encoding_anomaly" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, text || $encAnomalySuffixSql
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |m AS (SELECT doc_id,
+         |  length(text)::BIGINT AS n_chars,
+         |  length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))::BIGINT AS n_non_ascii,
+         |  (length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')))::BIGINT AS n_control,
+         |  (length(text) - length(replace(text, chr(65533), '')))::BIGINT AS n_replacement
+         |  FROM aug)
+         |SELECT doc_id, n_chars, n_non_ascii, n_control, n_replacement,
+         |  CASE WHEN n_replacement = 0 AND n_control = 0
+         |            AND n_non_ascii * 10 <= n_chars * 3
+         |       THEN 'keep' ELSE 'flag' END AS verdict
+         |FROM m""".stripMargin,
 
     "q60_bpe_learn" ->
       s"""WITH $bpeCtes
