@@ -160,6 +160,42 @@ object StreamingDemo {
       .topKSq8(spark, idxDir, probes, model, nprobe = 2, k = 3)
       .orderBy("query_id", "rnk").collect().mkString(";"))
 
+    // Multimodal: decode a real (generated) image and video through
+    // the JDK kernels, then near-dup match the video against its own
+    // re-encode at half resolution — all pure-JDK codecs (ImageIO +
+    // the Y4M/MJPEG container parsers).
+    def gray(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        val v = (((x * 32 / w) * 24 + (y * 24 / h)) * 31 + seed * 97) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      img
+    }
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def mjpeg(seeds: Seq[Int], w: Int, h: Int): Array[Byte] =
+      seeds.toArray.flatMap { s =>
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(gray(w, h, s), "jpg", out)
+        out.toByteArray
+      }
+    import graft.operators.Multimodal
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1, "png", 64, 48, png(gray(64, 48, 1))),
+      Multimodal.MediaRow(2, "mjpeg", 64, 48, mjpeg(Seq(5, 6, 7), 64, 48)),
+      Multimodal.MediaRow(3, "mjpeg", 32, 24, mjpeg(Seq(5, 6, 7), 32, 24))))
+    println("IMAGE_FEATURES=" + Multimodal.decodeImages(media.filter(_.doc_id == 1))
+      .collect().mkString(";"))
+    println("VIDEO_FEATURES=" + Multimodal.decodeVideo(media.filter(_.doc_id >= 2))
+      .collect().mkString(";"))
+    println("VIDEO_NEARDUPS=" + Multimodal.videoNearDups(
+      media.filter(_.doc_id >= 2), framesPerVideo = 3, minMatchingFrames = 2)
+      .collect().mkString(";"))
+
     spark.stop()
   }
 }

@@ -150,6 +150,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"BPE apply must not shuffle:\n$p")
   }
 
+  test("q63: encoding screening is one shuffle-free scan (union of two scan branches, no exchange)") {
+    val p = plan("q63_encoding_anomaly")
+    assert(!p.contains("Exchange"), s"per-doc counting must not shuffle:\n$p")
+  }
+
   test("q58: bigram + unigram vocab joins broadcast; pair stream cached once") {
     val p = plan("q58_bigram_lm")
     assert(p.contains("InMemoryTableScan"), s"pair stream recomputed:\n$p")
