@@ -100,4 +100,60 @@ class PropertySpec extends AnyFunSuite {
       IvfKernels.probeCells(new GenericArrayData(v), cent, csq, nprobe).toIntArray().toSeq == expected
     }, cases = 200)
   }
+
+  // ---- media container parsers: refuse or degrade, never throw ----
+  // A corrupt payload in a 100 TB media lake must surface as a flag
+  // on its row; any kernel exception fails the task 4x and kills the
+  // whole job. Fuzz the three executor-side entry points with noise,
+  // truncations, and single-byte flips of VALID containers (the flips
+  // exercise every internal parse branch: header fields, frame
+  // markers, segment lengths, plane sizes).
+
+  private val mediaSeeds: Seq[Array[Byte]] = {
+    def img(seed: Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 12).foreach(y => (0 until 16).foreach { x =>
+        val v = (x * 13 + y * 7 + seed * 31) % 256
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      im
+    }
+    def enc(fmt: String, seed: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img(seed), fmt, out)
+      out.toByteArray
+    }
+    val y4m = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("YUV4MPEG2 W16 H12 F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+      (0 until 2).foreach { f =>
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        out.write(Array.tabulate(16 * 12 + 2 * 8 * 6)(i => ((i * 31 + f) % 256).toByte))
+      }
+      out.toByteArray
+    }
+    Seq(y4m, enc("jpg", 1) ++ enc("jpg", 2), enc("png", 3))
+  }
+
+  test("video/image decode, frame sampling, and aHash never throw on noise, truncated, or bit-flipped payloads") {
+    import graft.operators.Multimodal
+    val genPayload: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.containerOf[Array, Byte](Gen.choose(-128, 127).map(_.toByte)),
+      for {
+        base <- Gen.oneOf(mediaSeeds)
+        cut <- Gen.choose(0, base.length)
+      } yield base.take(cut),
+      for {
+        base <- Gen.oneOf(mediaSeeds)
+        i <- Gen.choose(0, base.length - 1)
+        b <- Gen.choose(-128, 127)
+      } yield { val c = base.clone(); c(i) = b.toByte; c })
+    checkProp(Prop.forAll(genPayload) { p =>
+      Multimodal.JdkVideoDecode.decode(p)
+      Multimodal.JdkVideoFrames.frames(p, 3)
+      Multimodal.AHash60.hash(p)
+      Multimodal.ImageIoDecode.decode(p)
+      true // reaching here = no exception escaped any kernel
+    }, cases = 400)
+  }
 }
