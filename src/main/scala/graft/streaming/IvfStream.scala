@@ -33,9 +33,12 @@ import graft.operators.IvfIndex
 object IvfStream {
 
   /** One micro-batch of index ingest against an already-loaded
-    * model; `batch` carries (vec_id, v). */
+    * model; `batch` carries (vec_id, v). `compactEvery` > 0 compacts
+    * the arrival history every that many batches (see [[compact]]). */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
-      model: IvfIndex.Model): Unit = {
+      model: IvfIndex.Model, compactEvery: Int = 0): Unit = {
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compact(batch.sparkSession, root, batchId)
     IvfIndex.assignCells(batch.select(col("vec_id"), col("v")), model)
       // same row layout as the batch build: SQ8 codes ride alongside
       // the vectors so the streamed index serves topKSq8 too
@@ -60,23 +63,105 @@ object IvfStream {
     * spaces INSIDE ONE ROOT — the probe then prunes wrong cells for
     * every pre-retrain batch. A retrain swaps in a whole new root
     * (see the class doc), never mutates a live one. */
-  def sink(spark: SparkSession, root: String, modelDir: String): (DataFrame, Long) => Unit = {
+  def sink(spark: SparkSession, root: String, modelDir: String,
+      compactEvery: Int = 16): (DataFrame, Long) => Unit = {
     val model = IvfIndex.load(spark, modelDir)
-    (batch, batchId) => processBatch(batch, batchId, root, model)
+    (batch, batchId) => processBatch(batch, batchId, root, model, compactEvery)
+  }
+
+  // ---- index compaction ---------------------------------------------------
+  // Without it a probe opens nprobe cell files PER ARRIVAL BATCH —
+  // footer I/O linear in stream history, the postings-history disease
+  // [[ClusterMaintenance.compact]] cured, in index form. Every
+  // `compactEvery` batches the committed history is rewritten ONCE
+  // into a single cell-partitioned compact version (one file per
+  // cell, the batch build's exact layout); probes read the newest
+  // compact version plus the uncompacted tail, so per-probe file
+  // count is O(nprobe × (1 + compactEvery)), flat in history depth.
+  // The rewrite is sequential columnar I/O amortized over
+  // compactEvery batches.
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** COMMITTED compact versions under root, ascending. */
+  private def compactVersions(spark: SparkSession, root: String): Seq[(Long, String)] =
+    BatchVersioned.versions(spark, s"$root/compact")
+
+  private val IndexCols = Seq("vec_id", "v", "code", "cell")
+
+  /** Rewrite arrival batches older than `batchId` (plus the previous
+    * compact version) as compact version v=`batchId`, then GC what no
+    * possible replay can read — versions/batch dirs below the
+    * PREVIOUS compact version: batches < batchId are committed by the
+    * time batchId runs, and a replay of batchId re-runs this
+    * compaction from the previous version, which is kept. Idempotent
+    * under replay: same committed inputs, same overwrite (replayed
+    * ingest batches write identical rows — the frozen-model
+    * contract). */
+  private[graft] def compact(spark: SparkSession, root: String, batchId: Long): Unit = {
+    val prev = compactVersions(spark, root).filter(_._1 < batchId).lastOption
+    val deltaLo = prev.map(_._1).getOrElse(Long.MinValue)
+    val tail = BatchVersioned.versions(spark, root, prefix = "b")
+      .filter { case (b, _) => b >= deltaLo && b < batchId }.map(_._2)
+    val parts =
+      prev.map { case (_, d) =>
+        spark.read.option("basePath", d).parquet(d).select(IndexCols.map(col): _*)
+      }.toSeq ++
+      (if (tail.isEmpty) Seq.empty
+       else Seq(spark.read.option("basePath", root).parquet(tail: _*)
+         .select(IndexCols.map(col): _*)))
+    if (parts.nonEmpty) {
+      parts.reduce(_ unionByName _)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/compact/v=$batchId")
+      // GC only after the new version committed
+      val f = fs(spark, root)
+      prev.foreach { case (pv, _) =>
+        compactVersions(spark, root).filter(_._1 < pv).foreach { case (_, d) =>
+          f.delete(new org.apache.hadoop.fs.Path(d), true)
+        }
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        if (f.exists(rootPath))
+          f.listStatus(rootPath).toSeq.map(_.getPath)
+            .filter(_.getName.startsWith("b="))
+            .filter(_.getName.stripPrefix("b=").toLong < pv)
+            .foreach(f.delete(_, true))
+      }
+    }
+  }
+
+  /** All index rows a probe may read: the newest committed compact
+    * version plus committed arrival batches at-or-after it. A
+    * replayed pre-compaction batch recommits rows already inside the
+    * compact version and stays invisible here — no double counting.
+    * Both branches carry `cell` as a partition column, so probe-side
+    * cell pruning survives the union. */
+  private def visible(spark: SparkSession, root: String): DataFrame = {
+    val cv = compactVersions(spark, root).lastOption
+    val lo = cv.map(_._1).getOrElse(Long.MinValue)
+    val tail = BatchVersioned.versions(spark, root, prefix = "b")
+      .filter(_._1 >= lo).map(_._2)
+    val parts =
+      cv.map { case (_, d) =>
+        spark.read.option("basePath", d).parquet(d).select(IndexCols.map(col): _*)
+      }.toSeq ++
+      (if (tail.isEmpty) Seq.empty
+       else Seq(spark.read.option("basePath", root).parquet(tail: _*)
+         .select(IndexCols.map(col): _*)))
+    require(parts.nonEmpty, s"no committed index batches under $root")
+    parts.reduce(_ unionByName _)
   }
 
   /** Probe the streamed index: identical semantics and plan shape to
     * [[IvfIndex.topK]] over a batch-built index — broadcast probe
     * cells, DPP-pruned scan of only the probed `cell=` directories
-    * (across all COMMITTED arrival batches: `_SUCCESS`-gated, so a
-    * crashed batch's partial directory is invisible until its replay
-    * commits), exact cosine top-k. */
+    * (over [[visible]]: newest compact version + committed arrival
+    * tail, `_SUCCESS`-gated so a crashed batch's or compaction's
+    * partial directory is invisible until its replay commits), exact
+    * cosine top-k. */
   def topK(spark: SparkSession, root: String, queries: DataFrame,
-      modelDir: String, nprobe: Int, k: Int): DataFrame = {
-    val model = IvfIndex.load(spark, modelDir)
-    val committed = BatchVersioned.versions(spark, root, prefix = "b").map(_._2)
-    require(committed.nonEmpty, s"no committed index batches under $root")
-    val idx = spark.read.option("basePath", root).parquet(committed: _*)
-    IvfIndex.topK(idx, queries, model, nprobe, k)
-  }
+      modelDir: String, nprobe: Int, k: Int): DataFrame =
+    IvfIndex.topK(visible(spark, root), queries, IvfIndex.load(spark, modelDir), nprobe, k)
 }
