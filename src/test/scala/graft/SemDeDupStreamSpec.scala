@@ -97,4 +97,66 @@ class SemDeDupStreamSpec extends AnyFunSuite {
     graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
     graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(modelDir))
   }
+
+  test("compaction: batch parity holds across compactions, retro-drops cross the boundary, history GC'd, deltas stay delta-sized") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_sds_cmp").toString
+    val modelDir = Files.createTempDirectory("graft_sds_cmp_model").toString
+    try {
+      graft.operators.IvfIndex.save(
+        graft.queries.SimilarityQ.semdedupModel(spark, sfDir), modelDir, spark)
+      val n = graft.sources.Tables.embeddingCount(spark, sfDir)
+      val subBits = graft.queries.SimilarityQ.semdedupSubBits(n)
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        .select($"vec_id", graft.functions.VectorFunctions.vec($"embedding").as("v"))
+      val aug = graft.queries.Aug.embCopies(emb)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+      // 6 batches with compaction every 2: both tables compact at
+      // batches 2 and 4, so pairs and retro-drops must resolve across
+      // compact/delta boundaries (planted copies scatter high and low
+      // ids into different batches in both orders)
+      (0 until 6).foreach { b =>
+        val rows = aug.filter(_._1 % 6 == b).toDF("vec_id", "v")
+        SemDeDupStream.processBatch(rows, b, root, modelDir,
+          subBits = subBits, compactEvery = 2)
+      }
+      val streamed = verdictSet(SemDeDupStream.loadVerdicts(spark, root))
+      val want = verdictSet(SparkEntry.queries("q53_semdedup")(spark, sfDir))
+      CachePool.drain()
+      assert(streamed == want)
+      assert(streamed.nonEmpty)
+
+      def dirExists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+      // compact versions exist for both tables; history below the
+      // PREVIOUS version (2) is GC'd, the previous version survives
+      // for a replay of batch 4's compaction
+      assert(dirExists(s"$root/corpus_compact/v=4") && dirExists(s"$root/verdicts_compact/v=4"))
+      assert(dirExists(s"$root/corpus_compact/v=2") && dirExists(s"$root/verdicts_compact/v=2"))
+      (0 until 2).foreach { b =>
+        assert(!dirExists(s"$root/corpus/b=$b"), s"corpus b=$b should be GC'd")
+        assert(!dirExists(s"$root/verdicts/v=$b"), s"verdicts v=$b should be GC'd")
+      }
+      (2 until 6).foreach(b => assert(dirExists(s"$root/corpus/b=$b")))
+
+      // verdict DELTAS are delta-sized: each holds its batch's rows +
+      // retro-touches, never the whole table (the old design rewrote
+      // all verdicts every batch — O(corpus) per batch)
+      val delta5 = spark.read.parquet(s"$root/verdicts/v=5").count()
+      val batch5 = aug.count(_._1 % 6 == 5)
+      assert(delta5 < streamed.size,
+        s"delta v=5 has $delta5 rows — looks like a full-table rewrite (total ${streamed.size})")
+      assert(delta5 >= batch5, "delta must at least carry its own batch")
+
+      // a replayed batch BEHIND the newest compaction converges
+      // identically (strictly-older reads come from the compact
+      // versions it would have seen)
+      SemDeDupStream.processBatch(aug.filter(_._1 % 6 == 5).toDF("vec_id", "v"), 5, root,
+        modelDir, subBits = subBits, compactEvery = 2)
+      assert(verdictSet(SemDeDupStream.loadVerdicts(spark, root)) == want)
+    } finally {
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(modelDir))
+    }
+  }
 }
