@@ -73,7 +73,7 @@ object SemDeDupStream {
   /** Packed bucket key (cell·2²⁰ + sub) — one sortable/bloomable
     * column for row-group pruning; subBits ≤ 20 by far (q53 uses
     * ≤ 12), so the pack is collision-free. */
-  private def ck(cell: org.apache.spark.sql.Column, sub: org.apache.spark.sql.Column) =
+  private[graft] def ck(cell: org.apache.spark.sql.Column, sub: org.apache.spark.sql.Column) =
     cell.cast("long") * lit(1L << 20) + sub
 
   private def fsOf(spark: SparkSession, dir: String) =
@@ -90,7 +90,7 @@ object SemDeDupStream {
     * [[ClusterMaintenance.postingsBefore]]: v=batchId holds exactly
     * the deltas b < batchId, written deterministically from
     * strictly-older state. */
-  private def corpusBefore(spark: SparkSession, root: String, batchId: Long,
+  private[graft] def corpusBefore(spark: SparkSession, root: String, batchId: Long,
       pushCk: Option[Array[Long]]): DataFrame = {
     val compactOpt = corpusCompactVersions(spark, root).filter(_._1 <= batchId).lastOption
     val deltaLo = compactOpt.map(_._1).getOrElse(Long.MinValue)
@@ -114,8 +114,12 @@ object SemDeDupStream {
     * compact version, then GC versions/deltas below the PREVIOUS
     * compact version (kept: a replayed compacting batch re-runs this
     * from it — idempotent overwrite, identical rows). */
+  /** `bloomNdv` = expected distinct ck per row group when
+    * parquet.block.size is tuned small (0 = one row group per file,
+    * i.e. min(rows, targetRows)) — the [[ClusterMaintenance.compact]]
+    * convention. */
   private[graft] def compactCorpus(spark: SparkSession, root: String, batchId: Long,
-      targetRows: Long = 4000000L): Unit = {
+      targetRows: Long = 4000000L, bloomNdv: Long = 0L): Unit = {
     val prev = corpusCompactVersions(spark, root).filter(_._1 < batchId).lastOption
     val deltaLo = prev.map(_._1).getOrElse(Long.MinValue)
     val deltas = readBefore(spark, s"$root/corpus",
@@ -135,7 +139,8 @@ object SemDeDupStream {
         .sortWithinPartitions(col("ck"))
         .write.mode("overwrite")
         .option("parquet.bloom.filter.enabled#ck", "true")
-        .option("parquet.bloom.filter.expected.ndv#ck", math.min(rows, targetRows).toString)
+        .option("parquet.bloom.filter.expected.ndv#ck",
+          (if (bloomNdv > 0) bloomNdv else math.min(rows, targetRows)).toString)
         // fpp must be << 1/batch-buckets (compounds across probed keys;
         // see ClusterMaintenance.compact)
         .option("parquet.bloom.filter.fpp#ck", "0.000001")

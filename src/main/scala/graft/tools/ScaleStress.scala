@@ -21,6 +21,29 @@ object ScaleStress {
     * a single heavy stage; unset = full suite). */
   private val only = sys.env.get("STRESS_ONLY")
 
+  /** The scan nodes' MATERIALIZED ROWS — rows of row-groups that
+    * survived In-filter/bloom pruning, counted before the residual
+    * Spark filter. Materialized rows × row width IS the data-level
+    * input (task InputMetrics bytes also count footer/column-index
+    * metadata, which on many-small-file local runs dominates); this
+    * is the number the flat-input rows below must hold. Manual
+    * recursion: TreeNode.collect stops at AQE query-stage boundaries
+    * (their subtrees are not `children`). */
+  private def scanRows(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
+    var s = 0L
+    def go(x: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      x match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => go(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
+        case n => if (n.nodeName.toLowerCase.contains("scan"))
+          s += n.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      }
+      x.children.foreach(go)
+    }
+    go(plan)
+    s
+  }
+
   private def time(name: String)(f: => Long): Unit = if (only.forall(name.contains)) {
     val t0 = System.nanoTime()
     val rows = f
@@ -589,28 +612,6 @@ object ScaleStress {
             cur
           } finally spark.sparkContext.removeSparkListener(listener)
         }
-        // Two views of the same read: task InputMetrics bytes (includes
-        // footer/column-index metadata, which on many-file local runs
-        // can dominate) and the scan node's MATERIALIZED ROWS — rows of
-        // row-groups that survived In-filter pruning, counted before
-        // the residual Spark filter. Materialized rows x row width IS
-        // the data-level input; it is the number that must stay flat.
-        def scanRows(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
-          // manual recursion: TreeNode.collect stops at AQE query-stage
-          // boundaries (their subtrees are not `children`)
-          var s = 0L
-          def go(x: org.apache.spark.sql.execution.SparkPlan): Unit = {
-            x match {
-              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => go(a.executedPlan)
-              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
-              case n => if (n.nodeName.toLowerCase.contains("scan"))
-                s += n.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
-            }
-            x.children.foreach(go)
-          }
-          go(plan)
-          s
-        }
         def lookup(depth: Long, push: Option[Array[Long]]): Long = {
           // sum of residues, not count(): count() would satisfy from
           // parquet footer metadata (aggregatePushdown) and read ~zero
@@ -642,6 +643,81 @@ object ScaleStress {
           f"per-batch lookup materialized rows grew $flatRows%.2fx while history grew 4x - compaction pruning is not flat")
         require(gainRows > 3.0,
           f"pruned scan only ${gainRows}%.1fx below full scan - In-filter pushdown is not pruning row-groups")
+        FileUtil.deleteTree(java.nio.file.Paths.get(root))
+        40 * rowsPerBatch
+      } finally {
+        if (prevBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prevBlock)
+      }
+    }
+
+    // SemDeDupStream's per-batch corpus lookup stays FLAT as the
+    // streamed history deepens (the ClusterMaintenance flat-input
+    // criterion applied to the second table that needed it): 40
+    // batches × 400k vectors spread over ~2^19 (cell, sub) buckets;
+    // at depths 10/20/30/40 the history is compacted (ck-sorted,
+    // 16 KiB row groups ≈ fine pruning granules, per-row-group ck
+    // blooms) and a FIXED 2000-bucket probe (buckets live in batch 0,
+    // so present at every depth) measures the materialized scan rows
+    // of corpusBefore with the key set pushed down. Flat ⇒ a steady
+    // micro-batch reads O(its buckets × granule) from deep history,
+    // not the history itself.
+    time("semdedup_stream_compaction_flat_input") {
+      val root = java.nio.file.Files.createTempDirectory("graft_stress_sdc").toString
+      val rowsPerBatch = 400000L
+      val hc = spark.sparkContext.hadoopConfiguration
+      val prevBlock = hc.get("parquet.block.size")
+      hc.set("parquet.block.size", "16384")
+      try {
+        (0L until 40L).foreach { b =>
+          // sub must be INDEPENDENT of cell (like the real sign-LSH
+          // sub-bucket of the vector): a second linear-mod-64 of id is
+          // DETERMINED by cell (64 | 8192), collapsing the bucket
+          // space 64-fold and making every probed bucket's row count
+          // grow linearly with depth
+          spark.range(b * rowsPerBatch, (b + 1) * rowsPerBatch)
+            .select($"id".as("vec_id"),
+              pmod($"id" * 2654435761L, lit(8192)).cast("int").as("cell"),
+              expr("cast(pmod(xxhash64(id), 64) as int)").as("sub"),
+              expr("transform(sequence(0, 7), k -> cast(id % 97 + k as double))").as("v"))
+            .write.mode("overwrite").parquet(s"$root/corpus/b=$b")
+        }
+        // fixed probe buckets from batch 0 (stride 201 keeps all 2000
+        // source ids inside batch 0; ODD, so probed cells/subs spread
+        // over the whole bucket space like a real hash-assigned batch
+        // — an even stride degenerately probes only multiple-of-8
+        // cells AND blankets every sub-granule of those cells)
+        val probe = spark.range(2000)
+          .select(($"id" * 201).as("id"))
+          .select((pmod($"id" * 2654435761L, lit(8192)) * (1L << 20) +
+            expr("pmod(xxhash64(id), 64)")).as("ck"))
+          .distinct().collect().map(_.getLong(0))
+        def lookup(depth: Long): Long = {
+          val agg = graft.streaming.SemDeDupStream
+            .corpusBefore(spark, root, depth, Some(probe))
+            .agg(sum(pmod($"vec_id", lit(1000L))), sum(pmod($"cell", lit(1000))))
+          agg.collect()
+          scanRows(agg.queryExecution.executedPlan)
+        }
+        var byDepth = Seq.empty[(Long, Long)]
+        Seq(10L, 20L, 30L, 40L).foreach { d =>
+          graft.streaming.SemDeDupStream.compactCorpus(spark, root, d,
+            targetRows = 250000L, bloomNdv = 256L)
+          byDepth :+= (d -> lookup(d))
+        }
+        // unpruned reference at full depth
+        val agg = graft.streaming.SemDeDupStream
+          .corpusBefore(spark, root, 40L, None)
+          .agg(sum(pmod($"vec_id", lit(1000L))), sum(pmod($"cell", lit(1000))))
+        agg.collect()
+        val unpruned = scanRows(agg.queryExecution.executedPlan)
+        val flat = byDepth.last._2.toDouble / byDepth.head._2
+        val gain = unpruned.toDouble / byDepth.last._2
+        println(f"STRESS   pruned_scan_rows=${byDepth.map { case (d, x) => s"$d:$x" }.mkString(", ")} " +
+          f"depth40/depth10=$flat%.2f unpruned_rows=$unpruned pruned_gain=${gain}%.1fx")
+        require(flat < 1.5,
+          f"per-batch corpus lookup grew $flat%.2fx while history grew 4x - pruning is not flat")
+        require(gain > 3.0,
+          f"pruned scan only ${gain}%.1fx below full scan - ck pushdown is not pruning row-groups")
         FileUtil.deleteTree(java.nio.file.Paths.get(root))
         40 * rowsPerBatch
       } finally {
