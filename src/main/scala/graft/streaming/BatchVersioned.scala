@@ -24,6 +24,29 @@ private[streaming] object BatchVersioned {
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
 
+  /** GC after a compaction committed: delete compact versions and
+    * delta dirs below the PREVIOUS compact version `prev` — state no
+    * possible replay can read (batches below prev were committed
+    * before prev's compaction ran, and a replayed compacting batch
+    * re-runs its compaction FROM prev, which is kept). Shared by all
+    * three compactors ([[ClusterMaintenance]], [[SemDeDupStream]],
+    * [[IvfStream]]) so the replay-safety rule lives in one place. */
+  def gcBelowPrev(spark: SparkSession, compactDir: String, deltaDir: String,
+      deltaPrefix: String, prev: Option[(Long, String)]): Unit = {
+    val f = fs(spark, compactDir)
+    prev.foreach { case (pv, _) =>
+      versions(spark, compactDir).filter(_._1 < pv).foreach { case (_, d) =>
+        f.delete(new org.apache.hadoop.fs.Path(d), true)
+      }
+      val deltaRoot = new org.apache.hadoop.fs.Path(deltaDir)
+      if (f.exists(deltaRoot))
+        f.listStatus(deltaRoot).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith(s"$deltaPrefix="))
+          .filter(_.getName.stripPrefix(s"$deltaPrefix=").toLong < pv)
+          .foreach(f.delete(_, true))
+    }
+  }
+
   /** All rows of a `b=`-partitioned delta table written by batches
     * BEFORE `upTo`. Partition pruning makes the filter a directory-
     * listing decision, not a scan. */

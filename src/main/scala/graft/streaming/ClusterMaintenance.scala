@@ -120,18 +120,7 @@ object ClusterMaintenance {
         .option("parquet.bloom.filter.fpp#sh", "0.000001")
         .parquet(s"$root/postings_compact/v=$batchId")
       // GC: only after the new version committed
-      val f = fs(spark, root)
-      prev.foreach { case (pv, _) =>
-        compactVersions(spark, root).filter(_._1 < pv).foreach { case (_, d) =>
-          f.delete(new org.apache.hadoop.fs.Path(d), true)
-        }
-        val deltaRoot = new org.apache.hadoop.fs.Path(s"$root/postings")
-        if (f.exists(deltaRoot))
-          f.listStatus(deltaRoot).toSeq.map(_.getPath)
-            .filter(_.getName.startsWith("b="))
-            .filter(_.getName.stripPrefix("b=").toLong < pv)
-            .foreach(f.delete(_, true))
-      }
+      BatchVersioned.gcBelowPrev(spark, s"$root/postings_compact", s"$root/postings", "b", prev)
     }
   }
 

@@ -62,7 +62,14 @@ object IvfStream {
     * mid-stream assign different batches under different centroid
     * spaces INSIDE ONE ROOT — the probe then prunes wrong cells for
     * every pre-retrain batch. A retrain swaps in a whole new root
-    * (see the class doc), never mutates a live one. */
+    * (see the class doc), never mutates a live one.
+    *
+    * Compaction GC deletes arrival dirs already folded into a compact
+    * version, so every READER of the root must resolve through
+    * [[topK]]/[[visible]] (which read compact + tail) before a writer
+    * with compaction enabled starts — a reader listing only `b=` dirs
+    * would silently lose the compacted history. Upgrade readers
+    * first, or pass compactEvery = 0. */
   def sink(spark: SparkSession, root: String, modelDir: String,
       compactEvery: Int = 16): (DataFrame, Long) => Unit = {
     val model = IvfIndex.load(spark, modelDir)
@@ -81,14 +88,34 @@ object IvfStream {
   // The rewrite is sequential columnar I/O amortized over
   // compactEvery batches.
 
-  private def fs(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-
   /** COMMITTED compact versions under root, ascending. */
   private def compactVersions(spark: SparkSession, root: String): Seq[(Long, String)] =
     BatchVersioned.versions(spark, s"$root/compact")
 
   private val IndexCols = Seq("vec_id", "v", "code", "cell")
+
+  /** The one "compact version + delta tail" assembly both [[compact]]
+    * and [[visible]] read — bound differs, the column set and
+    * visibility rule must not: compaction rewrites EXACTLY what
+    * probes would read below its bound. Returns (previous-compact,
+    * parts). Both branches carry `cell` as a partition column, so
+    * probe-side cell pruning survives the union. */
+  private def parts(spark: SparkSession, root: String,
+      upper: Option[Long]): (Option[(Long, String)], Seq[DataFrame]) = {
+    val cv = compactVersions(spark, root)
+      .filter(v => upper.forall(v._1 < _)).lastOption
+    val lo = cv.map(_._1).getOrElse(Long.MinValue)
+    val tail = BatchVersioned.versions(spark, root, prefix = "b")
+      .filter { case (b, _) => b >= lo && upper.forall(b < _) }.map(_._2)
+    val ps =
+      cv.map { case (_, d) =>
+        spark.read.option("basePath", d).parquet(d).select(IndexCols.map(col): _*)
+      }.toSeq ++
+      (if (tail.isEmpty) Seq.empty
+       else Seq(spark.read.option("basePath", root).parquet(tail: _*)
+         .select(IndexCols.map(col): _*)))
+    (cv, ps)
+  }
 
   /** Rewrite arrival batches older than `batchId` (plus the previous
     * compact version) as compact version v=`batchId`, then GC what no
@@ -100,58 +127,25 @@ object IvfStream {
     * ingest batches write identical rows — the frozen-model
     * contract). */
   private[graft] def compact(spark: SparkSession, root: String, batchId: Long): Unit = {
-    val prev = compactVersions(spark, root).filter(_._1 < batchId).lastOption
-    val deltaLo = prev.map(_._1).getOrElse(Long.MinValue)
-    val tail = BatchVersioned.versions(spark, root, prefix = "b")
-      .filter { case (b, _) => b >= deltaLo && b < batchId }.map(_._2)
-    val parts =
-      prev.map { case (_, d) =>
-        spark.read.option("basePath", d).parquet(d).select(IndexCols.map(col): _*)
-      }.toSeq ++
-      (if (tail.isEmpty) Seq.empty
-       else Seq(spark.read.option("basePath", root).parquet(tail: _*)
-         .select(IndexCols.map(col): _*)))
-    if (parts.nonEmpty) {
-      parts.reduce(_ unionByName _)
+    val (prev, ps) = parts(spark, root, upper = Some(batchId))
+    if (ps.nonEmpty) {
+      ps.reduce(_ unionByName _)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$root/compact/v=$batchId")
       // GC only after the new version committed
-      val f = fs(spark, root)
-      prev.foreach { case (pv, _) =>
-        compactVersions(spark, root).filter(_._1 < pv).foreach { case (_, d) =>
-          f.delete(new org.apache.hadoop.fs.Path(d), true)
-        }
-        val rootPath = new org.apache.hadoop.fs.Path(root)
-        if (f.exists(rootPath))
-          f.listStatus(rootPath).toSeq.map(_.getPath)
-            .filter(_.getName.startsWith("b="))
-            .filter(_.getName.stripPrefix("b=").toLong < pv)
-            .foreach(f.delete(_, true))
-      }
+      BatchVersioned.gcBelowPrev(spark, s"$root/compact", root, "b", prev)
     }
   }
 
   /** All index rows a probe may read: the newest committed compact
     * version plus committed arrival batches at-or-after it. A
     * replayed pre-compaction batch recommits rows already inside the
-    * compact version and stays invisible here — no double counting.
-    * Both branches carry `cell` as a partition column, so probe-side
-    * cell pruning survives the union. */
+    * compact version and stays invisible here — no double counting. */
   private def visible(spark: SparkSession, root: String): DataFrame = {
-    val cv = compactVersions(spark, root).lastOption
-    val lo = cv.map(_._1).getOrElse(Long.MinValue)
-    val tail = BatchVersioned.versions(spark, root, prefix = "b")
-      .filter(_._1 >= lo).map(_._2)
-    val parts =
-      cv.map { case (_, d) =>
-        spark.read.option("basePath", d).parquet(d).select(IndexCols.map(col): _*)
-      }.toSeq ++
-      (if (tail.isEmpty) Seq.empty
-       else Seq(spark.read.option("basePath", root).parquet(tail: _*)
-         .select(IndexCols.map(col): _*)))
-    require(parts.nonEmpty, s"no committed index batches under $root")
-    parts.reduce(_ unionByName _)
+    val (_, ps) = parts(spark, root, upper = None)
+    require(ps.nonEmpty, s"no committed index batches under $root")
+    ps.reduce(_ unionByName _)
   }
 
   /** Probe the streamed index: identical semantics and plan shape to

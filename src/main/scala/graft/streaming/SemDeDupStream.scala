@@ -76,9 +76,6 @@ object SemDeDupStream {
   private[graft] def ck(cell: org.apache.spark.sql.Column, sub: org.apache.spark.sql.Column) =
     cell.cast("long") * lit(1L << 20) + sub
 
-  private def fsOf(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-
   // ---- corpus side ---------------------------------------------------------
 
   private def corpusCompactVersions(spark: SparkSession, root: String): Seq[(Long, String)] =
@@ -145,7 +142,7 @@ object SemDeDupStream {
         // see ClusterMaintenance.compact)
         .option("parquet.bloom.filter.fpp#ck", "0.000001")
         .parquet(s"$root/corpus_compact/v=$batchId")
-      gcBelowPrev(spark, root, "corpus_compact", "corpus", "b", prev)
+      gcBelowPrev(spark, s"$root/corpus_compact", s"$root/corpus", "b", prev)
     }
   }
 
@@ -220,38 +217,24 @@ object SemDeDupStream {
     val prev = verdictCompactVersions(spark, root).filter(_._1 < batchId).lastOption
     val parts = verdictParts(spark, root, verUpper = Some(batchId), pushIds = None)
     if (parts.nonEmpty) {
-      val resolved = latestPerKey(parts)
-      val rows = resolved.count()
-      if (rows > 0) {
-        val nFiles = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
-        resolved.repartitionByRange(nFiles, col("vec_id"))
-          .sortWithinPartitions(col("vec_id"))
-          .write.mode("overwrite")
-          .option("parquet.bloom.filter.enabled#vec_id", "true")
-          .option("parquet.bloom.filter.expected.ndv#vec_id", math.min(rows, targetRows).toString)
-          .option("parquet.bloom.filter.fpp#vec_id", "0.000001")
-          .parquet(s"$root/verdicts_compact/v=$batchId")
-        gcBelowPrev(spark, root, "verdicts_compact", "verdicts", "v", prev)
-      }
-    }
-  }
-
-  /** Delete compact versions and delta dirs below the PREVIOUS compact
-    * version — state no replay can read ([[ClusterMaintenance.compact]]'s
-    * GC rule). */
-  private def gcBelowPrev(spark: SparkSession, root: String, compactSub: String,
-      deltaSub: String, deltaPrefix: String, prev: Option[(Long, String)]): Unit = {
-    val f = fsOf(spark, root)
-    prev.foreach { case (pv, _) =>
-      versions(spark, s"$root/$compactSub").filter(_._1 < pv).foreach { case (_, d) =>
-        f.delete(new org.apache.hadoop.fs.Path(d), true)
-      }
-      val deltaRoot = new org.apache.hadoop.fs.Path(s"$root/$deltaSub")
-      if (f.exists(deltaRoot))
-        f.listStatus(deltaRoot).toSeq.map(_.getPath)
-          .filter(_.getName.startsWith(s"$deltaPrefix="))
-          .filter(_.getName.stripPrefix(s"$deltaPrefix=").toLong < pv)
-          .foreach(f.delete(_, true))
+      // persisted: the count (for file sizing) and the write would
+      // otherwise each re-run the full compact+delta union AND its
+      // latest-per-key window shuffle over the whole history
+      val resolved = latestPerKey(parts).persist()
+      try {
+        val rows = resolved.count()
+        if (rows > 0) {
+          val nFiles = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
+          resolved.repartitionByRange(nFiles, col("vec_id"))
+            .sortWithinPartitions(col("vec_id"))
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#vec_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#vec_id", math.min(rows, targetRows).toString)
+            .option("parquet.bloom.filter.fpp#vec_id", "0.000001")
+            .parquet(s"$root/verdicts_compact/v=$batchId")
+          gcBelowPrev(spark, s"$root/verdicts_compact", s"$root/verdicts", "v", prev)
+        }
+      } finally resolved.unpersist(blocking = false)
     }
   }
 

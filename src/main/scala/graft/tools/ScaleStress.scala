@@ -681,15 +681,21 @@ object ScaleStress {
               expr("transform(sequence(0, 7), k -> cast(id % 97 + k as double))").as("v"))
             .write.mode("overwrite").parquet(s"$root/corpus/b=$b")
         }
-        // fixed probe buckets from batch 0 (stride 201 keeps all 2000
-        // source ids inside batch 0; ODD, so probed cells/subs spread
-        // over the whole bucket space like a real hash-assigned batch
-        // — an even stride degenerately probes only multiple-of-8
-        // cells AND blankets every sub-granule of those cells)
+        // fixed probe buckets from batch 0 (stride 199: 1999×199 =
+        // 397,801 < rowsPerBatch, so every source id IS in batch 0;
+        // ODD, so probed cells/subs spread over the whole bucket
+        // space like a real hash-assigned batch — an even stride
+        // degenerately probes only multiple-of-8 cells and blankets
+        // every sub-granule of those cells). The packed key comes
+        // from SemDeDupStream.ck itself, so a pack-layout change
+        // cannot silently de-target the probe.
+        require(1999L * 199 < rowsPerBatch)
         val probe = spark.range(2000)
-          .select(($"id" * 201).as("id"))
-          .select((pmod($"id" * 2654435761L, lit(8192)) * (1L << 20) +
-            expr("pmod(xxhash64(id), 64)")).as("ck"))
+          .select(($"id" * 199).as("id"))
+          .select(
+            pmod($"id" * 2654435761L, lit(8192)).cast("int").as("cell"),
+            expr("cast(pmod(xxhash64(id), 64) as int)").as("sub"))
+          .select(graft.streaming.SemDeDupStream.ck($"cell", $"sub").as("ck"))
           .distinct().collect().map(_.getLong(0))
         def lookup(depth: Long): Long = {
           val agg = graft.streaming.SemDeDupStream
