@@ -11,10 +11,12 @@ import graft.operators.Dedup
   * batch/streaming asymmetry in the dedup family: batch jobs build the
   * cluster table once; this keeps it current as documents arrive.
   *
-  * Per micro-batch, against three batch-versioned at-rest tables under
-  * `root/` (postings `(id, sh)` partitioned by arrival batch, per-doc
-  * capped shingle counts `(id, n)`, and cluster versions
-  * `clusters/v=<batchId>`):
+  * Per micro-batch, against two batch-versioned at-rest tables under
+  * `root/` (postings `(id, sh, n)` partitioned by arrival batch —
+  * `n` is the doc's CAPPED shingle count, denormalized onto every
+  * posting row so the Jaccard denominator arrives WITH the already-
+  * pruned postings rows instead of a second full-history counts scan
+  * per batch — and cluster versions `clusters/v=<batchId>`):
   *
   *  1. shingle the batch ([[Dedup.hashedShingleSets]] — same codegen
   *     kernel, same 60-bit keys as the batch chain);
@@ -87,11 +89,11 @@ object ClusterMaintenance {
       targetRows: Long, bloomNdv: Long = 0L): Unit = {
     val prev = compactVersions(spark, root).filter(_._1 < batchId).lastOption
     val deltaLo = prev.map(_._1).getOrElse(Long.MinValue)
-    val deltas = readBefore(spark, s"$root/postings", "id BIGINT, sh BIGINT, b BIGINT", batchId)
+    val deltas = readBefore(spark, s"$root/postings", "id BIGINT, sh BIGINT, n BIGINT, b BIGINT", batchId)
       .filter(col("b") >= deltaLo)
-      .select(col("id"), col("sh"))
+      .select(col("id"), col("sh"), col("n"))
     val all = prev match {
-      case Some((_, d)) => spark.read.parquet(d).select(col("id"), col("sh")).unionByName(deltas)
+      case Some((_, d)) => spark.read.parquet(d).select(col("id"), col("sh"), col("n")).unionByName(deltas)
       case None => deltas
     }
     val rows = all.count()
@@ -141,12 +143,12 @@ object ClusterMaintenance {
     // pruned instead of as raw deltas)
     val compactOpt = compactVersions(spark, root).filter(_._1 <= batchId).lastOption
     val deltaLo = compactOpt.map(_._1).getOrElse(Long.MinValue)
-    val deltas = readBefore(spark, s"$root/postings", "id BIGINT, sh BIGINT, b BIGINT", batchId)
+    val deltas = readBefore(spark, s"$root/postings", "id BIGINT, sh BIGINT, n BIGINT, b BIGINT", batchId)
       .filter(col("b") >= deltaLo)
-      .select(col("id"), col("sh"))
+      .select(col("id"), col("sh"), col("n"))
     compactOpt match {
       case Some((_, d)) =>
-        val base = spark.read.parquet(d).select(col("id"), col("sh"))
+        val base = spark.read.parquet(d).select(col("id"), col("sh"), col("n"))
         val pruned = pushKeys match {
           case Some(keys) => base.filter(col("sh").isInCollection(keys.toSeq))
           case None => base
@@ -207,8 +209,6 @@ object ClusterMaintenance {
         if (keyRows.length > maxPushdownKeys) None
         else Some(keyRows.map(_.getLong(0)))
       val priorPostings = postingsBefore(spark, root, batchId, pushKeys)
-      val priorCounts = readBefore(spark, s"$root/counts", "id BIGINT, n BIGINT, b BIGINT", batchId)
-        .select(col("id"), col("n"))
       // freeze buckets whose running df crosses the cap as of this batch.
       // Only shingles PRESENT in the batch can join, so the history is
       // SEMI-JOINED to the batch's (small, broadcastable) shingle set
@@ -236,12 +236,15 @@ object ClusterMaintenance {
         // cross-batch candidates: blocked on shared shingle keys; the
         // stored per-doc counts complete the Jaccard denominator
         // (prefix-capped, consistent with what each doc joined on)
+        // n_old rides on the posting rows (functionally dependent on
+        // id_old, so adding it to the groupBy changes nothing) — no
+        // separate counts-table scan
         val inter = capped.select(col("id").as("id_new"), col("sh"))
-          .join(priorPostings.select(col("id").as("id_old"), col("sh")), Seq("sh"))
-          .groupBy(col("id_new"), col("id_old")).agg(count(lit(1)).as("ic"))
+          .join(priorPostings.select(col("id").as("id_old"), col("sh"), col("n").as("n_old")),
+            Seq("sh"))
+          .groupBy(col("id_new"), col("id_old"), col("n_old")).agg(count(lit(1)).as("ic"))
         val cross = inter
           .join(nNew.select(col("id").as("id_new"), col("n").as("n_new")), Seq("id_new"))
-          .join(priorCounts.select(col("id").as("id_old"), col("n").as("n_old")), Seq("id_old"))
           .filter(col("ic").cast("double") / (col("n_new") + col("n_old") - col("ic")) >= threshold)
           .select(least(col("id_new"), col("id_old")).as("id_a"),
             greatest(col("id_new"), col("id_old")).as("id_b"))
@@ -256,12 +259,27 @@ object ClusterMaintenance {
           val merged = Dedup.foldPairsIntoClusters(clustersBefore(spark, root, batchId), pairs)
           Dedup.clustersAtRest(merged, s"$root/clusters/v=$batchId")
         }
+        // cluster versions are FULL snapshots: GC those below the
+        // PREVIOUS one — a replay of this batch reads exactly the
+        // previous version and nothing can read older. Without this
+        // the version chain accumulates one corpus-sized table per
+        // micro-batch for the life of the stream
+        versions(spark, root).filter(_._1 < batchId).lastOption.foreach { case (pv, _) =>
+          val f = fs(spark, root)
+          versions(spark, root).filter(_._1 < pv).foreach { case (_, d) =>
+            f.delete(new org.apache.hadoop.fs.Path(d), true)
+          }
+        }
         // postings keep the UNCAPPED batch shingles: running df must stay
-        // monotone (a frozen bucket's occurrences still count), while
-        // counts store the capped per-doc sizes the Jaccard math uses
+        // monotone (a frozen bucket's occurrences still count), with the
+        // doc's CAPPED size n denormalized onto each row (frozen-only
+        // docs get n = 0; their rows carry only frozen sh keys, which no
+        // future capped batch joins on, so the 0 never enters a
+        // denominator)
         batchSh.select(col("id"), col("sh"))
+          .join(nNew.select(col("id"), col("n")), Seq("id"), "left")
+          .select(col("id"), col("sh"), coalesce(col("n"), lit(0L)).as("n"))
           .write.mode("overwrite").parquet(s"$root/postings/b=$batchId")
-        nNew.write.mode("overwrite").parquet(s"$root/counts/b=$batchId")
       } finally capped.unpersist(blocking = false)
     } finally batchSh.unpersist(blocking = false)
   }

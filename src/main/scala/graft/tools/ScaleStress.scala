@@ -586,7 +586,8 @@ object ScaleStress {
         (0L until 40L).foreach { b =>
           spark.range(b * rowsPerBatch, (b + 1) * rowsPerBatch)
             .select(($"id" / 40).cast("long").as("id"),
-              expr("xxhash64(concat('s', cast(id as string)))").as("sh"))
+              expr("xxhash64(concat('s', cast(id as string)))").as("sh"),
+              lit(40L).as("n")) // denormalized capped doc size rides each row
             .write.mode("overwrite").parquet(s"$root/postings/b=$b")
         }
         // probe keys: 2000 shingles that live DEEP in history (first 10

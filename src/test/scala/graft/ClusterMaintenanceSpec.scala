@@ -181,9 +181,11 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
     val streamed = clusterSet(ClusterMaintenance.loadClusters(spark, root))
     assert(streamed == expected)
     assert(streamed.nonEmpty)
-    // four versions written, monotone batch ids
+    // full-snapshot versions are GC'd below the PREVIOUS one: only the
+    // current version and its replay fallback remain (without GC the
+    // chain accumulates one corpus-sized snapshot per micro-batch)
     val vDirs = new java.io.File(s"$root/clusters").listFiles().map(_.getName).sorted
-    assert(vDirs.toSeq == Seq("v=0", "v=1", "v=2", "v=3"))
+    assert(vDirs.toSeq == Seq("v=2", "v=3"))
     CachePool.drain()
   }
 }
