@@ -47,6 +47,15 @@ import graft.operators.Dedup
   * from its ledger. Doc ids are assumed unique across the stream
   * (an exactly-once ingest upstream; re-posted CONTENT is fine — that
   * is what the clusters detect).
+  *
+  * ON-DISK FORMAT (v2): postings rows carry `n` since the counts
+  * table was folded in. A root written by the v1 format (separate
+  * `counts/` dirs, 2-column postings) is NOT auto-migrated, and
+  * MUST NOT be resumed against: a pure-v1 root fails loudly (missing
+  * `n` column), but a MIXED root can schema-infer the new shape and
+  * read v1 rows with NULL `n`, silently dropping their cross-batch
+  * pairs. Rebuild the root (or backfill `n` from the old counts
+  * table) before resuming across the format change.
   */
 object ClusterMaintenance {
 
@@ -192,7 +201,9 @@ object ClusterMaintenance {
       idCol: String, textCol: String,
       shingleN: Int = 5, dfCap: Long = Long.MaxValue, threshold: Double = 0.6,
       compactEvery: Int = 16, compactTargetRows: Long = 4000000L,
-      maxPushdownKeys: Int = 100000): Unit = {
+      maxPushdownKeys: Int = 100000, keepClusterVersions: Int = 8): Unit = {
+    require(keepClusterVersions >= 2,
+      "replay needs the previous cluster version: keepClusterVersions must be >= 2")
     val spark = batch.sparkSession
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compact(spark, root, batchId, compactTargetRows)
@@ -259,14 +270,19 @@ object ClusterMaintenance {
           val merged = Dedup.foldPairsIntoClusters(clustersBefore(spark, root, batchId), pairs)
           Dedup.clustersAtRest(merged, s"$root/clusters/v=$batchId")
         }
-        // cluster versions are FULL snapshots: GC those below the
-        // PREVIOUS one — a replay of this batch reads exactly the
-        // previous version and nothing can read older. Without this
-        // the version chain accumulates one corpus-sized table per
+        // cluster versions are FULL snapshots: keep the newest
+        // `keepClusterVersions`, GC the rest — the stream itself only
+        // ever replays against the PREVIOUS version, but loadClusters
+        // consumers (split/keep-drop/rebalance jobs) read a version
+        // lazily over minutes, so the retention window is a consumer
+        // lease: they must finish within keepClusterVersions
+        // micro-batch intervals (or pin a version dir). Without any
+        // GC the chain accumulates one corpus-sized table per
         // micro-batch for the life of the stream
-        versions(spark, root).filter(_._1 < batchId).lastOption.foreach { case (pv, _) =>
+        val kept = versions(spark, root)
+        if (kept.length > keepClusterVersions) {
           val f = fs(spark, root)
-          versions(spark, root).filter(_._1 < pv).foreach { case (_, d) =>
+          kept.dropRight(keepClusterVersions).foreach { case (_, d) =>
             f.delete(new org.apache.hadoop.fs.Path(d), true)
           }
         }
@@ -288,9 +304,9 @@ object ClusterMaintenance {
   def sink(root: String, idCol: String, textCol: String,
       shingleN: Int = 5, dfCap: Long = Long.MaxValue, threshold: Double = 0.6,
       compactEvery: Int = 16, compactTargetRows: Long = 4000000L,
-      maxPushdownKeys: Int = 100000)
+      maxPushdownKeys: Int = 100000, keepClusterVersions: Int = 8)
       : (DataFrame, Long) => Unit =
     (batch, batchId) =>
       processBatch(batch, batchId, root, idCol, textCol, shingleN, dfCap, threshold,
-        compactEvery, compactTargetRows, maxPushdownKeys)
+        compactEvery, compactTargetRows, maxPushdownKeys, keepClusterVersions)
 }

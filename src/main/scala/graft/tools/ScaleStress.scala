@@ -682,17 +682,18 @@ object ScaleStress {
               expr("transform(sequence(0, 7), k -> cast(id % 97 + k as double))").as("v"))
             .write.mode("overwrite").parquet(s"$root/corpus/b=$b")
         }
-        // fixed probe buckets from batch 0 (stride 199: 1999×199 =
-        // 397,801 < rowsPerBatch, so every source id IS in batch 0;
-        // ODD, so probed cells/subs spread over the whole bucket
-        // space like a real hash-assigned batch — an even stride
-        // degenerately probes only multiple-of-8 cells and blankets
-        // every sub-granule of those cells). The packed key comes
-        // from SemDeDupStream.ck itself, so a pack-layout change
-        // cannot silently de-target the probe.
-        require(1999L * 199 < rowsPerBatch)
+        // fixed probe buckets from batch 0 (the require pins every
+        // source id inside batch 0 — the previous stride silently
+        // pushed ids past it; ODD, so probed cells/subs spread over
+        // the whole bucket space like a real hash-assigned batch —
+        // an even stride degenerately probes only multiple-of-8
+        // cells and blankets every sub-granule of those cells). The
+        // packed key comes from SemDeDupStream.ck itself, so a
+        // pack-layout change cannot silently de-target the probe.
+        val stride = 199L
+        require(stride % 2 == 1 && 1999L * stride < rowsPerBatch)
         val probe = spark.range(2000)
-          .select(($"id" * 199).as("id"))
+          .select(($"id" * stride).as("id"))
           .select(
             pmod($"id" * 2654435761L, lit(8192)).cast("int").as("cell"),
             expr("cast(pmod(xxhash64(id), 64) as int)").as("sub"))

@@ -73,7 +73,7 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
       .write.parquet(s"$root/clusters/v=2")
     Files.delete(java.nio.file.Paths.get(s"$root/clusters/v=2/_SUCCESS"))
     batches(2).take(1).toDF("doc_id", "text")
-      .selectExpr("doc_id AS id", "cast(doc_id as bigint) AS sh")
+      .selectExpr("doc_id AS id", "cast(doc_id as bigint) AS sh", "5L AS n")
       .write.parquet(s"$root/postings/b=2")
     // consumers never see the torn version
     assert(clusterSet(graft.streaming.ClusterMaintenance.loadClusters(spark, root)) == afterB1)
@@ -169,7 +169,8 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
     val q = in.toDF().toDF("doc_id", "text")
       .writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch(ClusterMaintenance.sink(root, "doc_id", "text", 5, cap, 0.6))
+      .foreachBatch(ClusterMaintenance.sink(root, "doc_id", "text", 5, cap, 0.6,
+        keepClusterVersions = 2))
       .start()
     try {
       (0 until 4).foreach { b =>
@@ -181,9 +182,9 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
     val streamed = clusterSet(ClusterMaintenance.loadClusters(spark, root))
     assert(streamed == expected)
     assert(streamed.nonEmpty)
-    // full-snapshot versions are GC'd below the PREVIOUS one: only the
-    // current version and its replay fallback remain (without GC the
-    // chain accumulates one corpus-sized snapshot per micro-batch)
+    // full-snapshot versions beyond the retention window are GC'd
+    // (keepClusterVersions = 2 here: current + the replay fallback;
+    // the default 8 gives loadClusters consumers a wider lease)
     val vDirs = new java.io.File(s"$root/clusters").listFiles().map(_.getName).sorted
     assert(vDirs.toSeq == Seq("v=2", "v=3"))
     CachePool.drain()
