@@ -443,6 +443,127 @@ object Multimodal {
     }
   }
 
+  /** Pluggable perceptual audio hash kernel: payload → 60-bit
+    * fingerprint, or None for undecodable/too-short bytes. */
+  trait AudioHashKernel extends Serializable {
+    def hash(payload: Array[Byte]): Option[Long]
+  }
+
+  /** 60-bit audio envelope hash — the audio member of the perceptual
+    * near-dup family and [[AHash60]]'s exact twin on the TIME axis:
+    * decode to mono PCM, AREA-AVERAGE the squared amplitude onto 60
+    * equal time slices (every sample frame contributes to exactly one
+    * slice), set bit i iff slice i's mean energy ≥ the clip mean.
+    * Sample-rate invariance: slices are proportional spans of the
+    * clip, so any resampling of the same recording yields the same
+    * slice statistics (up to boundary rounding, absorbed by the
+    * hamming tolerance). Amplitude invariance: the threshold is the
+    * clip's OWN mean, so uniform gain cancels. Silent/constant clips
+    * all share one hash — the aHash property. NOT tempo/pitch
+    * robust: this matches re-encodes, resamples, downmixes, and
+    * level changes of the SAME recording, which is the dedup
+    * question a training-data lake asks. Clips shorter than 60
+    * frames yield None. */
+  object AudioHash60 extends AudioHashKernel {
+    def hash(p: Array[Byte]): Option[Long] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(p))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (in == null) None
+      else
+        try {
+          val f0 = in.getFormat
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels,
+            f0.getSampleRate, false)
+          val pcm =
+            if (f0.matches(target)) in else AudioSystem.getAudioInputStream(target, in)
+          // same-rate conversion preserves frame count; fall back to the
+          // container's own length if the converter reports unknown
+          val nFrames = { val l = pcm.getFrameLength; if (l > 0) l else in.getFrameLength }
+          if (nFrames < 60) None
+          else {
+            val ch = f0.getChannels
+            val frameBytes = 2 * ch
+            val sums = new Array[Double](60)
+            val counts = new Array[Long](60)
+            val buf = new Array[Byte](1 << 16)
+            var frame = 0L
+            var carry = 0
+            var read = pcm.read(buf, 0, buf.length)
+            while (read > 0) {
+              val avail = carry + read
+              var i = 0
+              while (i + frameBytes <= avail) {
+                var c = 0
+                var m = 0.0
+                while (c < ch) {
+                  m += ((buf(i + 2 * c) & 0xff) | (buf(i + 2 * c + 1) << 8)).toShort / 32768.0
+                  c += 1
+                }
+                m /= ch
+                val slice = math.min(59L, frame * 60 / nFrames).toInt
+                sums(slice) += m * m
+                counts(slice) += 1
+                frame += 1
+                i += frameBytes
+              }
+              carry = avail - i
+              System.arraycopy(buf, i, buf, 0, carry)
+              read = pcm.read(buf, carry, buf.length - carry)
+            }
+            var total = 0.0
+            var n = 0
+            var i = 0
+            while (i < 60) {
+              if (counts(i) > 0) { sums(i) /= counts(i); total += sums(i); n += 1 }
+              i += 1
+            }
+            if (n == 0) None
+            else {
+              val mean = total / n
+              var out = 0L
+              i = 0
+              while (i < 60) {
+                if (counts(i) == 0 || sums(i) >= mean) out |= (1L << i)
+                i += 1
+              }
+              Some(out)
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None } finally in.close()
+    }
+  }
+
+  /** Audio perceptual fingerprints partition-wise (1:1, shuffle-free
+    * — [[hashImages]]' shape on the audio modality): (id, decoded,
+    * simhash), named to feed [[Dedup.simhashPairs]] directly. */
+  def hashAudio(rows: Dataset[MediaRow],
+      kernel: AudioHashKernel = AudioHash60): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        kernel.hash(r.payload) match {
+          case Some(h) => (r.doc_id, true, h)
+          case None => (r.doc_id, false, 0L)
+        }
+      }
+    }.toDF("id", "decoded", "simhash")
+  }
+
+  /** Near-duplicate AUDIO pairs — closing the near-dup family across
+    * all three media modalities (text SimHash, image/video aHash,
+    * audio envelope hash), all through the SAME banded blocking:
+    * candidate pairs bounded by band-bucket occupancy, never
+    * all-pairs. Undecodable or too-short payloads are excluded (they
+    * surface in [[hashAudio]]/[[decodeAudio]] for routing). */
+  def audioNearDups(rows: Dataset[MediaRow], maxDist: Int = 3,
+      kernel: AudioHashKernel = AudioHash60): DataFrame =
+    Dedup.simhashPairs(
+      hashAudio(rows, kernel).filter(col("decoded")).select(col("id"), col("simhash")),
+      maxDist)
+
   case class FrameRow(doc_id: Long, frame_idx: Int, payload: Array[Byte])
 
   /** Pluggable video→frames kernel. */

@@ -354,6 +354,60 @@ class MultimodalSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  /** A real WAV whose AMPLITUDE varies per 1/120th-of-clip segment
+    * (deterministic splitmix of (seed, segment)) over a constant
+    * 440 Hz sine — the audio analog of [[texturePng]]: the same
+    * envelope at any sample rate. 120 segments = 2 per AudioHash60
+    * slice, so slice boundaries align exactly across rates. */
+  private def envelopeWav(rate: Int, seconds: Double, seed: Int, gain: Double = 1.0): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val nFrames = (rate * seconds).toInt
+    val bytes = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      var z = (i.toLong * 120 / nFrames) * 64 + seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      val amp = gain * (0.1 + 0.8 * (((z ^ (z >>> 31)) & 0xff) / 255.0))
+      val s = (amp * math.sin(2 * math.Pi * 440.0 * i / rate) * 30000).toInt
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate.toFloat, 16, 1, 2, rate.toFloat, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audio envelope near-dups: rate- and gain-invariant matches, distinct envelopes stay apart, junk excluded") {
+    import spark.implicits._
+    val rows = spark.createDataset(Seq(
+      MediaRow(1, "wav", 0, 0, envelopeWav(44100, 2.0, seed = 5)),
+      // the SAME recording resampled (another rate, same envelope)
+      MediaRow(2, "wav", 0, 0, envelopeWav(8000, 2.0, seed = 5)),
+      // a quieter copy: the clip-mean threshold cancels uniform gain
+      MediaRow(3, "wav", 0, 0, envelopeWav(44100, 2.0, seed = 5, gain = 0.4)),
+      // a DIFFERENT recording entirely
+      MediaRow(4, "wav", 0, 0, envelopeWav(44100, 2.0, seed = 77)),
+      // not audio
+      MediaRow(5, "wav", 0, 0, Array[Byte](1, 2, 3))))
+    val hashes = Multimodal.hashAudio(rows)
+    assert(!hashes.queryExecution.executedPlan.toString.contains("Exchange"))
+    val byId = hashes.collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(!byId(5L)._1, "junk must surface as undecoded")
+    assert(java.lang.Long.bitCount(byId(1L)._2 ^ byId(2L)._2) <= 3,
+      f"rate variance: ${byId(1L)._2}%x vs ${byId(2L)._2}%x")
+    assert(byId(1L)._2 == byId(3L)._2, "uniform gain must cancel exactly")
+    assert(java.lang.Long.bitCount(byId(1L)._2 ^ byId(4L)._2) > 10,
+      "different envelopes must stay apart")
+    val pairs = Multimodal.audioNearDups(rows, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+  }
+
   test("JDK video decode: Y4M header math and MJPEG SOI/EOI scan yield real dims/fps/frame counts; corrupt bytes surface") {
     import spark.implicits._
     val mjpeg = texJpeg(1) ++ texJpeg(2) ++ texJpeg(3)

@@ -132,7 +132,16 @@ class PropertySpec extends AnyFunSuite {
       }
       out.toByteArray
     }
-    Seq(y4m, enc("jpg", 1) ++ enc("jpg", 2), enc("png", 3))
+    val wav = {
+      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+      val bytes = Array.tabulate(2000)(i => ((i * 73) % 256).toByte)
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, 1000L), AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    Seq(y4m, enc("jpg", 1) ++ enc("jpg", 2), enc("png", 3), wav)
   }
 
   test("video/image decode, frame sampling, and aHash never throw on noise, truncated, or bit-flipped payloads") {
@@ -153,6 +162,7 @@ class PropertySpec extends AnyFunSuite {
       Multimodal.JdkVideoFrames.frames(p, 3)
       Multimodal.AHash60.hash(p)
       Multimodal.ImageIoDecode.decode(p)
+      Multimodal.AudioHash60.hash(p)
       true // reaching here = no exception escaped any kernel
     }, cases = 400)
   }
