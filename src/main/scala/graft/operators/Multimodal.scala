@@ -305,6 +305,27 @@ object Multimodal {
     def decode(payload: Array[Byte]): Option[(Int, Int, Int, Long, Double, Double)]
   }
 
+  /** Shared audio-open guard — the [[readImage]] of the audio family:
+    * None for unparseable containers, NonFatal because JDK audio
+    * readers can throw RuntimeExceptions on crafted headers. */
+  private[operators] def openAudio(p: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] =
+    try Option(javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(p)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Normalize any PCM flavor (8-bit unsigned, big-endian, float) to
+    * 16-bit signed little-endian at the SOURCE rate/channel count via
+    * the JDK conversion chain — shared by every audio kernel so the
+    * conversion lives in one place. */
+  private[operators] def toPcm16(in: javax.sound.sampled.AudioInputStream): javax.sound.sampled.AudioInputStream = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val f0 = in.getFormat
+    val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels,
+      f0.getSampleRate, false)
+    if (f0.matches(target)) in else AudioSystem.getAudioInputStream(target, in)
+  }
+
   /** JDK-builtin audio decode (`javax.sound.sampled`: WAV/AIFF/AU
     * containers, PCM encodings), headless-safe — a REAL codec, the
     * audio twin of [[ImageIoDecode]]. Non-PCM payloads are first
@@ -313,24 +334,12 @@ object Multimodal {
     * the statistics are bit-depth-independent. */
   object JavaSoundDecode extends AudioDecodeKernel {
     def decode(p: Array[Byte]): Option[(Int, Int, Int, Long, Double, Double)] = {
-      import javax.sound.sampled.{AudioFormat, AudioSystem}
-      val in =
-        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(p))
-        catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => null
-          case _: java.io.IOException => null
-        }
+      val in = openAudio(p).orNull
       if (in == null) None
       else
         try {
           val f0 = in.getFormat
-          // normalize any PCM flavor (8-bit unsigned, big-endian,
-          // float) to 16-bit signed little-endian via the JDK chain
-          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-            f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels,
-            f0.getSampleRate, false)
-          val pcm =
-            if (f0.matches(target)) in else AudioSystem.getAudioInputStream(target, in)
+          val pcm = toPcm16(in)
           val buf = new Array[Byte](1 << 16)
           var sumSq = 0.0
           var peak = 0.0
@@ -392,12 +401,7 @@ object Multimodal {
   object JavaSoundResample extends AudioResampleKernel {
     def resample(p: Array[Byte], dstRate: Int, dstChannels: Int): Array[Byte] = {
       import javax.sound.sampled.{AudioFormat, AudioSystem, AudioFileFormat}
-      val in =
-        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(p))
-        catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => null
-          case _: java.io.IOException => null
-        }
+      val in = openAudio(p).orNull
       if (in == null) p
       else
         try {
@@ -466,19 +470,12 @@ object Multimodal {
     * frames yield None. */
   object AudioHash60 extends AudioHashKernel {
     def hash(p: Array[Byte]): Option[Long] = {
-      import javax.sound.sampled.{AudioFormat, AudioSystem}
-      val in =
-        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(p))
-        catch { case scala.util.control.NonFatal(_) => null }
+      val in = openAudio(p).orNull
       if (in == null) None
       else
         try {
           val f0 = in.getFormat
-          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-            f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels,
-            f0.getSampleRate, false)
-          val pcm =
-            if (f0.matches(target)) in else AudioSystem.getAudioInputStream(target, in)
+          val pcm = toPcm16(in)
           // same-rate conversion preserves frame count; fall back to the
           // container's own length if the converter reports unknown
           val nFrames = { val l = pcm.getFrameLength; if (l > 0) l else in.getFrameLength }
@@ -513,23 +510,32 @@ object Multimodal {
               System.arraycopy(buf, i, buf, 0, carry)
               read = pcm.read(buf, carry, buf.length - carry)
             }
-            var total = 0.0
-            var n = 0
-            var i = 0
-            while (i < 60) {
-              if (counts(i) > 0) { sums(i) /= counts(i); total += sums(i); n += 1 }
-              i += 1
-            }
-            if (n == 0) None
+            // a TRUNCATED file (header claims more frames than the
+            // stream delivers — interrupted downloads) must surface as
+            // undecodable, not hash: never-read slices would get forced
+            // 1-bits, and two unrelated truncated files then land
+            // within hamming 3 of each other's near-all-ones hash and
+            // falsely pair
+            if (frame < nFrames) None
             else {
-              val mean = total / n
-              var out = 0L
-              i = 0
+              var total = 0.0
+              var n = 0
+              var i = 0
               while (i < 60) {
-                if (counts(i) == 0 || sums(i) >= mean) out |= (1L << i)
+                if (counts(i) > 0) { sums(i) /= counts(i); total += sums(i); n += 1 }
                 i += 1
               }
-              Some(out)
+              if (n == 0) None
+              else {
+                val mean = total / n
+                var out = 0L
+                i = 0
+                while (i < 60) {
+                  if (counts(i) == 0 || sums(i) >= mean) out |= (1L << i)
+                  i += 1
+                }
+                Some(out)
+              }
             }
           }
         } catch { case scala.util.control.NonFatal(_) => None } finally in.close()

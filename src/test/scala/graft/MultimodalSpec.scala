@@ -393,11 +393,19 @@ class MultimodalSpec extends AnyFunSuite {
       // a DIFFERENT recording entirely
       MediaRow(4, "wav", 0, 0, envelopeWav(44100, 2.0, seed = 77)),
       // not audio
-      MediaRow(5, "wav", 0, 0, Array[Byte](1, 2, 3))))
+      MediaRow(5, "wav", 0, 0, Array[Byte](1, 2, 3)),
+      // TRUNCATED: header claims the full clip, data cut mid-stream —
+      // two such files would otherwise hash near-all-ones and falsely
+      // pair; they must surface as undecoded instead
+      MediaRow(6, "wav", 0, 0, {
+        val w = envelopeWav(8000, 2.0, seed = 5)
+        java.util.Arrays.copyOf(w, w.length - 8000)
+      })))
     val hashes = Multimodal.hashAudio(rows)
     assert(!hashes.queryExecution.executedPlan.toString.contains("Exchange"))
     val byId = hashes.collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
     assert(!byId(5L)._1, "junk must surface as undecoded")
+    assert(!byId(6L)._1, "truncated audio must surface as undecoded, never hash")
     assert(java.lang.Long.bitCount(byId(1L)._2 ^ byId(2L)._2) <= 3,
       f"rate variance: ${byId(1L)._2}%x vs ${byId(2L)._2}%x")
     assert(byId(1L)._2 == byId(3L)._2, "uniform gain must cancel exactly")
