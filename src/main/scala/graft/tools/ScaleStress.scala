@@ -788,6 +788,55 @@ object ScaleStress {
       n
     }
 
+    // Audio near-dup at scale — the video row's twin on the third
+    // modality: 5k one-second WAV clips (real JDK decode + envelope
+    // hash per clip, in-partition), every 25th clip a 16 kHz
+    // re-encode of an 8 kHz source with the same amplitude envelope.
+    // The planted pair set must come back exactly: no misses
+    // (time-proportional slices are rate-invariant up to boundary
+    // rounding, inside the hamming-3 tolerance) and no extras
+    // (unrelated 60-bit envelope fingerprints).
+    time("audio_neardup_5k_clips") {
+      import graft.operators.Multimodal
+      def clip(seed: Long, rate: Int): Array[Byte] = {
+        import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+        val nFrames = rate // one second
+        val bytes = new Array[Byte](nFrames * 2)
+        var i = 0
+        while (i < nFrames) {
+          var z = (i.toLong * 120 / nFrames) * 4096 + seed + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          val amp = 0.1 + 0.8 * (((z ^ (z >>> 31)) & 0xff) / 255.0)
+          val s = (amp * math.sin(2 * math.Pi * 440.0 * i / rate) * 30000).toInt
+          bytes(2 * i) = (s & 0xff).toByte
+          bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate.toFloat, 16, 1, 2, rate.toFloat, false)
+        val out = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, nFrames.toLong),
+          AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      }
+      val n = 5000L
+      val clips = spark.range(n).mapPartitions(_.map { id =>
+        if (id % 25 == 0 && id >= 25) Multimodal.MediaRow(id, "wav", 0, 0, clip(id / 25, 16000))
+        else Multimodal.MediaRow(id, "wav", 0, 0, clip(id, 8000))
+      })
+      val got = Multimodal.audioNearDups(clips).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // sources that are themselves re-encode clips render with seed
+      // id/25, not their own id — those pairs don't exist (video row's
+      // arithmetic)
+      val planted = (25L until n by 25).map(d => (d / 25, d)).filter(_._1 % 25 != 0).toSet
+      require(got == planted,
+        s"audio pair set mismatch: ${got.size} found vs ${planted.size} planted; " +
+          s"extras=${(got -- planted).take(5)} missed=${(planted -- got).take(5)}")
+      n
+    }
+
     // The COMPOSED pipeline at volume: clean → dedup-cluster → rebalance
     // → leakage-safe split → pack over 1M docs, sharing ONE scoring scan
     // and ONE shingle scan (plus the at-rest cluster artifact) instead
