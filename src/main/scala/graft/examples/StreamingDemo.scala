@@ -196,6 +196,29 @@ object StreamingDemo {
       media.filter(_.doc_id >= 2), framesPerVideo = 3, minMatchingFrames = 2)
       .collect().mkString(";"))
 
+    // audio near-dup: the same recording's envelope at two sample
+    // rates pairs; a different envelope does not
+    def wavClip(seed: Int, rate: Int): Array[Byte] = {
+      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+      val bytes = new Array[Byte](rate * 2)
+      (0 until rate).foreach { i =>
+        val amp = 0.2 + 0.6 * (((i * 120 / rate) * 31 + seed * 97) % 100) / 100.0
+        val s = (amp * math.sin(2 * math.Pi * 440.0 * i / rate) * 30000).toInt
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate.toFloat, 16, 1, 2, rate.toFloat, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, rate.toLong), AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val audio = spark.createDataset(Seq(
+      Multimodal.MediaRow(10, "wav", 0, 0, wavClip(1, 8000)),
+      Multimodal.MediaRow(11, "wav", 0, 0, wavClip(1, 16000)),
+      Multimodal.MediaRow(12, "wav", 0, 0, wavClip(9, 8000))))
+    println("AUDIO_NEARDUPS=" + Multimodal.audioNearDups(audio).collect().mkString(";"))
+
     spark.stop()
   }
 }
