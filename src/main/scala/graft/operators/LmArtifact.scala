@@ -66,6 +66,11 @@ object LmArtifact {
     val t = tf.join(freq, "word")
       .agg(count(lit(1)).as("n_tokens"), sum(length(bin(col("f")))).as("sum_bits"))
       .head()
+    // sum over zero token rows is NULL — reachable on an empty/wordless
+    // corpus, so fail loudly before getLong NPEs and no model
+    // half-publishes (BigramLm.build's guard, mirrored)
+    require(t.getLong(0) > 0,
+      s"LM build over $dir: corpus has no tokens — nothing to model")
     EpochedArtifact.commit(spark, dir, MetaFile, "freq", version = 2, epoch,
       Map("sum_bits" -> t.getLong(1), "n_tokens" -> t.getLong(0)))
   }

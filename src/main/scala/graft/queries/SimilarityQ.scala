@@ -235,9 +235,15 @@ object SimilarityQ extends QueryPack {
       val shortlist = probes.join(assign, "cell")
         .filter($"neighbor_id" =!= $"query_id")
         .select($"query_id", $"neighbor_id",
-          (VE.sq8Dot($"qcode", $"code").cast("double") /
+          // nanvl: an all-zero embedding's code is all-zero, so the
+          // norm product is 0 and 0/0 = NaN — which a descending sort
+          // ranks ABOVE every real value, crowding out the shortlist.
+          // -2.0 sinks it below any true cosine (IvfIndex.topKSq8's
+          // guard; the oracle mirrors with isnan())
+          nanvl(VE.sq8Dot($"qcode", $"code").cast("double") /
             (sqrt(VE.sq8Dot($"qcode", $"qcode").cast("double")) *
-              sqrt(VE.sq8Dot($"code", $"code").cast("double")))).as("approx_cos"))
+              sqrt(VE.sq8Dot($"code", $"code").cast("double"))),
+            lit(-2.0)).as("approx_cos"))
         .withColumn("arnk", row_number().over(wa))
         .filter($"arnk" <= 20)
       val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
@@ -391,14 +397,18 @@ object SimilarityQ extends QueryPack {
          |assign AS (SELECT vec_id AS neighbor_id, cell FROM rf WHERE crnk = 1),
          |probes AS (SELECT vec_id AS query_id, cell FROM rf
          |           WHERE vec_id % 50 = 0 AND crnk <= (SELECT nb + 3 FROM pc)),
-         |ap AS (SELECT p.query_id, a.neighbor_id,
+         |-- nanvl twin of the Spark side: 0/0 from an all-zero code
+         |-- must sink below every real cosine, not float to the top
+         |ap0 AS (SELECT p.query_id, a.neighbor_id,
          |         ${VectorFunctions.Sql.dot("qc.code", "nc.code")} /
          |           (sqrt(${VectorFunctions.Sql.dot("qc.code", "qc.code")}) *
-         |            sqrt(${VectorFunctions.Sql.dot("nc.code", "nc.code")})) AS approx_cos
+         |            sqrt(${VectorFunctions.Sql.dot("nc.code", "nc.code")})) AS ac0
          |       FROM probes p JOIN assign a USING (cell)
          |       JOIN codes qc ON qc.vec_id = p.query_id
          |       JOIN codes nc ON nc.vec_id = a.neighbor_id
          |       WHERE a.neighbor_id <> p.query_id),
+         |ap AS (SELECT query_id, neighbor_id,
+         |         CASE WHEN isnan(ac0) THEN -2.0 ELSE ac0 END AS approx_cos FROM ap0),
          |short AS (SELECT query_id, neighbor_id FROM (
          |            SELECT *, row_number() OVER (PARTITION BY query_id
          |              ORDER BY approx_cos DESC, neighbor_id) AS arnk FROM ap)

@@ -486,30 +486,21 @@ object TextQ extends QueryPack {
     // the memoized learn ([[bpeMerges]] — the q38 train-once/
     // probe-forever split, so this line measures TOKENIZATION, not
     // re-learning), then ONE shuffle-free corpus scan applies them
-    // array-side per token (encode space-prefixed, chain the literal
-    // replaces, count surviving symbols as the delimiter count). Each
-    // merge is a sequential string pass; a production 32k-merge vocab
-    // would apply via a trie, but the plan shape — learn on the
-    // vocab, apply in the scan — is exactly what holds at 100 TB.
-    // Zero-token docs surface as (0, 0).
+    // via the native [[graft.functions.BpeTokenCount]] kernel: one
+    // codegen'd call per document, cost per token
+    // O(len + merges-present) INDEPENDENT of vocabulary size (the
+    // sequential-replace fold this replaces paid one full string pass
+    // per merge — linear in vocab, ruinous at a production 32k-merge
+    // vocabulary; the kernel's heap order provably replays the fold's
+    // exact semantics, BpeKernelSpec + the oracle pin it). Zero-token
+    // docs surface as (0, 0).
     "q61_bpe_tokenize" -> ((s, d) => {
       import s.implicits._
       val learned = bpeMerges(s, d)
-      def symCountOf(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val applied = learned.foldLeft(regexp_replace(w, "(.)", " $1 ")) {
-          case (c, (a, b)) =>
-            call_function("replace", c,
-              lit(" " + a + "  " + b + " "), lit(" " + a + b + " "))
-        }
-        // every surviving symbol carries exactly TWO spaces (its own
-        // wrap), so the count is spaces/2 — exact even division
-        ((length(applied) - length(call_function("replace", applied, lit(" "), lit("")))) / 2)
-          .cast("int")
-      }
       Tables.documents(s, d).select(
         $"doc_id",
         TF.tokenCount($"text").cast("long").as("ws_tokens"),
-        aggregate(TF.tokens($"text"), lit(0), (acc, x) => acc + symCountOf(x))
+        graft.functions.BpeTokenCount.bpeTokenCount($"text", learned.toSeq)
           .cast("long").as("bpe_tokens"))
     }),
 

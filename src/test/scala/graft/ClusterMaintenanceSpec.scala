@@ -121,6 +121,14 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
     val deltas = new java.io.File(s"$rootC/postings").listFiles().map(_.getName)
       .filter(_.startsWith("b=")).map(_.stripPrefix("b=").toLong).toSet
     assert(deltas == (3L until 9L).toSet, s"got $deltas")
+    // the CLUSTER store compacts on the same cadence: two-key compact
+    // versions at 3 and 6, cluster deltas below the previous compact
+    // version GC'd
+    val ccDirs = new java.io.File(s"$rootC/clusters_compact").listFiles().map(_.getName).toSet
+    assert(ccDirs == Set("v=3", "v=6"), s"got $ccDirs")
+    val cDeltas = new java.io.File(s"$rootC/clusters").listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).toSet
+    assert(cDeltas == (3L until 9L).toSet, s"got $cDeltas")
     // multiple sh-range files (file == pruning granule)
     val nFiles = new java.io.File(s"$rootC/postings_compact/v=6").listFiles()
       .count(_.getName.endsWith(".parquet"))
@@ -169,8 +177,7 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
     val q = in.toDF().toDF("doc_id", "text")
       .writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch(ClusterMaintenance.sink(root, "doc_id", "text", 5, cap, 0.6,
-        keepClusterVersions = 2))
+      .foreachBatch(ClusterMaintenance.sink(root, "doc_id", "text", 5, cap, 0.6))
       .start()
     try {
       (0 until 4).foreach { b =>
@@ -182,11 +189,107 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
     val streamed = clusterSet(ClusterMaintenance.loadClusters(spark, root))
     assert(streamed == expected)
     assert(streamed.nonEmpty)
-    // full-snapshot versions beyond the retention window are GC'd
-    // (keepClusterVersions = 2 here: current + the replay fallback;
-    // the default 8 gives loadClusters consumers a wider lease)
+    // the store is DELTAS: one version dir per batch, and the summed
+    // delta rows stay close to the table size (each row written once
+    // plus the occasional retro-relabel when a late bridge merges
+    // clusters) — a full-snapshot-per-batch store would sum to ~4x
     val vDirs = new java.io.File(s"$root/clusters").listFiles().map(_.getName).sorted
-    assert(vDirs.toSeq == Seq("v=2", "v=3"))
+    assert(vDirs.toSeq == Seq("v=0", "v=1", "v=2", "v=3"))
+    val deltaRows = (0 until 4).map(b =>
+      spark.read.parquet(s"$root/clusters/v=$b").count()).sum
+    assert(deltaRows < 2L * streamed.size,
+      s"delta rows $deltaRows vs table ${streamed.size}: writes are not delta-sized")
+    CachePool.drain()
+  }
+
+  test("cluster deltas are minimal: untouched clusters are never rewritten; a late bridge relabels exactly the touched members") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cm_delta").toString
+    val mk = (id: Long, text: String) => (id, text)
+    // b0: two disjoint clusters {1,3} and {20,21} (in-batch
+    // near-copies); b1: an unrelated doc (no pairs at all); b2: a doc
+    // near-copying 3's text joins cluster 1. The deltas must carry
+    // exactly each batch's changes — cluster {20,21} is written once
+    // in b0 and never again.
+    val b0 = Seq(
+      mk(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      mk(3, "beta gamma delta epsilon zeta eta theta iota kappa"),
+      mk(20, "red orange yellow green blue indigo violet ultra deep final"),
+      mk(21, "orange yellow green blue indigo violet ultra deep final"))
+    val b1 = Seq(mk(10, "totally unrelated content lives in this document here now"))
+    val b2 = Seq(mk(5, "gamma delta epsilon zeta eta theta iota kappa"))
+    def run(b: Int, docs: Seq[(Long, String)]): Unit =
+      ClusterMaintenance.processBatch(docs.toDF("doc_id", "text"), b, root, "doc_id", "text")
+    run(0, b0); run(1, b1); run(2, b2)
+    def delta(b: Int): Set[(Long, Long)] =
+      spark.read.parquet(s"$root/clusters/v=$b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // b0 delta: both clusters' rows (all new)
+    assert(delta(0) == Set((1L, 1L), (3L, 1L), (20L, 20L), (21L, 20L)))
+    // b1 delta: no pairs -> EMPTY (not a snapshot rewrite)
+    assert(delta(1).isEmpty)
+    // b2 delta: exactly the new doc joining cluster 1 — {20,21} and
+    // the already-correct {1,3} rows are NOT rewritten
+    assert(delta(2) == Set((5L, 1L)))
+    assert(clusterSet(ClusterMaintenance.loadClusters(spark, root)) ==
+      Set((1L, 1L), (3L, 1L), (5L, 1L), (20L, 20L), (21L, 20L)))
+    CachePool.drain()
+  }
+
+  test("retro-merge: a pair bridging two existing clusters relabels only the higher-labeled component's members, via the cluster_id member lookup") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cm_retro").toString
+    val mk = (id: Long, text: String) => (id, text)
+    // two disjoint clusters from b0; b1 posts doc 0 (id below the
+    // component minimum) as an exact copy of 1's text, so cluster
+    // {1,3}'s label must drop to 0 — relabeling BOTH old members via
+    // the cluster_id member lookup — while cluster {20,21} stays
+    // untouched and unwritten.
+    val b0 = Seq(
+      mk(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      mk(3, "beta gamma delta epsilon zeta eta theta iota kappa"),
+      mk(20, "red orange yellow green blue indigo violet ultra deep final"),
+      mk(21, "orange yellow green blue indigo violet ultra deep final"))
+    val b1 = Seq(mk(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    ClusterMaintenance.processBatch(b0.toDF("doc_id", "text"), 0, root, "doc_id", "text")
+    ClusterMaintenance.processBatch(b1.toDF("doc_id", "text"), 1, root, "doc_id", "text")
+    val d1 = spark.read.parquet(s"$root/clusters/v=1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // delta: the new doc + BOTH relabeled members of the touched
+    // component — and nothing from untouched cluster 20
+    assert(d1 == Set((0L, 0L), (1L, 0L), (3L, 0L)))
+    assert(clusterSet(ClusterMaintenance.loadClusters(spark, root)) ==
+      Set((0L, 0L), (1L, 0L), (3L, 0L), (20L, 20L), (21L, 20L)))
+    CachePool.drain()
+  }
+
+  test("v1-format postings roots abort loudly instead of silently dropping cross-batch pairs") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cm_v1").toString
+    // a pure-v1 root: 2-column postings (no n)
+    Seq((1L, 100L)).toDF("id", "sh").write.parquet(s"$root/postings/b=0")
+    val exPure = intercept[IllegalArgumentException] {
+      ClusterMaintenance.processBatch(
+        Seq((5L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+        1, root, "doc_id", "text")
+    }
+    assert(exPure.getMessage.contains("v1-format root"))
+    // a MIXED root: schema inference surfaces the v2 shape and v1 rows
+    // get NULL n — the per-row guard must fire, not silently lose pairs
+    val root2 = Files.createTempDirectory("graft_cm_v1mix").toString
+    Seq((1L, 100L)).toDF("id", "sh").write.parquet(s"$root2/postings/b=0")
+    Seq((2L, 200L, 6L)).toDF("id", "sh", "n").write.parquet(s"$root2/postings/b=1")
+    val exMixed = intercept[Exception] {
+      ClusterMaintenance.processBatch(
+        Seq((5L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+        2, root2, "doc_id", "text")
+    }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(exMixed.getMessage.contains("mixed v1/v2") ||
+      rootCause(exMixed).getMessage.contains("mixed v1/v2") ||
+      exMixed.getMessage.contains("v1-format root"),
+      s"unexpected failure: ${exMixed.getMessage}")
     CachePool.drain()
   }
 }
