@@ -23,18 +23,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as an int64 nanosecond epoch
-    * (legacy.parquet.nanosAsLong, set by GraftSession.tuned — a table
-    * LOADER must not mutate session-global parquet semantics as a
-    * side effect) and convert to a microsecond TimestampType column —
-    * the data is microsecond-granular, so the conversion is lossless. */
+  /** events.ts normalizes to a microsecond TimestampType column
+    * regardless of how the file stored it. Driver-generated corpora
+    * have shipped both parquet TIMESTAMP(NANOS) (decoded as an int64
+    * nanosecond epoch under legacy.parquet.nanosAsLong, set by
+    * GraftSession.tuned) and TIMESTAMP(MICROS) without timezone
+    * (decoded as TIMESTAMP_NTZ). Branch on the DECODED type — a
+    * session flag alone cannot tell which annotation the file carries.
+    * Session timezone is pinned to UTC (GraftSession.tuned), so the
+    * NTZ→Timestamp cast is an identity on the stored micros. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): build the session with GraftSession.tuned " +
-        "(or set spark.sql.legacy.parquet.nanosAsLong=true) before loading it")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType         => expr("timestamp_micros(ts div 1000)") // nanos-as-long
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _                => col("ts") // already TimestampType
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
