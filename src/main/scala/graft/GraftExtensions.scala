@@ -71,6 +71,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ahash"),
       info("graft_ahash", "graft_ahash(payload) - 60-bit perceptual average-hash of an image payload (NULL if undecodable)"),
       buildAHash))
+    e.injectFunction((
+      FunctionIdentifier("graft_audiohash"),
+      info("graft_audiohash", "graft_audiohash(payload) - 60-bit audio envelope hash of an audio payload (NULL if undecodable)"),
+      buildAudioHash))
+    e.injectFunction((
+      FunctionIdentifier("graft_framehashes"),
+      info("graft_framehashes", "graft_framehashes(payload, n) - per-frame 60-bit aHashes of up to n sampled video frames (empty array if undecodable)"),
+      buildFrameHashes))
     // graft_nearest_cell / graft_probe_cells stay Column-API-only by
     // design: their centroid-matrix argument is driver-held model state
     // (IvfIndex.Model), not something a SQL literal can express.
@@ -170,6 +178,17 @@ object GraftExtensions {
     graft.functions.AHash(args.head)
   }
 
+  private[graft] val buildAudioHash: Seq[Expression] => Expression = { args =>
+    arity("graft_audiohash", args, 1)
+    graft.functions.AudioHash(args.head)
+  }
+
+  private[graft] val buildFrameHashes: Seq[Expression] => Expression = { args =>
+    arity("graft_framehashes", args, 2)
+    graft.functions.FrameHashes(args.head,
+      intLiteral("graft_framehashes", args(1), 1, 1024))
+  }
+
   /** Register the same functions on an already-built session (useful in
     * tests and notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -185,5 +204,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_sq8_encode", buildSq8Encode, "scala_udf")
     reg.createOrReplaceTempFunction("graft_sq8_dot", buildSq8Dot, "scala_udf")
     reg.createOrReplaceTempFunction("graft_ahash", buildAHash, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_audiohash", buildAudioHash, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_framehashes", buildFrameHashes, "scala_udf")
   }
 }

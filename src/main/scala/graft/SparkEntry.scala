@@ -14,7 +14,8 @@ object SparkEntry {
     TextQ,
     DedupQ,
     SimilarityQ,
-    MiscQ
+    MiscQ,
+    MediaQ
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -41,3 +41,58 @@ case class AHash(child: Expression) extends UnaryExpression with CodegenFallback
   override protected def withNewChildInternal(newChild: Expression): AHash =
     copy(child = newChild)
 }
+
+/** 60-bit audio envelope hash as a Catalyst expression over
+  * BinaryType — the SQL surface of
+  * [[graft.operators.Multimodal.AudioHash60]] (the SAME kernel
+  * object). NULL for undecodable or sub-60-frame payloads, so the
+  * SQL near-dup pipeline routes with `IS NOT NULL` exactly like
+  * [[AHash]]. [[CodegenFallback]]: javax.sound decode dominates. */
+case class AudioHash(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audiohash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == NullType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_audiohash expects BINARY, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.operators.Multimodal.AudioHash60.hash(input.asInstanceOf[Array[Byte]]) match {
+      case Some(h) => java.lang.Long.valueOf(h)
+      case None => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): AudioHash =
+    copy(child = newChild)
+}
+
+/** Per-frame 60-bit aHashes of a video payload (Y4M or MJPEG) as an
+  * ARRAY<BIGINT> — the SQL generator for video near-dup: sample up
+  * to `n` evenly-spaced REAL frames, aHash each
+  * ([[graft.operators.Multimodal.frameHashes]], the videoNearDups
+  * kernel), and let the user `posexplode` into (frame_idx, hash)
+  * rows that drop into the simhash band-blocking SQL. Empty array
+  * for undecodable payloads (a generator's NULL-analog: explodes to
+  * zero rows, never kills the scan); NULL in → NULL out like every
+  * builtin. */
+case class FrameHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && n <= 1024, s"graft_framehashes: n must be in [1, 1024], got $n")
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_framehashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == NullType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_framehashes expects BINARY, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      graft.operators.Multimodal.frameHashes(input.asInstanceOf[Array[Byte]], n).toArray)
+
+  override protected def withNewChildInternal(newChild: Expression): FrameHashes =
+    copy(child = newChild)
+}

@@ -659,17 +659,22 @@ object Multimodal {
     * for FF D9 — camera JPEGs routinely embed an EXIF APP1 thumbnail
     * with its OWN SOI/EOI, which a raw scan would mistake for the
     * frame end. Inside entropy-coded data (after SOS) every FF is
-    * either 00-stuffed or a D0–D7 restart, so there the first FF D9
-    * IS the real EOI. -1 for malformed/truncated streams. (A
-    * progressive multi-scan JPEG whose post-first-SOS table segments
-    * happen to contain FF D9 could still terminate early; baseline
-    * JPEG — every camera MJPEG and ImageIO default — has one SOS.) */
+    * either 00-stuffed or a D0–D7 restart, so for a SINGLE-scan
+    * (baseline) frame the first FF D9 after SOS IS the real EOI.
+    * Progressive JPEGs (SOF2/6/10/14) and DNL streams are multi-scan:
+    * their post-first-SOS table segments may contain a literal FF D9,
+    * so the frame boundary is not decidable by this walk — REFUSE
+    * (-1) rather than risk splitting a frame early. Baseline JPEG —
+    * every camera MJPEG and the ImageIO default — has one SOS.
+    * -1 for malformed/truncated streams. */
   private def jpegEnd(p: Array[Byte], soi: Int): Int = {
     var i = soi + 2
     while (i + 1 < p.length) {
       if ((p(i) & 0xff) != 0xff) return -1 // expected a marker
       val m = p(i + 1) & 0xff
       if (m == 0xd9) return i + 2
+      else if (m == 0xc2 || m == 0xc6 || m == 0xca || m == 0xce || m == 0xdc)
+        return -1 // progressive SOF / DNL: multi-scan, boundary undecidable
       else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
       else if (m == 0xda) {
         // SOS header, then entropy-coded data until the true EOI
@@ -824,7 +829,7 @@ object Multimodal {
     * consumers: Y4M frames hash the in-memory decoded image
     * directly, MJPEG frames decode their JPEG bytes exactly once.
     * Undecodable payloads/frames yield no hashes. */
-  private def frameHashes(p: Array[Byte], n: Int): Seq[Long] =
+  private[graft] def frameHashes(p: Array[Byte], n: Int): Seq[Long] =
     try parseY4m(p) match {
       case Some(y) if y.frameOffsets.nonEmpty =>
         sampleIdx(y.frameOffsets.length, n).map(i => AHash60.hashImage(y4mFrameImage(p, y, i)))

@@ -117,4 +117,138 @@ class ExtensionsSpec extends AnyFunSuite {
     // but an untyped NULL literal behaves like every builtin: NULL out
     assert(spark.sql("SELECT graft_ahash(NULL) AS h").head.isNullAt(0))
   }
+
+  // ---- media family from pure SQL (the format-DDL UX) ------------------
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Smooth deterministic scene → JPEG at (w, h); resolution-
+    * independent sampling so re-renders at other dims aHash-match. */
+  private def sceneJpeg(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val f = 1 + (mix(seed) & 3L); val p = (mix(seed + 1) & 1023L) / 1024.0
+    val g2 = 1 + (mix(seed + 2) & 3L)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val s = math.sin(2 * math.Pi * (f * (x + 0.5) / w + p)) *
+          math.cos(2 * math.Pi * (g2 * (y + 0.5) / h))
+        val v = math.max(0, math.min(255, (127.5 * (1 + 0.8 * s)).toInt))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** 1-second WAV whose amplitude envelope (120 segments, 2 per
+    * AudioHash60 slice) is deterministic in `seed` — the same
+    * envelope at ANY sample rate yields the same audio hash. */
+  private def envWav(rate: Int, seed: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = rate
+    val bytes = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val seg = i.toLong * 120 / n
+      val amp = 0.15 + 0.85 * ((mix(seed * 131 + seg) & 1023L) / 1023.0)
+      val s = (amp * math.sin(2 * math.Pi * 440 * i / rate) * 30000).toInt.toShort
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The simhash band-blocking pipeline as ONE reusable SQL tail:
+    * band-explode `h`, self-join on (band, key), exact hamming ≤ 3 —
+    * the Dedup.simhashPairs plan, writable by a pure-SQL user. */
+  private def bandPairsSql(hashedView: String): String =
+    s"""WITH banded AS (
+       |  SELECT id, h, band, bkey
+       |  FROM $hashedView
+       |  LATERAL VIEW posexplode(transform(sequence(0, 3), b -> shiftright(h, b * 15) % 32768))
+       |    AS band, bkey),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    bit_count(a.h ^ b.h) AS hamming
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.id < b.id)
+       |SELECT id_a, id_b FROM cand WHERE hamming <= 3""".stripMargin
+
+  test("image near-dup from spark.sql only: graft_ahash + band-blocking SQL finds the cross-resolution pair") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // 2 is a re-render of scene 1 at a different resolution; 3 unrelated
+    Seq((1L, sceneJpeg(7, 64, 48)), (2L, sceneJpeg(7, 96, 72)),
+        (3L, sceneJpeg(1234, 64, 48)), (4L, Array[Byte](9, 9, 9)))
+      .toDF("id", "payload").createOrReplaceTempView("media_imgs")
+    spark.sql(
+      """SELECT id, graft_ahash(payload) AS h FROM media_imgs
+        |WHERE graft_ahash(payload) IS NOT NULL""".stripMargin)
+      .createOrReplaceTempView("img_hashed")
+    val pairs = spark.sql(bandPairsSql("img_hashed"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"cross-resolution pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated image matched: $pairs")
+  }
+
+  test("audio near-dup from spark.sql only: graft_audiohash finds the cross-rate re-encode") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // 2 is the same recording as 1 resampled to 16 kHz; 3 unrelated
+    Seq((1L, envWav(8000, 5)), (2L, envWav(16000, 5)),
+        (3L, envWav(8000, 999)), (4L, Array[Byte](1, 2)))
+      .toDF("id", "payload").createOrReplaceTempView("media_wavs")
+    spark.sql(
+      """SELECT id, graft_audiohash(payload) AS h FROM media_wavs
+        |WHERE graft_audiohash(payload) IS NOT NULL""".stripMargin)
+      .createOrReplaceTempView("wav_hashed")
+    val pairs = spark.sql(bandPairsSql("wav_hashed"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"cross-rate pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated clip matched: $pairs")
+    // kernel parity with the typed path
+    val sqlHash = spark.sql("SELECT graft_audiohash(payload) FROM media_wavs WHERE id = 1").head.getLong(0)
+    assert(sqlHash == graft.operators.Multimodal.AudioHash60.hash(envWav(8000, 5)).get)
+  }
+
+  test("video near-dup from spark.sql only: graft_framehashes explodes to frame rows; shared-frame videos pair") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // videos 1 and 2 share two frames (a re-cut); 3 is unrelated
+    val mj1 = sceneJpeg(10, 64, 48) ++ sceneJpeg(11, 64, 48) ++ sceneJpeg(12, 64, 48)
+    val mj2 = sceneJpeg(12, 64, 48) ++ sceneJpeg(11, 64, 48) ++ sceneJpeg(77, 64, 48)
+    val mj3 = sceneJpeg(500, 64, 48) ++ sceneJpeg(501, 64, 48)
+    Seq((1L, mj1), (2L, mj2), (3L, mj3), (4L, Array[Byte](0, 0)))
+      .toDF("id", "payload").createOrReplaceTempView("media_vids")
+    // undecodable → empty array → zero frame rows, never NULL/crash
+    assert(spark.sql("SELECT size(graft_framehashes(payload, 8)) FROM media_vids WHERE id = 4").head.getInt(0) == 0)
+    spark.sql(
+      """SELECT id * 1024 + frame_idx AS id, h
+        |FROM media_vids
+        |LATERAL VIEW posexplode(graft_framehashes(payload, 8)) AS frame_idx, h""".stripMargin)
+      .createOrReplaceTempView("frame_hashed")
+    val vidPairs = spark.sql(
+      s"""SELECT va, vb, count(DISTINCT fa) AS matching
+         |FROM (
+         |  SELECT id_a div 1024 AS va, id_a % 1024 AS fa,
+         |         id_b div 1024 AS vb, id_b % 1024 AS fb
+         |  FROM (${bandPairsSql("frame_hashed")})
+         |) WHERE va <> vb
+         |GROUP BY va, vb HAVING count(DISTINCT fa) >= 2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(vidPairs == Set((1L, 2L)), s"expected only the re-cut pair: $vidPairs")
+  }
 }

@@ -526,4 +526,39 @@ class MultimodalSpec extends AnyFunSuite {
       frames.map(f => MediaRow(f.frame_idx.toLong, "frame", 0, 0, f.payload))).collect()
     assert(feats.length == 2 && feats.forall(f => f.decoded && f.px_width == 64))
   }
+
+  /** A progressive (multi-scan, SOF2) re-encode of [[texJpeg]] via the
+    * JDK writer's progressive mode — the multi-scan stream the segment
+    * walk must REFUSE (frame boundary undecidable) rather than risk an
+    * early split on a literal FF D9 inside an inter-scan table. */
+  private def progressiveJpeg(seed: Int): Array[Byte] = {
+    val baseline = texJpeg(seed)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(baseline))
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val param = w.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    w.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  test("progressive MJPEG refused: multi-scan frames surface decoded=false, never a wrong frame count") {
+    import spark.implicits._
+    val prog = progressiveJpeg(21)
+    // sanity: the re-encode really is progressive (has an SOF2 marker)
+    assert(prog.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2),
+      "test payload is not progressive — JDK writer produced no SOF2")
+    val rows = spark.createDataset(Seq(
+      MediaRow(1, "mjpeg", 64, 48, prog ++ prog),            // all-progressive stream
+      MediaRow(2, "mjpeg", 64, 48, texJpeg(5) ++ prog),      // baseline then progressive
+      MediaRow(3, "mjpeg", 64, 48, texJpeg(5) ++ texJpeg(6)) // control: baseline decodes
+    ))
+    val byId = Multimodal.decodeVideo(rows).collect().map(f => f.doc_id -> f).toMap
+    assert(!byId(1L).decoded, s"progressive stream not refused: ${byId(1L)}")
+    assert(!byId(2L).decoded, s"mixed stream not refused: ${byId(2L)}")
+    assert(byId(3L).decoded && byId(3L).n_frames == 2, s"baseline control broke: ${byId(3L)}")
+  }
 }
