@@ -154,7 +154,20 @@ object IvfStream {
     * (over [[visible]]: newest compact version + committed arrival
     * tail, `_SUCCESS`-gated so a crashed batch's or compaction's
     * partial directory is invisible until its replay commits), exact
-    * cosine top-k. */
+    * cosine top-k.
+    *
+    * RETENTION LEASE (concurrent compaction contract): a probe that
+    * begins just before compaction N commits resolves the previous
+    * assembly (compact version M + arrival batches ≥ M). Compaction N
+    * GC's only what sits BELOW version M, so every path in that
+    * assembly survives N's commit — the probe is safe for as long as
+    * exactly ONE newer compaction can land (one-version lease). A
+    * probe must therefore finish within one compaction interval
+    * (`compactEvery` micro-batches) of when it listed the root;
+    * longer-running consumers (exports, backfills) should either copy
+    * the assembly's file list up front or pause compaction. The
+    * ConcurrentCompactionSpec race drives probe and compact on
+    * separate threads against this contract. */
   def topK(spark: SparkSession, root: String, queries: DataFrame,
       modelDir: String, nprobe: Int, k: Int): DataFrame =
     IvfIndex.topK(visible(spark, root), queries, IvfIndex.load(spark, modelDir), nprobe, k)
