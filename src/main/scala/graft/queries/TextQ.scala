@@ -536,6 +536,9 @@ object TextQ extends QueryPack {
         .groupBy($"doc_id")
         .agg(sum(least($"tf", lit(4)) * $"idf_bits").cast("long").as("score"))
       val topk = scored.orderBy($"score".desc, $"doc_id".asc).limit(k)
+      // global (unpartitioned) window — input is the k-row TakeOrdered
+      // result, so the "moving all data to a single partition" warning
+      // it logs is about k = 20 rows, not the corpus
       topk.withColumn("rnk",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy($"score".desc, $"doc_id".asc)))
