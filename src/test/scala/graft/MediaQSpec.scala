@@ -34,4 +34,28 @@ class MediaQSpec extends AnyFunSuite {
     val keepersPerCluster = out.groupBy(_._2._1).view.mapValues(_.count(_._2._2))
     assert(keepersPerCluster.values.forall(_ == 1), "a cluster without exactly one keeper")
   }
+
+  test("q65: cross-rate audio re-encodes cluster with their base recording; garbage routed") {
+    val out = SparkEntry.queries("q65_audio_dedup_keep")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!out.keySet.exists(_ % 97 == 96), "garbage payloads leaked into audio fingerprints")
+    val planted = out.keySet.filter(id => id % 5 == 4 && (id - 4) % 97 != 96)
+    val matched = planted.count(id => out(id) == out(id - 4))
+    assert(matched.toDouble / planted.size >= 0.95,
+      s"audio planted recovery too low: $matched of ${planted.size}")
+  }
+
+  test("q66: re-cut videos pair with exactly their base on 2 distinct shared frames; nothing else pairs") {
+    val rows = SparkEntry.queries("q66_video_dedup_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every planted re-cut (id ≡ 4 mod 5) pairs with its base on the
+    // two shared frames — the ≥ 2-distinct-frames rule at work
+    val plantedPairs = rows.filter { case (a, b, _) => b == a + 4 && a % 5 == 0 }
+    assert(plantedPairs.nonEmpty && plantedPairs.forall(_._3 == 2),
+      s"re-cut pairs wrong: ${plantedPairs.take(5).toSeq}")
+    // and nothing else crosses the 2-frame bar (one shared scene is
+    // not enough — the static-clip defense)
+    assert(rows.length == plantedPairs.length,
+      s"unexpected extra video pairs: ${rows.filterNot(plantedPairs.contains).take(5).toSeq}")
+  }
 }
