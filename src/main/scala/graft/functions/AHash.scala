@@ -42,6 +42,14 @@ case class AHash(child: Expression) extends UnaryExpression with CodegenFallback
     copy(child = newChild)
 }
 
+object AHash {
+  /** Column-API form (the simhash60 convention): 60-bit perceptual
+    * image hash, NULL for undecodable payloads. */
+  def ahash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      AHash(org.apache.spark.sql.graftbridge.ColumnBridge.expression(payload)))
+}
+
 /** 60-bit audio envelope hash as a Catalyst expression over
   * BinaryType — the SQL surface of
   * [[graft.operators.Multimodal.AudioHash60]] (the SAME kernel
@@ -66,6 +74,14 @@ case class AudioHash(child: Expression) extends UnaryExpression with CodegenFall
 
   override protected def withNewChildInternal(newChild: Expression): AudioHash =
     copy(child = newChild)
+}
+
+object AudioHash {
+  /** Column-API form: 60-bit audio envelope hash, NULL for
+    * undecodable or sub-60-frame payloads. */
+  def audiohash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      AudioHash(org.apache.spark.sql.graftbridge.ColumnBridge.expression(payload)))
 }
 
 /** Per-frame 60-bit aHashes of a video payload (Y4M or MJPEG) as an

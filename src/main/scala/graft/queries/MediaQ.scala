@@ -58,7 +58,7 @@ object MediaQ extends QueryPack {
     * invariance a real re-encode pipeline relies on; low frequency
     * (≤ 4 cycles) keeps bilinear resize and JPEG quantization inside
     * the hamming tolerance. */
-  private[queries] def sceneJpeg(seed: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def sceneJpeg(seed: Long, w: Int, h: Int): Array[Byte] = {
     val m1 = mix(seed); val m2 = mix(m1); val m3 = mix(m2); val m4 = mix(m3)
     val m5 = mix(m4); val m6 = mix(m5); val m7 = mix(m6); val m8 = mix(m7)
     val f1 = 1 + (m1 & 3L); val f2 = 1 + (m2 & 3L)
@@ -92,7 +92,7 @@ object MediaQ extends QueryPack {
     * yields the same audio hash (slices are proportional spans), so a
     * cross-rate re-encode of the same recording is a planted near-dup
     * exactly like a cross-resolution image re-render. */
-  private[queries] def envelopeWav(seed: Long, rate: Int): Array[Byte] = {
+  private[graft] def envelopeWav(seed: Long, rate: Int): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val n = rate
     val bytes = new Array[Byte](n * 2)

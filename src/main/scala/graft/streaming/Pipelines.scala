@@ -392,15 +392,50 @@ object Pipelines {
     * their window. Emits (doc_id, w_start) of surviving docs. */
   def streamingNearDedup(docs: DataFrame, idCol: String, tsCol: String, textCol: String,
       watermark: String, verdictWindow: String, stateRetention: java.time.Duration,
-      maxDist: Int = 3): DataFrame = {
-    val s = docs.sparkSession
+      maxDist: Int = 3): DataFrame =
+    streamingFpNearDedup(
+      docs
+        // wordless docs are excluded exactly as in the batch twin
+        // (Dedup.simhashDocs): their all-ones fingerprint would
+        // cross-match unrelated blank docs
+        .filter(trim(col(textCol), " ") =!= "")
+        .withColumn("fp", graft.functions.SimHash60.simhash60(col(textCol))),
+      idCol, tsCol, "fp", watermark, verdictWindow, stateRetention, maxDist)
+
+  /** Streaming near-dup suppression on the MEDIA modalities — the
+    * [[streamingNearDedup]] machine with the text SimHash swapped for
+    * a perceptual payload hash (default AHash60 for images; pass
+    * `graft.functions.AudioHash.audiohash` for audio streams). The
+    * whole perceptual family shares one 60-bit/4-band layout, so the
+    * band state, retention timers, and verdict semantics carry over
+    * UNCHANGED — one state machine for every modality, exactly like
+    * the batch side's one `Dedup.simhashPairs`. Undecodable payloads
+    * hash to NULL and are EXCLUDED here (no visual/audio content to
+    * match); routing them is the decode stage's job, same contract
+    * as the batch `hashImages(...).filter(decoded)`. */
+  def streamingMediaNearDedup(media: DataFrame, idCol: String, tsCol: String,
+      payloadCol: String, watermark: String, verdictWindow: String,
+      stateRetention: java.time.Duration, maxDist: Int = 3,
+      hash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.functions.AHash.ahash): DataFrame =
+    streamingFpNearDedup(
+      media.withColumn("fp", hash(col(payloadCol))).filter(col("fp").isNotNull),
+      idCol, tsCol, "fp", watermark, verdictWindow, stateRetention, maxDist)
+
+  /** The shared fingerprint→verdict tail: band fan-out (4×15-bit,
+    * pigeonhole-complete for maxDist ≤ 3), per-bucket
+    * transformWithState near-dup verdicts with retention timers, and
+    * the windowed AND of the four band verdicts per doc. `rows` must
+    * carry a 60-bit fingerprint in `fpCol`; emits (doc_id, w_start)
+    * of surviving (first-occurrence) docs once the watermark closes
+    * their verdict window. */
+  def streamingFpNearDedup(rows: DataFrame, idCol: String, tsCol: String,
+      fpCol: String, watermark: String, verdictWindow: String,
+      stateRetention: java.time.Duration, maxDist: Int = 3): DataFrame = {
+    val s = rows.sparkSession
     import s.implicits._
-    val banded = docs
-      // wordless docs are excluded exactly as in the batch twin
-      // (Dedup.simhashDocs): their all-ones fingerprint would
-      // cross-match unrelated blank docs
-      .filter(trim(col(textCol), " ") =!= "")
-      .withColumn("fp", graft.functions.SimHash60.simhash60(col(textCol)))
+    val banded = rows
+      .withColumn("fp", col(fpCol))
       .withWatermark(tsCol, watermark)
       .select(
         explode(expr(

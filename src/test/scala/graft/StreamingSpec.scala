@@ -406,6 +406,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_media_near_dedup: the text band-state machine runs unchanged on image AND audio payload hashes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // IMAGE stream: a cross-resolution re-render is the near dup, a
+    // different scene survives, garbage hashes NULL and is excluded
+    val imgs = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val qi = Pipelines.streamingMediaNearDedup(
+        imgs.toDF().toDF("doc_id", "ts", "payload"),
+        "doc_id", "ts", "payload",
+        watermark = "0 seconds", verdictWindow = "1 minute",
+        stateRetention = java.time.Duration.ofHours(1))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("media_dedup_img").start()
+    try {
+      imgs.addData(
+        (1L, ts(1), graft.queries.MediaQ.sceneJpeg(7, 64, 48)),
+        (3L, ts(2), graft.queries.MediaQ.sceneJpeg(4242, 64, 48)),
+        (9L, ts(2), Array[Byte](1, 2, 3)))
+      qi.processAllAvailable()
+      imgs.addData((2L, ts(3), graft.queries.MediaQ.sceneJpeg(7, 96, 72))) // re-render of 1
+      qi.processAllAvailable()
+      imgs.addData((99L, ts(120), graft.queries.MediaQ.sceneJpeg(999, 64, 48)))
+      qi.processAllAvailable()
+      imgs.addData((100L, ts(121), graft.queries.MediaQ.sceneJpeg(998, 64, 48)))
+      qi.processAllAvailable()
+      val got = spark.table("media_dedup_img").select("doc_id").as[Long].collect().toSet
+      assert(got.contains(1L) && got.contains(3L), s"original/unrelated dropped: $got")
+      assert(!got.contains(2L), s"cross-resolution re-render kept: $got")
+      assert(!got.contains(9L), s"undecodable payload entered dedup: $got")
+    } finally qi.stop()
+
+    // AUDIO stream: same machine, AudioHash60 — a cross-rate
+    // re-encode of the same recording is the near dup
+    val wavs = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val qa = Pipelines.streamingMediaNearDedup(
+        wavs.toDF().toDF("doc_id", "ts", "payload"),
+        "doc_id", "ts", "payload",
+        watermark = "0 seconds", verdictWindow = "1 minute",
+        stateRetention = java.time.Duration.ofHours(1),
+        hash = graft.functions.AudioHash.audiohash)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("media_dedup_wav").start()
+    try {
+      wavs.addData(
+        (1L, ts(1), graft.queries.MediaQ.envelopeWav(5, 8000)),
+        (3L, ts(2), graft.queries.MediaQ.envelopeWav(606, 8000)))
+      qa.processAllAvailable()
+      wavs.addData((2L, ts(3), graft.queries.MediaQ.envelopeWav(5, 16000))) // re-encode of 1
+      qa.processAllAvailable()
+      wavs.addData((99L, ts(120), graft.queries.MediaQ.envelopeWav(997, 8000)))
+      qa.processAllAvailable()
+      wavs.addData((100L, ts(121), graft.queries.MediaQ.envelopeWav(996, 8000)))
+      qa.processAllAvailable()
+      val got = spark.table("media_dedup_wav").select("doc_id").as[Long].collect().toSet
+      assert(got.contains(1L) && got.contains(3L), s"original/unrelated clip dropped: $got")
+      assert(!got.contains(2L), s"cross-rate re-encode kept: $got")
+    } finally qa.stop()
+  }
+
   test("stream_static_join: batch-derived sampling rates rebalance a live stream deterministically") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
