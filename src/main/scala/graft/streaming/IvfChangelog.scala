@@ -1,0 +1,175 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorExpressions, VectorFunctions}
+import graft.operators.IvfIndex
+
+/** CDC-DRIVEN vector index maintenance — [[IvfStream]]'s append-only
+  * ingest generalized to a full changelog (Flink row kinds, the same
+  * `+I/+U/-U/-D` convention the CDC formats emit): a training-data
+  * lake re-embeds updated documents and DELETES contaminated ones,
+  * and the ANN index must follow without a rebuild.
+  *
+  * The design keeps every cell SELF-CONTAINED so probes stay
+  * DPP-pruned, which is the whole value of an IVF layout at 100 TB:
+  *
+  *  - `+I`/`+U` rows carry the after-image vector and write a live
+  *    row (ver = batchId, del = false) into its assigned cell.
+  *  - `-U`/`-D` rows carry the BEFORE-image vector (exactly what
+  *    Canal/Debezium envelopes provide — CanalJson.parseChangelog
+  *    emits `-U` with the before fields) and write a TOMBSTONE
+  *    (del = true) into the cell the OLD vector lived in. Ingest
+  *    therefore never reads index state — no lookup join, no
+  *    read-modify-write, replay-trivially-idempotent.
+  *  - Probe-time resolution happens per CANDIDATE SET, after the
+  *    DPP-pruned cell join: per (query, vec_id) the highest-`ver`
+  *    row wins (live beats tombstone at equal ver — an update's
+  *    after-image outranks its own `-U`), deleted keys drop. A moved
+  *    vector's old cell holds a newer tombstone (old position
+  *    invisible), its new cell holds the live row — each cell
+  *    resolves correctly IN ISOLATION, so pruning never consults
+  *    other cells. Resolution cost is O(candidates), not O(index).
+  *  - Compaction folds the complete history below a bound, resolves
+  *    globally (latest per vec_id, tombstones dropped — nothing
+  *    older remains to resurrect), rewrites one file per cell, and
+  *    GC's folded dirs under the [[BatchVersioned.gcBelowPrev]]
+  *    replay-safety rule shared with the other three compactors.
+  *
+  * Multiple changes for one key in one micro-batch: pass `seqCol`
+  * (the changelog's offset) — the net after-image per key is kept
+  * (latest seq) plus EVERY tombstone (positional deletes of prior
+  * cells are harmless where nothing lives and necessary where
+  * something does). Without `seqCol` the caller must feed at most
+  * one after-image per key per batch, or same-`ver` ties would
+  * resolve nondeterministically. */
+object IvfChangelog {
+
+  private val Cols = Seq("vec_id", "v", "code", "cell", "ver", "del")
+
+  /** Ingest one changelog micro-batch. `batch` carries
+    * (vec_id, row_kind, v) — `v` is the after-image for `+I`/`+U`
+    * and the BEFORE-image for `-U`/`-D`. */
+  def processBatch(batch: DataFrame, batchId: Long, root: String,
+      model: IvfIndex.Model, compactEvery: Int = 0,
+      seqCol: Option[String] = None): Unit = {
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compact(batch.sparkSession, root, batchId)
+    val live0 = batch.filter(col("row_kind").isin("+I", "+U"))
+    val live = seqCol match {
+      case Some(sc) =>
+        // net after-image per key: the latest-seq +I/+U wins; the
+        // window runs over ONE micro-batch's rows, not the index
+        val w = Window.partitionBy(col("vec_id")).orderBy(col(sc).desc)
+        live0.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      case None => live0
+    }
+    val liveRows = IvfIndex.assignCells(live.select(col("vec_id"), col("v")), model)
+      .withColumn("code", VectorExpressions.sq8Encode(col("v")))
+      .withColumn("ver", lit(batchId))
+      .withColumn("del", lit(false))
+    val tombRows = IvfIndex.assignCells(
+        batch.filter(col("row_kind").isin("-U", "-D")).select(col("vec_id"), col("v")), model)
+      .withColumn("v", lit(null).cast("array<double>"))
+      .withColumn("code", lit(null).cast("binary"))
+      .withColumn("ver", lit(batchId))
+      .withColumn("del", lit(true))
+    liveRows.select(Cols.map(col): _*)
+      .unionByName(tombRows.select(Cols.map(col): _*))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/b=$batchId")
+  }
+
+  /** foreachBatch adapter with a PINNED model (the frozen-model
+    * contract [[IvfStream.sink]] documents). */
+  def sink(spark: SparkSession, root: String, modelDir: String,
+      compactEvery: Int = 16, seqCol: Option[String] = None): (DataFrame, Long) => Unit = {
+    val model = IvfIndex.load(spark, modelDir)
+    (batch, batchId) => processBatch(batch, batchId, root, model, compactEvery, seqCol)
+  }
+
+  /** Explicit read schema: an EMPTY committed micro-batch (normal in
+    * a quiet stream) writes a dir with `_SUCCESS` but no data files,
+    * which schema inference cannot read — the layout is fixed by
+    * [[processBatch]], so spell it out. `cell` is the partition
+    * column (directory-derived). */
+  private val Schema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, v ARRAY<DOUBLE>, code BINARY, ver BIGINT, del BOOLEAN, cell INT")
+
+  /** Committed "newest compact version + arrival tail" assembly —
+    * [[IvfStream]]'s parts rule over the changelog row layout. */
+  private def parts(spark: SparkSession, root: String,
+      upper: Option[Long]): (Option[(Long, String)], Seq[DataFrame]) = {
+    val cv = BatchVersioned.versions(spark, s"$root/compact")
+      .filter(v => upper.forall(v._1 < _)).lastOption
+    val lo = cv.map(_._1).getOrElse(Long.MinValue)
+    val tail = BatchVersioned.versions(spark, root, prefix = "b")
+      .filter { case (b, _) => b >= lo && upper.forall(b < _) }.map(_._2)
+    val ps =
+      cv.map { case (_, d) =>
+        spark.read.schema(Schema).option("basePath", d).parquet(d).select(Cols.map(col): _*)
+      }.toSeq ++
+      (if (tail.isEmpty) Seq.empty
+       else Seq(spark.read.schema(Schema).option("basePath", root).parquet(tail: _*)
+         .select(Cols.map(col): _*)))
+    (cv, ps)
+  }
+
+  private def visible(spark: SparkSession, root: String): DataFrame = {
+    val (_, ps) = parts(spark, root, upper = None)
+    require(ps.nonEmpty, s"no committed changelog batches under $root")
+    ps.reduce(_ unionByName _)
+  }
+
+  /** Global latest-per-key resolution — compaction's rule: newest
+    * `ver` wins, live beats tombstone at equal ver, deleted keys
+    * drop, tombstones themselves drop (the fold covers the COMPLETE
+    * history below its bound, so nothing older can resurrect). */
+  private def resolveAll(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ver").desc, col("del").asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("del")).drop("__rn")
+  }
+
+  /** Rewrite history below `batchId` as compact version v=`batchId`
+    * (resolved, one file per cell, `ver` retained so tail batches
+    * still outrank it), then GC below the previous version. */
+  private[graft] def compact(spark: SparkSession, root: String, batchId: Long): Unit = {
+    val (prev, ps) = parts(spark, root, upper = Some(batchId))
+    if (ps.nonEmpty) {
+      resolveAll(ps.reduce(_ unionByName _))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/compact/v=$batchId")
+      BatchVersioned.gcBelowPrev(spark, s"$root/compact", root, "b", prev)
+    }
+  }
+
+  /** Probe the maintained index: DPP-pruned cell join FIRST (the
+    * broadcast probe side drives dynamic partition pruning exactly
+    * like [[IvfIndex.topK]]), then per-(query, vec_id) resolution
+    * over the CANDIDATE rows only — newest ver wins, live beats
+    * tombstone at equal ver, deleted drop — then exact cosine top-k.
+    * The resolution window costs O(candidates); the index is never
+    * globally shuffled. */
+  def topK(spark: SparkSession, root: String, queries: DataFrame,
+      modelDir: String, nprobe: Int, k: Int): DataFrame = {
+    val model = IvfIndex.load(spark, modelDir)
+    val p = IvfIndex.probeCells(queries, col("qv"), model, nprobe)
+    val wRes = Window.partitionBy(col("query_id"), col("vec_id"))
+      .orderBy(col("ver").desc, col("del").asc)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    visible(spark, root).join(broadcast(p), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("__rn", row_number().over(wRes))
+      .filter(col("__rn") === 1 && !col("del"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        nanvl(VectorFunctions.cosine(col("qv"), col("v")), lit(-2.0)).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+  }
+}
