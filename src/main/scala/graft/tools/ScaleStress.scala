@@ -351,6 +351,88 @@ object ScaleStress {
       } finally FileUtil.deleteTree(java.nio.file.Paths.get(dir))
     }
 
+    // CDC-driven IVF maintenance at depth: 400k vectors inserted,
+    // then 19 changelog batches of cell-moving updates (4k keys
+    // each, moved to their negated position) and deletes (4k keys
+    // each), compacting every 5. Disjoint key classes (id % 100)
+    // keep every key's before-image exact without reading state —
+    // the design's whole point. Asserts: (1) probe SCAN INPUT flat
+    // in stream depth (compaction bounds the tail); (2) the final
+    // maintained index parity-matches a one-shot batch build of the
+    // final state on a 100-query probe; (3) deleted keys are
+    // unprobeable; (4) the compact version carries no tombstones.
+    time("ivf_changelog_20_batches_400k_vectors") {
+      import graft.streaming.IvfChangelog
+      val n = 400000L
+      val cellBits = Adaptive.bits(n, targetBucket = 32, lo = 4, hi = 8)
+      val mixed = graft.functions.VectorFunctions.Sql
+        .mixSpark("cast(id as bigint) * 64 + k + 31337")
+      val base = spark.range(n).select(
+        $"id".as("vec_id"),
+        expr(s"transform(sequence(0, 63), k -> cast($mixed as double) / 1000.0)").as("v"))
+      val negated = base.select($"vec_id", expr("transform(v, x -> -x)").as("v"))
+      val model = graft.operators.IvfIndex.train(
+        base, cells = 1 << cellBits, iters = 3, memoKey = s"stress-ivf-cdc-$n",
+        sampleMod = graft.operators.IvfIndex.sampleMod(n, 1 << cellBits))
+      val root = java.nio.file.Files.createTempDirectory("graft_stress_cdc").toString
+      val modelDir = java.nio.file.Files.createTempDirectory("graft_stress_cdc_m").toString
+      val batchDir = java.nio.file.Files.createTempDirectory("graft_stress_cdc_b").toString
+      try {
+        graft.operators.IvfIndex.save(model, modelDir, spark)
+        IvfChangelog.processBatch(
+          base.withColumn("row_kind", lit("+I")), 0, root, model, compactEvery = 5)
+        // fixed probe: 100 untouched keys (class id%100 == 0 is never
+        // updated or deleted by the schedule below)
+        val fixedQ = base.filter($"vec_id" % 100 === 0).limit(100)
+          .select($"vec_id".as("query_id"), $"v".as("qv"))
+        def scanOf(df: org.apache.spark.sql.DataFrame): Long = {
+          val plan = { df.queryExecution.toRdd.count(); df.queryExecution.executedPlan }
+          scanRows(plan)
+        }
+        var midScan = 0L
+        (1 to 19).foreach { b =>
+          val upd = base.filter($"vec_id" % 100 === b)
+          val del = base.filter($"vec_id" % 100 === 50 + b)
+          val chg = upd.withColumn("row_kind", lit("-U"))
+            .unionByName(negated.filter($"vec_id" % 100 === b).withColumn("row_kind", lit("+U")))
+            .unionByName(del.withColumn("row_kind", lit("-D")))
+          IvfChangelog.processBatch(chg, b.toLong, root, model, compactEvery = 5)
+          if (b == 6)
+            midScan = scanOf(IvfChangelog.topK(spark, root, fixedQ, modelDir, nprobe = 8, k = 5))
+        }
+        val endProbe = IvfChangelog.topK(spark, root, fixedQ, modelDir, nprobe = 8, k = 5)
+        val endScan = scanOf(endProbe)
+        require(endScan <= (midScan * 1.4).toLong + 1000,
+          s"probe scan input grew with stream depth: $midScan (depth 6) -> $endScan (depth 19)")
+
+        // final-state parity on the full probe
+        val finalState = base.filter(pmod($"vec_id", lit(100)) === 0 ||
+            !(pmod($"vec_id", lit(100)).between(1, 19) || pmod($"vec_id", lit(100)).between(51, 69)))
+          .unionByName(negated.filter(pmod($"vec_id", lit(100)).between(1, 19)))
+        graft.operators.IvfIndex.build(finalState, model, batchDir)
+        def rs(df: org.apache.spark.sql.DataFrame) =
+          df.select($"query_id", $"neighbor_id", $"rnk")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val got = rs(endProbe)
+        val want = rs(graft.operators.IvfIndex.topK(spark, batchDir, fixedQ, model, 8, 5))
+        require(got == want, s"maintained index diverged from batch build: ${(got -- want).take(3)} vs ${(want -- got).take(3)}")
+        // deleted keys unprobeable: probe AT a deleted key's position
+        val delQ = base.filter($"vec_id" % 100 === 55).limit(50)
+          .select($"vec_id".as("query_id"), $"v".as("qv"))
+        val ghosts = IvfChangelog.topK(spark, root, delQ, modelDir, 8, 5)
+          .filter($"neighbor_id" === $"query_id").count()
+        require(ghosts == 0, s"$ghosts deleted vectors still probe-visible")
+        // newest compact version is tombstone-free
+        val lastCompact = new java.io.File(s"$root/compact").listFiles()
+          .filter(_.getName.startsWith("v=")).map(_.getAbsolutePath).max
+        require(spark.read.parquet(lastCompact).filter($"del").count() == 0,
+          "tombstones survived compaction")
+        println(s"STRESS   cdc probe_scan depth6=$midScan depth19=$endScan parity=ok deleted_gone=ok")
+        finalState.count()
+      } finally Seq(root, modelDir, batchDir).foreach(d =>
+        FileUtil.deleteTree(java.nio.file.Paths.get(d)))
+    }
+
     // BPE learning at scale: the q60 design claim is that the corpus
     // is scanned ONCE (word histogram) and every merge iteration runs
     // over the VOCABULARY — so quadrupling the corpus must grow the
