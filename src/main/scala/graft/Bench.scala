@@ -25,6 +25,10 @@ object Bench {
     // the measured iteration at steady state.
     SparkEntry.entry(spark).count()
     SparkEntry.queries("q18_canal_parse")(spark, sfDir).queryExecution.toRdd.count()
+    // q19 rides the same Jackson ladder through a DIFFERENT generated
+    // parser (debezium's nested before/after schema) — r10 measured it
+    // swinging 1.3 → 3.5 s with no code change when only q18 was warm
+    SparkEntry.queries("q19_debezium_parse")(spark, sfDir).queryExecution.toRdd.count()
     // warm the k-means / shingle / CC kernel classes at toy scale so the
     // sf0.1 setup lines below measure the work, not JIT + classloading
     queries.SimilarityQ.ivfModel(spark, "/root/testdata/sf0.001")
