@@ -39,15 +39,38 @@ import graft.operators.IvfIndex
   *    replay-safety rule shared with the other three compactors.
   *
   * Multiple changes for one key in one micro-batch: pass `seqCol`
-  * (the changelog's offset) — the net after-image per key is kept
-  * (latest seq) plus EVERY tombstone (positional deletes of prior
-  * cells are harmless where nothing lives and necessary where
-  * something does). Without `seqCol` the caller must feed at most
-  * one after-image per key per batch, or same-`ver` ties would
-  * resolve nondeterministically. */
+  * (the changelog's offset) — the net effect per key is computed
+  * over ALL row kinds: a live row is written only when the key's
+  * LATEST change (by seq) is itself `+I`/`+U`; a key whose last
+  * change is `-U`/`-D` emits tombstones only, so insert-then-delete
+  * and update-then-delete inside one batch net to deleted. EVERY
+  * tombstone is kept regardless (positional deletes of prior cells
+  * are harmless where nothing lives and necessary where something
+  * does). Without `seqCol` the caller must feed at most one
+  * after-image per key per batch, or same-`ver` ties would resolve
+  * nondeterministically.
+  *
+  * NULL-vector contract: retraction rows (`-U`/`-D`) MUST carry the
+  * before-image vector and live rows (`+I`/`+U`) the after-image —
+  * real Debezium under `REPLICA IDENTITY DEFAULT` emits NULL
+  * `before`, and silently accepting it would drop the tombstone
+  * into a null cell, leaving the deleted vector probeable forever.
+  * [[processBatch]] rejects NULL vectors LOUDLY (a distributed
+  * `raise_error`, naming the vec_id and the fix) instead. */
 object IvfChangelog {
 
   private val Cols = Seq("vec_id", "v", "code", "cell", "ver", "del")
+
+  /** Loud NULL-vector reject: [[VectorExpressions.nearestCell]] is
+    * nullIntolerant, so a NULL before-image would otherwise assign a
+    * NULL cell and the tombstone would silently miss the deleted
+    * vector's cell (Debezium `REPLICA IDENTITY DEFAULT` does exactly
+    * this). Executor-side `raise_error` names the key and the cure. */
+  private def requireVector(v: Column, id: Column, which: String): Column =
+    when(v.isNotNull, v).otherwise(raise_error(concat(
+      lit(s"IvfChangelog: NULL $which-image vector for vec_id="), id.cast("string"),
+      lit(s" — $which-images are required (for Debezium sources set REPLICA IDENTITY FULL," +
+        " or pre-join a key->vector lookup before the sink)"))))
 
   /** Ingest one changelog micro-batch. `batch` carries
     * (vec_id, row_kind, v) — `v` is the after-image for `+I`/`+U`
@@ -57,21 +80,28 @@ object IvfChangelog {
       seqCol: Option[String] = None): Unit = {
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compact(batch.sparkSession, root, batchId)
-    val live0 = batch.filter(col("row_kind").isin("+I", "+U"))
     val live = seqCol match {
       case Some(sc) =>
-        // net after-image per key: the latest-seq +I/+U wins; the
-        // window runs over ONE micro-batch's rows, not the index
+        // net effect per key over ALL row kinds: the key's latest
+        // change must itself be +I/+U to yield a live row — a key
+        // whose last change is -U/-D nets to deleted (tombstones
+        // only), else resolution's live-beats-tombstone tie-break
+        // at equal ver would resurrect it. The window runs over ONE
+        // micro-batch's rows, not the index.
         val w = Window.partitionBy(col("vec_id")).orderBy(col(sc).desc)
-        live0.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-      case None => live0
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && col("row_kind").isin("+I", "+U"))
+          .drop("__rn")
+      case None => batch.filter(col("row_kind").isin("+I", "+U"))
     }
-    val liveRows = IvfIndex.assignCells(live.select(col("vec_id"), col("v")), model)
+    val liveRows = IvfIndex.assignCells(
+        live.select(col("vec_id"), requireVector(col("v"), col("vec_id"), "after").as("v")), model)
       .withColumn("code", VectorExpressions.sq8Encode(col("v")))
       .withColumn("ver", lit(batchId))
       .withColumn("del", lit(false))
     val tombRows = IvfIndex.assignCells(
-        batch.filter(col("row_kind").isin("-U", "-D")).select(col("vec_id"), col("v")), model)
+        batch.filter(col("row_kind").isin("-U", "-D"))
+          .select(col("vec_id"), requireVector(col("v"), col("vec_id"), "before").as("v")), model)
       .withColumn("v", lit(null).cast("array<double>"))
       .withColumn("code", lit(null).cast("binary"))
       .withColumn("ver", lit(batchId))

@@ -132,4 +132,77 @@ class IvfChangelogSpec extends AnyFunSuite {
     } finally Seq(root, modelDir).foreach(d =>
       graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(d)))
   }
+
+  test("seqCol delete-last netization: insert-then-delete and update-then-delete in ONE batch net to deleted") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ivfcdc_dellast").toString
+    val modelDir = Files.createTempDirectory("graft_ivfcdc_dellast_model").toString
+    try {
+      val model = graft.queries.SimilarityQ.ivfModel(spark, sfDir)
+      IvfIndex.save(model, modelDir, spark)
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        .select($"vec_id", graft.functions.VectorFunctions.vec($"embedding").as("v"))
+        .filter($"vec_id" < 60)
+      val movedV = expr("transform(v, x -> -x)")
+      // keys 0-19: survive (+I only). keys 20-39: +I then -D — the
+      // batch's last change is a delete, so NO live row may survive
+      // even though the +I is the latest +I/+U. keys 40-59: +I, then
+      // -U/+U moving cells, then -D — update-then-delete, same rule.
+      val base = emb.withColumn("grp", ($"vec_id" / 20).cast("int"))
+      val chg =
+        base.select($"vec_id", lit("+I").as("row_kind"), $"v", lit(1L).as("seq"), $"grp")
+          .unionByName(base.filter($"grp" === 2)
+            .select($"vec_id", lit("-U").as("row_kind"), $"v", lit(2L).as("seq"), $"grp"))
+          .unionByName(base.filter($"grp" === 2)
+            .select($"vec_id", lit("+U").as("row_kind"), movedV.as("v"), lit(3L).as("seq"), $"grp"))
+          .unionByName(base.filter($"grp" >= 1)
+            .select($"vec_id", lit("-D").as("row_kind"),
+              when($"grp" === 2, movedV).otherwise($"v").as("v"), lit(4L).as("seq"), $"grp"))
+          .drop("grp")
+      IvfChangelog.processBatch(chg, 1, root, model, seqCol = Some("seq"))
+
+      // probe AT every inserted position (original and moved): only
+      // grp-0 keys may be visible anywhere
+      val queries = base.select($"vec_id".as("query_id"), $"v".as("qv"))
+        .unionByName(base.filter($"grp" === 2)
+          .select(($"vec_id" + 1000).as("query_id"), movedV.as("qv")))
+      val neighbors = IvfChangelog.topK(spark, root, queries, modelDir, nprobe = 8, k = 60)
+        .select($"neighbor_id").distinct().as[Long].collect().toSet
+      val resurrected = neighbors.filter(n => n / 20 >= 1)
+      assert(resurrected.isEmpty,
+        s"keys whose last in-batch change was a delete are still probe-visible: ${resurrected.take(5)}")
+      assert(neighbors.nonEmpty && neighbors.forall(n => n / 20 == 0))
+    } finally Seq(root, modelDir).foreach(d =>
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(d)))
+  }
+
+  test("NULL image vectors are rejected loudly, not swallowed into a null cell") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ivfcdc_null").toString
+    val modelDir = Files.createTempDirectory("graft_ivfcdc_null_model").toString
+    try {
+      val model = graft.queries.SimilarityQ.ivfModel(spark, sfDir)
+      IvfIndex.save(model, modelDir, spark)
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        .select($"vec_id", graft.functions.VectorFunctions.vec($"embedding").as("v"))
+        .limit(10)
+      val nullV = lit(null).cast("array<double>")
+      // -D with NULL before-image (Debezium REPLICA IDENTITY DEFAULT)
+      val delNull = emb.select($"vec_id", lit("-D").as("row_kind"), nullV.as("v"))
+      def chainMsg(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      val e1 = intercept[Exception] {
+        IvfChangelog.processBatch(delNull, 1, root, model)
+      }
+      assert(chainMsg(e1).contains("NULL before-image"), s"unactionable error: ${chainMsg(e1)}")
+      // +U with NULL after-image — same loud contract on the live side
+      val updNull = emb.select($"vec_id", lit("+U").as("row_kind"), nullV.as("v"))
+      val e2 = intercept[Exception] {
+        IvfChangelog.processBatch(updNull, 2, root, model)
+      }
+      assert(chainMsg(e2).contains("NULL after-image"), s"unactionable error: ${chainMsg(e2)}")
+    } finally Seq(root, modelDir).foreach(d =>
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(d)))
+  }
 }
