@@ -51,6 +51,16 @@ object Bench {
     // setup lines also forget the memoized model/artifact) so every
     // rep pays the full, identical work.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Solo re-measure protocol (STRESS rows 31-32): any line that moves
+    // >2x round-over-round with no code change must be re-measured in a
+    // JVM running ONLY that line before the number is believed — sweep
+    // position (C2 queue contention from neighboring lines) is the
+    // usual cause. SPARK_GRAFT_BENCH_ONLY=q29_ann_brute_topk,... runs
+    // just those lines; unmeasured deps (models, artifacts) still
+    // materialize inside the excluded lines' builders via the memo.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def included(name: String): Boolean = only.forall(_.contains(name))
     def measure(run: () => Unit, between: () => Unit,
         warmups: Int = 0): (Double, Double, Option[String]) = {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -115,27 +125,50 @@ object Bench {
       ("q41_clusters_build", () => { queries.DedupQ.ensureClusters(spark, sfDir); () },
         () => queries.DedupQ.invalidateClusters(spark, sfDir))
     )
-    val setupResults = setups.map { case (name, fn, inval) =>
+    val setupResults = setups.filter(s => included(s._1)).map { case (name, fn, inval) =>
       val (med, min, err) = measure(fn, () => inval())
       (name, med, min, err)
     }
 
-    val results = setupResults ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // toRdd.count() forces every output column to materialize —
-      // df.count() would collapse to count(1) and let Catalyst prune
-      // the projections being benchmarked.
-      val (med, min, err) =
-        measure(() => { fn(spark, sfDir).queryExecution.toRdd.count(); () }, () => (),
-          warmups = 1)
-      (name, med, min, err)
-    }
-    def jmap(sel: ((String, Double, Double, Option[String])) => Double): String =
-      results.map { case r @ (k, _, _, _) => "\"" + k + "\":" + sel(r) }
+    val results = setupResults ++
+      SparkEntry.queries.toSeq.filter(q => included(q._1)).sortBy(_._1).map { case (name, fn) =>
+        // toRdd.count() forces every output column to materialize —
+        // df.count() would collapse to count(1) and let Catalyst prune
+        // the projections being benchmarked.
+        val (med, min, err) =
+          measure(() => { fn(spark, sfDir).queryExecution.toRdd.count(); () }, () => (),
+            warmups = 1)
+        (name, med, min, err)
+      }
+    def jmap(fmt: Double => String,
+        sel: ((String, Double, Double, Option[String])) => Double): String =
+      results.map { case r @ (k, _, _, _) => "\"" + k + "\":" + fmt(sel(r)) }
         .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(m)) => s"${MiniJson.quote(k)}:${MiniJson.quote(m)}" }
     val errJson = errs.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"errors":$errJson,"sf":"$sfDir"}""")
+    // Two artifacts (the driver keeps only the LAST ~2000 stdout chars,
+    // and a full-precision medians+mins line is ~4000 — every prior
+    // round's BENCH_r*.json had "parsed": null because the line's HEAD
+    // fell outside the window):
+    //  - stdout: ONE compact line — total + 3-decimal per-line medians
+    //    (~1.8k chars for 69 lines, fits the window with the sbt
+    //    trailer), errors included only when present.
+    //  - file (SPARK_GRAFT_BENCH_DETAIL, default target/bench_detail
+    //    .json): full-precision medians + mins + errors for humans.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jmap(_.toString, _._2)},"queries_min":${jmap(_.toString, _._3)},"errors":$errJson,"sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "target/bench_detail.json")
+    try {
+      val p = java.nio.file.Paths.get(detailPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"bench: could not write $detailPath: $e")
+    }
+    val errPart = if (errs.isEmpty) "" else s""","errors":$errJson"""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":${jmap(f3, _._2)}$errPart,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }
