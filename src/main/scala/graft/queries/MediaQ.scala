@@ -37,12 +37,24 @@ import graft.sources.Tables
   */
 object MediaQ extends QueryPack {
 
-  /** Spark↔DuckDB handoff tables — FIXED absolute paths because
-    * oracle SQL is a static string (no sf-dir parameter). Rewritten
-    * (overwrite) on every invocation before the path is read. */
-  private[queries] val FpDir = "/tmp/graft_media_fp.parquet"
-  private[queries] val AfpDir = "/tmp/graft_media_afp.parquet"
-  private[queries] val VfpDir = "/tmp/graft_media_vfp.parquet"
+  /** Spark↔DuckDB handoff tables — keyed PER SESSION so concurrent
+    * drivers on one host (bench + verify, parallel CI) can't clobber
+    * each other's fingerprint tables mid-oracle-read. The key is the
+    * applicationId (unique per JVM/SparkContext); two SparkSessions
+    * SHARING one context can further isolate via the session-scoped
+    * conf `spark.graft.media.handoffToken` (newSession() confs are
+    * independent). The oracle SQL is a static string with no session
+    * parameter, so [[oracles]] renders the SAME path from the
+    * active/default session at dump time — Verify dumps oracle SQL in
+    * the process that ran the queries, so the two always agree. */
+  private[queries] def handoffDir(s: SparkSession, kind: String): String = {
+    val tok = s.conf.get("spark.graft.media.handoffToken", s.sparkContext.applicationId)
+    s"/tmp/graft_media_${kind}_${tok.replaceAll("[^A-Za-z0-9_.-]", "_")}.parquet"
+  }
+  private def activeDir(kind: String): String =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(handoffDir(_, kind))
+      .getOrElse(s"/tmp/graft_media_$kind.parquet")
 
   private def mix(z0: Long): Long = { // splitmix64 finalizer
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -227,8 +239,8 @@ object MediaQ extends QueryPack {
       val n = corpusSize(s, d)
       Multimodal.hashImages(synthCorpus(s, n))
         .filter($"decoded").select($"id", $"simhash")
-        .coalesce(1).write.mode("overwrite").parquet(FpDir)
-      keepFromFp(s, FpDir)
+        .coalesce(1).write.mode("overwrite").parquet(handoffDir(s, "fp"))
+      keepFromFp(s, handoffDir(s, "fp"))
     }),
 
     // the same terminal shape on the audio modality: envelope hashes,
@@ -238,8 +250,8 @@ object MediaQ extends QueryPack {
       val n = corpusSize(s, d)
       Multimodal.hashAudio(synthAudioCorpus(s, n))
         .filter($"decoded").select($"id", $"simhash")
-        .coalesce(1).write.mode("overwrite").parquet(AfpDir)
-      keepFromFp(s, AfpDir)
+        .coalesce(1).write.mode("overwrite").parquet(handoffDir(s, "afp"))
+      keepFromFp(s, handoffDir(s, "afp"))
     }),
 
     // video near-dup PAIRS (the videoNearDups semantics, frame-match
@@ -256,8 +268,8 @@ object MediaQ extends QueryPack {
             .map { case (h, i) => ((r.doc_id << 10) | i, h) }
         }
       }.toDF("id", "simhash")
-        .coalesce(1).write.mode("overwrite").parquet(VfpDir)
-      val fpR = s.read.parquet(VfpDir)
+        .coalesce(1).write.mode("overwrite").parquet(handoffDir(s, "vfp"))
+      val fpR = s.read.parquet(handoffDir(s, "vfp"))
       val raw = Dedup.simhashPairs(fpR, maxDist = 3)
         .select(shiftright($"id_a", 10).as("va"), $"id_a".bitwiseAND(lit(1023L)).as("fa"),
           shiftright($"id_b", 10).as("vb"), $"id_b".bitwiseAND(lit(1023L)).as("fb"))
@@ -276,12 +288,12 @@ object MediaQ extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
-    "q64_media_dedup_keep" -> keepOracle(FpDir),
-    "q65_audio_dedup_keep" -> keepOracle(AfpDir),
+    "q64_media_dedup_keep" -> keepOracle(activeDir("fp")),
+    "q65_audio_dedup_keep" -> keepOracle(activeDir("afp")),
 
     "q66_video_dedup_pairs" ->
       s"""WITH fp AS (
-         |  SELECT id, simhash FROM read_parquet('$VfpDir/*.parquet')),
+         |  SELECT id, simhash FROM read_parquet('${activeDir("vfp")}/*.parquet')),
          |p AS (
          |  SELECT a.id AS ia, b.id AS ib
          |  FROM fp a JOIN fp b ON a.id < b.id

@@ -58,4 +58,38 @@ class MediaQSpec extends AnyFunSuite {
     assert(rows.length == plantedPairs.length,
       s"unexpected extra video pairs: ${rows.filterNot(plantedPairs.contains).take(5).toSeq}")
   }
+
+  test("concurrent sessions get isolated handoff paths: two q64 runs under different tokens don't clobber each other") {
+    // Two SparkSessions sharing one context, distinct session-scoped
+    // handoff tokens (the cross-JVM case is keyed by applicationId;
+    // this pins the same mechanism observable in one JVM). Both runs
+    // execute CONCURRENTLY; each must produce the same result as a
+    // solo run, and each must leave ITS OWN fingerprint table behind.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val expected = SparkEntry.queries("q64_media_dedup_keep")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    val s1 = spark.newSession(); val s2 = spark.newSession()
+    s1.conf.set("spark.graft.media.handoffToken", "sessA")
+    s2.conf.set("spark.graft.media.handoffToken", "sessB")
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def run(s: org.apache.spark.sql.SparkSession) = pool.submit(
+      new java.util.concurrent.Callable[Set[(Long, Long, Boolean)]] {
+        def call() = {
+          start.await(10, TimeUnit.SECONDS)
+          SparkEntry.queries("q64_media_dedup_keep")(s, sfDir)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+        }
+      })
+    val (f1, f2) = (run(s1), run(s2))
+    start.countDown()
+    val (r1, r2) = (f1.get(300, TimeUnit.SECONDS), f2.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(r1 == expected, "session A result corrupted by concurrent run")
+    assert(r2 == expected, "session B result corrupted by concurrent run")
+    // distinct tables on disk, one per token
+    val dirs = Seq("sessA", "sessB").map(t => new java.io.File(s"/tmp/graft_media_fp_$t.parquet"))
+    assert(dirs.forall(_.exists), s"missing per-session handoff dirs: $dirs")
+  }
 }
