@@ -34,11 +34,25 @@ object Tables {
     * NTZ→Timestamp cast is an identity on the stored micros. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val raw = table(s, d, "events")
+    // A TIMESTAMP(NANOS) file read WITHOUT nanosAsLong dies inside
+    // parquet schema conversion with an unactionable message — rethrow
+    // with the cure (GraftSession.tuned sets the flag).
+    val raw = try table(s, d, "events") catch {
+      case e: Exception if Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+          .take(8).exists(t => Option(t.getMessage).exists(_.contains("NANOS"))) =>
+        throw new IllegalStateException(
+          s"$d/events.parquet stores parquet TIMESTAMP(NANOS); set " +
+          "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession.tuned does) " +
+          "so it decodes as an int64 nanosecond epoch", e)
+    }
     val ts = raw.schema("ts").dataType match {
       case LongType         => expr("timestamp_micros(ts div 1000)") // nanos-as-long
       case TimestampNTZType => col("ts").cast(TimestampType)
-      case _                => col("ts") // already TimestampType
+      case TimestampType    => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts decoded as unexpected type $other — expected LongType " +
+        "(TIMESTAMP(NANOS) under spark.sql.legacy.parquet.nanosAsLong), " +
+        s"TIMESTAMP_NTZ, or TIMESTAMP; check the annotation of $d/events.parquet")
     }
     raw.withColumn("ts", ts)
   }

@@ -435,6 +435,12 @@ object Pipelines {
     val s = rows.sparkSession
     import s.implicits._
     val banded = rows
+      // NULL fingerprints (undecodable payloads, wordless docs) carry
+      // no content to match — banding them would funnel every such
+      // row into the same four null-derived buckets and cross-match
+      // unrelated docs. Enforced here, not just in the wrappers, so
+      // direct callers inherit the contract.
+      .filter(col(fpCol).isNotNull)
       .withColumn("fp", col(fpCol))
       .withWatermark(tsCol, watermark)
       .select(
@@ -453,6 +459,122 @@ object Pipelines {
       .agg(max(when(col("dup"), 1).otherwise(0)).as("any_dup"))
       .filter(col("any_dup") === 0)
       .select(col("doc_id"), col("window.start").as("w_start"))
+  }
+
+  // ---- streaming VIDEO near-dup (per-band frame state) ----
+
+  case class FrameRow(band_key: Long, vid: Long, fidx: Int, ts: Timestamp, fp: Long)
+  case class FrameEntry(fp: Long, vid: Long, fidx: Int)
+  case class FrameMatch(id_a: Long, frame_a: Int, id_b: Long, frame_b: Int, ts: Timestamp)
+
+  /** Per-band FRAME matcher — [[NearDupProcessor]]'s bucket state
+    * generalized from one fingerprint per doc to one per sampled
+    * frame: state keeps (fp, video, frame) so a match can name BOTH
+    * sides' frame indices (the ≥ 2-distinct-frames verdict downstream
+    * needs them; a bare fp list could not distinguish a static clip's
+    * k identical frames from k distinct scenes). Emits one normalized
+    * (id_a < id_b) match row per cross-video frame pair within
+    * `maxDist`; the same pair surfacing from several bands is
+    * deduplicated by the downstream collect_set, exactly as the batch
+    * path's one banding pass feeds one countDistinct. Identical
+    * (fp, video, frame) re-arrivals (at-least-once sources) skip the
+    * append, so replays cannot grow bucket scan cost. */
+  private class VideoNearDupProcessor(maxDist: Int, retention: java.time.Duration)
+      extends StatefulProcessor[Long, FrameRow, FrameMatch] {
+    @transient private var frames: ListState[FrameEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      frames = getHandle.getListState[FrameEntry](
+        "frames", Encoders.product[FrameEntry], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FrameRow],
+        timers: TimerValues): Iterator[FrameMatch] = {
+      val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.vid, r.fidx))
+      val existing = scala.collection.mutable.ArrayBuffer.empty[FrameEntry]
+      frames.get().foreach(existing += _)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(
+        math.max(sorted.last.ts.getTime, timers.getCurrentWatermarkInMs()) + retention.toMillis)
+      val out = scala.collection.mutable.ArrayBuffer.empty[FrameMatch]
+      sorted.foreach { r =>
+        existing.foreach { e =>
+          if (e.vid != r.vid && java.lang.Long.bitCount(e.fp ^ r.fp) <= maxDist)
+            out += (if (e.vid < r.vid) FrameMatch(e.vid, e.fidx, r.vid, r.fidx, r.ts)
+                    else FrameMatch(r.vid, r.fidx, e.vid, e.fidx, r.ts))
+        }
+        val entry = FrameEntry(r.fp, r.vid, r.fidx)
+        if (!existing.contains(entry)) {
+          existing += entry
+          frames.appendValue(entry)
+        }
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FrameMatch] = {
+      frames.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Streaming near-dup detection on VIDEO — the modality
+    * [[streamingMediaNearDedup]] couldn't carry because a video's
+    * fingerprint is MULTI-ROW (one aHash per sampled frame) and the
+    * verdict is a pair property (≥ `minMatchingFrames` DISTINCT
+    * matched frames on the weaker side), not a per-doc dup bit.
+    * Semantics are exactly [[graft.operators.Multimodal.videoNearDups]]
+    * (same frame sampler, same banding layout, same static-clip
+    * defense): a streamed corpus yields the batch pair set, across
+    * micro-batch boundaries, as long as retention covers the corpus
+    * and the pair's frames share a verdict window.
+    *
+    * Stages: payload → sampled frame aHashes (typed flatMap BEFORE
+    * the watermark so the event-time tag survives to the SQL side;
+    * undecodable payloads yield zero frames and route out) → 4-band
+    * fan-out per frame → [[VideoNearDupProcessor]] per-bucket match
+    * emission → windowed collect_set per video pair (collect_set, not
+    * countDistinct, because distinct aggregates are unsupported over
+    * streams — the set IS the distinct count, and it also absorbs the
+    * same match arriving from several bands). Emits
+    * (id_a, id_b, matching_frames, w_start) once the watermark closes
+    * the window. */
+  def streamingVideoNearDedup(videos: DataFrame, idCol: String, tsCol: String,
+      payloadCol: String, watermark: String, verdictWindow: String,
+      stateRetention: java.time.Duration, maxDist: Int = 3,
+      framesPerVideo: Int = 8, minMatchingFrames: Int = 2): DataFrame = {
+    require(framesPerVideo >= 1 && framesPerVideo <= 1024,
+      s"frame index packs into 10 bits, got framesPerVideo=$framesPerVideo")
+    val s = videos.sparkSession
+    import s.implicits._
+    val frames = videos
+      .select(col(idCol).cast("long").as("vid"), col(tsCol).as("ts"),
+        col(payloadCol).as("payload"))
+      .as[(Long, Timestamp, Array[Byte])]
+      .flatMap { case (vid, ts, p) =>
+        graft.operators.Multimodal.frameHashes(p, framesPerVideo).iterator.zipWithIndex
+          .map { case (fp, i) => (vid, i, ts, fp) }
+      }
+      .toDF("vid", "fidx", "ts", "fp")
+      .withWatermark("ts", watermark)
+    val banded = frames.select(
+        explode(expr(
+          "transform(sequence(0, 3), b -> cast(b as bigint) * 32768 + (fp >> (b * 15)) % 32768)"))
+          .as("band_key"),
+        col("vid"), col("fidx"), col("ts"), col("fp"))
+      .as[FrameRow]
+    val matches = banded
+      .groupByKey(_.band_key)
+      .transformWithState(
+        new VideoNearDupProcessor(maxDist, stateRetention), "ts",
+        OutputMode.Append, Encoders.product[FrameMatch])
+    matches.toDF()
+      .groupBy(window(col("ts"), verdictWindow), col("id_a"), col("id_b"))
+      .agg(collect_set(col("frame_a")).as("sa"), collect_set(col("frame_b")).as("sb"))
+      .select(col("id_a"), col("id_b"),
+        least(size(col("sa")), size(col("sb"))).cast("long").as("matching_frames"),
+        col("window.start").as("w_start"))
+      .filter(col("matching_frames") >= minMatchingFrames)
   }
 
   /** Rate-limited generator stream (ref: CustomSourceV2.java /

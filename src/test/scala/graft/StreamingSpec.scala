@@ -465,6 +465,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally qa.stop()
   }
 
+  test("stream_video_near_dedup: a streamed re-cut corpus yields exactly the batch videoNearDups pairs, across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    import graft.queries.MediaQ.sceneJpeg
+
+    // the q66 corpus shape at toy scale: 3-frame MJPEG clips, every
+    // 5th a RE-CUT of clip id-4 (two shared frames reordered + one
+    // new), one garbage payload (zero frame hashes, routed out)
+    def clip(id: Long): Array[Byte] =
+      if (id == 7) Array[Byte](0x42, 0x41, 0x44)
+      else if (id % 5 == 4) {
+        val b = id - 4
+        sceneJpeg(b * 3 + 2, 64, 48) ++ sceneJpeg(b * 3 + 1, 64, 48) ++
+          sceneJpeg(1000000L + id, 64, 48)
+      } else
+        sceneJpeg(id * 3, 64, 48) ++ sceneJpeg(id * 3 + 1, 64, 48) ++
+          sceneJpeg(id * 3 + 2, 64, 48)
+    val n = 20L
+    val batchRows = spark.range(n).as[Long]
+      .map(id => Multimodal.MediaRow(id, "mjpeg", 64, 48, clip(id)))
+    val want = Multimodal.videoNearDups(batchRows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "batch oracle produced no pairs — corpus broken")
+
+    val in = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val q = Pipelines.streamingVideoNearDedup(
+        in.toDF().toDF("doc_id", "ts", "payload"),
+        "doc_id", "ts", "payload",
+        watermark = "0 seconds", verdictWindow = "1 hour",
+        stateRetention = java.time.Duration.ofHours(2))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("video_dedup_out").start()
+    try {
+      // bases and re-cuts arrive in DIFFERENT micro-batches: every
+      // cross-batch match must come from bucket STATE, not intra-batch
+      in.addData((0L until n).filter(_ % 5 != 4).map(id => (id, ts(1), clip(id))): _*)
+      q.processAllAvailable()
+      in.addData((0L until n).filter(_ % 5 == 4).map(id => (id, ts(2), clip(id))): _*)
+      q.processAllAvailable()
+      // two far-future rows push the watermark past the verdict window
+      in.addData((900L, ts(600), clip(0)))
+      q.processAllAvailable()
+      in.addData((901L, ts(601), clip(1)))
+      q.processAllAvailable()
+      val got = spark.table("video_dedup_out")
+        .select("id_a", "id_b", "matching_frames")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter { case (a, b, _) => a < 900 && b < 900 } // window-closers excluded
+        .toSet
+      assert(got == want,
+        s"stream/batch video pair mismatch:\n missing=${(want -- got).take(5)}\n extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
   test("stream_static_join: batch-derived sampling rates rebalance a live stream deterministically") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
