@@ -86,9 +86,14 @@ object IvfChangelog {
         // change must itself be +I/+U to yield a live row — a key
         // whose last change is -U/-D nets to deleted (tombstones
         // only), else resolution's live-beats-tombstone tie-break
-        // at equal ver would resurrect it. The window runs over ONE
-        // micro-batch's rows, not the index.
-        val w = Window.partitionBy(col("vec_id")).orderBy(col(sc).desc)
+        // at equal ver would resurrect it. Ties on seq resolve
+        // LIVE-first: an update op expands to a -U/+U pair sharing
+        // one offset (Debezium's ts_ms, Canal's es), and the
+        // after-image outranks its own retraction — the same rule
+        // probe-time resolution applies at equal ver. The window
+        // runs over ONE micro-batch's rows, not the index.
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col(sc).desc, col("row_kind").isin("+I", "+U").desc)
         batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1 && col("row_kind").isin("+I", "+U"))
           .drop("__rn")
