@@ -183,6 +183,53 @@ object IvfChangelog {
     }
   }
 
+  /** Cell-occupancy skew of the RESOLVED live set — the retrain
+    * trigger. The frozen-model contract means sustained cell-moving
+    * updates slowly invalidate the centroids: vectors drift into
+    * regions the training never saw and crowd into the few nearest
+    * cells, so probe candidate volume (the real cost driver — a
+    * probed cell is scanned whole) grows with max-cell occupancy even
+    * while nprobe stays fixed. max/mean occupancy is that degradation
+    * in one cheap number; compute it at compaction time (compaction
+    * already resolves the full history — this is one groupBy more)
+    * and rotate the model via [[compactRewrite]] when it drifts past
+    * the deployment's tolerance (the balanced-training baseline is
+    * ~1.5–3; sustained drift pushes it an order of magnitude up).
+    * Returns (maxOverMean, liveRows). */
+  def occupancySkew(spark: SparkSession, root: String): (Double, Long) = {
+    val occ = resolveAll(visible(spark, root)).groupBy(col("cell")).count()
+    val r = occ.agg(max(col("count")), avg(col("count")), sum(col("count"))).head
+    (r.getLong(0) / r.getDouble(1), r.getLong(2))
+  }
+
+  /** Compact the COMPLETE history below `batchId` under a NEW model —
+    * the migration half of a retrain rotation. Resolution first (the
+    * old model's cells are only needed to fold history), then every
+    * live row is REASSIGNED and re-encoded under `model` and written
+    * as compact v=`batchId`; tombstones fold away as in [[compact]],
+    * so nothing keyed by old cells survives. The caller then persists
+    * `model` over the pinned modelDir and restarts the sink/probes on
+    * it — the compact version is the natural swap point because it is
+    * the only stage that already rewrites everything. Safe ordering:
+    * run this while the stream is DOWN (between restarts); a batch
+    * ingested under the old model after the rewrite would tombstone
+    * into old-model cells that no longer match the at-rest layout. */
+  def compactRewrite(spark: SparkSession, root: String, batchId: Long,
+      model: IvfIndex.Model): Unit = {
+    val (prev, ps) = parts(spark, root, upper = Some(batchId))
+    require(ps.nonEmpty, s"no committed changelog batches under $root")
+    val resolved = resolveAll(ps.reduce(_ unionByName _))
+      .select(col("vec_id"), col("v"), col("ver"))
+    IvfIndex.assignCells(resolved, model)
+      .withColumn("code", VectorExpressions.sq8Encode(col("v")))
+      .withColumn("del", lit(false))
+      .select(Cols.map(col): _*)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/compact/v=$batchId")
+    BatchVersioned.gcBelowPrev(spark, s"$root/compact", root, "b", prev)
+  }
+
   /** Probe the maintained index: DPP-pruned cell join FIRST (the
     * broadcast probe side drives dynamic partition pruning exactly
     * like [[IvfIndex.topK]]), then per-(query, vec_id) resolution

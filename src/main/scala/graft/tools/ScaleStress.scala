@@ -433,6 +433,111 @@ object ScaleStress {
         FileUtil.deleteTree(java.nio.file.Paths.get(d)))
     }
 
+    // Centroid drift under the frozen-model contract (round 11): 19
+    // changelog batches re-embed 19% of a 400k-vector corpus into a
+    // tight directional cone the training never saw (a new encoder's
+    // output distribution). Measures the full retrain-rotation story:
+    // (1) occupancy skew frozen vs fresh — the compaction-time
+    // trigger; (2) recall@5 frozen vs fresh against exact cosine
+    // truth on drifted queries; (3) probe candidate volume — the real
+    // cost axis (a probed cell is scanned whole); (4) compactRewrite
+    // under the fresh model: exact probe parity vs a one-shot fresh
+    // build, skew cured, stream continues under the new model.
+    time("ivf_drift_retrain_400k") {
+      import graft.streaming.IvfChangelog
+      val n = 400000L
+      val cellBits = Adaptive.bits(n, targetBucket = 32, lo = 4, hi = 8)
+      val cells = 1 << cellBits
+      val mixed = graft.functions.VectorFunctions.Sql
+        .mixSpark("cast(id as bigint) * 64 + k + 31337")
+      val base = spark.range(n).select(
+        $"id".as("vec_id"),
+        expr(s"transform(sequence(0, 63), k -> cast($mixed as double) / 1000.0)").as("v"))
+      val noise = graft.functions.VectorFunctions.Sql
+        .mixSpark("cast(vec_id as bigint) * 64 + k + 777001")
+      val cone = spark.range(n).select($"id".as("vec_id")).select($"vec_id",
+        expr(s"transform(sequence(0, 63), k -> case when k = 0 then 100.0" +
+          s" else cast($noise as double) / 1000.0 end)").as("v"))
+      val frozen = graft.operators.IvfIndex.train(
+        base, cells, iters = 3, memoKey = s"stress-drift-$n",
+        sampleMod = graft.operators.IvfIndex.sampleMod(n, cells))
+      val root = java.nio.file.Files.createTempDirectory("graft_stress_drift").toString
+      val modelDir = java.nio.file.Files.createTempDirectory("graft_stress_drift_m").toString
+      val freshDir = java.nio.file.Files.createTempDirectory("graft_stress_drift_f").toString
+      try {
+        graft.operators.IvfIndex.save(frozen, modelDir, spark)
+        IvfChangelog.processBatch(
+          base.withColumn("row_kind", lit("+I")), 0, root, frozen, compactEvery = 5)
+        (1 to 19).foreach { b =>
+          val wave = pmod($"vec_id", lit(100)) === b
+          val chg = base.filter(wave).withColumn("row_kind", lit("-U"))
+            .unionByName(cone.filter(wave).withColumn("row_kind", lit("+U")))
+          IvfChangelog.processBatch(chg, b.toLong, root, frozen, compactEvery = 5)
+        }
+        val moved = pmod($"vec_id", lit(100)).between(1, 19)
+        val finalState = base.filter(!moved).unionByName(cone.filter(moved))
+        val fresh = graft.operators.IvfIndex.train(
+          finalState, cells, iters = 3, memoKey = s"stress-drift-fresh-$n",
+          sampleMod = graft.operators.IvfIndex.sampleMod(n, cells))
+
+        val (skewFrozen, liveN) = IvfChangelog.occupancySkew(spark, root)
+        val fOcc = graft.operators.IvfIndex.assignCells(finalState, fresh)
+          .groupBy($"cell").count().agg(max($"count"), avg($"count")).head
+        val skewFresh = fOcc.getLong(0) / fOcc.getDouble(1)
+
+        val queries = cone.filter(pmod($"vec_id", lit(100)) === 5 && $"vec_id" % 40 === 5)
+          .limit(100).select($"vec_id".as("query_id"), $"v".as("qv"))
+        val wT = org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+        val truth = finalState.join(broadcast(queries), $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            nanvl(graft.functions.VectorFunctions.cosine($"qv", $"v"), lit(-2.0)).as("cos"))
+          .withColumn("rnk", row_number().over(wT)).filter($"rnk" <= 5)
+          .select($"query_id", $"neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+          .map { case (q, xs) => q -> xs.map(_._2).toSet }
+        def sets(df: org.apache.spark.sql.DataFrame) =
+          df.select($"query_id", $"neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+            .map { case (q, xs) => q -> xs.map(_._2).toSet }
+        def recall(m: Map[Long, Set[Long]]) =
+          truth.map { case (q, t) => (m.getOrElse(q, Set.empty[Long]) & t).size.toDouble / t.size }
+            .sum / truth.size
+        val rFrozen = recall(sets(
+          IvfChangelog.topK(spark, root, queries, modelDir, nprobe = 8, k = 5)))
+        graft.operators.IvfIndex.build(finalState, fresh, freshDir)
+        val freshTop = sets(
+          graft.operators.IvfIndex.topK(spark, freshDir, queries, fresh, 8, 5))
+        val rFresh = recall(freshTop)
+        def vol(model: graft.operators.IvfIndex.Model): Long =
+          graft.operators.IvfIndex.assignCells(finalState, model).groupBy($"cell").count()
+            .join(graft.operators.IvfIndex.probeCells(queries, $"qv", model, 8), Seq("cell"))
+            .agg(sum($"count")).head.getLong(0)
+        val (volFrozen, volFresh) = (vol(frozen), vol(fresh))
+
+        IvfChangelog.compactRewrite(spark, root, batchId = 20, fresh)
+        graft.operators.IvfIndex.save(fresh, modelDir, spark)
+        val swapped = sets(
+          IvfChangelog.topK(spark, root, queries, modelDir, nprobe = 8, k = 5))
+        require(swapped == freshTop, "post-swap probe diverged from the fresh build")
+        val (skewSwapped, _) = IvfChangelog.occupancySkew(spark, root)
+        // stream continues under the new model: delete a drifted key
+        IvfChangelog.processBatch(
+          cone.filter($"vec_id" === 5).withColumn("row_kind", lit("-D")),
+          21, root, fresh)
+        val ghost = IvfChangelog.topK(spark, root,
+            cone.filter($"vec_id" === 5).select($"vec_id".as("query_id"), $"v".as("qv")),
+            modelDir, 8, 5)
+          .filter($"neighbor_id" === 5).count()
+        require(ghost == 0, "post-swap delete left the key probeable")
+        println(f"STRESS   drift skew frozen=$skewFrozen%.1f fresh=$skewFresh%.1f swapped=$skewSwapped%.1f " +
+          f"recall@5 frozen=$rFrozen%.3f fresh=$rFresh%.3f " +
+          f"candidates/100q frozen=$volFrozen fresh=$volFresh parity=ok post_swap_delete=ok")
+        liveN
+      } finally Seq(root, modelDir, freshDir).foreach(d =>
+        FileUtil.deleteTree(java.nio.file.Paths.get(d)))
+    }
+
     // BPE learning at scale: the q60 design claim is that the corpus
     // is scanned ONCE (word histogram) and every merge iteration runs
     // over the VOCABULARY — so quadrupling the corpus must grow the

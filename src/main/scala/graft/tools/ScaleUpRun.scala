@@ -126,6 +126,37 @@ object ScaleUpRun {
     }
     val total = times.map(_._2).sum
     println(f"SCALEUP TOTAL queries=${times.size} failed=$failed sec=$total%.1f copies=$copies dir=$dst")
+
+    // STRESS row 32's solo-re-measure protocol, AUTOMATED: a long
+    // one-JVM sweep's tail lines carry accumulated GC/fragmentation
+    // pressure, so any line that reads slow must be re-measured before
+    // it is believed. Every line above RETRY_FACTOR × the sweep's
+    // per-line median (and an absolute floor — sub-second lines can't
+    // carry signal) re-runs once after a drain+GC: a retry that
+    // collapses below half the sweep number is attributed to JVM
+    // lifecycle noise; one that reproduces is confirmed real work
+    // (e.g. the output-bound dedup lines) — either way the residue is
+    // decomposed with no manual follow-up.
+    val factor = sys.env.getOrElse("SCALEUP_RETRY_FACTOR", "2.0").toDouble
+    val floor = sys.env.getOrElse("SCALEUP_RETRY_FLOOR_SEC", "5.0").toDouble
+    val med = times.map(_._2).sorted.apply(times.size / 2)
+    val suspects = times.filter { case (_, s) => s > factor * med && s > floor }
+    suspects.foreach { case (name, sweepSec) =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val ok =
+        try { SparkEntry.queries(name)(spark, dst).queryExecution.toRdd.count(); true }
+        catch { case _: Throwable => false }
+        finally CachePool.drain()
+      val retrySec = (System.nanoTime() - t0) / 1e9
+      val verdict =
+        if (!ok) "retry-error"
+        else if (retrySec <= sweepSec * 0.5) "jvm-noise"
+        else "confirmed-real-work"
+      println(f"SCALEUP RETRY $name sweep=$sweepSec%.1f retry=$retrySec%.1f median=$med%.1f verdict=$verdict")
+    }
+    if (suspects.isEmpty)
+      println(f"SCALEUP RETRY none (no line above ${factor}x median=$med%.1f and ${floor}s)")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
