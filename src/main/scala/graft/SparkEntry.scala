@@ -15,7 +15,8 @@ object SparkEntry {
     DedupQ,
     SimilarityQ,
     MiscQ,
-    MediaQ
+    MediaQ,
+    SketchQ
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

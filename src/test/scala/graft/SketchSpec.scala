@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.KmvSketch
+import graft.operators.{Bloom, Dedup}
+import graft.sources.Tables
+
+/** KMV distinct sketch + Bloom semi-join reduction (SketchQ). */
+class SketchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  private def shingles(d: String) = {
+    import spark.implicits._
+    Dedup.hashedShingleSets(
+      Tables.documents(spark, d).select($"lang", $"text"), $"lang", $"text", 13)
+  }
+
+  test("KMV sketch equals the ORDER BY/LIMIT bottom-k replayed in-engine (saturated and exact branches)") {
+    import spark.implicits._
+    val k = SketchQk
+    val sh = shingles(sf001) // en group saturates k=1024; replay must agree on all groups
+    val w = Window.partitionBy($"id").orderBy($"sh")
+    val top = sh.distinct().withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+    val expected = top.groupBy($"id".as("lang"))
+      .agg(count(lit(1)).as("k_used"), max($"sh").as("kth_min"))
+      .select($"lang", $"k_used", $"kth_min",
+        when($"k_used" < k, $"k_used".cast("double"))
+          .otherwise(($"k_used" - 1).cast("double") * (lit(1152921504606846976.0) / $"kth_min".cast("double")))
+          .as("est_distinct"))
+    val got = queries.SketchQ.defs("q67_kmv_distinct")(spark, sf001)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // exact branch: a stream with < k distinct values never saturates
+    // the sketch, so the estimate IS the exact distinct count
+    val kmv = udaf(new KmvSketch(k), Encoders.scalaLong)
+    val tiny = spark.range(0, 600).select(lit("g").as("id"), (pmod(col("id"), lit(200)) * 7919 + 3).as("sh"))
+    val out = tiny.groupBy($"id").agg(kmv($"sh").as("s"))
+      .select($"s.k_used", $"s.est_distinct").head()
+    assert(out.getLong(0) == 200L && out.getDouble(1) == 200.0,
+      s"unsaturated sketch must be exact: $out")
+  }
+
+  private def SketchQk = queries.SketchQ.KmvK
+
+  test("KMV is partitioning-invariant: 1 vs 13 input partitions produce identical sketches") {
+    import spark.implicits._
+    val sh = shingles(sf001)
+    val kmv = udaf(new KmvSketch(64), Encoders.scalaLong)
+    def run(parts: Int) =
+      sh.repartition(parts).groupBy($"id").agg(kmv($"sh").as("s"))
+        .select($"id", $"s.k_used", $"s.kth_min", $"s.est_distinct")
+    val a = run(1); val b = run(13)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("KMV estimate within 10% of the exact distinct count once saturated") {
+    import spark.implicits._
+    val got = queries.SketchQ.defs("q67_kmv_distinct")(spark, sf001)
+    val exact = shingles(sf001).distinct().groupBy($"id".as("lang"))
+      .agg(count(lit(1)).as("n"))
+    got.filter($"k_used" === SketchQk).join(exact, "lang").collect().foreach { r =>
+      val est = r.getAs[Double]("est_distinct"); val n = r.getAs[Long]("n").toDouble
+      assert(math.abs(est - n) / n < 0.10, s"KMV error too high: est=$est exact=$n (${r.getAs[String]("lang")})")
+    }
+  }
+
+  test("KMV kernel: duplicate inserts are no-ops, saturation keeps the k smallest") {
+    val agg = new KmvSketch(4)
+    var b = agg.zero
+    Seq(50L, 10L, 50L, 30L, 20L, 40L, 10L, 5L).foreach(v => b = agg.reduce(b, v))
+    assert(b.n == 4 && b.arr.take(4).toSeq == Seq(5L, 10L, 20L, 30L))
+    // merge: sorted union capped at k, duplicates collapsed
+    var c = agg.zero
+    Seq(7L, 10L, 60L).foreach(v => c = agg.reduce(c, v))
+    val m = agg.merge(b, c)
+    assert(m.n == 4 && m.arr.take(4).toSeq == Seq(5L, 7L, 10L, 20L))
+    val out = agg.finish(m)
+    assert(out.k_used == 4 && out.kth_min == 20L)
+  }
+
+  test("Bloom: zero false negatives, bounded false-positive rate, geometry honored") {
+    import spark.implicits._
+    val keys = spark.range(0, 5000).select((col("id") * 7919 + 13).as("k"))
+    val f = Bloom.build(keys, col("k"), 5000)
+    assert(f.m >= 5000 * Bloom.BitsPerKey && f.nh == Bloom.NumHashes)
+    val members = keys.filter(!Bloom.mightContain(col("k"), f))
+    assert(members.count() == 0, "false negative: a built key failed mightContain")
+    // non-members: ids outside the (id*7919+13) residue pattern
+    val probes = spark.range(1, 50001).select((col("id") * 7919 + 14).as("k"))
+    val fp = probes.filter(Bloom.mightContain(col("k"), f)).count()
+    assert(fp.toDouble / 50000 < 0.03, s"false-positive rate too high: $fp/50000")
+  }
+
+  test("Bloom prefilter is map-side (no Exchange below it) and q68 equals the bloom-less anti-join") {
+    import spark.implicits._
+    val d = sfDir
+    val docs = Tables.documents(spark, d)
+    val corpus = Dedup.hashedShingleSets(docs.select($"doc_id", $"text"), $"doc_id", $"text", 13)
+    val benchKeys = Dedup.hashedShingleSets(
+      docs.filter($"doc_id" % 97 === 0), $"doc_id", $"text", 13).select($"sh").distinct()
+    val f = Bloom.build(benchKeys, $"sh", benchKeys.count())
+    val suspects = corpus.filter(Bloom.mightContain($"sh", f))
+    val plan = suspects.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"prefilter shuffled:\n$plan")
+    assert(plan.contains("xxhash64"), "bloom probes not visible in the filter plan")
+    // the prefilter admits no more than bench-true-hits + fp tail
+    val nSuspect = suspects.count(); val nCorpus = corpus.count()
+    val nTrue = corpus.join(benchKeys, "sh").count()
+    assert(nSuspect >= nTrue, "bloom dropped a true overlap")
+    assert(nSuspect <= nTrue + (0.03 * nCorpus).toLong + 10,
+      s"bloom admits too much: $nSuspect suspects, $nTrue true, corpus $nCorpus")
+    // end-to-end equality vs the naive (bloom-less) decontaminate
+    val contamNaive = corpus.join(benchKeys, "sh").select($"id".as("doc_id")).distinct()
+    val expected = docs.join(contamNaive, Seq("doc_id"), "left_anti").select($"doc_id", $"lang")
+    val got = queries.SketchQ.defs("q68_decontaminate_bloom")(spark, d)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+}
