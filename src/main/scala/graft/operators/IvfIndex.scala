@@ -141,14 +141,14 @@ object IvfIndex {
     * replay. Memoized per (application, memoKey): the train cost is
     * paid once, not per query build. */
   def train(emb: DataFrame, cells: Int, iters: Int, memoKey: String,
-      sampleMod: Long = 1L): Model = {
+      sampleMod: Long = 1L, prep: Column => Column = quantize): Model = {
     val spark = emb.sparkSession
     memo.computeIfAbsent((spark.sparkContext.applicationId, s"$memoKey|$cells|$iters|$sampleMod"), _ => {
       val dbg = sys.env.contains("GRAFT_TRAIN_DEBUG")
       def tlog(name: String, t0: Long): Unit =
         if (dbg) println(f"TRAIN $name=${(System.nanoTime() - t0) / 1e9}%.1f s")
       val vq = emb.filter(col("vec_id") % sampleMod === 0)
-        .select(col("vec_id"), quantize(col("v")).as("vq")).persist()
+        .select(col("vec_id"), prep(col("v")).as("vq")).persist()
       try {
         val t0 = System.nanoTime()
         val seeds = vq.groupBy((col("vec_id") % cells).cast("int").as("cell"))

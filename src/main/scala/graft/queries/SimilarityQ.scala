@@ -50,6 +50,12 @@ object SimilarityQ extends QueryPack {
     * in the oracle's CTE chain, so both engines run the same count. */
   private val ivfIters = 3
 
+  /** q70's ADC shortlist depth: 4-bit product codes rank coarsely
+    * (recall@5 0.46 at depth 20), so the exact re-rank reads a deeper
+    * shortlist than SQ8's 20 — still just `pqShortlist` rows per
+    * query, nothing at corpus scale. */
+  private val pqShortlist = 64
+
   /** Train (or fetch the memoized) IVF model for `d` — the one-time
     * indexing cost of q38, exposed so Bench can time it under its own
     * `q38_train` line instead of charging it to whichever query
@@ -61,6 +67,17 @@ object SimilarityQ extends QueryPack {
     graft.operators.IvfIndex.train(
       emb(s, d), cells, iters = ivfIters, memoKey = s"$d#ivf",
       sampleMod = graft.operators.IvfIndex.sampleMod(Tables.embeddingCount(s, d), cells))
+  }
+
+  /** Train (or fetch the memoized) PQ sub-codebooks for `d` — rides
+    * the SAME training sample as [[ivfModel]] (one thinned Lloyd scan
+    * feeds both quantizers; the oracle shares the `vqs` CTE). */
+  def pqModel(s: org.apache.spark.sql.SparkSession, d: String): graft.operators.PqIndex.PqModel = {
+    val cellBits = graft.operators.Adaptive.bits(
+      Tables.embeddingCount(s, d), targetBucket = 32, lo = 4, hi = 8)
+    graft.operators.PqIndex.train(
+      emb(s, d), iters = ivfIters, memoKey = s"$d#ivf",
+      sampleMod = graft.operators.IvfIndex.sampleMod(Tables.embeddingCount(s, d), 1 << cellBits))
   }
 
   /** SemDeDup's corpus: the embeddings table plus the shared planted
@@ -256,6 +273,45 @@ object SimilarityQ extends QueryPack {
         .filter($"rnk" <= 5)
     }),
 
+    // IVF + PQ (Jégou et al. 2011): the candidate phase scores
+    // 4-bit-per-subspace product codes via ADC — 4 BYTES per vector
+    // against SQ8's 64, a further 16× candidate-I/O cut at 100 TB —
+    // then the same exact-cosine re-rank of the per-query shortlist.
+    // Sub-codebooks train with the shared IVF Lloyd kernel on the
+    // shared training sample; the score fold is m-ordered so the
+    // oracle replays the shortlist bit-for-bit.
+    "q70_ann_pq_topk" -> ((s, d) => {
+      import s.implicits._
+      val cellBits = graft.operators.Adaptive.bits(
+        Tables.embeddingCount(s, d), targetBucket = 32, lo = 4, hi = 8)
+      val e = emb(s, d)
+      val model = ivfModel(s, d)
+      val pq = pqModel(s, d)
+      val PQ = graft.operators.PqIndex
+      val IVF = graft.operators.IvfIndex
+      val assign = IVF.assignCells(e, model)
+        .select(Seq($"vec_id".as("neighbor_id"), $"cell") ++
+          PQ.encode(IVF.quantize($"v"), pq): _*)
+      val probes = IVF.probeCells(
+        e.filter($"vec_id" % 50 === 0).select($"vec_id".as("query_id"), $"v".as("qv")),
+        $"qv", model, nprobe = cellBits + 3)
+        .select($"query_id", $"cell", IVF.quantize($"qv").as("qvq"))
+      val cand = probes.join(assign, "cell")
+        .filter($"neighbor_id" =!= $"query_id")
+      val wa = Window.partitionBy($"query_id").orderBy($"approx_dist".asc, $"neighbor_id".asc)
+      val shortlist = PQ.adcScore(cand, $"qvq", pq)
+        .withColumn("arnk", row_number().over(wa))
+        .filter($"arnk" <= pqShortlist)
+      val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+      shortlist.select($"query_id", $"neighbor_id")
+        .join(e.select($"vec_id".as("query_id"), $"v".as("qv")), "query_id")
+        .join(e.select($"vec_id".as("neighbor_id"), $"v"), "neighbor_id")
+        .select($"query_id", $"neighbor_id",
+          VectorFunctions.cosine($"qv", $"v").as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+    }),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     // deduplication = k-means-cluster the corpus embeddings, then
     // within each cluster drop every vector that has a sufficiently
@@ -413,6 +469,32 @@ object SimilarityQ extends QueryPack {
          |            SELECT *, row_number() OVER (PARTITION BY query_id
          |              ORDER BY approx_cos DESC, neighbor_id) AS arnk FROM ap)
          |          WHERE arnk <= 20),
+         |s AS (SELECT c.query_id, c.neighbor_id, ${VectorFunctions.Sql.cosine("q.v", "n.v")} AS cos_sim
+         |      FROM short c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+         |      FROM s)
+         |SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q70_ann_pq_topk" ->
+      s"""WITH $embSql,
+         |${pcSql(8)},
+         |${graft.operators.IvfIndex.Sql.kmeansCtes(ivfIters, "pc.m")}
+         |${graft.operators.PqIndex.Sql.pqCtes(ivfIters)},
+         |assign AS (SELECT vec_id AS neighbor_id, cell FROM rf WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM rf
+         |           WHERE vec_id % 50 = 0 AND crnk <= (SELECT nb + 3 FROM pc)),
+         |cand AS (SELECT p.query_id, a.neighbor_id FROM probes p JOIN assign a USING (cell)
+         |         WHERE a.neighbor_id <> p.query_id),
+         |ad AS (SELECT c.query_id, c.neighbor_id,
+         |         ${graft.operators.PqIndex.Sql.adcExpr("qq.vq")} AS approx_dist
+         |       FROM cand c
+         |       JOIN vq qq ON qq.vec_id = c.query_id
+         |       JOIN codes cd ON cd.vec_id = c.neighbor_id
+         |       ${(0 until graft.operators.PqIndex.M).map(m => s"JOIN pqc$m ON pqc$m.cell = cd.code$m").mkString(" ")}),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY approx_dist, neighbor_id) AS arnk FROM ad)
+         |          WHERE arnk <= $pqShortlist),
          |s AS (SELECT c.query_id, c.neighbor_id, ${VectorFunctions.Sql.cosine("q.v", "n.v")} AS cos_sim
          |      FROM short c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
