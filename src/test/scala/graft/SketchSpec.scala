@@ -83,6 +83,33 @@ class SketchSpec extends AnyFunSuite {
     assert(out.k_used == 4 && out.kth_min == 20L)
   }
 
+  test("streaming KMV == batch q67 over the union of batches (bounded state per group)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect()
+    val in = MemoryStream[(Long, String, String)]
+    val q = streaming.KmvStream.distinctShingles(
+        in.toDF().toDF("doc_id", "lang", "text"), k = 256)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("kmv_out").start()
+    try {
+      // three micro-batches; sketch state must carry across them
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { g =>
+        in.addData(g.toIndexedSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("kmv_out")
+      val kmv = udaf(new KmvSketch(256), Encoders.scalaLong)
+      val batch = shingles(sfDir).groupBy($"id".as("lang")).agg(kmv($"sh").as("s"))
+        .select($"lang", $"s.k_used".as("k_used"), $"s.kth_min".as("kth_min"),
+          $"s.est_distinct".as("est_distinct"))
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed KMV diverged from the batch sketch over the same corpus")
+    } finally q.stop()
+  }
+
   test("Bloom: zero false negatives, bounded false-positive rate, geometry honored") {
     import spark.implicits._
     val keys = spark.range(0, 5000).select((col("id") * 7919 + 13).as("k"))
