@@ -79,3 +79,24 @@ class KmvSketch(k: Int) extends Aggregator[Long, KmvBuf, KmvOut] {
   override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
   override def outputEncoder: Encoder[KmvOut] = Encoders.product[KmvOut]
 }
+
+/** The sketch's full bottom-k array (sorted ascending), for KMV SET
+  * OPERATIONS (Beyer et al. 2007 "On synopses for distinct-value
+  * estimation under multiset operations"): the bottom-k of A ∪ B is
+  * computable from K(A) and K(B) alone, and the members of K(A∪B)
+  * present in BOTH K(A) and K(B) estimate the Jaccard — so two
+  * corpora can be compared for distinct-key overlap from two 8 KB
+  * sketches, with the corpora themselves never joined. Same buffer
+  * and fold as [[KmvSketch]]; only `finish` differs. */
+case class KmvArr(k_used: Long, arr: Array[Long])
+
+class KmvArraySketch(k: Int) extends Aggregator[Long, KmvBuf, KmvArr] {
+  private val inner = new KmvSketch(k)
+  override def zero: KmvBuf = inner.zero
+  override def reduce(b: KmvBuf, v: Long): KmvBuf = inner.reduce(b, v)
+  override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = inner.merge(a, b)
+  override def finish(b: KmvBuf): KmvArr =
+    KmvArr(b.n.toLong, java.util.Arrays.copyOfRange(b.arr, 0, b.n))
+  override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+  override def outputEncoder: Encoder[KmvArr] = Encoders.product[KmvArr]
+}

@@ -110,6 +110,77 @@ class SketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("KMV array sketch: sorted trimmed bottom-k; q71 overlap exact when unsaturated") {
+    import spark.implicits._
+    import graft.functions.KmvArraySketch
+    val agg = new KmvArraySketch(4)
+    var b = agg.zero
+    Seq(50L, 10L, 30L, 20L, 40L, 5L).foreach(v => b = agg.reduce(b, v))
+    val out = agg.finish(b)
+    assert(out.k_used == 4 && out.arr.toSeq == Seq(5L, 10L, 20L, 30L))
+    // q71 on the sf0.001 corpus: k=1024 never saturates there, so the
+    // union sketch holds EVERY distinct shingle of each pair and the
+    // "estimates" must equal the exact set arithmetic
+    val d = sfDir
+    val got = queries.SketchQ.defs("q71_kmv_source_overlap")(spark, d)
+    val sh = Dedup.hashedShingleSets(
+      Tables.documents(spark, d).select($"source", $"text"), $"source", $"text", 13)
+      .select($"id".as("source"), $"sh").distinct()
+    val exact = sh.as("a").join(sh.as("b"),
+        $"a.source" < $"b.source" && $"a.sh" === $"b.sh")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("ov"))
+    val perSrc = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    val exactOv = exact.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nBy = perSrc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (sa, sb) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val ku = r.getAs[Long]("k_used")
+      if (ku < queries.SketchQ.KmvK) { // unsaturated pair: everything exact
+        val ov = exactOv.getOrElse((sa, sb), 0L)
+        val union = nBy(sa) + nBy(sb) - ov
+        assert(ku == union, s"$sa/$sb union: $ku vs $union")
+        assert(r.getAs[Long]("overlap_k") == ov)
+        assert(r.getAs[Double]("est_union") == union.toDouble)
+        assert(r.getAs[Double]("est_overlap") == (ov.toDouble / union) * union.toDouble)
+      }
+    }
+    // every source pair appears exactly once, a < b
+    val srcs = nBy.keySet
+    assert(rows.length == srcs.size * (srcs.size - 1) / 2)
+  }
+
+  test("q71 saturated branch: estimates track true Jaccard on synthetic overlapping sets") {
+    import graft.functions.KmvArraySketch
+    // two sets of 20k hashed keys with 50% overlap; k=256 saturates.
+    // Keys are md5-derived 60-bit values (the corpus convention) —
+    // the estimator assumes uniformity, which a short-string
+    // polynomial hash does not provide.
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((d(0) & 0x0fL) << 56) | (1 to 7).map(i => (d(i) & 0xffL) << (8 * (7 - i))).reduce(_ | _)
+    }
+    def keys(off: Long, n: Int): Seq[Long] =
+      (0 until n).map(i => h60(s"key-${off + i}"))
+    val a = keys(0, 20000)
+    val b = keys(10000, 20000) // overlap = 10000, union = 30000
+    val agg = new KmvArraySketch(256)
+    def sk(vs: Seq[Long]) = {
+      var buf = agg.zero; vs.foreach(v => buf = agg.reduce(buf, v)); agg.finish(buf)
+    }
+    val (ka, kb) = (sk(a), sk(b))
+    val union = (ka.arr ++ kb.arr).distinct.sorted.take(256)
+    val kth = union.last
+    val estUnion = (union.length - 1).toDouble * (1152921504606846976.0 / kth.toDouble)
+    val inBoth = union.count(v => ka.arr.contains(v) && kb.arr.contains(v))
+    val estOv = (inBoth.toDouble / union.length) * estUnion
+    assert(math.abs(estUnion - 30000) / 30000 < 0.15, s"union est $estUnion")
+    assert(math.abs(estOv - 10000) / 10000 < 0.30, s"overlap est $estOv")
+  }
+
   test("Bloom: zero false negatives, bounded false-positive rate, geometry honored") {
     import spark.implicits._
     val keys = spark.range(0, 5000).select((col("id") * 7919 + 13).as("k"))
