@@ -162,4 +162,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle for a vocab-sized table:\n$p")
     assert(!p.contains("Exchange rangepartitioning"), s"no global sort in scoring:\n$p")
   }
+
+  test("q67: only KMV sketches cross the exchange — partial agg below, no distinct shuffle") {
+    val p = plan("q67_kmv_distinct")
+    // the UDAF must plan as a two-phase aggregate: a partial
+    // (map-side) fold of the shingle stream into per-partition
+    // sketches, then a merge of 8 KB buffers after the exchange —
+    // NOT a distinct (which would shuffle the full key set)
+    assert(p.contains("partial_kmvsketch"), s"no map-side sketch fold:\n$p")
+    // exactly ONE exchange (the sketch merge); a distinct of the
+    // shingle stream would add a second, key-set-sized one
+    assert("Exchange".r.findAllIn(p).size == 1, s"extra shuffle crept in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q71: one documents scan; the pair phase joins sketches, never corpora") {
+    val q = SparkEntry.queries("q71_kmv_source_overlap")(spark, sfDir)
+    val p = try q.queryExecution.executedPlan.toString finally CachePool.drain()
+    // both sides of the self-join must come from the SAME aggregated
+    // sketch subtree (Spark plans the reused exchange or a second
+    // scan; either way the join operands are sketch rows, and the
+    // join itself must be broadcast — S source rows, not data)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"sketch pair join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle in the pair phase:\n$p")
+    assert(p.contains("partial_kmvarraysketch"), s"no map-side sketch fold:\n$p")
+  }
+
+  test("q69: the quantile scans read only (event_type, value) — never the full events row") {
+    import org.apache.spark.sql.functions.col
+    // the operator's own base projection, as Quantiles builds it
+    val base = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .withColumn("sb", graft.functions.SortableDouble.sortable(col("value")))
+    val pf = base.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val read = pf.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("event_type") && read.contains("value"), read)
+    assert(!read.contains("props") && !read.contains("user_id"),
+      s"quantile scan reads unneeded columns: $read")
+    // sortable-bits kernel stays inside whole-stage codegen (the
+    // formatted mode tags fused operators with a codegen id)
+    assert(pf.contains("codegen id"), pf)
+  }
 }
