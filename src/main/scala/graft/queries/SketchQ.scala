@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 
-import graft.functions.{KmvArraySketch, KmvSketch}
+import graft.functions.{KmvArraySketch, KmvSketch, MisraGries}
 import graft.operators.{Bloom, Dedup, Quantiles}
 import graft.sources.Tables
 
@@ -26,6 +26,9 @@ object SketchQ extends QueryPack {
     * one definition of benchmark membership across the contamination
     * family. */
   private val BenchMod = 97
+
+  /** q72 support threshold: tokens with freq ≥ N/HhDen (0.5%). */
+  val HhDen = 200
 
   def defs: Map[String, Q] = Map(
     // Distinct 13-gram count per language WITHOUT a distinct shuffle:
@@ -116,6 +119,32 @@ object SketchQ extends QueryPack {
               (lit(1152921504606846976.0) / $"kth_min".cast("double"))))
         .withColumn("est_overlap",
           ($"overlap_k".cast("double") / $"k_used".cast("double")) * $"est_union")
+    }),
+
+    // Support-threshold heavy hitters, EXACT, without shuffling the
+    // vocabulary: pass 1 folds the token stream into a mergeable
+    // Misra–Gries summary (k = 2·HhDen counters — every token with
+    // freq > N/k survives, and N/k = half the support threshold, so
+    // the candidate set provably contains every answer) + the exact
+    // total N in the same aggregation; pass 2 re-counts ONLY the
+    // ≤ k candidates exactly (broadcast InSet filter inside the scan,
+    // partial agg → shuffle rows = partitions × candidates). The MG
+    // counts themselves are order-dependent and never emitted — the
+    // output is the exact-count filter, so the plain HAVING oracle
+    // replays it. The 100 TB shape for "which tokens exceed 0.5%".
+    "q72_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val k = 2 * HhDen
+      val toks = Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("token"))
+        .filter($"token" =!= "")
+      val mg = udaf(new MisraGries(k), Encoders.STRING)
+      val row = toks.agg(count(lit(1)).as("n"), mg($"token").as("cands")).head()
+      val n = row.getLong(0)
+      val cands = row.getSeq[String](1)
+      toks.filter($"token".isin(cands: _*))
+        .groupBy($"token").agg(count(lit(1)).as("freq"))
+        .filter($"freq" * lit(HhDen) >= lit(n))
     })
   )
 
@@ -187,6 +216,14 @@ object SketchQ extends QueryPack {
          |        coalesce(ov.overlap_k, 0)::BIGINT AS overlap_k,
          |        CASE WHEN st.k_used < $KmvK THEN st.k_used::DOUBLE
          |             ELSE (st.k_used - 1) * (1152921504606846976.0 / st.kth_min) END AS est_union
-         |      FROM st LEFT JOIN ov USING (source_a, source_b))""".stripMargin
+         |      FROM st LEFT JOIN ov USING (source_a, source_b))""".stripMargin,
+
+    "q72_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+         |              FROM documents),
+         |n AS (SELECT count(*) AS n FROM toks)
+         |SELECT token, count(*)::BIGINT AS freq
+         |FROM toks GROUP BY 1
+         |HAVING count(*) * $HhDen >= (SELECT n FROM n)""".stripMargin
   )
 }

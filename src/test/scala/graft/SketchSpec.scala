@@ -181,6 +181,84 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(estOv - 10000) / 10000 < 0.30, s"overlap est $estOv")
   }
 
+  test("Misra-Gries: the freq > N/k guarantee holds under any partitioning and merge order") {
+    import graft.functions.MisraGries
+    // 5000-token vocabulary, zipf-ish skew: token t appears ~1/(t+1) often
+    val rnd = new scala.util.Random(13)
+    val stream = rnd.shuffle(
+      (0 until 5000).flatMap(t => Seq.fill(math.max(1, 3000 / (t + 1)))(s"tok$t")))
+    val n = stream.size
+    val k = 50
+    val agg = new MisraGries(k)
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mustSurvive = exact.filter(_._2 > n.toLong / k).keySet
+    // fold under three different partitionings + merge shapes
+    Seq(1, 7, 64).foreach { parts =>
+      val bufs = stream.grouped(math.max(1, n / parts + 1)).map { chunk =>
+        chunk.foldLeft(agg.zero)((b, t) => agg.reduce(b, t))
+      }.toSeq
+      val merged = bufs.reduce(agg.merge)
+      val keys = agg.finish(merged).toSet
+      assert(keys.size <= k)
+      val missed = mustSurvive -- keys
+      assert(missed.isEmpty, s"parts=$parts lost guaranteed heavy hitters: $missed")
+    }
+  }
+
+  test("Misra-Gries merge rule: sum then subtract the (k+1)-th largest") {
+    import graft.functions.MisraGries
+    val agg = new MisraGries(2)
+    val a = Map("x" -> 5L, "y" -> 3L)
+    val b = Map("x" -> 1L, "z" -> 4L)
+    // summed: x=6 y=3 z=4; 3rd largest = 3; subtract -> x=3 z=1
+    val m = agg.merge(a, b)
+    assert(m == Map("x" -> 3L, "z" -> 1L), s"got $m")
+  }
+
+  test("q72 heavy hitters equals the naive full-vocabulary HAVING query") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val got = queries.SketchQ.defs("q72_heavy_hitters")(spark, d)
+    val toks = Tables.documents(spark, d)
+      .select(explode(split($"text", " ")).as("token")).filter($"token" =!= "")
+    val n = toks.count()
+    val expected = toks.groupBy($"token").agg(count(lit(1)).as("freq"))
+      .filter($"freq" * queries.SketchQ.HhDen >= n)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(got.count() > 0, "support threshold yields no rows — test corpus drifted?")
+  }
+
+  test("streaming MG candidates + one batch recount == batch q72 (bounded state per group)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val d = "/root/testdata/sf0.01"
+    val texts = Tables.documents(spark, d).select($"text").as[String].collect()
+    val in = MemoryStream[String]
+    val k = 2 * queries.SketchQ.HhDen
+    val q = streaming.HeavyHittersStream.candidates(
+        in.toDF().select(explode(split($"value", " ")).as("token")).filter($"token" =!= ""),
+        $"token", k)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("hh_out").start()
+    try {
+      texts.grouped(math.max(1, texts.length / 3 + 1)).foreach { g =>
+        in.addData(g.toIndexedSeq); q.processAllAvailable()
+      }
+      val row = spark.table("hh_out").head()
+      val (n, cands) = (row.getLong(0), row.getSeq[String](1))
+      assert(cands.size <= k, s"state exceeded the k=$k bound: ${cands.size}")
+      val corpusToks = Tables.documents(spark, d)
+        .select(explode(split($"text", " ")).as("token")).filter($"token" =!= "")
+      assert(n == corpusToks.count(), "streamed token total diverged from the corpus")
+      val got = streaming.HeavyHittersStream.recount(
+        corpusToks, $"token", cands, n, queries.SketchQ.HhDen)
+      val batch = queries.SketchQ.defs("q72_heavy_hitters")(spark, d)
+      assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+        "streamed-candidates recount diverged from batch q72")
+    } finally q.stop()
+  }
+
   test("Bloom: zero false negatives, bounded false-positive rate, geometry honored") {
     import spark.implicits._
     val keys = spark.range(0, 5000).select((col("id") * 7919 + 13).as("k"))
