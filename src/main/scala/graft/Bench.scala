@@ -151,12 +151,14 @@ object Bench {
     // and a full-precision medians+mins line is ~4000 — every prior
     // round's BENCH_r*.json had "parsed": null because the line's HEAD
     // fell outside the window):
-    //  - stdout: ONE compact line — total + 3-decimal per-line medians
-    //    (~1.8k chars for 69 lines, fits the window with the sbt
-    //    trailer), errors included only when present.
+    //  - stdout: ONE compact line — total (3 decimals) + 2-decimal
+    //    per-line medians, reps/full paths elided (~1.9k chars for 75
+    //    lines; 3-decimal crossed 2000 when the sketch family landed),
+    //    errors included only when present.
     //  - file (SPARK_GRAFT_BENCH_DETAIL, default target/bench_detail
     //    .json): full-precision medians + mins + errors for humans.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jmap(_.toString, _._2)},"queries_min":${jmap(_.toString, _._3)},"errors":$errJson,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "target/bench_detail.json")
@@ -168,7 +170,8 @@ object Bench {
       System.err.println(s"bench: could not write $detailPath: $e")
     }
     val errPart = if (errs.isEmpty) "" else s""","errors":$errJson"""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":${jmap(f3, _._2)}$errPart,"sf":"$sfDir"}""")
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(f2, _._2)}$errPart,"sf":"$sfShort"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }
