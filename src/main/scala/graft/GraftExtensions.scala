@@ -79,6 +79,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_framehashes"),
       info("graft_framehashes", "graft_framehashes(payload, n) - per-frame 60-bit aHashes of up to n sampled video frames (empty array if undecodable)"),
       buildFrameHashes))
+    e.injectFunction((
+      FunctionIdentifier("graft_kmv"),
+      info("graft_kmv", "graft_kmv(h, k) - aggregate: KMV bottom-k distinct sketch over 60-bit keys; struct(k_used, kth_min, est_distinct)"),
+      buildKmv))
+    e.injectFunction((
+      FunctionIdentifier("graft_kmv_arr"),
+      info("graft_kmv_arr", "graft_kmv_arr(h, k) - aggregate: sorted bottom-k array for KMV set operations"),
+      buildKmvArr))
+    e.injectFunction((
+      FunctionIdentifier("graft_mg_candidates"),
+      info("graft_mg_candidates", "graft_mg_candidates(token, k) - aggregate: Misra-Gries heavy-hitter candidate set (every token above N/k guaranteed present)"),
+      buildMgCandidates))
     // graft_nearest_cell / graft_probe_cells stay Column-API-only by
     // design: their centroid-matrix argument is driver-held model state
     // (IvfIndex.Model), not something a SQL literal can express.
@@ -189,6 +201,21 @@ object GraftExtensions {
       intLiteral("graft_framehashes", args(1), 1, 1024))
   }
 
+  private[graft] val buildKmv: Seq[Expression] => Expression = { args =>
+    arity("graft_kmv", args, 2)
+    graft.functions.KmvAgg(args.head, intLiteral("graft_kmv", args(1), 2, 1 << 20))
+  }
+
+  private[graft] val buildKmvArr: Seq[Expression] => Expression = { args =>
+    arity("graft_kmv_arr", args, 2)
+    graft.functions.KmvArrAgg(args.head, intLiteral("graft_kmv_arr", args(1), 2, 1 << 20))
+  }
+
+  private[graft] val buildMgCandidates: Seq[Expression] => Expression = { args =>
+    arity("graft_mg_candidates", args, 2)
+    graft.functions.MgCandidates(args.head, intLiteral("graft_mg_candidates", args(1), 1, 1 << 20))
+  }
+
   /** Register the same functions on an already-built session (useful in
     * tests and notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -206,5 +233,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_ahash", buildAHash, "scala_udf")
     reg.createOrReplaceTempFunction("graft_audiohash", buildAudioHash, "scala_udf")
     reg.createOrReplaceTempFunction("graft_framehashes", buildFrameHashes, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_kmv", buildKmv, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_kmv_arr", buildKmvArr, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_mg_candidates", buildMgCandidates, "scala_udf")
   }
 }

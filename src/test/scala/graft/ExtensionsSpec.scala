@@ -75,6 +75,52 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(plan.contains("partial_graft_minhash_sig"), s"no partial aggregate in:\n$plan")
   }
 
+  test("graft_kmv / graft_kmv_arr / graft_mg_candidates aggregates from SQL, matching the typed kernels") {
+    import org.apache.spark.sql.{Encoders, functions => F}
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // 1200 distinct 60-bit keys per group (saturates k=64), spread over
+    // 7 partitions so the merge path runs
+    val df = (0 until 5000).map { i =>
+      ((i % 2).toLong, ((i % 1200).toLong * 961748927L) & ((1L << 60) - 1))
+    }.toDF("g", "h").repartition(7)
+    df.createOrReplaceTempView("kmv_rows")
+    val viaSql = spark.sql(
+      """SELECT g, graft_kmv(h, 64) AS sk, graft_kmv_arr(h, 64) AS arr
+        |FROM kmv_rows GROUP BY g ORDER BY g""".stripMargin).collect()
+    // typed path (the same kernel object underneath)
+    val kmvU = F.udaf(new graft.functions.KmvSketch(64), Encoders.scalaLong)
+    val arrU = F.udaf(new graft.functions.KmvArraySketch(64), Encoders.scalaLong)
+    val viaTyped = df.groupBy($"g")
+      .agg(kmvU($"h").as("sk"), arrU($"h").as("arr")).orderBy($"g").collect()
+    viaSql.zip(viaTyped).foreach { case (s, t) =>
+      val (ss, ts) = (s.getStruct(1), t.getStruct(1))
+      assert(ss.getLong(0) === ts.getLong(0))   // k_used
+      assert(ss.getLong(1) === ts.getLong(1))   // kth_min
+      assert(ss.getDouble(2) === ts.getDouble(2)) // est_distinct
+      assert(s.getSeq[Long](2) === t.getStruct(2).getSeq[Long](1)) // bottom-k array
+      assert(ss.getLong(0) === 64L) // saturated: the estimate branch ran
+    }
+    // map-side partial aggregation carries sketches, not rows
+    val plan = spark.sql("SELECT g, graft_kmv(h, 64) FROM kmv_rows GROUP BY g")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_kmv"), s"no partial aggregate in:\n$plan")
+
+    // MG: freq("hot") = 667, freq("warm") = 266, both > N/k = 2000/8
+    // = 250 -> GUARANTEED present under any partitioning; <= 8 counters
+    val toks = (0 until 2000).map { i =>
+      if (i % 3 == 0) "hot" else if (i % 5 == 0) "warm" else s"t${i % 400}"
+    }.toDF("tok").repartition(7)
+    toks.createOrReplaceTempView("mg_rows")
+    val cand = spark.sql("SELECT graft_mg_candidates(tok, 8) AS c FROM mg_rows")
+      .head.getSeq[String](0)
+    assert(cand.contains("hot") && cand.contains("warm"), s"guarantee violated: $cand")
+    assert(cand.length <= 8)
+    val viaCol = toks.agg(
+      graft.functions.MgCandidates.mgCandidates($"tok", 8).as("c")).head.getSeq[String](0)
+    assert(cand === viaCol) // SQL and Column API compile to the same aggregate
+  }
+
   test("graft_hyperplane_bits accepts BIGINT literals and rejects non-integral args at analysis") {
     GraftExtensions.register(spark)
     // BIGINT literal (SQL `4L`) must coerce, not ClassCastException
