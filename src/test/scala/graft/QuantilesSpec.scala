@@ -103,4 +103,65 @@ class QuantilesSpec extends AnyFunSuite {
     }
     assert(g.size == 5)
   }
+
+  test("LogHist kernel: bucket order follows value order; lower bound within 2^-m relative error") {
+    val m = 7
+    val xs = Seq(Double.NegativeInfinity, -1e300, -2.5, -1e-320, -0.0, 0.0,
+      1e-320, 0.25, 7.0, 1e300, Double.PositiveInfinity)
+    val bs = xs.map(functions.LogHist.bucketOf(_, m))
+    assert(bs == bs.sorted, "bucket image must preserve value order")
+    // lower bound never exceeds the value, and is within relative 2^-m
+    // for finite values (absolute ~0 at the subnormal floor)
+    xs.filter(v => !v.isInfinite).foreach { v =>
+      val lb = functions.LogHist.lowerBound(functions.LogHist.bucketOf(v, m), m)
+      assert(lb <= v, s"lower bound $lb above value $v")
+      assert(v - lb <= math.abs(v) * math.pow(2, -m) + 1e-300, s"bucket too wide at $v: $lb")
+    }
+    intercept[IllegalArgumentException](functions.LogHist.bucketOf(Double.NaN, m))
+  }
+
+  test("LogHist sketch quantiles within guaranteed relative error of exact; bounded occupied buckets") {
+    import spark.implicits._
+    val m = 7
+    val rnd = new Random(11)
+    // latency-shaped: log-normal around 100, ~12 binary octaves
+    val rows = (1 to 20000).map(i => (s"g${i % 3}", math.exp(rnd.nextGaussian()) * 100.0))
+    val pcts = Seq(50, 90, 99)
+    val got = streaming.QuantilesStream.groupQuantiles(
+        rows.toDF("g", "v").repartition(7), col("g"), col("v"), pcts, m)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getSeq[Double](3))).toSeq
+    assert(got.size == 3)
+    got.foreach { case (g, n, used, qs) =>
+      val vals = rows.filter(_._1 == g).map(_._2)
+      assert(n == vals.size)
+      // state bound: occupied buckets track the octave span, not n
+      assert(used <= 13 * (1 << m) && used < n / 2, s"$g buckets_used=$used")
+      pcts.zip(qs).foreach { case (p, q) =>
+        val exact = truth(vals, p)
+        assert(q <= exact && exact - q <= exact * math.pow(2, -m),
+          s"$g p$p: sketch $q vs exact $exact out of the 2^-$m bound")
+      }
+    }
+  }
+
+  test("streaming LogHist quantiles == batch sketch over the union of batches (bounded state)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val rnd = new Random(13)
+    val rows = (1 to 9000).map(i => (s"k${i % 4}", math.exp(rnd.nextGaussian()) * 5.0))
+    val in = MemoryStream[(String, Double)]
+    val q = streaming.QuantilesStream.groupQuantiles(
+        in.toDF().toDF("g", "v"), col("g"), col("v"), Seq(50, 95), m = 7)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("lh_out").start()
+    try {
+      rows.grouped(3001).foreach { g => in.addData(g.toIndexedSeq); q.processAllAvailable() }
+      val streamed = spark.table("lh_out")
+      val batch = streaming.QuantilesStream.groupQuantiles(
+        rows.toDF("g", "v"), col("g"), col("v"), Seq(50, 95), m = 7)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed sketch quantiles diverged from the batch fold over the same rows")
+    } finally q.stop()
+  }
 }
