@@ -16,7 +16,8 @@ object SparkEntry {
     SimilarityQ,
     MiscQ,
     MediaQ,
-    SketchQ
+    SketchQ,
+    FunnelQ
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

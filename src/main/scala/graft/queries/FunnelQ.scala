@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Behavioral event analytics over the `events` stream table: funnel
+  * conversion and retention cohorts — the two queries every
+  * product-analytics deployment of the reference's event pipelines
+  * (DataGen2Doris/DataGen2ES-shaped click/view/purchase streams) ends
+  * up running downstream.
+  *
+  * Both are pure multi-stage aggregations keyed on `user_id`:
+  * per-step event-type predicates push into the parquet scan (only
+  * the step's rows are ever read), every stage aggregates or joins on
+  * the SAME key so the planner reuses the hash partitioning across
+  * stages instead of re-shuffling, and no stage ever materializes a
+  * per-user event list — state per user is O(steps) timestamps, so
+  * the shape survives a 100 TB events table. Semantics are integer-
+  * exact (µs timestamp comparisons, integer week arithmetic), so the
+  * DuckDB oracles replay them bit-for-bit.
+  */
+object FunnelQ extends QueryPack {
+
+  private val WeekUs = 604800000000L // 7 * 24 * 3600 * 1_000_000
+
+  def defs: Map[String, Q] = Map(
+    // view -> click -> purchase conversion within 7 days of the FIRST
+    // view: step k's timestamp is the earliest qualifying event
+    // STRICTLY AFTER step k-1, inside the window anchored at step 1
+    // (the standard ordered-funnel semantics). Output: users reaching
+    // each step. Each step = one filtered agg + one user-key join;
+    // the per-user state is two timestamps, never an event list.
+    "q73_funnel_conversion" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+      val wnd = expr("INTERVAL 7 DAYS")
+      val s1 = graft.CachePool.cache(
+        ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("s1")))
+      val s2 = graft.CachePool.cache(
+        ev.filter($"event_type" === "click").join(s1, "user_id")
+          .filter($"ts" > $"s1" && $"ts" <= $"s1" + wnd)
+          .groupBy($"user_id").agg(min($"ts").as("s2"), min($"s1").as("s1")))
+      val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+        .filter($"ts" > $"s2" && $"ts" <= $"s1" + wnd)
+        .groupBy($"user_id").agg(min($"ts").as("s3"))
+      s1.agg(count(lit(1)).as("users")).withColumn("step", lit(1))
+        .unionByName(s2.agg(count(lit(1)).as("users")).withColumn("step", lit(2)))
+        .unionByName(s3.agg(count(lit(1)).as("users")).withColumn("step", lit(3)))
+        .select($"step", $"users")
+    }),
+
+    // Weekly retention cohorts: cohort = the user's first-seen week,
+    // cell (cohort_week, week_offset) counts distinct users active
+    // that many weeks later. Week indices are integer µs division —
+    // no calendar/timezone arithmetic to drift between engines. The
+    // exact distinct is two-phase (partial per partition); at extreme
+    // user cardinality the q67 KMV sketch is the drop-in bounded-state
+    // alternative.
+    "q74_retention_cohorts" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id", unix_micros($"ts").as("us"))
+      val first = ev.groupBy($"user_id").agg(min($"us").as("first_us"))
+      ev.join(first, "user_id")
+        .select($"user_id",
+          expr(s"first_us div $WeekUs").as("cohort_week"),
+          expr(s"(us - first_us) div $WeekUs").as("week_offset"))
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(countDistinct($"user_id").as("users"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q73_funnel_conversion" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t, min(s1.t) AS t0
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 7 DAY
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts > s2.t AND e.ts <= s2.t0 + INTERVAL 7 DAY
+        |  GROUP BY 1)
+        |SELECT 1 AS step, count(*) AS users FROM s1
+        |UNION ALL SELECT 2, count(*) FROM s2
+        |UNION ALL SELECT 3, count(*) FROM s3""".stripMargin,
+
+    "q74_retention_cohorts" ->
+      s"""WITH f AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS first_us FROM events GROUP BY 1)
+         |SELECT f.first_us // $WeekUs AS cohort_week,
+         |  (epoch_us(e.ts) - f.first_us) // $WeekUs AS week_offset,
+         |  count(DISTINCT e.user_id) AS users
+         |FROM events e JOIN f ON e.user_id = f.user_id
+         |GROUP BY 1, 2""".stripMargin
+  )
+}
