@@ -78,6 +78,52 @@ class FunnelSpec extends AnyFunSuite {
     } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("streaming funnel == batch step memberships with arrival order fully reversed across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    // the SAME corpus as the batch test, so expected memberships are
+    // step1 {1,2,3,4,6,7}, step2 {1,3,7}, step3 {1,7}
+    val views = Seq[(Long, String, Timestamp)](
+      (1L, "view", ts(1)), (2L, "view", ts(2)), (3L, "view", ts(1)),
+      (4L, "view", ts(5)), (6L, "view", ts(4)), (7L, "view", ts(1)))
+    val clicks = Seq[(Long, String, Timestamp)](
+      (1L, "click", ts(2)), (2L, "click", ts(1)), (3L, "click", ts(2)),
+      (5L, "click", ts(1)), (6L, "click", ts(4)), (7L, "click", ts(1, 1)))
+    val purchases = Seq[(Long, String, Timestamp)](
+      (1L, "purchase", ts(3)), (2L, "purchase", ts(3)), (3L, "purchase", ts(9)),
+      (5L, "purchase", ts(2)), (7L, "purchase", ts(8)))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = streaming.FunnelStream.stepAdvances(
+        in.toDF().toDF("user_id", "event_type", "ts"),
+        Seq("view", "click", "purchase"),
+        java.time.Duration.ofDays(7), watermark = "30 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      // REVERSED delivery: purchases first, then clicks, then views —
+      // the 30-day watermark holds everything in buffer state until the
+      // flush sentinel advances it past all real events
+      Seq(purchases, clicks, views).foreach { b =>
+        in.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      // watermark = max event time - 30d, applied from the NEXT batch:
+      // one sentinel far enough out to push it past every real event,
+      // then a second batch during which the hold-timers actually fire
+      in.addData(Seq((99L, "flush", Timestamp.valueOf("2024-03-01 00:00:00"))))
+      q.processAllAvailable()
+      in.addData(Seq((99L, "flush", Timestamp.valueOf("2024-03-02 00:00:00"))))
+      q.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .select($"user_id", $"step").as[(Long, Int)].collect().toSet
+      val expected = Set(
+        (1L, 1), (2L, 1), (3L, 1), (4L, 1), (6L, 1), (7L, 1),
+        (1L, 2), (3L, 2), (7L, 2),
+        (1L, 3), (7L, 3))
+      assert(got === expected, s"streamed advances diverged: got $got")
+    } finally q.stop()
+  }
+
   test("funnel step scans read only their event type (predicate pushed to parquet)") {
     val plan = SparkEntry.queries("q73_funnel_conversion")(spark, sfDir)
       .queryExecution.executedPlan.toString
