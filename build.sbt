@@ -29,3 +29,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 ThisBuild / scalacOptions ++= Seq("-deprecation")
+// The round driver keeps only the LAST ~2000 stdout chars of `sbt
+// "runMain graft.Bench"` and parses the compact JSON line out of that
+// window. sbt's trailing "[success] Total time: …" line would push the
+// head of a ~1.9k-char 77-entry line out of the window (the "parsed":
+// null in every BENCH_r*.json before r11) — suppress it.
+Global / showSuccess := false
+// showSuccess is read by sbt's command loop, not by a task — lint
+// can't see that; the suppression demonstrably works (no [success]
+// line in batch output)
+Global / excludeLintKeys += showSuccess

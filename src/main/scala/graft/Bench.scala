@@ -158,7 +158,13 @@ object Bench {
     //  - file (SPARK_GRAFT_BENCH_DETAIL, default target/bench_detail
     //    .json): full-precision medians + mins + errors for humans.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // 2-decimal, trailing zeros stripped ("0.30"→"0.3", "2.00"→"2"):
+    // still valid JSON, and the ~50 chars saved across 77 entries keep
+    // the whole line inside the driver's 2k stdout tail window
+    def f2(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jmap(_.toString, _._2)},"queries_min":${jmap(_.toString, _._3)},"errors":$errJson,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "target/bench_detail.json")

@@ -16,6 +16,42 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Flink-style RETRACTABLE aggregation over a changelog — the
+    * maintained `SELECT grp, count(*), sum(v) … GROUP BY grp` a Flink
+    * retract stream keeps live under +I/+U/-U/-D traffic (ref:
+    * format/debezium_json + canal_json jobs feed exactly such
+    * changelogs) — WITHOUT materializing per-key state first.
+    *
+    * Every changelog row contributes a SIGNED delta (+value for
+    * +I/+U, −value for -U/-D) keyed by the group carried in that
+    * row's image: a retraction uses its BEFORE-image group, which is
+    * what routes a group-moving update's subtraction to the OLD group
+    * and its addition to the new one. One map-side-combined
+    * aggregation; shuffle and state are O(groups), not O(keys) — a
+    * 10-group SUM over a billion-key changelog moves ~10 partial rows
+    * per task instead of re-keying a billion rows by pk (compare
+    * [[materialize]] + groupBy: two shuffles, the first on pk).
+    * Only commutative-invertible aggregates (count/sum/avg) can ride
+    * this path; min/max need per-key state — the same split Flink
+    * draws between retractable and non-retractable agg functions.
+    * Groups whose live count reaches 0 disappear from the result,
+    * exactly like a Flink retract sink.
+    *
+    * `value` should be an integer-exact column (e.g. cents as long):
+    * signed cancellation of doubles is order-dependent in the last
+    * ulp, and the whole point of the fold is exact +a −a = 0.
+    * Streaming twin: graft.streaming.Pipelines.cdcAggStream. */
+  def retractAgg(changelog: DataFrame, rowKind: Column, group: Column, value: Column): DataFrame = {
+    val sign = when(rowKind.isin("+I", "+U"), 1L)
+      .when(rowKind.isin("-U", "-D"), -1L)
+      // a silently-dropped unknown kind would desync count vs sum
+      .otherwise(raise_error(concat(lit("retractAgg: unknown row_kind "), rowKind)))
+    changelog
+      .groupBy(group.as("grp"))
+      .agg(sum(sign).as("live_cnt"), sum(sign * value).as("live_sum"))
+      .filter(col("live_cnt") > 0)
+  }
+
   /** Latest surviving row per `pk`, ordered by `version` columns
     * (latest wins; ties broken by the caller-supplied total order).
     * Rows whose final image is a delete (`isDelete`) are dropped. */

@@ -119,6 +119,33 @@ object CdcQ extends QueryPack {
       AvroBinary.decode(encoded, "payload", schema)
     }),
 
+    // changelog → MAINTAINED per-group aggregate via signed deltas
+    // (Flink retract-stream semantics; ref: format/debezium_json —
+    // the aggregate a Flink SQL job keeps live over that changelog).
+    // Synthesized multi-event history per order, with a GROUP MOVE on
+    // update (the case naive "aggregate the latest images" gets
+    // wrong): every order +I's into its priority at price−10; F and P
+    // orders then -U/+U into group 'U-'||priority at full price; P
+    // orders finally -D. Values are cents-as-long so retraction
+    // cancellation is integer-exact under any fold order.
+    "q75_cdc_agg" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val cents0 = round(($"o_totalprice" - 10) * 100).cast("long")
+      val cents1 = round($"o_totalprice" * 100).cast("long")
+      val grp0 = $"o_orderpriority"
+      val grp1 = concat(lit("U-"), $"o_orderpriority")
+      def ev(kind: String, cents: org.apache.spark.sql.Column,
+          grp: org.apache.spark.sql.Column) = Seq(
+        lit(kind).as("row_kind"), cents.as("cents"), grp.as("grp"))
+      val changelog =
+        o.select(ev("+I", cents0, grp0): _*)
+          .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("-U", cents0, grp0): _*))
+          .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("+U", cents1, grp1): _*))
+          .unionAll(o.filter($"o_orderstatus" === "P").select(ev("-D", cents1, grp1): _*))
+      Cdc.retractAgg(changelog, rowKind = $"row_kind", group = $"grp", value = $"cents")
+    }),
+
     // json-lines decode to typed columns (ref: format/json/Json2Json.java).
     "q22_json_lines" -> ((s, d) => {
       import s.implicits._
@@ -155,6 +182,19 @@ object CdcQ extends QueryPack {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // Final live state computed directly: O orders live in their
+    // priority at price−10; F orders live in 'U-'||priority at full
+    // price; P orders are dead. A correct signed fold must agree.
+    "q75_cdc_agg" ->
+      """SELECT grp, count(*)::BIGINT AS live_cnt, sum(cents)::BIGINT AS live_sum FROM (
+        |  SELECT o_orderpriority AS grp,
+        |         CAST(round((o_totalprice - 10) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT 'U-' || o_orderpriority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |) GROUP BY grp""".stripMargin,
     "q21_csv_lines" ->
       "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part",
     "q22_json_lines" ->

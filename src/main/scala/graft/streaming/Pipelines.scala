@@ -276,6 +276,55 @@ object Pipelines {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  // ---- maintained per-group aggregate over a changelog ----
+
+  case class AggChange(op: String, grp: String, value: Long)
+  case class GroupAgg(grp: String, live_cnt: Long, live_sum: Long)
+
+  /** Streaming twin of graft.operators.Cdc.retractAgg — the
+    * maintained `GROUP BY` a Flink retract stream keeps live under
+    * +I/+U/-U/-D traffic (Flink's "dynamic table" aggregate; ref:
+    * the reference's debezium/canal changelog jobs). Keyed state is
+    * per GROUP, a single (count, sum) pair — O(groups), not O(keys):
+    * a billion-key changelog maintaining a 10-group SUM holds ten
+    * 16-byte accumulators, which is why the fold needs no TTL.
+    * Retractions use their BEFORE-image group (that routes a
+    * group-moving update's −delta to the old group), and deltas are
+    * commutative, so arrival order — within a batch or across
+    * batches — cannot change the result. Emits the updated aggregate
+    * for every group touched by the batch; a group retracted to
+    * count 0 emits (grp, 0, 0) — the sink-side DELETE signal — and
+    * its state is dropped. `value` must be integer-exact (cents, not
+    * dollars): the fold's correctness is exact +v −v cancellation. */
+  def cdcAggStream(changes: Dataset[AggChange]): Dataset[GroupAgg] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[(Long, Long), GroupAgg](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[AggChange], state: GroupState[(Long, Long)]) =>
+          var (cnt, sum) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { c =>
+            val s = c.op match {
+              case "+I" | "+U" => 1L
+              case "-U" | "-D" => -1L
+              // a silently-dropped kind would desync count vs sum
+              case other => throw new IllegalArgumentException(
+                s"cdcAggStream: unknown row_kind '$other' for group $grp")
+            }
+            cnt += s
+            sum += s * c.value
+          }
+          // drop state only when the group is FULLY settled: with
+          // cross-batch disorder a group can sit at count 0 with a
+          // nonzero sum (a retraction folded before its insert
+          // arrived) — forgetting that debt would corrupt every later
+          // batch. Transient negative counts/sums are normal for the
+          // same reason and settle once the matching inserts land.
+          if (cnt == 0L && sum == 0L) state.remove() else state.update((cnt, sum))
+          Iterator.single(GroupAgg(grp, cnt, sum))
+      }
+  }
+
   /** Stream-static join: apply batch-derived per-source sampling
     * rates (graft.queries q43's rebalancing table) to a LIVE document
     * stream — Spark's equivalent of Flink's broadcast-state pattern

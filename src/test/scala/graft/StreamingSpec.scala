@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -563,6 +564,114 @@ class StreamingSpec extends AnyFunSuite {
         val expect = (0 until 64).map(i => (32 + ((id * 31 + i * 17) % 95)).toChar).mkString
         assert(payload == expect)
       }
+    } finally q.stop()
+  }
+
+  // ---- maintained per-group aggregate over a changelog ----
+
+  import graft.streaming.Pipelines.{AggChange, GroupAgg}
+
+  /** Drain `batches` through cdcAggStream one micro-batch at a time,
+    * tracking the LATEST emission per group (each emission is the
+    * group's full current state, so latest-wins is the sink
+    * contract — exactly how an upsert sink consumes a retract
+    * stream). Returns the final live snapshot. */
+  private def runCdcAgg(name: String, batches: Seq[Seq[AggChange]]): Map[String, (Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[AggChange]
+    // each emission is the group's full current state, so the sink
+    // contract is latest-batch-wins per group — track it with explicit
+    // batch ids (a memory-sink collect has no reliable cross-batch
+    // row order to lean on)
+    val latest = scala.collection.mutable.Map.empty[String, (Long, (Long, Long))]
+    val q = Pipelines.cdcAggStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[GroupAgg], id: Long) =>
+        val rows = df.collect()
+        latest.synchronized {
+          rows.foreach { g =>
+            if (!latest.get(g.grp).exists(_._1 > id))
+              latest(g.grp) = (id, (g.live_cnt, g.live_sum))
+          }
+        }
+      }
+      .queryName(name).start()
+    try {
+      batches.foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+      latest.synchronized {
+        latest.view.mapValues(_._2).toMap.filter(_._2._1 > 0L)
+      }
+    } finally q.stop()
+  }
+
+  test("stream_cdc_agg: group-moving updates and retract-to-zero across micro-batch boundaries") {
+    // k2 moves A→B inside one batch; k1's move A→C is SPLIT across
+    // batches (the -U lands a batch before its +U); k3 is deleted.
+    // Group A retracts to zero and must vanish from the snapshot.
+    val out = runCdcAgg("cdc_agg_moves", Seq(
+      Seq(AggChange("+I", "A", 100), AggChange("+I", "A", 200), AggChange("+I", "B", 50)),
+      Seq(AggChange("-U", "A", 200), AggChange("+U", "B", 250), AggChange("-U", "A", 100)),
+      Seq(AggChange("+U", "C", 111), AggChange("-D", "B", 50))))
+    // B: +I 50, +U 250 (k2's move in), -D 50 (k3 deleted) → (1, 250)
+    assert(out == Map("B" -> ((1L, 250L)), "C" -> ((1L, 111L))))
+  }
+
+  test("stream_cdc_agg: multi-batch shuffled replay == batch retractAgg (commutativity)") {
+    import spark.implicits._
+    // deterministic pseudo-random changelog: 60 keys, each +I then a
+    // chain of group-moving updates, some ending in -D — then the
+    // ROWS are dealt round-robin into 4 micro-batches, so almost
+    // every key's history straddles batch boundaries out of order
+    val rnd = new scala.util.Random(41)
+    val changes = (0 until 60).flatMap { k =>
+      val g0 = s"g${rnd.nextInt(5)}"
+      var cur = (g0, (k + 1) * 10L)
+      val steps = scala.collection.mutable.ArrayBuffer(AggChange("+I", cur._1, cur._2))
+      (0 until rnd.nextInt(4)).foreach { _ =>
+        val next = (s"g${rnd.nextInt(5)}", rnd.nextInt(1000).toLong)
+        steps += AggChange("-U", cur._1, cur._2)
+        steps += AggChange("+U", next._1, next._2)
+        cur = next
+      }
+      if (rnd.nextInt(3) == 0) steps += AggChange("-D", cur._1, cur._2)
+      steps
+    }
+    val batches = (0 until 4).map(i => changes.zipWithIndex.collect {
+      case (c, j) if j % 4 == i => c
+    }.toSeq)
+    val streamed = runCdcAgg("cdc_agg_replay", batches)
+    val batch = graft.operators.Cdc.retractAgg(
+        changes.toDF("op", "grp", "value"), col("op"), col("grp"), col("value"))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, c, s) => g -> ((c, s)) }.toMap
+    // in-memory ground truth localizes a mismatch to one side
+    val truth = changes.groupBy(_.grp).view.mapValues(_.foldLeft((0L, 0L)) { (acc, c) =>
+      val s = if (c.op == "+I" || c.op == "+U") 1L else -1L
+      (acc._1 + s, acc._2 + s * c.value)
+    }).toMap.filter(_._2._1 > 0)
+    assert(batch == truth, "batch retractAgg diverged from the hand fold")
+    assert(streamed == truth, "streamed fold diverged from the hand fold")
+    assert(batch.nonEmpty)
+  }
+
+  test("stream_cdc_agg: an unknown row_kind fails loudly, not as a silent skip") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[AggChange]
+    val q = Pipelines.cdcAggStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cdc_agg_bad").start()
+    try {
+      in.addData(AggChange("+X", "A", 1))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("unknown row_kind") ||
+        String.valueOf(e.getCause).contains("unknown row_kind"))
     } finally q.stop()
   }
 }
