@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.operators.Cep
 import graft.sources.Tables
 
 /** Behavioral event analytics over the `events` stream table: funnel
@@ -23,6 +24,7 @@ import graft.sources.Tables
 object FunnelQ extends QueryPack {
 
   private val WeekUs = 604800000000L // 7 * 24 * 3600 * 1_000_000
+  private val DayUs = 86400000000L // 24 * 3600 * 1_000_000
 
   def defs: Map[String, Q] = Map(
     // view -> click -> purchase conversion within 7 days of the FIRST
@@ -49,6 +51,23 @@ object FunnelQ extends QueryPack {
         .unionByName(s2.agg(count(lit(1)).as("users")).withColumn("step", lit(2)))
         .unionByName(s3.agg(count(lit(1)).as("users")).withColumn("step", lit(3)))
         .select($"step", $"users")
+    }),
+
+    // CEP absence pattern (Flink CEP notFollowedBy / MATCH_RECOGNIZE
+    // timeout): clicks with NO purchase by the same user within 24
+    // hours — cart abandonment over the events stream. Strict left
+    // bound (a purchase at the click's exact µs does not answer it),
+    // inclusive 24 h horizon, exact integer-µs arithmetic both
+    // engines. Streaming twin: stream_absence (AbsenceStream).
+    "q76_absence_alert" -> ((s, d) => {
+      import s.implicits._
+      Cep.absence(
+        Tables.events(s, d).select($"user_id", $"event_id", $"ts", $"event_type"),
+        key = $"user_id", ts = $"ts",
+        isAnchor = $"event_type" === "click",
+        isResponse = $"event_type" === "purchase",
+        windowUs = DayUs)
+        .select($"user_id", $"event_id", $"ts")
     }),
 
     // Weekly retention cohorts: cohort = the user's first-seen week,
@@ -91,6 +110,16 @@ object FunnelQ extends QueryPack {
         |SELECT 1 AS step, count(*) AS users FROM s1
         |UNION ALL SELECT 2, count(*) FROM s2
         |UNION ALL SELECT 3, count(*) FROM s3""".stripMargin,
+
+    // anti-join replay of the absence pattern: a correct range-frame
+    // scan must agree with the naive NOT EXISTS
+    "q76_absence_alert" ->
+      s"""SELECT e.user_id, e.event_id, e.ts FROM events e
+         |WHERE e.event_type = 'click' AND NOT EXISTS (
+         |  SELECT 1 FROM events p
+         |  WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+         |    AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) + 1
+         |                           AND epoch_us(e.ts) + $DayUs)""".stripMargin,
 
     "q74_retention_cohorts" ->
       s"""WITH f AS (
