@@ -26,6 +26,8 @@ object TextQ extends QueryPack {
     * chain (the kmeansCtes convention), so both engines run the same
     * number of steps. */
   private val BpeSteps = 8
+  /** q77 shard token budget: ~15 shards at sf0.01, scale-free rule. */
+  private val ShardBudget = 65536L
 
   /** DuckDB replay of q60's merge loop: emits `m1..mN` (the learned
     * merges) and `s1..sN` (the symbol table after each step). Every
@@ -243,6 +245,27 @@ object TextQ extends QueryPack {
       docs.join(rates, "source")
         .filter(conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10).cast("long") % 100 < $"rate")
         .select($"doc_id", $"source", $"n_tokens", $"rate")
+    }),
+
+    // Training-shard export packing: a deterministic global shuffle
+    // (md5 order — reproducible, no RNG) and token-budget shard
+    // assignment via DISTRIBUTED prefix sum (operators.Prefix). The
+    // naive spelling — sum() OVER (ORDER BY hash) with no
+    // partitionBy — collapses the whole corpus into one partition on
+    // one executor; Prefix.cumsum computes the identical total with
+    // two parallel shuffles + a P-row driver prefix, so the export
+    // step that tends to be written as a scale trap isn't one. A doc
+    // straddling a budget boundary belongs to the shard its FIRST
+    // token falls in ((cum − n_tokens) div budget) — exact integer
+    // semantics both engines.
+    "q77_shard_pack" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", TF.tokenCount($"text").cast("long").as("n_tokens"))
+        .withColumn("h", md5($"doc_id".cast("string")))
+      graft.operators.Prefix.cumsum(docs, ord = Seq($"h", $"doc_id"), value = $"n_tokens")
+        .select($"doc_id", $"n_tokens", $"cum",
+          expr(s"(cum - n_tokens) div $ShardBudget").as("shard"))
     }),
 
     // Repetition filter (the Gopher-style quality rule): drop docs
@@ -695,6 +718,19 @@ object TextQ extends QueryPack {
         |SELECT doc_id, d.source, n_tokens, rate
         |FROM docs d JOIN rates r ON d.source = r.source
         |WHERE cast(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS bigint) % 100 < rate""".stripMargin,
+
+    // single-node window replay: the prefix sum over a total order is
+    // partitioning-independent, so DuckDB's one-partition OVER(ORDER
+    // BY) must equal the distributed two-phase scan exactly
+    "q77_shard_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens,
+         |             md5(doc_id::VARCHAR) AS h
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        sum(n_tokens) OVER (ORDER BY h, doc_id)::BIGINT AS cum
+         |      FROM t)
+         |SELECT doc_id, n_tokens, cum, (cum - n_tokens) // $ShardBudget AS shard FROM c""".stripMargin,
 
     "q45_repetition_filter" ->
       """WITH tf AS (SELECT doc_id, w, count(*) AS tf
