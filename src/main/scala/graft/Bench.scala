@@ -140,10 +140,13 @@ object Bench {
             warmups = 1)
         (name, med, min, err)
       }
+    def jmapOf(rs: Seq[(String, Double, Double, Option[String])])(fmt: Double => String,
+        sel: ((String, Double, Double, Option[String])) => Double): String =
+      rs.map { case r @ (k, _, _, _) => "\"" + k + "\":" + fmt(sel(r)) }
+        .mkString("{", ",", "}")
     def jmap(fmt: Double => String,
         sel: ((String, Double, Double, Option[String])) => Double): String =
-      results.map { case r @ (k, _, _, _) => "\"" + k + "\":" + fmt(sel(r)) }
-        .mkString("{", ",", "}")
+      jmapOf(results)(fmt, sel)
     val errs = results.collect { case (k, _, _, Some(m)) => s"${MiniJson.quote(k)}:${MiniJson.quote(m)}" }
     val errJson = errs.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -177,7 +180,17 @@ object Bench {
     }
     val errPart = if (errs.isEmpty) "" else s""","errors":$errJson"""
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(f2, _._2)}$errPart,"sf":"$sfShort"}""")
+    // the compact line carries the QUERY lines only (the 3 setup
+    // lines ride in `value` and the detail file): 77 queries × ~25
+    // chars already brushed the 2k window, and sub-second lines are
+    // where round-over-round precision matters — ≥1 s lines get 1
+    // decimal (<5% rounding), <1 s keep 2
+    val f2c: Double => String = v => if (v >= 1.0) {
+      val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    } else f2(v)
+    val queryResults = results.filterNot { case (k, _, _, _) => setups.exists(_._1 == k) }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmapOf(queryResults)(f2c, _._2)}$errPart,"sf":"$sfShort"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }
