@@ -189,6 +189,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_kmvarraysketch"), s"no map-side sketch fold:\n$p")
   }
 
+  test("q75: the retract fold shuffles GROUPS only — one exchange, partial agg below, no pk re-key") {
+    val p = plan("q75_cdc_agg")
+    // the whole point of the signed-delta fold: one map-side-combined
+    // aggregation on grp. A materialize-first plan would add a
+    // pk-keyed exchange (window/row_number) before the group agg.
+    assert("Exchange".r.findAllIn(p).size == 1, s"retract fold must shuffle once (on grp):\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), s"no map-side partial:\n$p")
+    assert(!p.contains("row_number") && !p.contains("Window"), s"pk materialization crept in:\n$p")
+  }
+
+  test("q76: the absence scan reads only the pattern's event types (pushed disjunction)") {
+    val pf = planFormatted("q76_absence_alert")
+    assert(pf.contains("Or(EqualTo(event_type,click),EqualTo(event_type,purchase))"),
+      s"pattern filter not pushed into the scan:\n${pf.take(2000)}")
+    // exactly one exchange: the per-key range-frame window; no
+    // self-join (the naive NOT EXISTS spelling)
+    assert(!pf.contains("Join"), s"absence must not plan a self-join:\n${pf.take(2000)}")
+  }
+
   test("q69: the quantile scans read only (event_type, value) — never the full events row") {
     import org.apache.spark.sql.functions.col
     // the operator's own base projection, as Quantiles builds it
