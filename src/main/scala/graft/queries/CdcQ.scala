@@ -146,6 +146,51 @@ object CdcQ extends QueryPack {
       Cdc.retractAgg(changelog, rowKind = $"row_kind", group = $"grp", value = $"cents")
     }),
 
+    // changelog ⋈ changelog → MAINTAINED join view (Flink dynamic-
+    // table binary join; the batch twin of streaming.CdcJoinStream):
+    // BOTH sides arrive as multi-event +I/-U/+U/-D histories — orders
+    // upsert by orderkey with an fk MOVE on update (custkey → custkey
+    // +1, the before-image-routed case), customers upsert by custkey
+    // with name rewrites (%5) and deletes (%7) — materialize each
+    // side (latest image per pk, changelog op ranking at equal ver),
+    // then inner-join live rows on the fk. One pk-shuffle per side +
+    // the join; the oracle computes both final states directly.
+    "q78_cdc_join" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val cents0 = round(($"o_totalprice" - 10) * 100).cast("long")
+      val cents1 = round($"o_totalprice" * 100).cast("long")
+      def lev(kind: String, fk: org.apache.spark.sql.Column,
+          cents: org.apache.spark.sql.Column, ver: Int) = Seq(
+        lit(kind).as("op"), $"o_orderkey".as("lpk"), fk.as("fk"),
+        cents.as("cents"), lit(ver).as("ver"))
+      val leftCl =
+        o.select(lev("+I", $"o_custkey", cents0, 1): _*)
+          .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(lev("-U", $"o_custkey", cents0, 2): _*))
+          .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(lev("+U", $"o_custkey" + 1, cents1, 2): _*))
+          .unionAll(o.filter($"o_orderstatus" === "P").select(lev("-D", $"o_custkey" + 1, cents1, 3): _*))
+      val c = Tables.customer(s, d)
+      def rev(kind: String, name: org.apache.spark.sql.Column, ver: Int) = Seq(
+        lit(kind).as("op"), $"c_custkey".as("rpk"), name.as("name"), lit(ver).as("ver"))
+      val upd = c.filter($"c_custkey" % 5 === 0)
+      val del = c.filter($"c_custkey" % 7 === 0)
+      val rightCl =
+        c.select(rev("+I", $"c_name", 1): _*)
+          .unionAll(upd.select(rev("-U", $"c_name", 2): _*))
+          .unionAll(upd.select(rev("+U", upper($"c_name"), 2): _*))
+          .unionAll(del.select(rev("-D",
+            when($"c_custkey" % 5 === 0, upper($"c_name")).otherwise($"c_name"), 3): _*))
+      // changelog op ranking breaks equal-ver ties (-U < +I < +U < -D)
+      val rk = (op: org.apache.spark.sql.Column) =>
+        when(op === "-U", 0).when(op === "+I", 1).when(op === "+U", 2).otherwise(3)
+      val lstate = Cdc.materialize(leftCl.withColumn("rk", rk($"op")),
+        pk = Seq($"lpk"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
+      val rstate = Cdc.materialize(rightCl.withColumn("rk", rk($"op")),
+        pk = Seq($"rpk"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
+      lstate.join(rstate, $"fk" === $"rpk")
+        .select($"lpk", $"fk", $"cents", $"name")
+    }),
+
     // json-lines decode to typed columns (ref: format/json/Json2Json.java).
     "q22_json_lines" -> ((s, d) => {
       import s.implicits._
@@ -195,6 +240,21 @@ object CdcQ extends QueryPack {
         |         CAST(round(o_totalprice * 100) AS BIGINT)
         |  FROM orders WHERE o_orderstatus = 'F'
         |) GROUP BY grp""".stripMargin,
+    // both final states computed directly: O orders live at
+    // (custkey, price−10), F orders moved to (custkey+1, price),
+    // P dead; customers %7 dead, %5 renamed — the join must agree.
+    "q78_cdc_join" ->
+      """WITH lf AS (
+        |  SELECT o_orderkey AS lpk,
+        |         CASE WHEN o_orderstatus = 'O' THEN o_custkey ELSE o_custkey + 1 END AS fk,
+        |         CAST(round((CASE WHEN o_orderstatus = 'O' THEN o_totalprice - 10
+        |                          ELSE o_totalprice END) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus <> 'P'),
+        |rf AS (
+        |  SELECT c_custkey AS fk,
+        |         CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) ELSE c_name END AS name
+        |  FROM customer WHERE c_custkey % 7 <> 0)
+        |SELECT lpk, lf.fk, cents, name FROM lf JOIN rf USING (fk)""".stripMargin,
     "q21_csv_lines" ->
       "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part",
     "q22_json_lines" ->

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{CdcJoinStream, Pipelines}
+import graft.streaming.CdcJoinStream.{JoinChange, JoinDelta}
+import graft.streaming.Pipelines.{AggChange, GroupAgg}
+
+/** Incremental join-view maintenance over two CDC changelogs: hand
+  * semantics, randomized multi-batch parity against the final-state
+  * join, and the composed join→aggregate pipeline. */
+class CdcJoinSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Drive batches through joinStream; return every delta in batch
+    * order (foreachBatch ids make cross-batch order explicit). */
+  private def run(name: String, batches: Seq[Seq[JoinChange]]): Seq[(Long, JoinDelta)] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[JoinChange]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, JoinDelta)]
+    val q = CdcJoinStream.joinStream(in.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[JoinDelta], id: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+      }
+      .queryName(name).start()
+    try {
+      batches.foreach { b => if (b.nonEmpty) in.addData(b: _*); q.processAllAvailable() }
+      buf.synchronized(buf.toVector)
+    } finally q.stop()
+  }
+
+  /** Materialize a delta stream on the documented row identity
+    * (lpk, k): last delta in batch order wins; live = +I/+U. */
+  private def materialize(deltas: Seq[(Long, JoinDelta)]): Map[(Long, Long), (String, String)] =
+    deltas.zipWithIndex
+      .groupBy { case ((_, d), _) => (d.lpk, d.k) }
+      .flatMap { case (id, ds) =>
+        val (_, last) = ds.maxBy { case ((bid, _), i) => (bid, i) }._1
+        if (last.op == "+I" || last.op == "+U") Some(id -> ((last.left, last.right))) else None
+      }
+
+  test("cdc_join: right-side update re-emits every match; right delete kills them; fk move crosses shards") {
+    val out = run("cj_hand", Seq(
+      // batch 1: two orders under customer 5, one under 6; customers arrive
+      Seq(
+        JoinChange("L", "+I", 5L, 100L, "o100", 1),
+        JoinChange("L", "+I", 5L, 101L, "o101", 1),
+        JoinChange("L", "+I", 6L, 102L, "o102", 1),
+        JoinChange("R", "+I", 5L, 5L, "alice", 1),
+        JoinChange("R", "+I", 6L, 6L, "bob", 1)),
+      // batch 2: customer 5 renamed -> both its join rows re-emit as -U/+U
+      Seq(
+        JoinChange("R", "-U", 5L, 5L, "alice", 2),
+        JoinChange("R", "+U", 5L, 5L, "ALICE", 2)),
+      // batch 3: order 101 moves fk 5 -> 6 (before-image routing);
+      // customer 6 deleted AFTER the move lands in the same batch
+      Seq(
+        JoinChange("L", "-U", 5L, 101L, "o101", 3),
+        JoinChange("L", "+U", 6L, 101L, "o101v2", 3),
+        JoinChange("R", "-D", 6L, 6L, "bob", 4))))
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBatch(0) === Set(
+      JoinDelta("+I", 100L, 5L, "o100", "alice", 1),
+      JoinDelta("+I", 101L, 5L, "o101", "alice", 1),
+      JoinDelta("+I", 102L, 6L, "o102", "bob", 1)))
+    assert(byBatch(1) === Set(
+      JoinDelta("-U", 100L, 5L, "o100", "alice", 2),
+      JoinDelta("+U", 100L, 5L, "o100", "ALICE", 2),
+      JoinDelta("-U", 101L, 5L, "o101", "alice", 2),
+      JoinDelta("+U", 101L, 5L, "o101", "ALICE", 2)))
+    // batch 3: (101,5) dies; on shard 6 the customer delete wins over
+    // the arriving order, so (101,6) never goes live and (102,6) dies
+    assert(byBatch(2) === Set(
+      JoinDelta("-D", 101L, 5L, "o101", "ALICE", 3),
+      JoinDelta("-D", 102L, 6L, "o102", "bob", 4)))
+    assert(materialize(out) === Map((100L, 5L) -> (("o100", "ALICE"))))
+  }
+
+  test("cdc_join: randomized multi-batch replay materializes to the final-state join") {
+    val rnd = new scala.util.Random(91)
+    val custs = (1L to 12L)
+    // right histories: insert, maybe rename, maybe delete
+    var ver = 0L
+    def v(): Long = { ver += 1; ver }
+    val right = custs.flatMap { c =>
+      val b = scala.collection.mutable.ArrayBuffer(
+        JoinChange("R", "+I", c, c, s"name$c", v()))
+      var cur = s"name$c"
+      if (rnd.nextBoolean()) {
+        val nn = s"NAME$c"
+        b += JoinChange("R", "-U", c, c, cur, { val x = v(); x })
+        b += JoinChange("R", "+U", c, c, nn, ver) // same ver as its -U
+        cur = nn
+      }
+      if (rnd.nextInt(4) == 0) b += JoinChange("R", "-D", c, c, cur, v())
+      b
+    }
+    // left histories: insert with random fk, chain of fk moves, maybe delete
+    val left = (100L until 160L).flatMap { o =>
+      var fk = 1L + rnd.nextInt(12)
+      var pl = s"o$o"
+      val b = scala.collection.mutable.ArrayBuffer(JoinChange("L", "+I", fk, o, pl, v()))
+      (0 until rnd.nextInt(3)).foreach { i =>
+        val nfk = 1L + rnd.nextInt(12)
+        val npl = s"o${o}v$i"
+        b += JoinChange("L", "-U", fk, o, pl, { val x = v(); x })
+        b += JoinChange("L", "+U", nfk, o, npl, ver)
+        fk = nfk; pl = npl
+      }
+      if (rnd.nextInt(5) == 0) b += JoinChange("L", "-D", fk, o, pl, v())
+      b
+    }
+    // deal all rows round-robin into 5 batches: histories straddle
+    // batches and shards arbitrarily (ver order preserved per entity
+    // only globally, which is all the contract demands)
+    val all = rnd.shuffle((right ++ left).toList)
+    val batches = (0 until 5).map(i => all.zipWithIndex.collect {
+      case (c, j) if j % 5 == i => c
+    })
+    val deltas = run("cj_parity", batches)
+    // ground truth: fold each entity's history by (ver, rank), join live
+    def fold(cs: Seq[JoinChange]): Option[JoinChange] = {
+      val last = cs.maxBy(c => (c.ver, c.op match {
+        case "-U" => 0; case "+I" => 1; case "+U" => 2; case _ => 3
+      }))
+      if (last.op == "-D" || last.op == "-U") None else Some(last)
+    }
+    val liveR = right.groupBy(_.pk).flatMap { case (_, cs) => fold(cs.toSeq) }
+      .map(c => c.k -> c.payload).toMap
+    val liveL = left.groupBy(_.pk).flatMap { case (_, cs) => fold(cs.toSeq) }
+    val expected = liveL.flatMap { c =>
+      liveR.get(c.k).map(r => (c.pk, c.k) -> ((c.payload, r)))
+    }.toMap
+    assert(materialize(deltas) === expected)
+    assert(expected.size >= 20, s"degenerate corpus: ${expected.size} live join rows")
+    // the delta stream is a WELL-FORMED retract stream per (lpk, k):
+    // alternating live/dead, no double-insert, -U always paired
+    deltas.map(_._2).groupBy(d => (d.lpk, d.k)).foreach { case (id, ds) =>
+      var live = false
+      ds.foreach { d =>
+        d.op match {
+          case "+I" => assert(!live, s"$id: +I while live"); live = true
+          case "+U" => live = true
+          case "-U" => assert(live, s"$id: -U while dead"); live = false
+          case "-D" => assert(live, s"$id: -D while dead"); live = false
+        }
+      }
+    }
+  }
+
+  test("cdc_join composed with cdc_agg: maintained revenue per customer name equals the final-state aggregate") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // small deterministic corpus: orders carry cents in the payload
+    val changes = Seq(
+      JoinChange("R", "+I", 1L, 1L, "ann", 1),
+      JoinChange("R", "+I", 2L, 2L, "bea", 1),
+      JoinChange("L", "+I", 1L, 10L, "100", 2),
+      JoinChange("L", "+I", 1L, 11L, "250", 2),
+      JoinChange("L", "+I", 2L, 12L, "40", 2),
+      // order 11 moves to customer 2 with a new amount
+      JoinChange("L", "-U", 1L, 11L, "250", 3),
+      JoinChange("L", "+U", 2L, 11L, "300", 3),
+      // customer 1 renamed: its group moves in the aggregate
+      JoinChange("R", "-U", 1L, 1L, "ann", 4),
+      JoinChange("R", "+U", 1L, 1L, "ANN", 4),
+      // order 12 deleted
+      JoinChange("L", "-D", 2L, 12L, "40", 5))
+    val batches = Seq(changes.take(5), changes.slice(5, 8), changes.drop(8))
+    val in = MemoryStream[JoinChange]
+    val latest = scala.collection.mutable.Map.empty[String, (Long, (Long, Long))]
+    // the full Flink-SQL-shaped pipeline: changelog join -> retract agg
+    val agged = Pipelines.cdcAggStream(
+      CdcJoinStream.joinStream(in.toDS())
+        .map(d => AggChange(d.op, d.right, d.left.toLong)))
+    val q = agged.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[GroupAgg], id: Long) =>
+        val rows = df.collect()
+        latest.synchronized {
+          rows.foreach { g =>
+            if (!latest.get(g.grp).exists(_._1 > id)) latest(g.grp) = (id, (g.live_cnt, g.live_sum))
+          }
+        }
+      }
+      .queryName("cj_agg").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val got = latest.synchronized(latest.view.mapValues(_._2).toMap.filter(_._2._1 > 0))
+      // final states: ANN <- order 10 (100); bea <- order 11 (300)
+      assert(got === Map("ANN" -> ((1L, 100L)), "bea" -> ((1L, 300L))))
+    } finally q.stop()
+  }
+}
