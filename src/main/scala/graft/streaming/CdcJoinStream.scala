@@ -57,7 +57,7 @@ object CdcJoinStream {
     case other => throw new IllegalArgumentException(s"cdcJoinStream: unknown row_kind '$other'")
   }
 
-  private class JoinProcessor extends StatefulProcessor[Long, JoinChange, JoinDelta] {
+  private class JoinProcessor(leftOuter: Boolean) extends StatefulProcessor[Long, JoinChange, JoinDelta] {
     @transient private var lrows: MapState[Long, Slot] = _
     @transient private var rrow: ValueState[Slot] = _
 
@@ -72,9 +72,15 @@ object CdcJoinStream {
     private def wins(cur: Slot, ver: Long, rank: Int): Boolean =
       cur == null || ver > cur.ver || (ver == cur.ver && rank >= cur.rank)
 
+    /** Current join rows; under leftOuter a dead/absent right pads
+      * with null (Flink's null-padding — the pad RETRACTS via -U/+U
+      * the moment the right row appears, because the diff sees the
+      * pair change from (l, null) to (l, r)). */
     private def joinRows(left: Map[Long, Slot], right: Slot): Map[Long, (String, String)] =
-      if (right == null || !right.live) Map.empty
-      else left.collect { case (lpk, s) if s.live => lpk -> ((s.payload, right.payload)) }
+      if (right == null || !right.live) {
+        if (leftOuter) left.collect { case (lpk, s) if s.live => lpk -> ((s.payload, null: String)) }
+        else Map.empty
+      } else left.collect { case (lpk, s) if s.live => lpk -> ((s.payload, right.payload)) }
 
     override def handleInputRows(k: Long, rows: Iterator[JoinChange],
         timers: TimerValues): Iterator[JoinDelta] = {
@@ -119,13 +125,14 @@ object CdcJoinStream {
       Iterator.empty
   }
 
-  /** Maintain the inner equi-join view of two changelog streams (see
-    * object doc for the contract). Input: one unioned [[JoinChange]]
-    * stream; use `tag` to build it from two typed sides. */
-  def joinStream(changes: Dataset[JoinChange]): Dataset[JoinDelta] = {
+  /** Maintain the equi-join view of two changelog streams (see
+    * object doc for the contract). Inner by default; `leftOuter`
+    * null-pads unmatched left rows and retracts the pad when the
+    * right row arrives (Flink's outer dynamic-table join). */
+  def joinStream(changes: Dataset[JoinChange], leftOuter: Boolean = false): Dataset[JoinDelta] = {
     import changes.sparkSession.implicits._
     changes
       .groupByKey(_.k)
-      .transformWithState(new JoinProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new JoinProcessor(leftOuter), TimeMode.None(), OutputMode.Append())
   }
 }

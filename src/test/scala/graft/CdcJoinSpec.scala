@@ -15,12 +15,13 @@ class CdcJoinSpec extends AnyFunSuite {
 
   /** Drive batches through joinStream; return every delta in batch
     * order (foreachBatch ids make cross-batch order explicit). */
-  private def run(name: String, batches: Seq[Seq[JoinChange]]): Seq[(Long, JoinDelta)] = {
+  private def run(name: String, batches: Seq[Seq[JoinChange]],
+      leftOuter: Boolean = false): Seq[(Long, JoinDelta)] = {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[JoinChange]
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, JoinDelta)]
-    val q = CdcJoinStream.joinStream(in.toDS())
+    val q = CdcJoinStream.joinStream(in.toDS(), leftOuter)
       .writeStream.outputMode("append")
       .foreachBatch { (df: org.apache.spark.sql.Dataset[JoinDelta], id: Long) =>
         val rows = df.collect()
@@ -150,6 +151,26 @@ class CdcJoinSpec extends AnyFunSuite {
         }
       }
     }
+  }
+
+  test("cdc_join leftOuter: null padding appears while unmatched and RETRACTS when the right row arrives") {
+    val out = run("cj_outer", Seq(
+      // order arrives before its customer: pads with null
+      Seq(JoinChange("L", "+I", 7L, 200L, "o200", 1)),
+      // customer arrives: the pad must retract via -U(null)/+U(joined)
+      Seq(JoinChange("R", "+I", 7L, 7L, "cara", 2)),
+      // customer deleted again: back to the pad, not a -D
+      Seq(JoinChange("R", "-D", 7L, 7L, "cara", 3))),
+      leftOuter = true)
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBatch(0) === Set(JoinDelta("+I", 200L, 7L, "o200", null, 1)))
+    assert(byBatch(1) === Set(
+      JoinDelta("-U", 200L, 7L, "o200", null, 2),
+      JoinDelta("+U", 200L, 7L, "o200", "cara", 2)))
+    assert(byBatch(2) === Set(
+      JoinDelta("-U", 200L, 7L, "o200", "cara", 3),
+      JoinDelta("+U", 200L, 7L, "o200", null, 3)))
+    assert(materialize(out) === Map((200L, 7L) -> (("o200", null))))
   }
 
   test("cdc_join composed with cdc_agg: maintained revenue per customer name equals the final-state aggregate") {
