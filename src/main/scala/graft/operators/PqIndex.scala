@@ -64,26 +64,37 @@ object PqIndex {
         .as(s"code$m")
     }
 
-  /** ADC score for a candidate row that carries the query's quantized
-    * vector `qvqCol` and code columns `code0..code{M-1}`: joins each
-    * code against its broadcast 16-row codebook and folds the
-    * subspace terms in fixed m-order (FP addition order is part of
-    * the oracle contract). Returns the input with an `approx_dist`
-    * column; lower = closer. */
-  def adcScore(cand: DataFrame, qvqCol: Column, pq: PqModel): DataFrame = {
-    val spark = cand.sparkSession
-    import spark.implicits._
-    var df = cand
-    val terms = (0 until M).map { m =>
-      val cb = pq.sub(m).cent.toIndexedSeq.zipWithIndex.collect {
-        case (c, j) if c != null => (j, c.toSeq, pq.sub(m).csq(j))
-      }.toDF(s"code$m", s"c$m", s"csq$m")
-      df = df.join(broadcast(cb), s"code$m")
-      col(s"csq$m") - lit(2.0) * VectorFunctions.dot(
-        slice(qvqCol, m * pq.subDim + 1, pq.subDim), col(s"c$m"))
-    }
-    df.withColumn("approx_dist", terms.reduceLeft(_ + _))
-  }
+  /** Per-QUERY ADC lookup table — FAISS's precomputed LUT: an
+    * array(M·K) column whose entry m·K + j is
+    * ‖c_{m,j}‖² − 2·q_m·c_{m,j}. Evaluate this on the PROBES side
+    * (one row per (query, probed cell)), never on candidates: the
+    * table depends only on the query, and candidates outnumber
+    * probes by orders of magnitude. Every term is the SAME
+    * expression (same dot fold, same subtraction) the join-based
+    * scoring computed per candidate, so the DuckDB oracle replay is
+    * unchanged bit-for-bit. Codebook slots no training point ever
+    * claimed (null centroid) get +∞ — no stored code references
+    * them. */
+  def adcLut(qvqCol: Column, pq: PqModel): Column =
+    array((0 until M).flatMap { m =>
+      (0 until K).map { j =>
+        Option(pq.sub(m).cent(j)) match {
+          case Some(c) =>
+            lit(pq.sub(m).csq(j)) - lit(2.0) * VectorFunctions.dot(
+              slice(qvqCol, m * pq.subDim + 1, pq.subDim), typedLit(c.toSeq))
+          case None => lit(Double.PositiveInfinity)
+        }
+      }
+    }: _*)
+
+  /** ADC score for a candidate row carrying the query's `lut` column
+    * (from [[adcLut]]) and code columns `code0..code{M-1}`: M array
+    * lookups folded in fixed m-order (FP addition order is part of
+    * the oracle contract) — no joins, no per-candidate dot products.
+    * Lower = closer. */
+  def adcApply(lutCol: Column): Column =
+    (0 until M).map(m => element_at(lutCol, col(s"code$m") + lit(m * K + 1)))
+      .reduceLeft(_ + _)
 
   /** DuckDB replay: per-subspace k-means CTE chains + code assignment.
     * Requires `vq(vec_id, vq)` and `vqs` (the training sample) from

@@ -296,10 +296,15 @@ object SimilarityQ extends QueryPack {
         e.filter($"vec_id" % 50 === 0).select($"vec_id".as("query_id"), $"v".as("qv")),
         $"qv", model, nprobe = cellBits + 3)
         .select($"query_id", $"cell", IVF.quantize($"qv").as("qvq"))
+        // FAISS-style per-query distance table built on the probe
+        // rows (queries × nprobe) — candidates then pay M array
+        // lookups instead of M broadcast joins + dot products
+        .withColumn("lut", PQ.adcLut($"qvq", pq))
       val cand = probes.join(assign, "cell")
         .filter($"neighbor_id" =!= $"query_id")
       val wa = Window.partitionBy($"query_id").orderBy($"approx_dist".asc, $"neighbor_id".asc)
-      val shortlist = PQ.adcScore(cand, $"qvq", pq)
+      val shortlist = cand
+        .withColumn("approx_dist", PQ.adcApply($"lut"))
         .withColumn("arnk", row_number().over(wa))
         .filter($"arnk" <= pqShortlist)
       val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
