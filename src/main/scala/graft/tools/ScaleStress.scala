@@ -1372,6 +1372,64 @@ object ScaleStress {
       dropped
     }
 
+    // Changelog-join churn: 400k left rows over 200k join keys seeded
+    // in one batch, then 20 churn batches of 20k mixed changes (left
+    // payload updates / fk moves / deletes + right renames with their
+    // fan-out re-emissions). Claims measured: per-batch wall time is
+    // FLAT in stream depth (state access is O(touched keys), never a
+    // history scan), and emission volume tracks AFFECTED JOIN ROWS
+    // (a right rename re-emits its matches — ~2 per key — not its
+    // key's history).
+    time("cdc_join_churn_400k") {
+      import graft.streaming.CdcJoinStream
+      import graft.streaming.CdcJoinStream.{JoinChange, JoinDelta}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val ctx = spark.sqlContext
+      val nKeys = 200000L
+      val in = MemoryStream[JoinChange]
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val q = CdcJoinStream.joinStream(in.toDS())
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[JoinDelta], _: Long) =>
+          emitted.addAndGet(df.count())
+          ()
+        }
+        .queryName("stress_cdc_join").start()
+      try {
+        var ver = 0L
+        // seed: every key gets a right row + 2 left rows
+        val seed =
+          (0L until nKeys).map(k => JoinChange("R", "+I", k, k, s"r$k", { ver += 1; ver })) ++
+          (0L until 2 * nKeys).map(i => JoinChange("L", "+I", i % nKeys, 1000000L + i, s"l$i", { ver += 1; ver }))
+        val t0 = System.nanoTime()
+        in.addData(seed.toIndexedSeq)
+        q.processAllAvailable()
+        println(f"STRESS   seed rows=${seed.size} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+        val rnd = new scala.util.Random(5)
+        (1 to 20).foreach { b =>
+          val changes = (0 until 20000).map { i =>
+            val k = rnd.nextLong(nKeys)
+            rnd.nextInt(4) match {
+              case 0 => // right rename → fan-out re-emission of its matches
+                JoinChange("R", "+U", k, k, s"r$k-b$b", { ver += 1; ver })
+              case 1 => // left payload update in place
+                JoinChange("L", "+U", k, 1000000L + k, s"l$k-b$b", { ver += 1; ver })
+              case 2 => // left fk move: retract old shard, insert new
+                JoinChange("L", "-U", k, 1000000L + nKeys + k, s"x", { ver += 1; ver })
+              case _ =>
+                JoinChange("L", "+U", rnd.nextLong(nKeys), 1000000L + nKeys + k, s"l2$k-b$b", { ver += 1; ver })
+            }
+          }
+          val s0 = System.nanoTime()
+          val e0 = emitted.get()
+          in.addData(changes.toIndexedSeq)
+          q.processAllAvailable()
+          println(f"STRESS   churn batch=$b sec=${(System.nanoTime() - s0) / 1e9}%.2f deltas=${emitted.get() - e0}")
+        }
+        emitted.get()
+      } finally q.stop()
+    }
+
     spark.stop()
   }
 }
