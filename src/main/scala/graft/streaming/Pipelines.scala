@@ -325,6 +325,49 @@ object Pipelines {
       }
   }
 
+  case class GroupMinMax(grp: String, live_cnt: Long, live_min: Long, live_max: Long)
+
+  /** Retractable MIN/MAX — the half of Flink's aggregate split that
+    * CANNOT ride [[cdcAggStream]]'s O(groups) signed fold: when the
+    * current minimum is retracted, the next-best value must already
+    * be in state, so the operator keeps a per-group value→multiplicity
+    * map (exactly Flink's MapState-backed MinWithRetractAggFunction).
+    * State is O(distinct live values per group) — bounded by the
+    * value domain, not the key count, and the honest price of
+    * non-invertible aggregates over changelogs; a domain-bounded
+    * column (status codes, bucketed amounts) keeps it small. Same
+    * disorder contract as cdcAggStream: transient negative
+    * multiplicities are cross-batch debt and settle when the
+    * matching inserts land; a group's state drops only when every
+    * multiplicity has settled to zero. Emits (grp, cnt, min, max)
+    * per touched group; cnt 0 (min/max 0) is the retraction signal. */
+  def cdcMinMaxStream(changes: Dataset[AggChange]): Dataset[GroupMinMax] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[Map[Long, Long], GroupMinMax](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[AggChange], state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { c =>
+            val s = c.op match {
+              case "+I" | "+U" => 1L
+              case "-U" | "-D" => -1L
+              case other => throw new IllegalArgumentException(
+                s"cdcMinMaxStream: unknown row_kind '$other' for group $grp")
+            }
+            val nv = m.getOrElse(c.value, 0L) + s
+            m = if (nv == 0L) m - c.value else m.updated(c.value, nv)
+          }
+          if (m.isEmpty) state.remove() else state.update(m)
+          val live = m.filter(_._2 > 0L)
+          val cnt = live.values.sum
+          val out =
+            if (cnt == 0L) GroupMinMax(grp, 0L, 0L, 0L)
+            else GroupMinMax(grp, cnt, live.keys.min, live.keys.max)
+          Iterator.single(out)
+      }
+  }
+
   /** Stream-static join: apply batch-derived per-source sampling
     * rates (graft.queries q43's rebalancing table) to a LIVE document
     * stream — Spark's equivalent of Flink's broadcast-state pattern

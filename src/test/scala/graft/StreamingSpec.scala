@@ -658,6 +658,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stream_cdc_minmax: retracting the current minimum falls back to the next live value") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Pipelines.GroupMinMax
+    val in = MemoryStream[AggChange]
+    val latest = scala.collection.mutable.Map.empty[String, (Long, GroupMinMax)]
+    val qq = Pipelines.cdcMinMaxStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[GroupMinMax], id: Long) =>
+        df.collect().foreach { g =>
+          latest.synchronized {
+            if (!latest.get(g.grp).exists(_._1 > id)) latest(g.grp) = (id, g)
+          }
+        }
+      }.queryName("cdc_minmax").start()
+    try {
+      // batch 1: A = {3, 5, 9}; duplicate value 3 via a second key
+      in.addData(AggChange("+I", "A", 3), AggChange("+I", "A", 5),
+        AggChange("+I", "A", 9), AggChange("+I", "A", 3))
+      qq.processAllAvailable()
+      assert(latest.synchronized(latest("A")._2) === GroupMinMax("A", 4, 3, 9))
+      // batch 2: retract ONE of the 3s → min stays 3; retract the max
+      in.addData(AggChange("-D", "A", 3), AggChange("-D", "A", 9))
+      qq.processAllAvailable()
+      assert(latest.synchronized(latest("A")._2) === GroupMinMax("A", 2, 3, 5))
+      // batch 3: retract the last 3 → min falls back to 5
+      in.addData(AggChange("-D", "A", 3))
+      qq.processAllAvailable()
+      assert(latest.synchronized(latest("A")._2) === GroupMinMax("A", 1, 5, 5))
+      // batch 4: retract everything → (0,0,0) retraction signal
+      in.addData(AggChange("-D", "A", 5))
+      qq.processAllAvailable()
+      assert(latest.synchronized(latest("A")._2) === GroupMinMax("A", 0, 0, 0))
+    } finally qq.stop()
+  }
+
+  test("stream_cdc_minmax: shuffled multi-batch replay equals the live-set min/max") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Pipelines.GroupMinMax
+    // reuse the q75-shaped random changelog from the cdc_agg replay
+    val rnd = new scala.util.Random(53)
+    val changes = (0 until 50).flatMap { k =>
+      val g0 = s"g${rnd.nextInt(4)}"
+      var cur = (g0, (k % 13) * 10L + 7)
+      val steps = scala.collection.mutable.ArrayBuffer(AggChange("+I", cur._1, cur._2))
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        val next = (s"g${rnd.nextInt(4)}", (rnd.nextInt(40) * 3).toLong)
+        steps += AggChange("-U", cur._1, cur._2)
+        steps += AggChange("+U", next._1, next._2)
+        cur = next
+      }
+      if (rnd.nextInt(4) == 0) steps += AggChange("-D", cur._1, cur._2)
+      steps
+    }
+    val batches = (0 until 3).map(i => changes.zipWithIndex.collect {
+      case (c, j) if j % 3 == i => c
+    }.toSeq)
+    val in = MemoryStream[AggChange]
+    val latest = scala.collection.mutable.Map.empty[String, (Long, GroupMinMax)]
+    val q = Pipelines.cdcMinMaxStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[GroupMinMax], id: Long) =>
+        df.collect().foreach { g =>
+          latest.synchronized {
+            if (!latest.get(g.grp).exists(_._1 > id)) latest(g.grp) = (id, g)
+          }
+        }
+      }.queryName("cdc_minmax_replay").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val got = latest.synchronized(
+        latest.view.mapValues(_._2).toMap.filter(_._2.live_cnt > 0))
+      // ground truth: signed multiset fold per group
+      val truth = changes.groupBy(_.grp).view.mapValues { cs =>
+        val mult = scala.collection.mutable.Map.empty[Long, Long]
+        cs.foreach { c =>
+          val s = if (c.op == "+I" || c.op == "+U") 1L else -1L
+          mult(c.value) = mult.getOrElse(c.value, 0L) + s
+        }
+        val live = mult.filter(_._2 > 0L)
+        (live.values.sum, if (live.isEmpty) 0L else live.keys.min,
+          if (live.isEmpty) 0L else live.keys.max)
+      }.toMap.filter(_._2._1 > 0)
+      assert(got.map { case (g, m) => g -> ((m.live_cnt, m.live_min, m.live_max)) } === truth)
+      assert(truth.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream_cdc_agg: an unknown row_kind fails loudly, not as a silent skip") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
