@@ -46,9 +46,17 @@ object Cdc {
       .when(rowKind.isin("-U", "-D"), -1L)
       // a silently-dropped unknown kind would desync count vs sum
       .otherwise(raise_error(concat(lit("retractAgg: unknown row_kind "), rowKind)))
+    // a NULL value would desync the pair the other way: sum(sign)
+    // counts the row while sum(sign·value) skips it — live_sum stays
+    // permanently inflated after a null-image retraction (exactly
+    // what Debezium emits under REPLICA IDENTITY DEFAULT). Loud
+    // reject, same contract as IvfChangelog's null-image guard.
+    val v = when(value.isNull,
+      raise_error(concat(lit("retractAgg: NULL value for row_kind "), rowKind,
+        lit(" — retraction images must carry the value")))).otherwise(value)
     changelog
       .groupBy(group.as("grp"))
-      .agg(sum(sign).as("live_cnt"), sum(sign * value).as("live_sum"))
+      .agg(sum(sign).as("live_cnt"), sum(sign * v).as("live_sum"))
       .filter(col("live_cnt") > 0)
   }
 

@@ -141,9 +141,15 @@ object IvfIndex {
     * replay. Memoized per (application, memoKey): the train cost is
     * paid once, not per query build. */
   def train(emb: DataFrame, cells: Int, iters: Int, memoKey: String,
-      sampleMod: Long = 1L, prep: Column => Column = quantize): Model = {
+      sampleMod: Long = 1L, prep: Column => Column = quantize,
+      prepTag: String = "qz"): Model = {
     val spark = emb.sparkSession
-    memo.computeIfAbsent((spark.sparkContext.applicationId, s"$memoKey|$cells|$iters|$sampleMod"), _ => {
+    // prepTag: the prep FUNCTION is part of what was trained — without
+    // it in the key, train(..., X) and train(..., X, prep = identity)
+    // would silently share one cached model (wrong centroids, no
+    // error). Functions don't hash, so callers passing a non-default
+    // prep MUST pass a distinguishing tag (PqIndex passes "id").
+    memo.computeIfAbsent((spark.sparkContext.applicationId, s"$memoKey|$cells|$iters|$sampleMod|$prepTag"), _ => {
       val dbg = sys.env.contains("GRAFT_TRAIN_DEBUG")
       def tlog(name: String, t0: Long): Unit =
         if (dbg) println(f"TRAIN $name=${(System.nanoTime() - t0) / 1e9}%.1f s")

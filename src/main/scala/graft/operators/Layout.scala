@@ -75,6 +75,14 @@ object Layout {
     // execute THIS queryExecution (a .count() would build a separate
     // plan and leave df's own metrics empty)
     val result = df.queryExecution.toRdd.count()
+    (result, scanOutputRows(df.queryExecution.executedPlan))
+  }
+
+  /** Sum of the scan nodes' numOutputRows over an EXECUTED plan,
+    * recursing through AQE stage boundaries (TreeNode.collect stops
+    * at them — their subtrees are not `children`). Shared by the
+    * layout evidence above and the stress harness. */
+  def scanOutputRows(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
     var s = 0L
     def go(x: org.apache.spark.sql.execution.SparkPlan): Unit = {
       x match {
@@ -85,7 +93,7 @@ object Layout {
       }
       x.children.foreach(go)
     }
-    go(df.queryExecution.executedPlan)
-    (result, s)
+    go(plan)
+    s
   }
 }

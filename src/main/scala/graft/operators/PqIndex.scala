@@ -50,7 +50,8 @@ object PqIndex {
     val subDim = dim / M
     val sub = Array.tabulate(M) { m =>
       val sliced = emb.select(col("vec_id"), slice(vq, m * subDim + 1, subDim).as("v"))
-      IvfIndex.train(sliced, K, iters, s"$memoKey#pq$m", sampleMod, prep = identity)
+      IvfIndex.train(sliced, K, iters, s"$memoKey#pq$m", sampleMod,
+        prep = identity, prepTag = "id")
     }
     PqModel(sub, subDim)
   }

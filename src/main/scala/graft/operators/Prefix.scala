@@ -31,8 +31,12 @@ import org.apache.spark.sql.functions._
 object Prefix {
 
   /** Adds `cumCol` = inclusive prefix sum of `value` in `ord` order.
-    * Returns the input columns + `cumCol`, range-partitioned and
-    * sorted by `ord` (callers writing shards keep that layout). */
+    * Returns the input columns + `cumCol`. Note the OUTPUT layout is
+    * the running-sum window's hash-partitioning on the internal range
+    * id, NOT a range layout (hash can co-locate non-adjacent ranges):
+    * callers writing range-clustered shards should re-layout with
+    * [[Layout.clusteredWrite]] / repartitionByRange on the way out —
+    * the VALUES are layout-independent either way. */
   def cumsum(df: DataFrame, ord: Seq[Column], value: Column,
       cumCol: String = "cum", partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession

@@ -79,7 +79,12 @@ object Quantiles {
     // CachePool.drain like every other multi-read intermediate.
     val base = graft.CachePool.cache(
       df.select(col(groupCol).cast("string").as("g"), col(valueCol).cast("double").as("v"))
-        .filter(col(valueCol).isNotNull)
+        // a NULL group would pass the stats scan but never match the
+        // histogram join's `$"g" === $"tg"` (null-safe it is not), so
+        // byTid would miss its target id mid-pass — exclude null
+        // groups up front (SQL's GROUP BY keeps a null group, but
+        // every caller here keys on a non-null domain; documented)
+        .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
         .withColumn("sb", SortableDouble.sortable(col("v"))))
 
     val stats = base.groupBy($"g")

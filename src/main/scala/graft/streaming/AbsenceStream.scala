@@ -72,6 +72,13 @@ object AbsenceStream {
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
       if (hold.nonEmpty)
         getHandle.registerTimer((hold.map(_.us).min + windowUs) / 1000L + 1L)
+      else if (live.nonEmpty)
+        // no pending anchors but retained responses: without a timer a
+        // key whose last activity is responses-only would hold its
+        // pruned list forever (the bounded-state contract breaks
+        // across millions of dormant keys) — arm one at the point the
+        // newest response becomes unprunable-for-no-one
+        getHandle.registerTimer((live.max + windowUs) / 1000L + 1L)
       out.iterator
     }
 

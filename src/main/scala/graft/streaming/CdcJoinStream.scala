@@ -86,23 +86,31 @@ object CdcJoinStream {
         timers: TimerValues): Iterator[JoinDelta] = {
       var left: Map[Long, Slot] = lrows.iterator().map(p => p._1 -> p._2).toMap
       var right: Slot = rrow.get()
+      val rightIn = right
       val pre = joinRows(left, right)
       var maxVer = Long.MinValue
+      val touched = scala.collection.mutable.Set.empty[Long]
       // fold in (ver, rank) order so intra-batch sequences net correctly
       rows.toSeq.sortBy(c => (c.ver, opRank(c.op))).foreach { c =>
         val rank = opRank(c.op)
         maxVer = math.max(maxVer, c.ver)
         val slot = Slot(c.ver, rank, c.payload, live = rank != 0 && rank != 3)
         if (c.side == "L") {
-          if (wins(left.getOrElse(c.pk, null), c.ver, rank)) left += c.pk -> slot
+          if (wins(left.getOrElse(c.pk, null), c.ver, rank)) {
+            left += c.pk -> slot
+            touched += c.pk
+          }
         } else {
           if (wins(right, c.ver, rank)) right = slot
         }
       }
       val post = joinRows(left, right)
-      // persist (tombstones kept: they fence late lower-ver images)
-      left.foreach { case (lpk, s) => lrows.updateValue(lpk, s) }
-      if (right != null) rrow.update(right)
+      // persist only what this batch changed (a hot key's untouched
+      // left rows must not be rewritten to the state store every time
+      // its right side blinks); tombstones kept — they fence late
+      // lower-ver images
+      touched.foreach(lpk => lrows.updateValue(lpk, left(lpk)))
+      if (right != null && (right ne rightIn)) rrow.update(right)
       // diff → retract deltas
       val out = Vector.newBuilder[JoinDelta]
       post.foreach { case (lpk, (l, r)) =>

@@ -75,6 +75,13 @@ object FunnelStream {
       if (advances.nonEmpty) reached.update(Reached(st.toSeq))
       buf.clear()
       if (hold.nonEmpty) buf.appendList(hold.toArray)
+      // arm a timer just past the OLDEST held event: it folds the
+      // moment the watermark passes it, and this fold re-arms for the
+      // rest (anchoring at the newest would withhold already-final
+      // advances until the watermark passed a possibly far-future
+      // buffered event — producer clock skew)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (hold.nonEmpty) getHandle.registerTimer(hold.map(_.us).min / 1000L + 1L)
       advances.iterator
     }
 
@@ -82,13 +89,7 @@ object FunnelStream {
         timers: TimerValues): Iterator[StepAdvance] = {
       val pending = buf.get().toSeq ++ rows.map(r => BufEvent(r.etype, r.us))
       val wmUs = timers.getCurrentWatermarkInMs() * 1000L
-      val out = fold(key, pending, wmUs)
-      // arm a timer just past the newest held event so the tail folds
-      // as soon as the watermark passes it (no further input needed)
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      val heldMax = buf.get().map(_.us).foldLeft(Long.MinValue)(math.max)
-      if (heldMax != Long.MinValue) getHandle.registerTimer(heldMax / 1000L + 1L)
-      out
+      fold(key, pending, wmUs) // fold arms the hold timer itself
     }
 
     override def handleExpiredTimer(key: Long, timers: TimerValues,

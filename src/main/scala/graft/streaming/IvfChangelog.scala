@@ -199,7 +199,11 @@ object IvfChangelog {
   def occupancySkew(spark: SparkSession, root: String): (Double, Long) = {
     val occ = resolveAll(visible(spark, root)).groupBy(col("cell")).count()
     val r = occ.agg(max(col("count")), avg(col("count")), sum(col("count"))).head
-    (r.getLong(0) / r.getDouble(1), r.getLong(2))
+    // a fully purged index (every key tombstoned) is a legal state:
+    // the aggregate row is all-NULL, not absent — report zero skew
+    // instead of NPEing the monitoring call
+    if (r.isNullAt(0)) (0.0, 0L)
+    else (r.getLong(0) / r.getDouble(1), r.getLong(2))
   }
 
   /** Compact the COMPLETE history below `batchId` under a NEW model —

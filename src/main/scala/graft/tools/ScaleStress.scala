@@ -29,20 +29,8 @@ object ScaleStress {
     * is the number the flat-input rows below must hold. Manual
     * recursion: TreeNode.collect stops at AQE query-stage boundaries
     * (their subtrees are not `children`). */
-  private def scanRows(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
-    var s = 0L
-    def go(x: org.apache.spark.sql.execution.SparkPlan): Unit = {
-      x match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => go(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
-        case n => if (n.nodeName.toLowerCase.contains("scan"))
-          s += n.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
-      }
-      x.children.foreach(go)
-    }
-    go(plan)
-    s
-  }
+  private def scanRows(plan: org.apache.spark.sql.execution.SparkPlan): Long =
+    graft.operators.Layout.scanOutputRows(plan)
 
   private def time(name: String)(f: => Long): Unit = if (only.forall(name.contains)) {
     val t0 = System.nanoTime()
