@@ -146,6 +146,36 @@ object CdcQ extends QueryPack {
       Cdc.retractAgg(changelog, rowKind = $"row_kind", group = $"grp", value = $"cents")
     }),
 
+    // changelog → maintained per-group MIN/MAX/COUNT — the
+    // NON-invertible half of the retract-aggregate split (batch twin
+    // of streaming.Pipelines.cdcMinMaxStream): min/max cannot ride
+    // q75's one-shuffle signed fold (a retracted minimum needs the
+    // next-best value), so the batch path pays the honest price —
+    // materialize per-key state first (pk shuffle), then aggregate
+    // (group shuffle). Same multi-event synthesis as q75, with the
+    // same group move on update.
+    "q79_cdc_minmax" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val cents0 = round(($"o_totalprice" - 10) * 100).cast("long")
+      val cents1 = round($"o_totalprice" * 100).cast("long")
+      def ev(kind: String, cents: org.apache.spark.sql.Column,
+          grp: org.apache.spark.sql.Column, ver: Int) = Seq(
+        lit(kind).as("op"), $"o_orderkey".as("id"), cents.as("cents"),
+        grp.as("grp"), lit(ver).as("ver"))
+      val grp1 = concat(lit("U-"), $"o_orderpriority")
+      val changelog =
+        o.select(ev("+I", cents0, $"o_orderpriority", 1): _*)
+          .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("-U", cents0, $"o_orderpriority", 2): _*))
+          .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("+U", cents1, grp1, 2): _*))
+          .unionAll(o.filter($"o_orderstatus" === "P").select(ev("-D", cents1, grp1, 3): _*))
+      val rk = when($"op" === "-U", 0).when($"op" === "+I", 1).when($"op" === "+U", 2).otherwise(3)
+      Cdc.materialize(changelog.withColumn("rk", rk),
+        pk = Seq($"id"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("live_cnt"), min($"cents").as("live_min"), max($"cents").as("live_max"))
+    }),
+
     // changelog ⋈ changelog → MAINTAINED join view (Flink dynamic-
     // table binary join; the batch twin of streaming.CdcJoinStream):
     // BOTH sides arrive as multi-event +I/-U/+U/-D histories — orders
@@ -232,6 +262,17 @@ object CdcQ extends QueryPack {
     // price; P orders are dead. A correct signed fold must agree.
     "q75_cdc_agg" ->
       """SELECT grp, count(*)::BIGINT AS live_cnt, sum(cents)::BIGINT AS live_sum FROM (
+        |  SELECT o_orderpriority AS grp,
+        |         CAST(round((o_totalprice - 10) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT 'U-' || o_orderpriority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |) GROUP BY grp""".stripMargin,
+    "q79_cdc_minmax" ->
+      """SELECT grp, count(*)::BIGINT AS live_cnt,
+        |       min(cents)::BIGINT AS live_min, max(cents)::BIGINT AS live_max FROM (
         |  SELECT o_orderpriority AS grp,
         |         CAST(round((o_totalprice - 10) * 100) AS BIGINT) AS cents
         |  FROM orders WHERE o_orderstatus = 'O'
