@@ -180,17 +180,36 @@ object Bench {
     }
     val errPart = if (errs.isEmpty) "" else s""","errors":$errJson"""
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    // the compact line carries the QUERY lines only (the 3 setup
-    // lines ride in `value` and the detail file): 77 queries × ~25
-    // chars already brushed the 2k window, and sub-second lines are
-    // where round-over-round precision matters — ≥1 s lines get 1
-    // decimal (<5% rounding), <1 s keep 2
+    // The compact stdout line must fit the driver's ~2000-char tail
+    // window WITH the full query set, or BENCH_r*.json goes back to
+    // "parsed": null. It carries the QUERY lines only (the 3 setup
+    // lines ride in `value` and the detail file) and SELF-SIZES down
+    // a precision ladder until it fits:
+    //   1. 2 decimals (<1 s) / 1 decimal (≥1 s) — preferred;
+    //   2. 1 decimal everywhere;
+    //   3. keys shortened to their qNN prefix (full names and full
+    //      precision always in the detail file).
     val f2c: Double => String = v => if (v >= 1.0) {
       val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
       if (s.endsWith(".0")) s.dropRight(2) else s
     } else f2(v)
+    val f1c: Double => String = v => {
+      val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
     val queryResults = results.filterNot { case (k, _, _, _) => setups.exists(_._1 == k) }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmapOf(queryResults)(f2c, _._2)}$errPart,"sf":"$sfShort"}""")
+    def shortKey(k: String): String = {
+      val m = "^(q\\d+)_.*$".r
+      k match { case m(q) => q; case other => other }
+    }
+    def compact(fmt: Double => String, short: Boolean): String = {
+      val rs = if (short) queryResults.map { case (k, a, b, c) => (shortKey(k), a, b, c) }
+        else queryResults
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmapOf(rs)(fmt, _._2)}$errPart,"sf":"$sfShort"}"""
+    }
+    val ladder = Seq(compact(f2c, short = false), compact(f1c, short = false),
+      compact(f2c, short = true))
+    println(ladder.find(_.length <= 1980).getOrElse(ladder.last))
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }
