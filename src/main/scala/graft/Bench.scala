@@ -189,14 +189,11 @@ object Bench {
     //   2. 1 decimal everywhere;
     //   3. keys shortened to their qNN prefix (full names and full
     //      precision always in the detail file).
-    val f2c: Double => String = v => if (v >= 1.0) {
-      val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
-      if (s.endsWith(".0")) s.dropRight(2) else s
-    } else f2(v)
     val f1c: Double => String = v => {
       val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
+    val f2c: Double => String = v => if (v >= 1.0) f1c(v) else f2(v)
     val queryResults = results.filterNot { case (k, _, _, _) => setups.exists(_._1 == k) }
     def shortKey(k: String): String = {
       val m = "^(q\\d+)_.*$".r
@@ -208,8 +205,12 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmapOf(rs)(fmt, _._2)}$errPart,"sf":"$sfShort"}"""
     }
     val ladder = Seq(compact(f2c, short = false), compact(f1c, short = false),
-      compact(f2c, short = true))
-    println(ladder.find(_.length <= 1980).getOrElse(ladder.last))
+      compact(f2c, short = true), compact(f1c, short = true))
+    val chosen = ladder.find(_.length <= 1980)
+    if (chosen.isEmpty)
+      System.err.println(s"bench: compact line ${ladder.last.length} chars even at " +
+        "the smallest ladder rung — the driver's tail window will clip it")
+    println(chosen.getOrElse(ladder.last))
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

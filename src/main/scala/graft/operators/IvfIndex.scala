@@ -141,14 +141,15 @@ object IvfIndex {
     * replay. Memoized per (application, memoKey): the train cost is
     * paid once, not per query build. */
   def train(emb: DataFrame, cells: Int, iters: Int, memoKey: String,
-      sampleMod: Long = 1L, prep: Column => Column = quantize,
-      prepTag: String = "qz"): Model = {
+      sampleMod: Long = 1L, prepped: (String, Column => Column) = "qz" -> quantize): Model = {
     val spark = emb.sparkSession
-    // prepTag: the prep FUNCTION is part of what was trained — without
-    // it in the key, train(..., X) and train(..., X, prep = identity)
-    // would silently share one cached model (wrong centroids, no
-    // error). Functions don't hash, so callers passing a non-default
-    // prep MUST pass a distinguishing tag (PqIndex passes "id").
+    // the prep FUNCTION is part of what was trained, and functions
+    // don't hash — so prep travels WITH its cache tag as one value
+    // (a caller physically cannot supply a custom prep without
+    // choosing the tag that keys its memo entry; PqIndex passes
+    // "id" -> identity). Untagged sharing would silently return a
+    // model trained under different preprocessing.
+    val (prepTag, prep) = prepped
     memo.computeIfAbsent((spark.sparkContext.applicationId, s"$memoKey|$cells|$iters|$sampleMod|$prepTag"), _ => {
       val dbg = sys.env.contains("GRAFT_TRAIN_DEBUG")
       def tlog(name: String, t0: Long): Unit =

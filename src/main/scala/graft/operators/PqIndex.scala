@@ -51,7 +51,7 @@ object PqIndex {
     val sub = Array.tabulate(M) { m =>
       val sliced = emb.select(col("vec_id"), slice(vq, m * subDim + 1, subDim).as("v"))
       IvfIndex.train(sliced, K, iters, s"$memoKey#pq$m", sampleMod,
-        prep = identity, prepTag = "id")
+        prepped = "id" -> identity[Column] _)
     }
     PqModel(sub, subDim)
   }

@@ -77,14 +77,19 @@ object Quantiles {
     // One narrow projection feeds every pass; cached because the
     // narrowing re-scans it (passes + final), released by the caller's
     // CachePool.drain like every other multi-read intermediate.
+    // a NULL group would pass the stats scan but never match the
+    // histogram join's `$"g" === $"tg"` (null-safe it is not), so
+    // byTid would miss its target id mid-pass. Loud executor-side
+    // reject (the codebase convention — same as retractAgg's NULL
+    // guards) rather than a silent drop that diverges from SQL's
+    // GROUP BY keeping a null group.
+    val g = when(col(groupCol).isNull,
+      raise_error(lit(s"groupQuantiles: NULL in group column '$groupCol' — " +
+        "quantile groups must be non-null (coalesce a sentinel upstream)")))
+      .otherwise(col(groupCol).cast("string"))
     val base = graft.CachePool.cache(
-      df.select(col(groupCol).cast("string").as("g"), col(valueCol).cast("double").as("v"))
-        // a NULL group would pass the stats scan but never match the
-        // histogram join's `$"g" === $"tg"` (null-safe it is not), so
-        // byTid would miss its target id mid-pass — exclude null
-        // groups up front (SQL's GROUP BY keeps a null group, but
-        // every caller here keys on a non-null domain; documented)
-        .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      df.select(g.as("g"), col(valueCol).cast("double").as("v"))
+        .filter(col(valueCol).isNotNull)
         .withColumn("sb", SortableDouble.sortable(col("v"))))
 
     val stats = base.groupBy($"g")

@@ -29,6 +29,13 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * dropped — the CEP analog of Flink's NFA state pruning. Event-time
   * timers fire the pending tail when the watermark advances without
   * new input for the key.
+  *
+  * Operational note: run with a NONZERO watermark delay (every real
+  * deployment does). Alerts carry their anchor's original event
+  * time, which is below the watermark by construction at emission;
+  * with a 0-second delay an anchor timestamp can coincide EXACTLY
+  * with a max-event watermark boundary and trip Spark's
+  * output-older-than-watermark validation on the equality edge.
   */
 object AbsenceStream {
 

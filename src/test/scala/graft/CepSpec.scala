@@ -77,6 +77,44 @@ class CepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_absence: responses-only traffic cleans up via its own timer and later anchors still resolve correctly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = AbsenceStream.alerts(
+        in.toDF().toDF("user_id", "event_id", "ts", "event_type"),
+        anchorType = "A", responseType = "B",
+        // a nonzero delay like every production deployment: with "0
+        // seconds" an emitted alert's event time can coincide EXACTLY
+        // with a prior max-event watermark boundary, which trips
+        // transformWithState's output-older-than-watermark validation
+        // on the equality edge
+        window = java.time.Duration.ofSeconds(1), watermark = "5 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("abs_resp_only").start()
+    try {
+      // key 3 sees ONLY responses; the cleanup timer (not an anchor
+      // timer) must fire its prune fold as the watermark advances —
+      // this drives the responses-only branch of the timer re-arm
+      in.addData(Seq((3L, 300L, us(1000000L), "B"), (3L, 301L, us(1500000L), "B")))
+      q.processAllAvailable()
+      in.addData(Seq((9L, 999L, us(60000000L), "B")))
+      q.processAllAvailable()
+      in.addData(Seq((9L, 998L, us(70000000L), "B")))
+      q.processAllAvailable()
+      // a fresh anchor for key 3 far past the pruned responses: must
+      // ALERT (the old responses could never answer it) — a wrong
+      // prune rule keeping/matching stale responses would suppress it
+      in.addData(Seq((3L, 310L, us(80000000L), "A")))
+      q.processAllAvailable()
+      Seq(200000000L, 210000000L).foreach { t =>
+        in.addData(Seq((9L, 997L, us(t), "B"))); q.processAllAvailable()
+      }
+      val got = spark.table("abs_resp_only").select($"id").as[Long].collect().toSet
+      assert(got === Set(310L))
+    } finally q.stop()
+  }
+
   test("stream_absence: dealt-out-of-order replay of the events table == batch q76") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

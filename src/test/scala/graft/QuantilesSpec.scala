@@ -78,6 +78,22 @@ class QuantilesSpec extends AnyFunSuite {
     assert(r.n == 3 && r.byPct(50) == 5.0 && r.byPct(100) == 9.0)
   }
 
+  test("null GROUPS are rejected loudly, not silently dropped") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", DoubleType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row("g", 5.0), Row(null, 1.0)),
+      schema)
+    val e = intercept[Exception] {
+      Quantiles.groupQuantiles(df, "g", "v", Seq(50))
+    }
+    CachePool.drain()
+    assert(String.valueOf(e.getMessage).contains("NULL in group column") ||
+      String.valueOf(e.getCause).contains("NULL in group column"))
+  }
+
   test("q69 equals the window-rank percentiles in-engine at sf0.01") {
     import spark.implicits._
     val d = "/root/testdata/sf0.01"
