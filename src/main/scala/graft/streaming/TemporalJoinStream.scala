@@ -140,8 +140,15 @@ object TemporalJoinStream {
       .unionByName(side(dims, valueCol, isDim = true))
       .as[Tagged]
       .groupByKey(_.key)
+      // event-time TIMERS but no declared output event-time column:
+      // enriched facts carry their ORIGINAL timestamps, which sit at
+      // or below the watermark by construction at emission — a fact
+      // stamped exactly on a watermark boundary would trip Spark's
+      // output-newer-than-late-watermark validation forever if "ts"
+      // were declared as the output event time. Downstream windowing
+      // over enrichment output should re-watermark explicitly.
       .transformWithState(
-        new TemporalJoinProcessor(leftOuter), "ts",
-        OutputMode.Append, Encoders.product[Enriched])
+        new TemporalJoinProcessor(leftOuter),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -1360,6 +1360,55 @@ object ScaleStress {
       dropped
     }
 
+    // Temporal-join version churn: EVERY key gains a new dimension
+    // version EVERY batch (50k versions/batch) while 50k facts per
+    // batch join as-of their event time. Without the version-cleanup
+    // rule (keep one version below the watermark) per-fact resolution
+    // cost — and state — would grow linearly with batch index; with
+    // it, per-batch wall time must stay FLAT.
+    time("temporal_join_churn_50k") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import java.sql.Timestamp
+      implicit val ctx = spark.sqlContext
+      val nKeys = 50000
+      val facts = MemoryStream[(Long, Timestamp, String)]
+      val dims = MemoryStream[(Long, Timestamp, String)]
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val q = graft.streaming.TemporalJoinStream.temporalJoin(
+          facts.toDF().toDF("key", "ts", "payload"),
+          dims.toDF().toDF("key", "ts", "value"),
+          watermark = "5 seconds")
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.TemporalJoinStream.Enriched], _: Long) =>
+          emitted.addAndGet(df.count())
+          ()
+        }
+        .queryName("stress_temporal_join").start()
+      try {
+        def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+        val rnd = new scala.util.Random(11)
+        (1 to 16).foreach { b =>
+          val t = b * 10L // batch b's event-time decade
+          val newVersions = (0 until nKeys).map(k => (k.toLong, ts(t), s"v$b-$k"))
+          val newFacts = (0 until 25000).map { i =>
+            (rnd.nextInt(nKeys).toLong, ts(t + 1 + rnd.nextInt(8)), s"f$b-$i")
+          }
+          val s0 = System.nanoTime()
+          dims.addData(newVersions.toIndexedSeq)
+          facts.addData(newFacts.toIndexedSeq)
+          q.processAllAvailable()
+          println(f"STRESS   tjoin batch=$b sec=${(System.nanoTime() - s0) / 1e9}%.2f emitted_total=${emitted.get()}")
+        }
+        // flush the tail: both streams must advance the shared watermark
+        (1 to 2).foreach { i =>
+          dims.addData(Seq((999999L, ts(10000 + i), "z")))
+          facts.addData(Seq((999999L, ts(10000 + i), "z")))
+          q.processAllAvailable()
+        }
+        emitted.get()
+      } finally q.stop()
+    }
+
     // Changelog-join churn: 400k left rows over 200k join keys seeded
     // in one batch, then 20 churn batches of 20k mixed changes (left
     // payload updates / fk moves / deletes + right renames with their
