@@ -43,8 +43,15 @@ object Prefix {
     val p = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val cols = df.columns.toSeq
+    // loud NULL reject (the repo convention — retractAgg, Quantiles):
+    // a silent NULL would contribute 0 to the offsets while still
+    // receiving a cum value, and an all-NULL range partition would
+    // make sum(__v) NULL and NPE the driver-side offset fold.
+    val checked = when(value.isNull,
+      raise_error(lit("Prefix.cumsum: NULL in value column — filter or coalesce upstream")))
+      .otherwise(value.cast("long"))
     val ranged = graft.CachePool.cache(
-      df.withColumn("__v", value.cast("long"))
+      df.withColumn("__v", checked)
         .repartitionByRange(p, ord: _*)
         .withColumn("__pid", spark_partition_id()))
     // P rows: safe to collect at any data scale (P = parallelism).

@@ -187,38 +187,24 @@ object CdcQ extends QueryPack {
     // the join; the oracle computes both final states directly.
     "q78_cdc_join" -> ((s, d) => {
       import s.implicits._
-      val o = Tables.orders(s, d)
-      val cents0 = round(($"o_totalprice" - 10) * 100).cast("long")
-      val cents1 = round($"o_totalprice" * 100).cast("long")
-      def lev(kind: String, fk: org.apache.spark.sql.Column,
-          cents: org.apache.spark.sql.Column, ver: Int) = Seq(
-        lit(kind).as("op"), $"o_orderkey".as("lpk"), fk.as("fk"),
-        cents.as("cents"), lit(ver).as("ver"))
-      val leftCl =
-        o.select(lev("+I", $"o_custkey", cents0, 1): _*)
-          .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(lev("-U", $"o_custkey", cents0, 2): _*))
-          .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(lev("+U", $"o_custkey" + 1, cents1, 2): _*))
-          .unionAll(o.filter($"o_orderstatus" === "P").select(lev("-D", $"o_custkey" + 1, cents1, 3): _*))
-      val c = Tables.customer(s, d)
-      def rev(kind: String, name: org.apache.spark.sql.Column, ver: Int) = Seq(
-        lit(kind).as("op"), $"c_custkey".as("rpk"), name.as("name"), lit(ver).as("ver"))
-      val upd = c.filter($"c_custkey" % 5 === 0)
-      val del = c.filter($"c_custkey" % 7 === 0)
-      val rightCl =
-        c.select(rev("+I", $"c_name", 1): _*)
-          .unionAll(upd.select(rev("-U", $"c_name", 2): _*))
-          .unionAll(upd.select(rev("+U", upper($"c_name"), 2): _*))
-          .unionAll(del.select(rev("-D",
-            when($"c_custkey" % 5 === 0, upper($"c_name")).otherwise($"c_name"), 3): _*))
-      // changelog op ranking breaks equal-ver ties (-U < +I < +U < -D)
-      val rk = (op: org.apache.spark.sql.Column) =>
-        when(op === "-U", 0).when(op === "+I", 1).when(op === "+U", 2).otherwise(3)
-      val lstate = Cdc.materialize(leftCl.withColumn("rk", rk($"op")),
-        pk = Seq($"lpk"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
-      val rstate = Cdc.materialize(rightCl.withColumn("rk", rk($"op")),
-        pk = Seq($"rpk"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
+      val (lstate, rstate) = cdcJoinStates(s, d)
       lstate.join(rstate, $"fk" === $"rpk")
         .select($"lpk", $"fk", $"cents", $"name")
+    }),
+
+    // FULL-OUTER maintained join view (batch twin of the streaming
+    // joinStream "full" mode, round 12): the same two materialized
+    // changelog states, full-outer joined — live left rows with a
+    // dead/absent customer null-pad the name; live customers with no
+    // live order null-pad (lpk, cents); both pad kinds are exactly
+    // the rows the streaming operator serves via its left-pad -U/+U
+    // identity and its (null, k) right-pad row. Same shuffles as q78
+    // plus nothing — full outer is a join-type flag, not a new stage.
+    "q80_cdc_join_full" -> ((s, d) => {
+      import s.implicits._
+      val (lstate, rstate) = cdcJoinStates(s, d)
+      lstate.join(rstate, $"fk" === $"rpk", "full_outer")
+        .select($"lpk", coalesce($"fk", $"rpk").as("fk"), $"cents", $"name")
     }),
 
     // json-lines decode to typed columns (ref: format/json/Json2Json.java).
@@ -248,6 +234,48 @@ object CdcQ extends QueryPack {
       |UNION ALL
       |SELECT '-D', o_orderkey, o_totalprice, o_orderpriority
       |FROM orders WHERE o_orderstatus = 'P'""".stripMargin
+
+  /** The q78/q80 shared synthesis: BOTH sides as multi-event
+    * +I/-U/+U/-D histories (orders upsert by orderkey with an fk MOVE
+    * on update — custkey → custkey+1, the before-image-routed case;
+    * customers upsert by custkey with name rewrites (%5) and deletes
+    * (%7)), each materialized to its final state (latest image per
+    * pk, changelog op ranking at equal ver). One pk-shuffle per side. */
+  private def cdcJoinStates(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val cents0 = round(($"o_totalprice" - 10) * 100).cast("long")
+    val cents1 = round($"o_totalprice" * 100).cast("long")
+    def lev(kind: String, fk: org.apache.spark.sql.Column,
+        cents: org.apache.spark.sql.Column, ver: Int) = Seq(
+      lit(kind).as("op"), $"o_orderkey".as("lpk"), fk.as("fk"),
+      cents.as("cents"), lit(ver).as("ver"))
+    val leftCl =
+      o.select(lev("+I", $"o_custkey", cents0, 1): _*)
+        .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(lev("-U", $"o_custkey", cents0, 2): _*))
+        .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(lev("+U", $"o_custkey" + 1, cents1, 2): _*))
+        .unionAll(o.filter($"o_orderstatus" === "P").select(lev("-D", $"o_custkey" + 1, cents1, 3): _*))
+    val c = Tables.customer(s, d)
+    def rev(kind: String, name: org.apache.spark.sql.Column, ver: Int) = Seq(
+      lit(kind).as("op"), $"c_custkey".as("rpk"), name.as("name"), lit(ver).as("ver"))
+    val upd = c.filter($"c_custkey" % 5 === 0)
+    val del = c.filter($"c_custkey" % 7 === 0)
+    val rightCl =
+      c.select(rev("+I", $"c_name", 1): _*)
+        .unionAll(upd.select(rev("-U", $"c_name", 2): _*))
+        .unionAll(upd.select(rev("+U", upper($"c_name"), 2): _*))
+        .unionAll(del.select(rev("-D",
+          when($"c_custkey" % 5 === 0, upper($"c_name")).otherwise($"c_name"), 3): _*))
+    // changelog op ranking breaks equal-ver ties (-U < +I < +U < -D)
+    val rk = (op: org.apache.spark.sql.Column) =>
+      when(op === "-U", 0).when(op === "+I", 1).when(op === "+U", 2).otherwise(3)
+    val lstate = Cdc.materialize(leftCl.withColumn("rk", rk($"op")),
+      pk = Seq($"lpk"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
+    val rstate = Cdc.materialize(rightCl.withColumn("rk", rk($"op")),
+      pk = Seq($"rpk"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
+    (lstate, rstate)
+  }
 
   def oracles: Map[String, String] = Map(
     "q18_canal_parse" -> changelogOracle,
@@ -296,6 +324,19 @@ object CdcQ extends QueryPack {
         |         CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) ELSE c_name END AS name
         |  FROM customer WHERE c_custkey % 7 <> 0)
         |SELECT lpk, lf.fk, cents, name FROM lf JOIN rf USING (fk)""".stripMargin,
+    "q80_cdc_join_full" ->
+      """WITH lf AS (
+        |  SELECT o_orderkey AS lpk,
+        |         CASE WHEN o_orderstatus = 'O' THEN o_custkey ELSE o_custkey + 1 END AS fk,
+        |         CAST(round((CASE WHEN o_orderstatus = 'O' THEN o_totalprice - 10
+        |                          ELSE o_totalprice END) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus <> 'P'),
+        |rf AS (
+        |  SELECT c_custkey AS fk,
+        |         CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) ELSE c_name END AS name
+        |  FROM customer WHERE c_custkey % 7 <> 0)
+        |SELECT lpk, coalesce(lf.fk, rf.fk) AS fk, cents, name
+        |FROM lf FULL OUTER JOIN rf ON lf.fk = rf.fk""".stripMargin,
     "q21_csv_lines" ->
       "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part",
     "q22_json_lines" ->

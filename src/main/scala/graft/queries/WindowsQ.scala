@@ -71,6 +71,25 @@ object WindowsQ extends QueryPack {
           (sum(round($"value" * 100).cast("long")).over(w) / 100.0).as("running_value"))
     }),
 
+    // Event-time OVER aggregation (Flink SQL `SUM(...) OVER (PARTITION
+    // BY user ORDER BY ts RANGE INTERVAL '1' HOUR PRECEDING)` — the
+    // per-event trailing-window shape behind fraud velocity checks and
+    // rolling per-user spend): for EVERY event, the count and exact
+    // cents sum of the same user's events in [ts − 1h, ts]. RANGE
+    // frame (all equal-ts peers included, inclusive both bounds) over
+    // integer µs, so both engines agree bit-for-bit; one shuffle on
+    // the user key, frame scan is the sorted partition — no self-join.
+    "q81_over_agg" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .select(
+          $"user_id", $"event_id",
+          count(lit(1)).over(w).as("n_1h"),
+          sum(round($"value" * 100).cast("long")).over(w).as("cents_1h"))
+    }),
+
     // AS-OF (temporal) join: each order priced against the credit
     // limit IN EFFECT at its order date (Flink `FOR SYSTEM_TIME AS OF`
     // over a CDC-materialized history). The version history is
@@ -115,6 +134,14 @@ object WindowsQ extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q81_over_agg" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_1h,
+        |  cast(sum(cast(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "q13_tumbling_window" ->
       s"""SELECT date_trunc('hour', ts) AS w_start, event_type,
          |  count(*) AS n, ${moneySumSql("value")} AS total_value

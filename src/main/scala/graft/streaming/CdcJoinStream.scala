@@ -23,9 +23,14 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
   * format provides) — the two land on different shards and the join
   * rows (lpk, k_old) / (lpk, k_new) die and get born independently.
   * Output-row identity is therefore the PAIR (lpk, k): downstream
-  * must materialize on that identity, and `ver` must be strictly
-  * increasing per source entity (CDC offset order) so cross-shard
-  * emissions order correctly.
+  * must materialize on that identity. Each delta's `ver` is the
+  * pair's own monotone version — max(left slot ver, right slot ver)
+  * at emission time; both slot versions only ever advance under the
+  * last-writer-wins rule, so per (lpk, k) the stamp never goes
+  * backwards and a last-writer-wins consumer keyed on (lpk, k, ver)
+  * is safe. (A batch-wide stamp would NOT be: a hot batch touching
+  * pk B@ver100 would inflate an unrelated pk A's delta to 100,
+  * making A's later genuine ver-50 update look stale.)
   *
   * The output is a TRUE retract stream: new join rows emit `+I`,
   * changed rows emit `-U`(old images) then `+U`(new), dead rows emit
@@ -35,19 +40,55 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
   * pk (live or tombstoned, last-writer-wins by `ver` with changelog
   * op ranking) and one right slot — O(matching rows), the same state
   * Flink's join operator keeps; bound the pk space upstream (TTL,
-  * partition retention) exactly as with cdcUpsertStream. */
+  * partition retention) exactly as with cdcUpsertStream.
+  *
+  * SKEW SAFETY — the per-batch cost contract on a hot key (a
+  * celebrity dim key with 10⁶ facts):
+  *   - a batch touching only LEFT pks costs O(touched pks): each is
+  *     a point `getValue`/`updateValue` against the MapState plus an
+  *     in-memory diff of that one slot. The key's other matches are
+  *     never read, never copied, never rewritten.
+  *   - a batch changing the RIGHT slot must re-emit every live match
+  *     (that IS the join semantics), but does so by streaming
+  *     `lrows.iterator()` straight into the output iterator — the
+  *     state map is never materialized on the heap, so memory stays
+  *     O(touched pks + one row in flight) regardless of matches.
+  *
+  * Modes (Flink's four dynamic-table join types), via `joinStream`'s
+  * `mode` overload:
+  *   - inner: pairs exist only while both sides are live.
+  *   - left:  a live left row with a dead/absent right pads with
+  *     null; the pad RETRACTS via -U/+U when the right row arrives
+  *     (same (lpk, k) identity — Flink's left outer join).
+  *   - right: a live right row with ZERO live left matches emits ONE
+  *     null-padded row with `lpk = null` (identity (null, k)); the
+  *     pad dies via -D when the first match arrives and is reborn
+  *     via +I when the last match leaves. Maintained by an O(1)
+  *     live-match counter, never a state scan. Pad deltas carry the
+  *     key's high-water ver (the pad is a whole-key aggregate, so
+  *     that is its natural monotone version).
+  *   - full: left + right behaviors combined.
+  */
 object CdcJoinStream {
 
   /** `side` = "L"|"R"; for right rows `pk == k`. */
   case class JoinChange(side: String, op: String, k: Long, pk: Long,
       payload: String, ver: Long)
-  /** Retract-stream delta of the join view; row identity = (lpk, k). */
-  case class JoinDelta(op: String, lpk: Long, k: Long,
+  /** Retract-stream delta of the join view; row identity = (lpk, k).
+    * `lpk` is null ONLY for right/full-outer pad rows (identity
+    * (null, k)). `ver` is monotone per identity (see object doc). */
+  case class JoinDelta(op: String, lpk: java.lang.Long, k: Long,
       left: String, right: String, ver: Long)
 
   /** Internal per-pk state image (public only because Spark's encoder
     * codegen must construct it). */
   case class Slot(ver: Long, rank: Int, payload: String, live: Boolean)
+
+  /** Right-outer bookkeeping: count of LIVE left pks under the key
+    * (pad exists iff right live && liveCnt == 0) and the key's
+    * high-water ver (the pad's monotone stamp). Public for encoder
+    * codegen. */
+  case class PadMeta(liveCnt: Long, hiVer: Long)
 
   private def opRank(op: String): Int = op match {
     case "-U" => 0
@@ -57,14 +98,18 @@ object CdcJoinStream {
     case other => throw new IllegalArgumentException(s"cdcJoinStream: unknown row_kind '$other'")
   }
 
-  private class JoinProcessor(leftOuter: Boolean) extends StatefulProcessor[Long, JoinChange, JoinDelta] {
+  private class JoinProcessor(leftOuter: Boolean, rightOuter: Boolean)
+      extends StatefulProcessor[Long, JoinChange, JoinDelta] {
     @transient private var lrows: MapState[Long, Slot] = _
     @transient private var rrow: ValueState[Slot] = _
+    @transient private var padMeta: ValueState[PadMeta] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       lrows = getHandle.getMapState[Long, Slot]("lrows",
         Encoders.scalaLong, Encoders.product[Slot], TTLConfig.NONE)
       rrow = getHandle.getValueState[Slot]("rrow", Encoders.product[Slot], TTLConfig.NONE)
+      if (rightOuter)
+        padMeta = getHandle.getValueState[PadMeta]("padMeta", Encoders.product[PadMeta], TTLConfig.NONE)
     }
 
     /** last-writer-wins with changelog ordering at equal ver
@@ -72,60 +117,115 @@ object CdcJoinStream {
     private def wins(cur: Slot, ver: Long, rank: Int): Boolean =
       cur == null || ver > cur.ver || (ver == cur.ver && rank >= cur.rank)
 
-    /** Current join rows; under leftOuter a dead/absent right pads
-      * with null (Flink's null-padding — the pad RETRACTS via -U/+U
-      * the moment the right row appears, because the diff sees the
-      * pair change from (l, null) to (l, r)). */
-    private def joinRows(left: Map[Long, Slot], right: Slot): Map[Long, (String, String)] =
-      if (right == null || !right.live) {
-        if (leftOuter) left.collect { case (lpk, s) if s.live => lpk -> ((s.payload, null: String)) }
-        else Map.empty
-      } else left.collect { case (lpk, s) if s.live => lpk -> ((s.payload, right.payload)) }
+    /** The right side's current contribution to join pairs: None =
+      * live left rows form no pair at all; Some(p) = they pair with
+      * payload p (null = the left-outer pad). */
+    private def rightImage(r: Slot): Option[String] =
+      if (r != null && r.live) Some(r.payload)
+      else if (leftOuter) Some(null)
+      else None
+
+    private def pairVer(l: Slot, r: Slot): Long =
+      math.max(l.ver, if (r == null) Long.MinValue else r.ver)
+
+    /** Deltas for one left pk whose slot changed this batch (orig may
+      * be null = first appearance). Handles every pre/post pair
+      * existence combination under the (possibly also changed) right
+      * images. */
+    private def diffTouched(k: Long, pk: Long, orig: Slot, now: Slot,
+        preImg: Option[String], postImg: Option[String], right: Slot): Iterator[JoinDelta] = {
+      val pre = if (orig != null && orig.live) preImg.map(p => (orig.payload, p)) else None
+      val post = if (now.live) postImg.map(p => (now.payload, p)) else None
+      val ver = pairVer(now, right)
+      (pre, post) match {
+        case (None, Some((l, r))) => Iterator.single(JoinDelta("+I", pk, k, l, r, ver))
+        case (Some((pl, pr)), Some((l, r))) if pl != l || pr != r =>
+          Iterator(JoinDelta("-U", pk, k, pl, pr, ver), JoinDelta("+U", pk, k, l, r, ver))
+        case (Some((pl, pr)), None) => Iterator.single(JoinDelta("-D", pk, k, pl, pr, ver))
+        case _ => Iterator.empty
+      }
+    }
 
     override def handleInputRows(k: Long, rows: Iterator[JoinChange],
         timers: TimerValues): Iterator[JoinDelta] = {
-      var left: Map[Long, Slot] = lrows.iterator().map(p => p._1 -> p._2).toMap
-      var right: Slot = rrow.get()
-      val rightIn = right
-      val pre = joinRows(left, right)
-      var maxVer = Long.MinValue
-      val touched = scala.collection.mutable.Set.empty[Long]
+      val rightIn = rrow.get()
+      var right: Slot = rightIn
+      // pk -> (slot at batch start | null, winning slot now); insertion
+      // order preserved so emission order follows first-touch order
+      val touched = scala.collection.mutable.LinkedHashMap.empty[Long, (Slot, Slot)]
+      var batchMaxVer = Long.MinValue
       // fold in (ver, rank) order so intra-batch sequences net correctly
       rows.toSeq.sortBy(c => (c.ver, opRank(c.op))).foreach { c =>
         val rank = opRank(c.op)
-        maxVer = math.max(maxVer, c.ver)
-        val slot = Slot(c.ver, rank, c.payload, live = rank != 0 && rank != 3)
+        batchMaxVer = math.max(batchMaxVer, c.ver)
+        val slot = Slot(c.ver, rank, c.payload, live = rank == 1 || rank == 2)
         if (c.side == "L") {
-          if (wins(left.getOrElse(c.pk, null), c.ver, rank)) {
-            left += c.pk -> slot
-            touched += c.pk
+          val prev = touched.get(c.pk)
+          val cur = prev match {
+            case Some((_, now)) => now
+            case None => lrows.getValue(c.pk) // point lookup, null if absent
           }
-        } else {
+          if (wins(cur, c.ver, rank)) {
+            val orig = prev match { case Some((o, _)) => o; case None => cur }
+            touched(c.pk) = (orig, slot)
+          }
+        } else if (c.side == "R") {
           if (wins(right, c.ver, rank)) right = slot
-        }
+        } else throw new IllegalArgumentException(s"cdcJoinStream: unknown side '${c.side}'")
       }
-      val post = joinRows(left, right)
+      val preImg = rightImage(rightIn)
+      val postImg = rightImage(right)
+
       // persist only what this batch changed (a hot key's untouched
       // left rows must not be rewritten to the state store every time
       // its right side blinks); tombstones kept — they fence late
-      // lower-ver images
-      touched.foreach(lpk => lrows.updateValue(lpk, left(lpk)))
+      // lower-ver images. Persisting BEFORE the sweep below is safe:
+      // the sweep skips touched pks.
+      touched.foreach { case (pk, (_, now)) => lrows.updateValue(pk, now) }
       if (right != null && (right ne rightIn)) rrow.update(right)
-      // diff → retract deltas
-      val out = Vector.newBuilder[JoinDelta]
-      post.foreach { case (lpk, (l, r)) =>
-        pre.get(lpk) match {
-          case None => out += JoinDelta("+I", lpk, k, l, r, maxVer)
-          case Some((pl, pr)) if pl != l || pr != r =>
-            out += JoinDelta("-U", lpk, k, pl, pr, maxVer)
-            out += JoinDelta("+U", lpk, k, l, r, maxVer)
-          case _ => ()
+
+      val touchedOut = touched.iterator.flatMap { case (pk, (orig, now)) =>
+        diffTouched(k, pk, orig, now, preImg, postImg, right)
+      }
+      // right image changed -> every UNTOUCHED live match re-emits.
+      // Streams the state iterator straight out; never materialized.
+      val sweepOut: Iterator[JoinDelta] =
+        if (preImg == postImg) Iterator.empty
+        else lrows.iterator().flatMap { case (pk, s) =>
+          if (touched.contains(pk) || !s.live) Iterator.empty
+          else {
+            val ver = pairVer(s, right)
+            (preImg, postImg) match {
+              case (Some(a), Some(b)) =>
+                Iterator(JoinDelta("-U", pk, k, s.payload, a, ver),
+                  JoinDelta("+U", pk, k, s.payload, b, ver))
+              case (None, Some(b)) => Iterator.single(JoinDelta("+I", pk, k, s.payload, b, ver))
+              case (Some(a), None) => Iterator.single(JoinDelta("-D", pk, k, s.payload, a, ver))
+              case (None, None) => Iterator.empty
+            }
+          }
         }
+
+      val padOut: Iterator[JoinDelta] = if (!rightOuter) Iterator.empty else {
+        val m0 = Option(padMeta.get()).getOrElse(PadMeta(0L, Long.MinValue))
+        var cntDelta = 0L
+        touched.foreach { case (_, (orig, now)) =>
+          cntDelta += (if (now.live) 1L else 0L) - (if (orig != null && orig.live) 1L else 0L)
+        }
+        val postCnt = m0.liveCnt + cntDelta
+        val hiVer = math.max(m0.hiVer, batchMaxVer)
+        padMeta.update(PadMeta(postCnt, hiVer))
+        val prePad = rightIn != null && rightIn.live && m0.liveCnt == 0
+        val postPad = right != null && right.live && postCnt == 0
+        if (!prePad && postPad) Iterator.single(JoinDelta("+I", null, k, null, right.payload, hiVer))
+        else if (prePad && !postPad) Iterator.single(JoinDelta("-D", null, k, null, rightIn.payload, hiVer))
+        else if (prePad && postPad && rightIn.payload != right.payload)
+          Iterator(JoinDelta("-U", null, k, null, rightIn.payload, hiVer),
+            JoinDelta("+U", null, k, null, right.payload, hiVer))
+        else Iterator.empty
       }
-      pre.foreach { case (lpk, (pl, pr)) =>
-        if (!post.contains(lpk)) out += JoinDelta("-D", lpk, k, pl, pr, maxVer)
-      }
-      out.result().iterator
+
+      touchedOut ++ sweepOut ++ padOut
     }
 
     override def handleExpiredTimer(key: Long, timers: TimerValues,
@@ -137,10 +237,24 @@ object CdcJoinStream {
     * object doc for the contract). Inner by default; `leftOuter`
     * null-pads unmatched left rows and retracts the pad when the
     * right row arrives (Flink's outer dynamic-table join). */
-  def joinStream(changes: Dataset[JoinChange], leftOuter: Boolean = false): Dataset[JoinDelta] = {
+  def joinStream(changes: Dataset[JoinChange], leftOuter: Boolean = false): Dataset[JoinDelta] =
+    joinStream(changes, if (leftOuter) "left" else "inner")
+
+  /** Mode-explicit variant: `mode` ∈ inner | left | right | full
+    * (Flink's four dynamic-table join types — see object doc for
+    * the right/full pad-row contract). */
+  def joinStream(changes: Dataset[JoinChange], mode: String): Dataset[JoinDelta] = {
     import changes.sparkSession.implicits._
+    val (lo, ro) = mode match {
+      case "inner" => (false, false)
+      case "left" => (true, false)
+      case "right" => (false, true)
+      case "full" => (true, true)
+      case other => throw new IllegalArgumentException(
+        s"cdcJoinStream: unknown join mode '$other' (inner|left|right|full)")
+    }
     changes
       .groupByKey(_.k)
-      .transformWithState(new JoinProcessor(leftOuter), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new JoinProcessor(lo, ro), TimeMode.None(), OutputMode.Append())
   }
 }

@@ -119,11 +119,45 @@ object IvfChangelog {
   }
 
   /** foreachBatch adapter with a PINNED model (the frozen-model
-    * contract [[IvfStream.sink]] documents). */
+    * contract [[IvfStream.sink]] documents) — plus an OPT-IN retrain
+    * rotation (`rotateSkewAbove` > 0): every compact point first
+    * measures [[occupancySkew]]; past the threshold the compaction
+    * becomes a [[compactRewrite]] under a model freshly trained on
+    * the resolved live set, the new model is persisted over
+    * `modelDir`, and the sink keeps ingesting under it.
+    *
+    * Mid-stream safety — the manual compactRewrite contract says
+    * "run while the stream is DOWN", and this does not violate it:
+    * foreachBatch serializes, so the rewrite completes before any
+    * row of the triggering batch is ingested; nothing is ever
+    * written under a model that mismatches the at-rest layout.
+    * Crash replay is covered too: the model file lands (atomic
+    * rename) before the triggering batch commits, so a restarted
+    * sink reloads the NEW model from `modelDir`, and re-running the
+    * compact point measures the already-rewritten (low-skew)
+    * history — the rotation does not re-fire, the redundant compact
+    * is idempotent. Probes pick the new model up on their next
+    * [[topK]] call ([[IvfIndex.load]] is a plain per-call read). */
   def sink(spark: SparkSession, root: String, modelDir: String,
-      compactEvery: Int = 16, seqCol: Option[String] = None): (DataFrame, Long) => Unit = {
-    val model = IvfIndex.load(spark, modelDir)
-    (batch, batchId) => processBatch(batch, batchId, root, model, compactEvery, seqCol)
+      compactEvery: Int = 16, seqCol: Option[String] = None,
+      rotateSkewAbove: Double = 0.0, rotateTrainIters: Int = 3): (DataFrame, Long) => Unit = {
+    var model = IvfIndex.load(spark, modelDir)
+    (batch, batchId) => {
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+        val (skew, live) =
+          if (rotateSkewAbove > 0) occupancySkew(spark, root) else (0.0, 0L)
+        if (rotateSkewAbove > 0 && skew > rotateSkewAbove && live > 0) {
+          val liveVecs = resolveAll(visible(spark, root)).select(col("vec_id"), col("v"))
+          val fresh = IvfIndex.train(liveVecs, model.cells, iters = rotateTrainIters,
+            memoKey = s"ivf-rotate|$root|$batchId",
+            sampleMod = IvfIndex.sampleMod(live, model.cells))
+          compactRewrite(spark, root, batchId, fresh)
+          IvfIndex.save(fresh, modelDir, spark)
+          model = fresh
+        } else compact(spark, root, batchId)
+      }
+      processBatch(batch, batchId, root, model, compactEvery = 0, seqCol)
+    }
   }
 
   /** Explicit read schema: an EMPTY committed micro-batch (normal in

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+/** Streaming event-time OVER aggregation — q81's micro-batch twin
+  * (Flink SQL's `SUM(...) OVER (PARTITION BY key ORDER BY ts RANGE
+  * INTERVAL 'T' PRECEDING)` on an unbounded stream, the blink
+  * OverAggregate operator): for EVERY event, emit the count and exact
+  * cents sum of the same key's events in `[ts − T, ts]`.
+  *
+  * Structured Streaming has no per-event trailing-window operator —
+  * windowed aggregation emits per WINDOW, not per event — so this is
+  * keyed state: an event is DECIDED (its frame is final) once the
+  * watermark passes its timestamp strictly, because only rows at or
+  * above the watermark can still arrive and the RANGE frame's upper
+  * bound is the event's own ts (equal-ts peers are frame members,
+  * hence the strict bound). Decision order is event-time order, and
+  * the decided frame equals the batch RANGE frame exactly — parity
+  * with q81 is pinned in OverAggSpec under dealt out-of-order arrival.
+  *
+  * State per key is bounded by rate × (T + watermark delay),
+  * independent of stream depth: one list holding (a) undecided
+  * events (ts ≥ watermark) and (b) decided events still inside some
+  * future event's possible frame (ts ≥ watermark − T, the inclusive
+  * frame bound); everything older can never be a frame member again
+  * (future events arrive with ts ≥ watermark) and is dropped — the same pruning rule as
+  * [[AbsenceStream]]'s responses. Frame sums per decided event come
+  * from one sort + prefix sums over the retained list (O(m log m)
+  * per touched key per batch, m = retained size, never a rescan of
+  * history). Event-time timers flush the pending tail when the
+  * watermark advances without new input for the key.
+  *
+  * Operational note (same as [[AbsenceStream]]): run with a NONZERO
+  * watermark delay — emissions carry their event's original
+  * timestamp, strictly below the watermark at decision time; a
+  * 0-second delay lets an event coincide exactly with a max-event
+  * watermark boundary and trip Spark's output-older-than-watermark
+  * validation on the equality edge.
+  */
+object OverAggStream {
+
+  case class OverEvent(key: Long, id: Long, us: Long, cents: Long, ts: Timestamp)
+  /** Stored event; `emitted` fences re-decision across folds. */
+  case class Held(id: Long, us: Long, cents: Long, emitted: Boolean)
+  case class OverAgg(key: Long, id: Long, us: Long, n_win: Long,
+      cents_win: Long, ts: Timestamp)
+
+  private def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private class OverProcessor(windowUs: Long)
+      extends StatefulProcessor[Long, OverEvent, OverAgg] {
+    @transient private var held: ListState[Held] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      held = getHandle.getListState[Held]("held", Encoders.product[Held], TTLConfig.NONE)
+
+    private def fold(key: Long, events: Seq[Held], wmUs: Long): Iterator[OverAgg] = {
+      // sort once; prefix sums make every frame lookup two binary
+      // searches — never a per-event rescan
+      val sorted = events.sortBy(e => (e.us, e.id)).toArray
+      val us = sorted.map(_.us)
+      val pfx = new Array[Long](sorted.length + 1)
+      var i = 0
+      while (i < sorted.length) { pfx(i + 1) = pfx(i) + sorted(i).cents; i += 1 }
+      // lowest index with us(idx) >= bound
+      def lower(bound: Long): Int = {
+        var lo = 0; var hi = sorted.length
+        while (lo < hi) { val mid = (lo + hi) >>> 1; if (us(mid) < bound) lo = mid + 1 else hi = mid }
+        lo
+      }
+      // first index with us(idx) > bound
+      def upper(bound: Long): Int = {
+        var lo = 0; var hi = sorted.length
+        while (lo < hi) { val mid = (lo + hi) >>> 1; if (us(mid) <= bound) lo = mid + 1 else hi = mid }
+        lo
+      }
+      val out = sorted.iterator.filter(e => !e.emitted && e.us < wmUs).map { e =>
+        val a = lower(e.us - windowUs)
+        val b = upper(e.us)
+        OverAgg(key, e.id, e.us, (b - a).toLong, pfx(b) - pfx(a), usToTs(e.us))
+      }.toVector
+      // retain: frame members of some possible future event — a
+      // future event can sit exactly AT the watermark and its frame
+      // lower bound [ts − T] is INCLUSIVE, so keep us >= wm − T
+      // (us < wm − T can never be a frame member again); undecided
+      // events always qualify (us >= wm)
+      val keep = sorted.iterator
+        .map(e => if (e.us < wmUs) e.copy(emitted = true) else e)
+        .filter(_.us >= wmUs - windowUs)
+        .toArray
+      held.clear()
+      if (keep.nonEmpty) held.appendList(keep)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      val pending = keep.filter(!_.emitted)
+      if (pending.nonEmpty)
+        // fire once the watermark strictly passes the oldest pending ts
+        getHandle.registerTimer(pending.map(_.us).min / 1000L + 1L)
+      else if (keep.nonEmpty)
+        // decided-but-retained only: arm a cleanup timer so a dormant
+        // key does not hold its frame tail forever
+        getHandle.registerTimer((keep.map(_.us).max + windowUs) / 1000L + 1L)
+      out.iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[OverEvent],
+        timers: TimerValues): Iterator[OverAgg] = {
+      val incoming = rows.map(r => Held(r.id, r.us, r.cents, emitted = false)).toSeq
+      fold(key, held.get().toSeq ++ incoming, timers.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[OverAgg] =
+      fold(key, held.get().toSeq, timers.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  /** Per-event trailing-window aggregate over a streaming events
+    * relation: one [[OverAgg]] per input row, with count + exact
+    * cents sum over the same key's rows in `[ts − window, ts]`.
+    * `watermark` is the out-of-orderness budget; a row's aggregate
+    * emits once the watermark strictly passes its event time. */
+  def overAgg(events: DataFrame, window: java.time.Duration, watermark: String,
+      keyCol: String = "user_id", idCol: String = "event_id",
+      valueCol: String = "value", tsCol: String = "ts"): Dataset[OverAgg] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long").as("key"), col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol)).as("us"),
+        round(col(valueCol) * lit(100)).cast("long").as("cents"), col(tsCol).as("ts"))
+      .as[OverEvent]
+      .groupByKey(_.key)
+      .transformWithState(
+        new OverProcessor(window.toNanos / 1000L), "ts",
+        OutputMode.Append, Encoders.product[OverAgg])
+  }
+}

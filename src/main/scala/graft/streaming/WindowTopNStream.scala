@@ -19,8 +19,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   *     chaining of stateful operators that flatMapGroupsWithState
   *     forbids and StatefulProcessor supports). Append-mode window
   *     finalization delivers ALL of a window's rows in the same
-  *     micro-batch, so the processor ranks and emits immediately;
-  *     its only state is a replay guard.
+  *     micro-batch, so the processor ranks and emits immediately.
+  *     It is fully STATELESS — it relies on that one-batch delivery
+  *     guarantee, and batch replays after a failure are handled by
+  *     sink-side batch-id idempotence (re-ranking the same finalized
+  *     rows is deterministic), not by any stored replay guard.
   *
   * The ranking step keys by window start — inherently one task per
   * window, like Flink's WindowTopN — but it sees |distinct items|

@@ -339,6 +339,186 @@ object ScaleStress {
       } finally FileUtil.deleteTree(java.nio.file.Paths.get(dir))
     }
 
+    // IVF+PQ at rest (q70's scale row): 250k vectors + 2.5k planted
+    // cos≈0.999 twins. Measures the TWO claims the PQ rung makes over
+    // SQ8: (1) candidate-scan I/O — the column-chunk bytes a pruned
+    // candidate scan fetches for (vec_id + 8×4-bit codes) vs SQ8's
+    // (vec_id + 64 B code) vs exact (vec_id + v), from the parquet
+    // footers (the honest at-rest transfer number, same method as the
+    // sq8 row); (2) shortlist quality — planted-twin recall through
+    // the 4-bit ADC shortlist + exact re-rank, required ≥ 90%.
+    time("ivf_pq_at_rest_250k_vectors") {
+      val n = 250000L
+      val cellBits = Adaptive.bits(n, targetBucket = 32, lo = 4, hi = 8)
+      val PQ = graft.operators.PqIndex
+      val IVF = graft.operators.IvfIndex
+      val mixed = graft.functions.VectorFunctions.Sql
+        .mixSpark("cast(id as bigint) * 64 + k + 999999937")
+      // same incompressible-noise perturbation as the sq8 row: grid
+      // components dictionary-encode down to nothing and hide the I/O
+      // difference this row measures
+      val base = spark.range(n).select(
+        $"id".as("vec_id"),
+        expr(s"transform(sequence(0, 63), k -> cast($mixed as double) / 1000.0" +
+          " + cast(id * 64 + k as double) * 1e-12)").as("v"))
+      val planted = base.filter($"vec_id" % 100 === 0).select(
+        ($"vec_id" + 10000000L).as("vec_id"),
+        expr(s"transform(sequence(0, 63), k -> element_at(v, k + 1) + cast(${graft.functions.VectorFunctions.Sql.mixSpark("cast(vec_id as bigint) * 64 + k + 777")} as double) / 20000.0)").as("v"))
+      val corpus = base.unionByName(planted)
+      val model = IVF.train(
+        corpus, cells = 1 << cellBits, iters = 3, memoKey = s"stress-ivf-pq-$n",
+        sampleMod = IVF.sampleMod(n + n / 100, 1 << cellBits))
+      // PQ rides the same training-sample thinning as the coarse
+      // quantizer (the q70 parameterization)
+      val pq = PQ.train(corpus, iters = 3, memoKey = s"stress-pq-$n",
+        sampleMod = IVF.sampleMod(n + n / 100, 1 << cellBits))
+      val sq8Dir = java.nio.file.Files.createTempDirectory("graft_stress_pq_sq8").toString
+      val pqDir = java.nio.file.Files.createTempDirectory("graft_stress_pq_codes").toString
+      try {
+        IVF.build(corpus, model, sq8Dir) // carries v (exact) + code (SQ8)
+        IVF.assignCells(corpus, model)
+          .select(Seq($"vec_id", $"cell") ++ PQ.encode(IVF.quantize($"v"), pq): _*)
+          .repartition($"cell")
+          .write.mode("overwrite").partitionBy("cell").parquet(pqDir)
+        val conf = spark.sessionState.newHadoopConf()
+        def columnBytes(dir: String, cols: Set[String]): Long = {
+          val root = new org.apache.hadoop.fs.Path(dir)
+          val fs = root.getFileSystem(conf)
+          var total = 0L
+          val it = fs.listFiles(root, true)
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet")) {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+                fs.getFileStatus(f.getPath), conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getFooter.getBlocks.forEach { b =>
+                b.getColumns.forEach { c =>
+                  if (cols(c.getPath.toDotString.split("\\.")(0))) total += c.getTotalSize
+                }
+              } finally r.close()
+            }
+          }
+          total
+        }
+        val pqBytes = columnBytes(pqDir, Set("vec_id") ++ (0 until PQ.M).map(m => s"code$m"))
+        val sq8Bytes = columnBytes(sq8Dir, Set("vec_id", "code"))
+        val vecBytes = columnBytes(sq8Dir, Set("vec_id", "v"))
+        // raw candidate payloads: 4 B (packed codes) vs 64 B vs 512 B;
+        // vec_id + parquet framing cost all three sides equally, so
+        // demand >=3x under SQ8 and >=20x under exact on the bytes
+        val vsSq8 = sq8Bytes.toDouble / math.max(1L, pqBytes)
+        val vsVec = vecBytes.toDouble / math.max(1L, pqBytes)
+        require(vsSq8 >= 3.0 && vsVec >= 20.0,
+          f"pq candidate scan not smaller: pq=$pqBytes sq8=$sq8Bytes ($vsSq8%.1fx) vec=$vecBytes ($vsVec%.1fx)")
+        // probe THROUGH the at-rest codes: DPP-pruned cell join, ADC
+        // shortlist of 64, exact re-rank on the shortlist only
+        val queries = base.filter($"vec_id" % 100 === 0)
+          .select($"vec_id".as("query_id"), $"v".as("qv"))
+        val probes = IVF.probeCells(queries, $"qv", model, nprobe = cellBits + 3)
+          .select($"query_id", $"cell", IVF.quantize($"qv").as("qvq"))
+          .withColumn("lut", PQ.adcLut($"qvq", pq))
+        val wa = org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"approx_dist".asc, $"neighbor_id".asc)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+        val shortlist = probes
+          .join(spark.read.option("basePath", pqDir).parquet(pqDir)
+            .withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
+          .filter($"neighbor_id" =!= $"query_id")
+          .withColumn("approx_dist", PQ.adcApply($"lut"))
+          .withColumn("arnk", row_number().over(wa))
+          .filter($"arnk" <= 64)
+        val top = shortlist.select($"query_id", $"neighbor_id")
+          .join(corpus.select($"vec_id".as("query_id"), $"v".as("qv")), "query_id")
+          .join(corpus.select($"vec_id".as("neighbor_id"), $"v"), "neighbor_id")
+          .select($"query_id", $"neighbor_id",
+            graft.functions.VectorFunctions.cosine($"qv", $"v").as("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 5).persist()
+        val nQueries = n / 100
+        val found = top.filter($"neighbor_id" === $"query_id" + 10000000L)
+          .select($"query_id").distinct().count()
+        val rows = top.count()
+        top.unpersist(blocking = false)
+        val recall = found.toDouble / nQueries
+        println(f"STRESS   pq_scan_bytes pq=$pqBytes sq8=$sq8Bytes (${vsSq8}%.1fx) vec=$vecBytes " +
+          f"(${vsVec}%.1fx) twin_recall=${recall * 100}%.1f%% ($found/$nQueries)")
+        require(recall >= 0.9, f"pq shortlist lost the planted twins: recall=$recall%.3f")
+        rows
+      } finally {
+        FileUtil.deleteTree(java.nio.file.Paths.get(sq8Dir))
+        FileUtil.deleteTree(java.nio.file.Paths.get(pqDir))
+      }
+    }
+
+    // q69's ~4-scans-at-any-scale claim, exercised at 100× event
+    // volume (10M values, 7 groups): the narrowing must finish in a
+    // BOUNDED number of ACTIONS over the 2-column projection (the
+    // claim is pass-count independence from n — each pass is one
+    // collect; asserted ≤ 5 via a QueryExecutionListener, since AQE
+    // fans one action into several Spark JOBS and job count is not
+    // the scan count), produce values identical to the q49
+    // window-sort shape on the same data, and the wall-time of both
+    // shapes is printed for the row. At 10M/8192 buckets one
+    // narrowing pass lands every target under the 65536 leaf limit,
+    // so the expected ladder is stats + histogram + leaf = 3 passes.
+    time("quantiles_narrowing_10M") {
+      val n = 10L * 1000 * 1000
+      val pcts = Seq(50, 95, 99)
+      val data = spark.range(n).select(
+        concat(lit("g"), pmod($"id", lit(7))).as("g"),
+        (pmod($"id" * 2654435761L, lit(1000000007L)) / 1000.0).as("v"))
+      val passes = new java.util.concurrent.atomic.AtomicInteger
+      val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+          passes.incrementAndGet(); ()
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(ql)
+      spark.sparkContext.setJobGroup("q69_stress", "quantiles narrowing scan count", false)
+      val t0 = System.nanoTime()
+      val qres = graft.operators.Quantiles.groupQuantiles(data, "g", "v", pcts)
+      val qSec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      graft.CachePool.drain()
+      // the execution listener is async on the listener bus — settle
+      Thread.sleep(3000)
+      spark.listenerManager.unregister(ql)
+      val jobCount = spark.sparkContext.statusTracker.getJobIdsForGroup("q69_stress").length
+      require(passes.get() <= 5,
+        s"narrowing took ${passes.get()} passes at 10M rows — the bounded-scan claim broke")
+      // the q49 shape on the same data: per-group window sort + rank
+      // picks — the comparison baseline this operator exists to avoid
+      val t1 = System.nanoTime()
+      val counts = data.groupBy($"g").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"v")
+      val picks = data.join(broadcast(counts), "g")
+        .withColumn("rn", row_number().over(w))
+        .filter(pcts.map(p =>
+          $"rn" === floor((lit(p.toLong) * $"cnt" + 99L) / 100L).cast("long")).reduce(_ || _))
+        .select($"g", $"rn", $"cnt", $"v")
+        .collect()
+      val wSec = (System.nanoTime() - t1) / 1e9
+      // value parity: every (group, pct) target must match bit-for-bit
+      val winByRank = picks.map(r => (r.getString(0), r.getInt(1).toLong) -> r.getDouble(3)).toMap
+      val cntBy = picks.map(r => r.getString(0) -> r.getLong(2)).toMap
+      qres.foreach { gq =>
+        pcts.foreach { p =>
+          val rank = (p.toLong * cntBy(gq.group) + 99L) / 100L
+          val winV = winByRank((gq.group, rank))
+          require(gq.byPct(p) == winV,
+            s"${gq.group} p$p: narrowing=${gq.byPct(p)} window=$winV diverge")
+        }
+      }
+      println(f"STRESS   quantiles passes=${passes.get()} jobs=$jobCount narrowing_sec=$qSec%.1f " +
+        f"window_sort_sec=$wSec%.1f targets=${qres.size * pcts.size} (values identical)")
+      qres.size.toLong * pcts.size
+    }
+
     // CDC-driven IVF maintenance at depth: 400k vectors inserted,
     // then 19 changelog batches of cell-moving updates (4k keys
     // each, moved to their negated position) and deletes (4k keys
@@ -1463,6 +1643,68 @@ object ScaleStress {
           q.processAllAvailable()
           println(f"STRESS   churn batch=$b sec=${(System.nanoTime() - s0) / 1e9}%.2f deltas=${emitted.get() - e0}")
         }
+        emitted.get()
+      } finally q.stop()
+    }
+
+    // Changelog-join HOT KEY: ONE join key holding 500k left rows (a
+    // celebrity dim key), then 20 batches of a SINGLE-row left update
+    // each, then one right "blink" (rename). Claims measured:
+    //  - a single-row left change costs O(touched pks): per-batch
+    //    wall time is micro-batch overhead, FLAT in matches-per-key
+    //    (it must not read/copy/rewrite the other 499,999 slots), and
+    //    each such batch emits exactly 2 deltas (-U/+U);
+    //  - the right blink re-emits all 500k matches (that IS the join
+    //    semantics) by STREAMING the state iterator — 1M deltas with
+    //    no per-key heap materialization of the state map.
+    time("cdc_join_hotkey_500k") {
+      import graft.streaming.CdcJoinStream
+      import graft.streaming.CdcJoinStream.{JoinChange, JoinDelta}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val ctx = spark.sqlContext
+      val nMatches = 500000L
+      val hot = 7L
+      val in = MemoryStream[JoinChange]
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val q = CdcJoinStream.joinStream(in.toDS())
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[JoinDelta], _: Long) =>
+          emitted.addAndGet(df.count())
+          ()
+        }
+        .queryName("stress_cdc_join_hotkey").start()
+      try {
+        var ver = 0L
+        val seed = JoinChange("R", "+I", hot, hot, "celeb", { ver += 1; ver }) +:
+          (0L until nMatches).map(i =>
+            JoinChange("L", "+I", hot, i, s"fact$i", { ver += 1; ver }))
+        val t0 = System.nanoTime()
+        in.addData(seed.toIndexedSeq)
+        q.processAllAvailable()
+        println(f"STRESS   hotkey seed rows=${seed.size} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+        val rnd = new scala.util.Random(11)
+        val times = (1 to 20).map { b =>
+          val pk = rnd.nextLong(nMatches)
+          val s0 = System.nanoTime()
+          val e0 = emitted.get()
+          in.addData(Seq(JoinChange("L", "+U", hot, pk, s"fact$pk-b$b", { ver += 1; ver })))
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - s0) / 1e9
+          val d = emitted.get() - e0
+          require(d == 2, s"single-row update emitted $d deltas, expected 2 (-U/+U)")
+          println(f"STRESS   hotkey single-update batch=$b sec=$sec%.3f deltas=$d")
+          sec
+        }
+        println(f"STRESS   hotkey single-update median=${times.sorted.apply(10)}%.3f first=${times.head}%.3f last=${times.last}%.3f")
+        // right blink: must emit O(matches) = 1M -U/+U deltas, streamed
+        val b0 = System.nanoTime()
+        val e0 = emitted.get()
+        in.addData(Seq(JoinChange("R", "+U", hot, hot, "celeb-renamed", { ver += 1; ver })))
+        q.processAllAvailable()
+        val blinkDeltas = emitted.get() - e0
+        println(f"STRESS   hotkey right-blink sec=${(System.nanoTime() - b0) / 1e9}%.1f deltas=$blinkDeltas")
+        require(blinkDeltas == 2 * nMatches,
+          s"right blink emitted $blinkDeltas deltas, expected ${2 * nMatches}")
         emitted.get()
       } finally q.stop()
     }

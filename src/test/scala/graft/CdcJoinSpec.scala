@@ -16,12 +16,17 @@ class CdcJoinSpec extends AnyFunSuite {
   /** Drive batches through joinStream; return every delta in batch
     * order (foreachBatch ids make cross-batch order explicit). */
   private def run(name: String, batches: Seq[Seq[JoinChange]],
-      leftOuter: Boolean = false): Seq[(Long, JoinDelta)] = {
+      leftOuter: Boolean = false): Seq[(Long, JoinDelta)] =
+    run2(name, if (leftOuter) "left" else "inner", batches)
+
+  /** Mode-explicit driver (inner|left|right|full). */
+  private def run2(name: String, mode: String,
+      batches: Seq[Seq[JoinChange]]): Seq[(Long, JoinDelta)] = {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[JoinChange]
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, JoinDelta)]
-    val q = CdcJoinStream.joinStream(in.toDS(), leftOuter)
+    val q = CdcJoinStream.joinStream(in.toDS(), mode)
       .writeStream.outputMode("append")
       .foreachBatch { (df: org.apache.spark.sql.Dataset[JoinDelta], id: Long) =>
         val rows = df.collect()
@@ -35,8 +40,9 @@ class CdcJoinSpec extends AnyFunSuite {
   }
 
   /** Materialize a delta stream on the documented row identity
-    * (lpk, k): last delta in batch order wins; live = +I/+U. */
-  private def materialize(deltas: Seq[(Long, JoinDelta)]): Map[(Long, Long), (String, String)] =
+    * (lpk, k): last delta in batch order wins; live = +I/+U.
+    * lpk is boxed (null = the right/full-outer pad row). */
+  private def materialize(deltas: Seq[(Long, JoinDelta)]): Map[(java.lang.Long, Long), (String, String)] =
     deltas.zipWithIndex
       .groupBy { case ((_, d), _) => (d.lpk, d.k) }
       .flatMap { case (id, ds) =>
@@ -171,6 +177,145 @@ class CdcJoinSpec extends AnyFunSuite {
       JoinDelta("-U", 200L, 7L, "o200", "cara", 3),
       JoinDelta("+U", 200L, 7L, "o200", null, 3)))
     assert(materialize(out) === Map((200L, 7L) -> (("o200", null))))
+  }
+
+  test("cdc_join rightOuter: unmatched right pads with (null, k) identity; pad dies on first match, reborn on last leave") {
+    val out = run2("cj_router", "right", Seq(
+      // customer arrives with no orders: right pad (null lpk)
+      Seq(JoinChange("R", "+I", 9L, 9L, "dana", 1)),
+      // pad renames while live
+      Seq(JoinChange("R", "-U", 9L, 9L, "dana", 2),
+        JoinChange("R", "+U", 9L, 9L, "DANA", 2)),
+      // first order arrives: pad dies (-D), joined row born (+I)
+      Seq(JoinChange("L", "+I", 9L, 300L, "o300", 3)),
+      // second order: no pad traffic, just the new joined row
+      Seq(JoinChange("L", "+I", 9L, 301L, "o301", 4)),
+      // both orders leave: joined rows die, pad reborn at the LAST leave
+      Seq(JoinChange("L", "-D", 9L, 300L, "o300", 5)),
+      Seq(JoinChange("L", "-D", 9L, 301L, "o301", 6)),
+      // customer deleted: pad dies for good
+      Seq(JoinChange("R", "-D", 9L, 9L, "DANA", 7))))
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBatch(0) === Set(JoinDelta("+I", null, 9L, null, "dana", 1)))
+    assert(byBatch(1) === Set(
+      JoinDelta("-U", null, 9L, null, "dana", 2),
+      JoinDelta("+U", null, 9L, null, "DANA", 2)))
+    assert(byBatch(2) === Set(
+      JoinDelta("-D", null, 9L, null, "DANA", 3),
+      JoinDelta("+I", 300L, 9L, "o300", "DANA", 3)))
+    assert(byBatch(3) === Set(JoinDelta("+I", 301L, 9L, "o301", "DANA", 4)))
+    assert(byBatch(4) === Set(JoinDelta("-D", 300L, 9L, "o300", "DANA", 5)))
+    assert(byBatch(5) === Set(
+      JoinDelta("-D", 301L, 9L, "o301", "DANA", 6),
+      JoinDelta("+I", null, 9L, null, "DANA", 6)))
+    assert(byBatch(6) === Set(JoinDelta("-D", null, 9L, null, "DANA", 7)))
+    assert(materialize(out) === Map.empty)
+  }
+
+  test("cdc_join fullOuter: pads on BOTH sides — left pad retracts via -U/+U, right pad dies/reborn via -D/+I") {
+    val out = run2("cj_full", "full", Seq(
+      // order with no customer: LEFT pad (null right payload, (lpk,k) identity)
+      Seq(JoinChange("L", "+I", 4L, 400L, "o400", 1)),
+      // lone customer on another key: RIGHT pad ((null,k) identity)
+      Seq(JoinChange("R", "+I", 8L, 8L, "finn", 2)),
+      // the order's customer arrives: left pad retracts -U/+U
+      Seq(JoinChange("R", "+I", 4L, 4L, "elle", 3)),
+      // the order moves to finn's key: old join row dies; on key 8 the
+      // right pad dies and the joined row is born
+      Seq(JoinChange("L", "-U", 4L, 400L, "o400", 4),
+        JoinChange("L", "+U", 8L, 400L, "o400v2", 4))))
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBatch(0) === Set(JoinDelta("+I", 400L, 4L, "o400", null, 1)))
+    assert(byBatch(1) === Set(JoinDelta("+I", null, 8L, null, "finn", 2)))
+    assert(byBatch(2) === Set(
+      JoinDelta("-U", 400L, 4L, "o400", null, 3),
+      JoinDelta("+U", 400L, 4L, "o400", "elle", 3)))
+    // key 4: joined row dies AND elle becomes unmatched -> her pad born
+    assert(byBatch(3) === Set(
+      JoinDelta("-D", 400L, 4L, "o400", "elle", 4),
+      JoinDelta("+I", null, 4L, null, "elle", 4),
+      JoinDelta("-D", null, 8L, null, "finn", 4),
+      JoinDelta("+I", 400L, 8L, "o400v2", "finn", 4)))
+    assert(materialize(out) === Map(
+      (null: java.lang.Long, 4L) -> ((null, "elle")),
+      (java.lang.Long.valueOf(400L), 8L) -> (("o400v2", "finn"))))
+  }
+
+  test("cdc_join ver is per-pair monotone: a hot batch touching another pk must not inflate an unrelated pair's stamp") {
+    // batch 1 carries pk A@5 together with pk B@100 (same join key);
+    // batch 2 updates only A@50. Under a batch-wide stamp A's first
+    // delta would read 100 and its REAL later update (50) would look
+    // stale to a last-writer-wins consumer. Per-pair stamps must give
+    // A: 5 then 50.
+    val out = run("cj_ver", Seq(
+      Seq(JoinChange("R", "+I", 1L, 1L, "dim", 1),
+        JoinChange("L", "+I", 1L, 10L, "a0", 5),
+        JoinChange("L", "+I", 1L, 11L, "b0", 100)),
+      Seq(JoinChange("L", "-U", 1L, 10L, "a0", 49),
+        JoinChange("L", "+U", 1L, 10L, "a1", 50))))
+    val aDeltas = out.collect { case (bid, d) if d.lpk == 10L => (bid, d) }
+    assert(aDeltas.map(_._2.ver) === Seq(5L, 50L, 50L),
+      s"per-pair stamps wrong: $aDeltas")
+    // and every pair's stamp sequence is non-decreasing in batch order
+    out.groupBy { case (_, d) => (d.lpk, d.k) }.foreach { case (id, ds) =>
+      val vers = ds.sortBy(_._1).map(_._2.ver)
+      assert(vers === vers.sorted, s"$id: non-monotone vers $vers")
+    }
+    assert(materialize(out) === Map(
+      (java.lang.Long.valueOf(10L), 1L) -> (("a1", "dim")),
+      (java.lang.Long.valueOf(11L), 1L) -> (("b0", "dim"))))
+  }
+
+  test("cdc_join fullOuter randomized replay materializes to the final-state full-outer join") {
+    val rnd = new scala.util.Random(17)
+    var ver = 0L
+    def v(): Long = { ver += 1; ver }
+    // customers 20/21 never receive an order -> guaranteed right pads
+    val right = (Seq(20L, 21L) ++ (1L to 10L)).flatMap { c =>
+      val b = scala.collection.mutable.ArrayBuffer(
+        JoinChange("R", "+I", c, c, s"name$c", v()))
+      if (c <= 10 && rnd.nextInt(3) == 0) b += JoinChange("R", "-D", c, c, s"name$c", v())
+      b
+    }
+    val left = (100L until 140L).flatMap { o =>
+      var fk = 1L + rnd.nextInt(14) // fks 11..14 have NO right row
+      val b = scala.collection.mutable.ArrayBuffer(JoinChange("L", "+I", fk, o, s"o$o", v()))
+      if (rnd.nextInt(4) == 0) {
+        val nfk = 1L + rnd.nextInt(14)
+        b += JoinChange("L", "-U", fk, o, s"o$o", { val x = v(); x })
+        b += JoinChange("L", "+U", nfk, o, s"o$o", ver)
+        fk = nfk
+      }
+      if (rnd.nextInt(5) == 0) b += JoinChange("L", "-D", fk, o, s"o$o", v())
+      b
+    }
+    val all = rnd.shuffle((right ++ left).toList)
+    val batches = (0 until 4).map(i => all.zipWithIndex.collect {
+      case (c, j) if j % 4 == i => c
+    })
+    val deltas = run2("cj_full_parity", "full", batches)
+    def fold(cs: Seq[JoinChange]): Option[JoinChange] = {
+      val last = cs.maxBy(c => (c.ver, c.op match {
+        case "-U" => 0; case "+I" => 1; case "+U" => 2; case _ => 3
+      }))
+      if (last.op == "-D" || last.op == "-U") None else Some(last)
+    }
+    val liveR = right.groupBy(_.pk).flatMap { case (_, cs) => fold(cs.toSeq) }
+      .map(c => c.k -> c.payload).toMap
+    val liveL = left.groupBy(_.pk).flatMap { case (_, cs) => fold(cs.toSeq) }
+    val matchedKeys = liveL.map(_.k).toSet
+    val expected: Map[(java.lang.Long, Long), (String, String)] =
+      liveL.map { c =>
+        ((java.lang.Long.valueOf(c.pk), c.k),
+          (c.payload, liveR.getOrElse(c.k, null: String)))
+      }.toMap ++
+      liveR.collect { case (k, p) if !matchedKeys.contains(k) =>
+        ((null: java.lang.Long, k), (null: String, p))
+      }
+    assert(materialize(deltas) === expected)
+    assert(expected.size >= 30, s"degenerate corpus: ${expected.size} live rows")
+    assert(expected.keys.exists(_._1 == null), "corpus produced no right pads")
+    assert(expected.values.exists(_._2 == null), "corpus produced no left pads")
   }
 
   test("cdc_join composed with cdc_agg: maintained revenue per customer name equals the final-state aggregate") {

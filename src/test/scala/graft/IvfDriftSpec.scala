@@ -160,4 +160,89 @@ class IvfDriftSpec extends AnyFunSuite {
     } finally Seq(root, modelDir, freshDir, batchDir).foreach(d =>
       graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(d)))
   }
+
+  test("auto-rotation: a drifting STREAM crosses the skew threshold, the sink rotates at the compact point, probes stay correct, post-swap batches ingest under the new model") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_rot").toString
+    val modelDir = Files.createTempDirectory("graft_rot_model").toString
+    val refDir = Files.createTempDirectory("graft_rot_ref").toString
+    try {
+      val nr = 8000L
+      val ids = spark.range(nr).select($"id".as("vec_id"))
+      val base = vecs(ids, seed = 40127)
+      val noise = VectorFunctions.Sql.mixSpark("vec_id * 64 + k + 555001")
+      val drifted = ids.select($"vec_id",
+        expr(s"transform(sequence(0, 63), k -> case when k = 0 then 100.0" +
+          s" else cast($noise as double) / 1000.0 end)").as("v"))
+      val frozen = IvfIndex.train(base, cells, iters = 3, memoKey = "rot-frozen",
+        sampleMod = IvfIndex.sampleMod(nr, cells))
+      IvfIndex.save(frozen, modelDir, spark)
+
+      def rows(df: org.apache.spark.sql.DataFrame, kind: String): Seq[VecChange] =
+        df.collect().map(r => VecChange(kind, r.getLong(0),
+          r.getSeq[Double](1).toArray)).toSeq
+      val baseRows = rows(base, "+I")
+      val upsD = rows(drifted, "+U")
+      val retrB = rows(base, "-U")
+
+      // the drifting stream: insert all, then three -U/+U drift waves,
+      // then a touch batch landing ON the compact point (batchId 4,
+      // compactEvery 4) where the sink must measure skew and rotate,
+      // then a post-rotation delete that must tombstone in NEW cells
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VecChange]
+      val q = in.toDS().toDF().writeStream
+        .foreachBatch(IvfChangelog.sink(spark, root, modelDir,
+          compactEvery = 4, rotateSkewAbove = 6.0))
+        .queryName("ivf_rotate").start()
+      try {
+        def wave(b: Int)(c: VecChange) = c.vec_id % 5 < 3 && c.vec_id % 3 == b - 1
+        in.addData(baseRows); q.processAllAvailable() // batch 0
+        (1 to 3).foreach { b =>
+          in.addData(retrB.filter(wave(b)) ++ upsD.filter(wave(b)))
+          q.processAllAvailable() // batches 1-3: the drift
+        }
+        // key 1 drifted in wave 2; re-upsert at its current position —
+        // a content no-op that triggers the batch-4 compact point
+        in.addData(Seq(upsD.find(_.vec_id == 1L).get))
+        q.processAllAvailable() // batch 4: rotation fires here
+        val rotated = IvfIndex.load(spark, modelDir)
+        assert(!java.util.Arrays.deepEquals(
+          rotated.cent.asInstanceOf[Array[AnyRef]], frozen.cent.asInstanceOf[Array[AnyRef]]),
+          "rotation did not fire: model dir still holds the frozen centroids")
+        val (skewAfter, liveAfter) = IvfChangelog.occupancySkew(spark, root)
+        assert(liveAfter == nr)
+        assert(skewAfter < 6.0, s"rotation left skew at $skewAfter")
+
+        // probes through the rotated at-rest layout == a one-shot
+        // build of the SAME live state under the SAME rotated model
+        val finalState = base.filter($"vec_id" % 5 >= 3)
+          .unionByName(drifted.filter($"vec_id" % 5 < 3))
+        val queries = drifted.filter($"vec_id" % 5 < 3 && $"vec_id" % 40 === 0)
+          .select($"vec_id".as("query_id"), $"v".as("qv"))
+        val got = topkSets(
+          IvfChangelog.topK(spark, root, queries, modelDir, nprobe, k = 5))
+        IvfIndex.build(finalState, rotated, refDir)
+        val ref = topkSets(
+          IvfIndex.topK(spark, refDir, queries, rotated, nprobe, k = 5))
+        assert(got == ref, "post-rotation probe diverges from a one-shot build under the rotated model")
+
+        // post-rotation ingest runs under the NEW model: delete key 0
+        // (before-image = its current drifted vector) through the
+        // STREAM and it must become unprobeable
+        in.addData(Seq(upsD.find(_.vec_id == 0L).get.copy(row_kind = "-D")))
+        q.processAllAvailable() // batch 5
+        val victimHits = IvfChangelog.topK(spark, root,
+          drifted.filter($"vec_id" === 0L).select($"vec_id".as("query_id"), $"v".as("qv")),
+          modelDir, nprobe, k = 5)
+          .filter($"neighbor_id" === 0L).count()
+        assert(victimHits == 0, "post-rotation delete left the key probeable")
+      } finally q.stop()
+    } finally Seq(root, modelDir, refDir).foreach(d =>
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(d)))
+  }
 }
+
+/** MemoryStream element for the auto-rotation spec (top-level: Spark
+  * product encoders need a stable, outer-free case class). */
+case class VecChange(row_kind: String, vec_id: Long, v: Array[Double])

@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.OverAggStream
+
+/** Event-time OVER aggregation (per-event trailing RANGE frame):
+  * hand semantics — inclusive bounds, equal-ts peers, late-arrival
+  * fold across a batch boundary, timer-driven tail flush — and the
+  * streaming twin's exact parity with batch q81 under dealt
+  * out-of-order micro-batches. */
+class OverAggSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def us(u: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  test("over_agg stream: inclusive RANGE bounds, equal-ts peers, late fold across batches, timer flush") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = OverAggStream.overAgg(
+        in.toDF().toDF("user_id", "event_id", "ts", "value"),
+        window = java.time.Duration.ofSeconds(1), watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("over_hand").start()
+    try {
+      in.addData(Seq(
+        // key 1: chain — id 12's frame [1s, 2s] must include id 10 at
+        // EXACTLY ts − T (inclusive lower bound)
+        (1L, 10L, us(1000000L), 1.00),
+        (1L, 11L, us(1500000L), 2.00),
+        (1L, 12L, us(2000000L), 3.00),
+        // key 2: equal-ts peers — RANGE includes both in both frames
+        (2L, 20L, us(1000000L), 0.10),
+        (2L, 21L, us(1000000L), 0.20),
+        // key 3: isolation
+        (3L, 30L, us(1500000L), 5.00),
+        // key 4: id 41 first; its frame must pick up the LATE id 40
+        (4L, 41L, us(3000000L), 7.00)))
+      q.processAllAvailable()
+      // nothing decided yet (watermark = max − 10 min, far below)
+      assert(spark.table("over_hand").count() == 0)
+      // late-but-in-watermark arrival for key 4, earlier than id 41
+      in.addData(Seq((4L, 40L, us(2500000L), 4.00)))
+      q.processAllAvailable()
+      // flush: far-future sentinel on its own key advances the shared
+      // watermark; keys 1-4 emit via their event-time TIMERS
+      in.addData(Seq((99L, 990L, Timestamp.valueOf("2030-01-01 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("over_hand").filter($"key" =!= 99L)
+        .select($"id", $"n_win", $"cents_win").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === Map(
+        10L -> ((1L, 100L)),
+        11L -> ((2L, 300L)),
+        12L -> ((3L, 600L)), // includes id 10 at exactly ts − T
+        20L -> ((2L, 30L)), // equal-ts peer included both ways
+        21L -> ((2L, 30L)),
+        30L -> ((1L, 500L)),
+        40L -> ((1L, 400L)), // id 41 is AFTER it, not in its frame
+        41L -> ((2L, 1100L)))) // late id 40 folded in
+    } finally q.stop()
+  }
+
+  test("over_agg stream: dealt-out-of-order replay of the events table == batch q81") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .as[(Long, Long, Timestamp, Double)].collect().toSeq
+    assert(ev.size > 100, s"degenerate corpus: ${ev.size} rows")
+    val rnd = new scala.util.Random(41)
+    val shuffled = rnd.shuffle(ev.toList)
+    val batches = (0 until 4).map(i => shuffled.zipWithIndex.collect {
+      case (x, j) if j % 4 == i => x
+    })
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = OverAggStream.overAgg(
+        in.toDF().toDF("user_id", "event_id", "ts", "value"),
+        window = java.time.Duration.ofHours(1), watermark = "400 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("over_parity").start()
+    try {
+      batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+      Seq("2030-01-01 00:00:00", "2030-01-02 00:00:00").foreach { d =>
+        in.addData(Seq((999999L, 0L, Timestamp.valueOf(d), 0.0)))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("over_parity").filter($"key" =!= 999999L)
+        .select($"id", $"n_win", $"cents_win").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = SparkEntry.queries("q81_over_agg")(spark, sfDir)
+        .select($"event_id", $"n_1h", $"cents_1h").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      CachePool.drain()
+      assert(streamed.size === batch.size)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}

@@ -34,6 +34,19 @@ class PrefixSpec extends AnyFunSuite {
     }
   }
 
+  test("cumsum rejects NULL values loudly (repo convention) instead of silently contributing 0") {
+    import spark.implicits._
+    val df = Seq((1L, java.lang.Long.valueOf(3L)), (2L, null: java.lang.Long))
+      .toDF("id", "v")
+    val ex = intercept[Exception] {
+      Prefix.cumsum(df, Seq(col("id")), col("v")).collect()
+    }
+    CachePool.drain()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("NULL in value column")), s"unexpected error: $ex")
+  }
+
   test("cumsum plan is parallel: no single-partition exchange, window is partitioned") {
     val plan = Prefix.cumsum(corpus(2000, 8), Seq(col("ord"), col("id")), col("v"))
       .queryExecution.executedPlan.toString
