@@ -27,6 +27,24 @@ object MiscQ extends QueryPack {
           .as("payload"))
     }),
 
+    // Dynamic rule matching (batch twin of the streaming
+    // broadcast-state pattern — streaming.BroadcastRules): a KB-scale
+    // rules table (one threshold per event type, deterministically
+    // derived so the oracle can rebuild it) broadcast against the
+    // events stream — the alert join runs map-side, events never
+    // shuffle, exactly the property Flink's broadcast state buys.
+    "q83_rule_match" -> ((s, d) => {
+      import s.implicits._
+      val rules = Tables.events(s, d).select($"event_type").distinct()
+        .select(
+          $"event_type".as("__rt"),
+          (pmod(length($"event_type") * 9973, lit(65536))).cast("long").as("min_cents"))
+      val ev = Tables.events(s, d).select(
+        $"event_id", $"event_type", round($"value" * 100).cast("long").as("cents"))
+      ev.join(broadcast(rules), $"event_type" === $"__rt" && $"cents" >= $"min_cents")
+        .select($"event_id", $"event_type", $"cents", $"min_cents")
+    }),
+
     "q36_multimodal_meta" -> ((s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d).select(
@@ -40,6 +58,16 @@ object MiscQ extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q83_rule_match" ->
+      """WITH rules AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST((length(event_type) * 9973) % 65536 AS BIGINT) AS min_cents
+        |  FROM events)
+        |SELECT e.event_id, e.event_type,
+        |  CAST(round(e.value * 100) AS BIGINT) AS cents, r.min_cents
+        |FROM events e JOIN rules r ON e.event_type = r.event_type
+        |WHERE CAST(round(e.value * 100) AS BIGINT) >= r.min_cents""".stripMargin,
+
     "q23_datagen" ->
       """SELECT id,
         |  array_to_string(list_transform(range(0, 64), i -> chr((32 + (id * 31 + i * 17) % 95)::INT)), '') AS payload

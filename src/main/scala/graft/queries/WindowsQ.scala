@@ -71,6 +71,26 @@ object WindowsQ extends QueryPack {
           (sum(round($"value" * 100).cast("long")).over(w) / 100.0).as("running_value"))
     }),
 
+    // WINDOW join (Flink DataStream join().where().equalTo()
+    // .window(Tumbling...) — co-occurrence in the same window, the
+    // third member of Flink's two-stream join family next to the
+    // interval join q51 and the temporal join q50): same-user clicks
+    // × errors inside the same 1h tumbling bucket. One equi-join on
+    // (user, bucket) — the bucket is a derived column, so this
+    // shuffles like any equi-join and never scans cross products.
+    "q82_window_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"),
+          window($"ts", "1 hour")("start").as("w_start"))
+      val errors = ev.filter($"event_type" === "error")
+        .select($"user_id".as("__ru"), $"event_id".as("error_id"),
+          window($"ts", "1 hour")("start").as("__rw"))
+      clicks.join(errors, $"user_id" === $"__ru" && $"w_start" === $"__rw")
+        .select($"user_id", $"w_start", $"click_id", $"error_id")
+    }),
+
     // Event-time OVER aggregation (Flink SQL `SUM(...) OVER (PARTITION
     // BY user ORDER BY ts RANGE INTERVAL '1' HOUR PRECEDING)` — the
     // per-event trailing-window shape behind fraud velocity checks and
@@ -134,6 +154,14 @@ object WindowsQ extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q82_window_join" ->
+      """SELECT c.user_id, date_trunc('hour', c.ts) AS w_start,
+        |  c.event_id AS click_id, e.event_id AS error_id
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id
+        | AND date_trunc('hour', c.ts) = date_trunc('hour', e.ts)
+        |WHERE c.event_type = 'click' AND e.event_type = 'error'""".stripMargin,
+
     "q81_over_agg" ->
       """SELECT user_id, event_id,
         |  count(*) OVER w AS n_1h,

@@ -405,6 +405,32 @@ object Pipelines {
       .drop("__rk")
   }
 
+  /** Streaming WINDOW join (Flink DataStream
+    * `join().where().equalTo().window(TumblingEventTimeWindows)` —
+    * co-occurrence within the same tumbling window): rows of the two
+    * streams pair iff they share `key` AND the same window bucket.
+    * Spark-native: both sides get the SAME `window()` bucket column
+    * derived from their watermarked event time, and the stream-stream
+    * equi-join on (key, bucket) lets Spark evict join state as the
+    * watermark passes each window — no custom state, no timers. The
+    * bucket's `start` survives as `w_start`. */
+  def streamingWindowJoin(left: DataFrame, right: DataFrame, key: String,
+      windowLen: String, watermark: String,
+      leftTs: String = "ts", rightTs: String = "ts"): DataFrame = {
+    // the derived window() bucket carries the event-time tag; the raw
+    // ts column must LEAVE each stream or Spark rejects the plan with
+    // "more than one event time column" — the bucket is the join-time
+    // identity anyway, and its start survives as w_start
+    val l = left.withWatermark(leftTs, watermark)
+      .withColumn("__w", window(col(leftTs), windowLen)).drop(leftTs)
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumn("__rw", window(col(rightTs), windowLen)).drop(rightTs)
+      .withColumnRenamed(key, "__rk")
+    l.join(r, col(key) === col("__rk") && col("__w") === col("__rw"))
+      .withColumn("w_start", col("__w.start"))
+      .drop("__rk", "__w", "__rw")
+  }
+
   // ---- streaming NEAR-dup dedup (SimHash band state) ----
 
   case class BandRow(band_key: Long, doc_id: Long, ts: Timestamp, fp: Long)

@@ -73,6 +73,26 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("q81: OVER aggregation is ONE user-key exchange + window — no self-join, no extra shuffle") {
+    val p = plan("q81_over_agg")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"trailing frame must not self-join:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one exchange:\n$p")
+  }
+
+  test("q82: window join is a hash equi-join on (user, bucket) — never a nested loop") {
+    val p = plan("q82_window_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q83: the rules side broadcasts — events never shuffle for the match") {
+    val p = plan("q83_rule_match")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q46: PII redaction is a single shuffle-free scan") {
     val p = plan("q46_pii_redact")
     assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Pipelines
+
+/** Window join (co-occurrence in the same tumbling window): bucket
+  * boundary semantics on a hand corpus and the streaming twin's exact
+  * parity with batch q82 under dealt out-of-order micro-batches. */
+class WindowJoinSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("window join stream: same-bucket pairs only, boundary rows split buckets, cross-key isolation") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, Timestamp)]
+    val rIn = MemoryStream[(Long, Long, Timestamp)]
+    val q = Pipelines.streamingWindowJoin(
+        lIn.toDF().toDF("user_id", "click_id", "ts"),
+        rIn.toDF().toDF("user_id", "error_id", "ts").withColumnRenamed("ts", "rts"),
+        key = "user_id", windowLen = "1 hour", watermark = "1 minute",
+        leftTs = "ts", rightTs = "rts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wj_hand").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      lIn.addData(Seq(
+        (1L, 10L, ts("2024-01-01 10:15:00")), // bucket 10:00
+        (1L, 11L, ts("2024-01-01 11:00:00")), // bucket 11:00 (boundary row belongs right)
+        (2L, 20L, ts("2024-01-01 10:30:00")))) // other key
+      rIn.addData(Seq(
+        (1L, 100L, ts("2024-01-01 10:59:59")), // bucket 10:00 -> pairs with 10 only
+        (1L, 101L, ts("2024-01-01 11:30:00")), // bucket 11:00 -> pairs with 11 only
+        (3L, 300L, ts("2024-01-01 10:30:00")))) // key 3: no clicks
+      q.processAllAvailable()
+      val got = spark.table("wj_hand")
+        .select($"click_id", $"error_id").as[(Long, Long)].collect().toSet
+      assert(got === Set((10L, 100L), (11L, 101L)))
+    } finally q.stop()
+  }
+
+  test("window join stream: dealt-out-of-order replay of the events table == batch q82") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // sf0.001's event stream is too sparse for same-hour click/error
+    // co-occurrence (5 pairs); the sf0.01 table keeps the corpus real
+    // and non-degenerate
+    val parityDir = "/root/testdata/sf0.01"
+    val ev = graft.sources.Tables.events(spark, parityDir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .as[(Long, Long, Timestamp, String)].collect().toSeq
+    val clicks = ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3))
+    val errors = ev.filter(_._4 == "error").map(e => (e._1, e._2, e._3))
+    assert(clicks.size > 20 && errors.size > 20, s"degenerate: ${clicks.size}/${errors.size}")
+    val rnd = new scala.util.Random(59)
+    val lb = rnd.shuffle(clicks.toList).grouped((clicks.size + 2) / 3).toSeq
+    val rb = rnd.shuffle(errors.toList).grouped((errors.size + 2) / 3).toSeq
+    val lIn = MemoryStream[(Long, Long, Timestamp)]
+    val rIn = MemoryStream[(Long, Long, Timestamp)]
+    val q = Pipelines.streamingWindowJoin(
+        lIn.toDF().toDF("user_id", "click_id", "ts"),
+        rIn.toDF().toDF("user_id", "error_id", "ts").withColumnRenamed("ts", "rts"),
+        key = "user_id", windowLen = "1 hour", watermark = "400 days",
+        leftTs = "ts", rightTs = "rts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wj_parity").start()
+    try {
+      // deal the two sides asymmetrically: a click can arrive batches
+      // before or after its matching error
+      (0 until 3).foreach { i =>
+        if (i < lb.size) lIn.addData(lb(i).toIndexedSeq)
+        if (2 - i < rb.size) rIn.addData(rb(2 - i).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("wj_parity")
+        .select($"click_id", $"error_id").as[(Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("q82_window_join")(spark, parityDir)
+        .select($"click_id", $"error_id").as[(Long, Long)].collect().toSet
+      CachePool.drain()
+      assert(streamed === batch)
+      assert(batch.size > 20, s"degenerate: ${batch.size} pairs")
+    } finally q.stop()
+  }
+}
