@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -156,24 +157,26 @@ object CdcQ extends QueryPack {
     // same group move on update.
     "q79_cdc_minmax" -> ((s, d) => {
       import s.implicits._
-      val o = Tables.orders(s, d)
-      val cents0 = round(($"o_totalprice" - 10) * 100).cast("long")
-      val cents1 = round($"o_totalprice" * 100).cast("long")
-      def ev(kind: String, cents: org.apache.spark.sql.Column,
-          grp: org.apache.spark.sql.Column, ver: Int) = Seq(
-        lit(kind).as("op"), $"o_orderkey".as("id"), cents.as("cents"),
-        grp.as("grp"), lit(ver).as("ver"))
-      val grp1 = concat(lit("U-"), $"o_orderpriority")
-      val changelog =
-        o.select(ev("+I", cents0, $"o_orderpriority", 1): _*)
-          .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("-U", cents0, $"o_orderpriority", 2): _*))
-          .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("+U", cents1, grp1, 2): _*))
-          .unionAll(o.filter($"o_orderstatus" === "P").select(ev("-D", cents1, grp1, 3): _*))
-      val rk = when($"op" === "-U", 0).when($"op" === "+I", 1).when($"op" === "+U", 2).otherwise(3)
-      Cdc.materialize(changelog.withColumn("rk", rk),
+      Cdc.materialize(cdcEntityChangelog(s, d),
         pk = Seq($"id"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
         .groupBy($"grp")
         .agg(count(lit(1)).as("live_cnt"), min($"cents").as("live_min"), max($"cents").as("live_max"))
+    }),
+
+    // changelog → maintained per-group TOP-N (Flink SQL retractable
+    // Top-N; batch twin of streaming.CdcTopNStream): the q79
+    // synthesis materialized, then row_number ≤ 3 by (cents desc,
+    // id asc) — a retraction of the leader must surface the next-best
+    // LIVE entity, which is exactly what the final-state ranking
+    // computes. One pk shuffle + one grp window.
+    "q84_cdc_topn" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"grp").orderBy($"cents".desc, $"id".asc)
+      Cdc.materialize(cdcEntityChangelog(s, d),
+        pk = Seq($"id"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"grp", $"id", $"cents", $"rn")
     }),
 
     // changelog ⋈ changelog → MAINTAINED join view (Flink dynamic-
@@ -234,6 +237,32 @@ object CdcQ extends QueryPack {
       |UNION ALL
       |SELECT '-D', o_orderkey, o_totalprice, o_orderpriority
       |FROM orders WHERE o_orderstatus = 'P'""".stripMargin
+
+  /** The q75/q79/q84 shared entity-changelog synthesis over orders:
+    * every order inserts at (grp = priority, price−10 cents); F/P
+    * orders then take a GROUP-MOVING price update (-U old image /
+    * +U at grp "U-"+priority, full cents — the before-image routing);
+    * P orders finally delete. Emits (op, id, cents, grp, ver, rk)
+    * with the changelog op ranking column. */
+  private def cdcEntityChangelog(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val cents0 = round(($"o_totalprice" - 10) * 100).cast("long")
+    val cents1 = round($"o_totalprice" * 100).cast("long")
+    def ev(kind: String, cents: org.apache.spark.sql.Column,
+        grp: org.apache.spark.sql.Column, ver: Int) = Seq(
+      lit(kind).as("op"), $"o_orderkey".as("id"), cents.as("cents"),
+      grp.as("grp"), lit(ver).as("ver"))
+    val grp1 = concat(lit("U-"), $"o_orderpriority")
+    val changelog =
+      o.select(ev("+I", cents0, $"o_orderpriority", 1): _*)
+        .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("-U", cents0, $"o_orderpriority", 2): _*))
+        .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("+U", cents1, grp1, 2): _*))
+        .unionAll(o.filter($"o_orderstatus" === "P").select(ev("-D", cents1, grp1, 3): _*))
+    val rk = when($"op" === "-U", 0).when($"op" === "+I", 1).when($"op" === "+U", 2).otherwise(3)
+    changelog.withColumn("rk", rk)
+  }
 
   /** The q78/q80 shared synthesis: BOTH sides as multi-event
     * +I/-U/+U/-D histories (orders upsert by orderkey with an fk MOVE
@@ -324,6 +353,21 @@ object CdcQ extends QueryPack {
         |         CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) ELSE c_name END AS name
         |  FROM customer WHERE c_custkey % 7 <> 0)
         |SELECT lpk, lf.fk, cents, name FROM lf JOIN rf USING (fk)""".stripMargin,
+    "q84_cdc_topn" ->
+      """WITH st AS (
+        |  SELECT o_orderkey AS id, o_orderpriority AS grp,
+        |         CAST(round((o_totalprice - 10) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U-' || o_orderpriority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |)
+        |SELECT grp, id, cents, rn FROM (
+        |  SELECT grp, id, cents,
+        |         CAST(row_number() OVER (PARTITION BY grp ORDER BY cents DESC, id ASC) AS BIGINT) AS rn
+        |  FROM st
+        |) WHERE rn <= 3""".stripMargin,
     "q80_cdc_join_full" ->
       """WITH lf AS (
         |  SELECT o_orderkey AS lpk,

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CdcTopNStream
+import graft.streaming.CdcTopNStream.{RankChange, RankDelta}
+
+/** Changelog Top-N (retractable ranking): the leader's retraction
+  * must surface the next-best LIVE entity (the rebuild path),
+  * insert-only batches stay incremental, group moves cross shards,
+  * and a dealt replay of the q84 changelog materializes to the batch
+  * q84 top-3 exactly. */
+class CdcTopNSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String, n: Int, batches: Seq[Seq[RankChange]]): Seq[(Long, RankDelta)] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[RankChange]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, RankDelta)]
+    val q = CdcTopNStream.topN(in.toDS(), n)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[RankDelta], id: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+      }
+      .queryName(name).start()
+    try {
+      batches.foreach { b => if (b.nonEmpty) in.addData(b: _*); q.processAllAvailable() }
+      buf.synchronized(buf.toVector)
+    } finally q.stop()
+  }
+
+  private def materialize(deltas: Seq[(Long, RankDelta)]): Map[String, Set[Long]] =
+    deltas.zipWithIndex
+      .groupBy { case ((_, d), _) => (d.grp, d.id) }
+      .toSeq
+      .collect { case ((g, id), ds) if ds.maxBy { case ((b, _), i) => (b, i) }._1._2.op == "+I" => (g, id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+
+  test("cdc_topn: leader retraction surfaces the next-best live entity; demotion rebuilds; group move crosses shards") {
+    val out = run("ctn_hand", 2, Seq(
+      // batch 0: four entities, top-2 = {1 (90), 2 (80)}
+      Seq(RankChange("+I", "a", 1L, 90.0, 1),
+        RankChange("+I", "a", 2L, 80.0, 1),
+        RankChange("+I", "a", 3L, 70.0, 1),
+        RankChange("+I", "a", 4L, 60.0, 1)),
+      // batch 1: the LEADER deletes -> next-best (3 at 70) must
+      // surface from outside the stored top (the rebuild path)
+      Seq(RankChange("-D", "a", 1L, 90.0, 2)),
+      // batch 2: member 2 DEMOTES below everyone -> 4 (60) surfaces
+      Seq(RankChange("-U", "a", 2L, 80.0, 3),
+        RankChange("+U", "a", 2L, 10.0, 3)),
+      // batch 3: insert-only batch beats the current 2nd -> known
+      // eviction, incremental path
+      Seq(RankChange("+I", "a", 5L, 65.0, 4)),
+      // batch 4: entity 3 moves group a -> b (before-image routing)
+      Seq(RankChange("-U", "a", 3L, 70.0, 5),
+        RankChange("+U", "b", 3L, 70.0, 5))))
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBatch(0L) === Set(
+      RankDelta("+I", "a", 1L, 90.0), RankDelta("+I", "a", 2L, 80.0)))
+    assert(byBatch(1L) === Set(
+      RankDelta("-D", "a", 1L, 90.0), RankDelta("+I", "a", 3L, 70.0)))
+    assert(byBatch(2L) === Set(
+      RankDelta("-D", "a", 2L, 80.0), RankDelta("+I", "a", 4L, 60.0)))
+    assert(byBatch(3L) === Set(
+      RankDelta("+I", "a", 5L, 65.0), RankDelta("-D", "a", 4L, 60.0)))
+    // batch 4: on shard a, member 3 dies -> 4 (60) returns; on shard
+    // b, 3 is born into an empty top
+    assert(byBatch(4L) === Set(
+      RankDelta("-D", "a", 3L, 70.0), RankDelta("+I", "a", 4L, 60.0),
+      RankDelta("+I", "b", 3L, 70.0)))
+    assert(materialize(out) === Map("a" -> Set(5L, 4L), "b" -> Set(3L)))
+  }
+
+  test("cdc_topn: dealt replay of the q84 changelog materializes to batch q84's top-3") {
+    import spark.implicits._
+    // the exact q84 synthesis, re-read as typed changelog rows
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    def ev(kind: String, cents: org.apache.spark.sql.Column,
+        grp: org.apache.spark.sql.Column, ver: Int) =
+      Seq(lit(kind).as("op"), grp.as("grp"), $"o_orderkey".as("id"),
+        cents.cast("double").as("score"), lit(ver.toLong).as("ver"))
+    val cents0 = round(($"o_totalprice" - 10) * 100).cast("long")
+    val cents1 = round($"o_totalprice" * 100).cast("long")
+    val grp1 = concat(lit("U-"), $"o_orderpriority")
+    val changelog =
+      o.select(ev("+I", cents0, $"o_orderpriority", 1): _*)
+        .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("-U", cents0, $"o_orderpriority", 2): _*))
+        .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("+U", cents1, grp1, 2): _*))
+        .unionAll(o.filter($"o_orderstatus" === "P").select(ev("-D", cents1, grp1, 3): _*))
+        .as[RankChange].collect().toSeq
+    assert(changelog.size > 500, s"degenerate: ${changelog.size} changes")
+    val rnd = new scala.util.Random(73)
+    val shuffled = rnd.shuffle(changelog.toList)
+    val batches = (0 until 4).map(i => shuffled.zipWithIndex.collect {
+      case (c, j) if j % 4 == i => c
+    })
+    val deltas = run("ctn_parity", 3, batches)
+    val expected = SparkEntry.queries("q84_cdc_topn")(spark, sfDir)
+      .select($"grp", $"id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    CachePool.drain()
+    assert(materialize(deltas) === expected)
+    assert(expected.values.map(_.size).sum >= 15, s"degenerate: $expected")
+  }
+}
