@@ -1709,6 +1709,74 @@ object ScaleStress {
       } finally q.stop()
     }
 
+    // Changelog Top-N HOT GROUP: ONE group holding 500k live entities.
+    // Claims measured (the CdcTopNStream cost contract):
+    //  - insert-only single-entity batches ride the INCREMENTAL path:
+    //    flat per-batch time, no relation to the 500k live set;
+    //  - retracting a current MEMBER pays the rebuild — a STREAMED
+    //    O(live) slot scan with an O(N) heap buffer — measured as one
+    //    batch, with the next-best entity surfacing (deltas == 2);
+    //  - non-member retraction stays incremental (no rebuild, 0 deltas).
+    time("cdc_topn_hotgroup_500k") {
+      import graft.streaming.CdcTopNStream
+      import graft.streaming.CdcTopNStream.{RankChange, RankDelta}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val ctx = spark.sqlContext
+      val nLive = 500000L
+      val in = MemoryStream[RankChange]
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val q = CdcTopNStream.topN(in.toDS(), n = 10)
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[RankDelta], _: Long) =>
+          emitted.addAndGet(df.count())
+          ()
+        }
+        .queryName("stress_cdc_topn").start()
+      try {
+        var ver = 0L
+        // seed: scores 1..500k — top-10 = ids 499991..500000
+        val seed = (1L to nLive).map(i =>
+          RankChange("+I", "hot", i, i.toDouble, { ver += 1; ver }))
+        val t0 = System.nanoTime()
+        in.addData(seed.toIndexedSeq)
+        q.processAllAvailable()
+        println(f"STRESS   topn seed rows=${seed.size} sec=${(System.nanoTime() - t0) / 1e9}%.1f top_emitted=${emitted.get()}")
+        // 20 single-entity LOW inserts: incremental, zero emissions
+        val incTimes = (1 to 20).map { b =>
+          val s0 = System.nanoTime()
+          val e0 = emitted.get()
+          in.addData(Seq(RankChange("+I", "hot", 1000000L + b, 0.5, { ver += 1; ver })))
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - s0) / 1e9
+          require(emitted.get() == e0, "low insert must not touch the top")
+          sec
+        }
+        println(f"STRESS   topn low-insert median=${incTimes.sorted.apply(10)}%.3f first=${incTimes.head}%.3f last=${incTimes.last}%.3f")
+        // a HIGH insert evicts a known member: still incremental, 2 deltas
+        val e1 = emitted.get()
+        val s1 = System.nanoTime()
+        in.addData(Seq(RankChange("+I", "hot", 2000000L, 1e9, { ver += 1; ver })))
+        q.processAllAvailable()
+        require(emitted.get() - e1 == 2, s"high insert emitted ${emitted.get() - e1}, expected 2")
+        println(f"STRESS   topn high-insert sec=${(System.nanoTime() - s1) / 1e9}%.3f deltas=2")
+        // non-member retraction: incremental, 0 deltas
+        val e2 = emitted.get()
+        val s2 = System.nanoTime()
+        in.addData(Seq(RankChange("-D", "hot", 5L, 5.0, { ver += 1; ver })))
+        q.processAllAvailable()
+        require(emitted.get() == e2, "non-member retraction must not emit")
+        println(f"STRESS   topn nonmember-retract sec=${(System.nanoTime() - s2) / 1e9}%.3f deltas=0")
+        // MEMBER retraction: the rebuild — next-best surfaces, 2 deltas
+        val e3 = emitted.get()
+        val s3 = System.nanoTime()
+        in.addData(Seq(RankChange("-D", "hot", 2000000L, 1e9, { ver += 1; ver })))
+        q.processAllAvailable()
+        require(emitted.get() - e3 == 2, s"member retraction emitted ${emitted.get() - e3}, expected 2")
+        println(f"STRESS   topn member-retract-rebuild sec=${(System.nanoTime() - s3) / 1e9}%.2f deltas=2")
+        emitted.get()
+      } finally q.stop()
+    }
+
     spark.stop()
   }
 }
