@@ -34,12 +34,14 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * history). Event-time timers flush the pending tail when the
   * watermark advances without new input for the key.
   *
-  * Operational note (same as [[AbsenceStream]]): run with a NONZERO
-  * watermark delay — emissions carry their event's original
-  * timestamp, strictly below the watermark at decision time; a
-  * 0-second delay lets an event coincide exactly with a max-event
-  * watermark boundary and trip Spark's output-older-than-watermark
-  * validation on the equality edge.
+  * Output declares NO event-time column (TimeMode.EventTime timers
+  * only — the [[TemporalJoinStream]] rule): Spark validates declared
+  * output event-times against the LAGGING late-events watermark, so
+  * a decided event landing exactly on the previous batch's watermark
+  * boundary could never legally re-emit its own timestamp (the
+  * `over_agg_depth_1M` stress corpus reproduced the rejection).
+  * Emitted rows keep their original `ts`; downstream windowing
+  * re-watermarks explicitly.
   */
 object OverAggStream {
 
@@ -138,8 +140,19 @@ object OverAggStream {
         round(col(valueCol) * lit(100)).cast("long").as("cents"), col(tsCol).as("ts"))
       .as[OverEvent]
       .groupByKey(_.key)
+      // event-time TIMERS without a DECLARED output event-time column
+      // (TimeMode.EventTime, not the eventTimeColumnName overload):
+      // Spark's output validation demands emissions STRICTLY newer
+      // than the LAGGING late-events watermark, and a decided event
+      // whose µs lands exactly on the previous batch's watermark
+      // boundary re-emits its own timestamp AT that boundary — the
+      // aligned-timestamp corpus in ScaleStress `over_agg_depth_1M`
+      // reproduced the rejection reliably (the same platform edge
+      // STRESS row 37 closed for TemporalJoinStream). Emitted rows
+      // keep their original `ts`; downstream windowing re-watermarks
+      // explicitly.
       .transformWithState(
-        new OverProcessor(window.toNanos / 1000L), "ts",
-        OutputMode.Append, Encoders.product[OverAgg])
+        new OverProcessor(window.toNanos / 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -1709,6 +1709,65 @@ object ScaleStress {
       } finally q.stop()
     }
 
+    // Per-event trailing-window aggregation at depth: 1M events over
+    // 10k keys dealt as 20 advancing micro-batches (50k each, shuffled
+    // within batch, 1-minute watermark lag, 5-minute frame). Claims
+    // measured: per-batch wall time FLAT in stream depth (state per
+    // key is rate × (T + delay) — the pruning rule — so batch 20
+    // costs what batch 2 cost, not 10× more), and EVERY event emits
+    // exactly once (counted across the run + flush).
+    time("over_agg_depth_1M") {
+      import graft.streaming.OverAggStream
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val ctx = spark.sqlContext
+      val keys = 10000
+      val perBatch = 50000
+      val in = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val q = OverAggStream.overAgg(
+          in.toDF().toDF("user_id", "event_id", "ts", "value"),
+          window = java.time.Duration.ofMinutes(5), watermark = "1 minute")
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[OverAggStream.OverAgg], _: Long) =>
+          emitted.addAndGet(df.count())
+          ()
+        }
+        .queryName("stress_over_agg").start()
+      try {
+        val rnd = new scala.util.Random(29)
+        var id = 0L
+        val times = (0 until 20).map { b =>
+          // batch b covers its own 10-minute band, shuffled; based a
+          // day past the epoch — a whole-second event at EXACTLY
+          // epoch 0 equals Spark's INITIAL watermark value and the
+          // platform's late-row filter silently drops it on arrival
+          // (measured: 72 of 1M vanished before the operator ever saw
+          // them; real event times are never 1970-01-01T00:00:00.000)
+          val rows = (0 until perBatch).map { i =>
+            id += 1
+            val us = (86400L + b * 600L + rnd.nextInt(600)) * 1000000L
+            (rnd.nextLong(keys).abs, id, new java.sql.Timestamp(us / 1000L), (id % 1000) / 10.0)
+          }
+          val s0 = System.nanoTime()
+          in.addData(rnd.shuffle(rows).toIndexedSeq)
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - s0) / 1e9
+          println(f"STRESS   overagg batch=$b sec=$sec%.2f emitted_total=${emitted.get()}")
+          sec
+        }
+        // flush the tail past the watermark
+        in.addData(Seq((999999L, 0L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0.0)))
+        q.processAllAvailable()
+        in.addData(Seq((999999L, 1L, java.sql.Timestamp.valueOf("2030-01-02 00:00:00"), 0.0)))
+        q.processAllAvailable()
+        val total = emitted.get()
+        println(f"STRESS   overagg median=${times.sorted.apply(10)}%.2f first=${times.head}%.2f last=${times.last}%.2f total_emitted=$total")
+        require(total >= 20L * perBatch && total <= 20L * perBatch + 2,
+          s"expected each of the ${20 * perBatch} events to emit exactly once (+<=2 sentinels), got $total")
+        total
+      } finally q.stop()
+    }
+
     // Changelog Top-N HOT GROUP: ONE group holding 500k live entities.
     // Claims measured (the CdcTopNStream cost contract):
     //  - insert-only single-entity batches ride the INCREMENTAL path:
