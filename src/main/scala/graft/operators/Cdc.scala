@@ -16,6 +16,33 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** THE shared changelog ordering rule, defined once: row kinds rank
+    * -U < +I < +U < -D, and at an EQUAL version the higher rank wins
+    * — an update's after-image outranks its own retraction (Debezium
+    * expands an update into -U/+U sharing one offset), and a delete
+    * outranks everything at its version. Unknown kinds fail loudly
+    * (a silently mis-ranked kind corrupts every fold downstream).
+    * Used by CdcJoinStream, CdcTopNStream, BroadcastRules, and the
+    * q78/q79/q80/q84 batch twins. */
+  def opRank(op: String): Int = op match {
+    case "-U" => 0
+    case "+I" => 1
+    case "+U" => 2
+    case "-D" => 3
+    case other => throw new IllegalArgumentException(s"changelog: unknown row_kind '$other'")
+  }
+
+  /** Column form of [[opRank]] (same ranks, same loud reject). */
+  def opRankCol(op: Column): Column =
+    when(op === "-U", 0).when(op === "+I", 1).when(op === "+U", 2)
+      .when(op === "-D", 3)
+      .otherwise(raise_error(concat(lit("changelog: unknown row_kind "), op)))
+
+  /** Last-writer-wins under the [[opRank]] tie rule: a candidate
+    * (ver, rank) replaces the current (curVer, curRank) image. */
+  def changelogWins(curVer: Long, curRank: Int, ver: Long, rank: Int): Boolean =
+    ver > curVer || (ver == curVer && rank >= curRank)
+
   /** Flink-style RETRACTABLE aggregation over a changelog — the
     * maintained `SELECT grp, count(*), sum(v) … GROUP BY grp` a Flink
     * retract stream keeps live under +I/+U/-U/-D traffic (ref:

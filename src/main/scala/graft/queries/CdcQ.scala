@@ -260,8 +260,7 @@ object CdcQ extends QueryPack {
         .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("-U", cents0, $"o_orderpriority", 2): _*))
         .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("+U", cents1, grp1, 2): _*))
         .unionAll(o.filter($"o_orderstatus" === "P").select(ev("-D", cents1, grp1, 3): _*))
-    val rk = when($"op" === "-U", 0).when($"op" === "+I", 1).when($"op" === "+U", 2).otherwise(3)
-    changelog.withColumn("rk", rk)
+    changelog.withColumn("rk", Cdc.opRankCol($"op"))
   }
 
   /** The q78/q80 shared synthesis: BOTH sides as multi-event
@@ -296,12 +295,10 @@ object CdcQ extends QueryPack {
         .unionAll(upd.select(rev("+U", upper($"c_name"), 2): _*))
         .unionAll(del.select(rev("-D",
           when($"c_custkey" % 5 === 0, upper($"c_name")).otherwise($"c_name"), 3): _*))
-    // changelog op ranking breaks equal-ver ties (-U < +I < +U < -D)
-    val rk = (op: org.apache.spark.sql.Column) =>
-      when(op === "-U", 0).when(op === "+I", 1).when(op === "+U", 2).otherwise(3)
-    val lstate = Cdc.materialize(leftCl.withColumn("rk", rk($"op")),
+    // the shared changelog op ranking breaks equal-ver ties
+    val lstate = Cdc.materialize(leftCl.withColumn("rk", Cdc.opRankCol($"op")),
       pk = Seq($"lpk"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
-    val rstate = Cdc.materialize(rightCl.withColumn("rk", rk($"op")),
+    val rstate = Cdc.materialize(rightCl.withColumn("rk", Cdc.opRankCol($"op")),
       pk = Seq($"rpk"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
     (lstate, rstate)
   }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Cdc
+
 /** Dynamic rule matching — Flink's BROADCAST STATE pattern
   * (`mainStream.connect(ruleStream.broadcast(descriptor))
   * .process(BroadcastProcessFunction)`: a low-throughput RULES
@@ -19,12 +21,19 @@ import org.apache.spark.sql.functions._
   *  - the rules changelog (+I/+U/-U/-D by rule_id) folds into a full
   *    snapshot per rules micro-batch (`v=<batchId>`, _SUCCESS-gated,
   *    replay reads strictly-older versions — a replayed rules batch
-  *    rebuilds exactly its own version);
-  *  - the main stream's foreachBatch reads the newest COMMITTED
-  *    snapshot and BROADCASTS it into the batch's join — rules are
-  *    KB-scale by definition of the pattern, so every executor
-  *    evaluates them map-side and the events never shuffle, exactly
-  *    the property Flink's broadcast state buys.
+  *    rebuilds exactly its own version). The snapshot KEEPS
+  *    tombstones: a deleted rule's -D row rides every later version
+  *    so a stale lower-ver image arriving in a later batch cannot
+  *    resurrect it (the same fence CdcJoinStream/cdcUpsertStream
+  *    keep; tombstone space is the rule-id space — KB-scale by the
+  *    pattern's definition);
+  *  - the main stream's foreachBatch COLLECTS the newest committed
+  *    snapshot's live rows to the driver (KB-scale — that is what
+  *    makes it broadcast state) and broadcasts them into the batch's
+  *    alert join, so matching is map-side, the events never shuffle,
+  *    and no task ever holds a file handle into the snapshot dir
+  *    (the rules stream GC's old versions concurrently; the
+  *    driver-side read retries once on a version deleted underfoot).
   *
   * Consistency contract (same as Flink's): the two streams are NOT
   * synchronized — a rule update takes effect on the next main-stream
@@ -35,43 +44,45 @@ import org.apache.spark.sql.functions._
   */
 object BroadcastRules {
 
-  private val Ddl = "rule_id BIGINT, event_type STRING, min_cents BIGINT, ver BIGINT"
+  private val Ddl = "rule_id BIGINT, event_type STRING, min_cents BIGINT, ver BIGINT, op STRING"
 
-  private def opRank(op: org.apache.spark.sql.Column) =
-    when(op === "-U", 0).when(op === "+I", 1).when(op === "+U", 2)
-      .when(op === "-D", 3)
-      .otherwise(raise_error(concat(lit("broadcastRules: unknown row_kind "), op)))
-
-  /** Newest committed snapshot strictly below `below` (replay rule),
-    * or all committed when unbounded. Empty relation when none. */
-  def currentRules(spark: SparkSession, root: String,
-      below: Option[Long] = None): DataFrame =
+  /** Full newest committed snapshot (live rows AND tombstones)
+    * strictly below `below` (replay rule), or unbounded. */
+  private def snapshot(spark: SparkSession, root: String,
+      below: Option[Long]): DataFrame =
     BatchVersioned.versions(spark, root)
       .filter(v => below.forall(v._1 < _)).lastOption
       .map { case (_, d) => spark.read.parquet(d) }
       .getOrElse(BatchVersioned.emptyDf(spark, Ddl))
 
+  /** Newest committed LIVE rules (tombstones dropped). */
+  def currentRules(spark: SparkSession, root: String,
+      below: Option[Long] = None): DataFrame =
+    snapshot(spark, root, below)
+      .filter(col("op").isin("+I", "+U"))
+      .select(col("rule_id"), col("event_type"), col("min_cents"), col("ver"))
+
   /** foreachBatch sink for the RULES changelog: fold the batch's
-    * +I/+U/-U/-D rows (last-writer-wins by `ver`, changelog op
-    * ranking at equal ver — the shared CDC rule) over the previous
-    * snapshot and commit `v=<batchId>`. Empty batches re-commit the
-    * previous snapshot so the version chain never gaps. Keeps the
-    * newest 2 versions (a replayed batch N reads N's predecessor,
-    * nothing older is reachable). */
+    * +I/+U/-U/-D rows (last-writer-wins by `ver` with the shared
+    * changelog op ranking at equal ver) over the previous snapshot
+    * and commit `v=<batchId>` — keeping each rule's latest image
+    * WHATEVER its kind, so tombstones fence late lower-ver images.
+    * Empty batches re-commit the previous snapshot so the version
+    * chain never gaps. Keeps the newest 2 versions (a replayed batch
+    * N reads N's predecessor; the matcher reads driver-side with a
+    * retry, so no task outlives a version). */
   def rulesSink(spark: SparkSession, root: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
-      val prev = currentRules(spark, root, below = Some(batchId))
-        .withColumn("op", lit("+U")) // a snapshot row is a live image
+      val prev = snapshot(spark, root, below = Some(batchId))
       val w = Window.partitionBy(col("rule_id"))
-        .orderBy(col("ver").desc, opRank(col("op")).desc)
+        .orderBy(col("ver").desc, Cdc.opRankCol(col("op")).desc)
       prev.unionByName(batch.select(
-          col("op"), col("rule_id"), col("event_type"), col("min_cents"), col("ver")))
+          col("rule_id"), col("event_type"), col("min_cents"), col("ver"), col("op")))
         .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1 && col("op").isin("+I", "+U"))
-        .select(col("rule_id"), col("event_type"), col("min_cents"), col("ver"))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
         .coalesce(1) // KB-scale by the pattern's definition
         .write.mode("overwrite").parquet(s"$root/v=$batchId")
-      // retention: newest 2 committed versions suffice for any replay
       val vs = BatchVersioned.versions(spark, root)
       val f = BatchVersioned.fs(spark, root)
       vs.dropRight(2).foreach { case (_, d) =>
@@ -79,20 +90,30 @@ object BroadcastRules {
       }
     }
 
-  /** Apply the current rules to one micro-batch (or any DataFrame) of
-    * events carrying (`event_type`, `cents`): an event alerts once
-    * per rule with matching type and `cents >= min_cents`. The rules
-    * side is explicitly broadcast — events never shuffle. */
+  /** Apply a rules relation to events carrying (`event_type`,
+    * `cents`): an event alerts once per rule with matching type and
+    * `cents >= min_cents`. The rules side is explicitly broadcast —
+    * events never shuffle. */
   def matchEvents(events: DataFrame, rules: DataFrame): DataFrame =
     events.join(
       broadcast(rules.select(col("rule_id"), col("event_type").as("__rt"), col("min_cents"))),
       col("event_type") === col("__rt") && col("cents") >= col("min_cents"))
       .drop("__rt")
 
-  /** foreachBatch sink for the MAIN stream: plans each micro-batch
-    * against the newest committed rules snapshot (the broadcast-state
-    * bridge) and hands the alert rows to `out`. */
+  /** foreachBatch sink for the MAIN stream: collects the newest
+    * committed live rules to the driver (retrying once if the rules
+    * stream GC'd the version underfoot) and broadcasts them into the
+    * batch's alert join before handing the rows to `out`. */
   def matcherSink(spark: SparkSession, root: String,
       out: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
-    (events, batchId) => out(matchEvents(events, currentRules(spark, root)), batchId)
+    (events, batchId) => {
+      import spark.implicits._
+      def readLive(): Seq[(Long, String, Long)] =
+        currentRules(spark, root)
+          .select(col("rule_id"), col("event_type"), col("min_cents"))
+          .as[(Long, String, Long)].collect().toSeq
+      val live = try readLive() catch { case _: Exception => readLive() }
+      val rules = live.toDF("rule_id", "event_type", "min_cents")
+      out(matchEvents(events, rules), batchId)
+    }
 }

@@ -23,14 +23,21 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
   * format provides) — the two land on different shards and the join
   * rows (lpk, k_old) / (lpk, k_new) die and get born independently.
   * Output-row identity is therefore the PAIR (lpk, k): downstream
-  * must materialize on that identity. Each delta's `ver` is the
-  * pair's own monotone version — max(left slot ver, right slot ver)
-  * at emission time; both slot versions only ever advance under the
-  * last-writer-wins rule, so per (lpk, k) the stamp never goes
-  * backwards and a last-writer-wins consumer keyed on (lpk, k, ver)
-  * is safe. (A batch-wide stamp would NOT be: a hot batch touching
-  * pk B@ver100 would inflate an unrelated pk A's delta to 100,
-  * making A's later genuine ver-50 update look stale.)
+  * must materialize on that identity IN STREAM ORDER (batch id, then
+  * offset within the batch — the order every delta sink preserves).
+  * Each delta's `ver` is the pair's own MONOTONE stamp —
+  * max(left slot ver, right slot ver) at emission time; both slot
+  * versions only ever advance under the last-writer-wins rule, so
+  * per (lpk, k) the stamp never goes backwards. (A batch-wide stamp
+  * would: a hot batch touching pk B@ver100 would inflate an
+  * unrelated pk A's delta to 100, making A's later genuine ver-50
+  * update look stale.) Monotone is NOT strictly increasing: the two
+  * sources' version spaces are unrelated, so a dominant left ver
+  * (say 100) plateaus the max through several right updates (5, 6,
+  * …) — successive DISTINCT images can share one stamp. `ver` is a
+  * progress hint for ≥-keyed conflict resolution across restarts,
+  * not a per-image unique key; image identity at equal stamp is
+  * stream order.
   *
   * The output is a TRUE retract stream: new join rows emit `+I`,
   * changed rows emit `-U`(old images) then `+U`(new), dead rows emit
@@ -90,13 +97,8 @@ object CdcJoinStream {
     * codegen. */
   case class PadMeta(liveCnt: Long, hiVer: Long)
 
-  private def opRank(op: String): Int = op match {
-    case "-U" => 0
-    case "+I" => 1
-    case "+U" => 2
-    case "-D" => 3
-    case other => throw new IllegalArgumentException(s"cdcJoinStream: unknown row_kind '$other'")
-  }
+  // the shared changelog ordering rule — ONE definition
+  private def opRank(op: String): Int = graft.operators.Cdc.opRank(op)
 
   private class JoinProcessor(leftOuter: Boolean, rightOuter: Boolean)
       extends StatefulProcessor[Long, JoinChange, JoinDelta] {
@@ -112,10 +114,9 @@ object CdcJoinStream {
         padMeta = getHandle.getValueState[PadMeta]("padMeta", Encoders.product[PadMeta], TTLConfig.NONE)
     }
 
-    /** last-writer-wins with changelog ordering at equal ver
-      * (-U before +I/+U before -D) — cdcUpsertStream's rule. */
+    /** last-writer-wins under the shared changelog tie rule. */
     private def wins(cur: Slot, ver: Long, rank: Int): Boolean =
-      cur == null || ver > cur.ver || (ver == cur.ver && rank >= cur.rank)
+      cur == null || graft.operators.Cdc.changelogWins(cur.ver, cur.rank, ver, rank)
 
     /** The right side's current contribution to join pairs: None =
       * live left rows form no pair at all; Some(p) = they pair with

@@ -46,13 +46,8 @@ object CdcTopNStream {
   /** Stored top-N entry (public for encoder codegen). */
   case class RankEntry(id: Long, score: Double)
 
-  private def opRank(op: String): Int = op match {
-    case "-U" => 0
-    case "+I" => 1
-    case "+U" => 2
-    case "-D" => 3
-    case other => throw new IllegalArgumentException(s"cdcTopNStream: unknown row_kind '$other'")
-  }
+  // the shared changelog ordering rule — ONE definition
+  private def opRank(op: String): Int = graft.operators.Cdc.opRank(op)
 
   private class Proc(n: Int) extends StatefulProcessor[String, RankChange, RankDelta] {
     @transient private var slots: MapState[Long, RankSlot] = _
@@ -66,7 +61,7 @@ object CdcTopNStream {
     }
 
     private def wins(cur: RankSlot, ver: Long, rank: Int): Boolean =
-      cur == null || ver > cur.ver || (ver == cur.ver && rank >= cur.rank)
+      cur == null || graft.operators.Cdc.changelogWins(cur.ver, cur.rank, ver, rank)
 
     /** best-first ordering */
     private def beats(aScore: Double, aId: Long, bScore: Double, bId: Long): Boolean =

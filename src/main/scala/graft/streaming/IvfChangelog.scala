@@ -131,13 +131,17 @@ object IvfChangelog {
     * foreachBatch serializes, so the rewrite completes before any
     * row of the triggering batch is ingested; nothing is ever
     * written under a model that mismatches the at-rest layout.
-    * Crash replay is covered too: the model file lands (atomic
-    * rename) before the triggering batch commits, so a restarted
-    * sink reloads the NEW model from `modelDir`, and re-running the
-    * compact point measures the already-rewritten (low-skew)
-    * history — the rotation does not re-fire, the redundant compact
-    * is idempotent. Probes pick the new model up on their next
-    * [[topK]] call ([[IvfIndex.load]] is a plain per-call read). */
+    * Crash replay is covered by the ORDER of the two commits: the
+    * model persists (atomic rename) BEFORE the rewrite, so a crash
+    * between them leaves the OLD (still-skewed) layout on disk — the
+    * restarted sink re-measures high skew at the replayed compact
+    * point and re-fires, retraining deterministically (same live
+    * set → same centroids) and rewriting; a crash after both is a
+    * plain idempotent replay. (The reverse order would be a
+    * corruption window: rewritten layout + old persisted model reads
+    * as LOW skew on replay and never heals.) Probes pick the new
+    * model up on their next [[topK]] call ([[IvfIndex.load]] is a
+    * plain per-call read). */
   def sink(spark: SparkSession, root: String, modelDir: String,
       compactEvery: Int = 16, seqCol: Option[String] = None,
       rotateSkewAbove: Double = 0.0, rotateTrainIters: Int = 3): (DataFrame, Long) => Unit = {
@@ -151,8 +155,18 @@ object IvfChangelog {
           val fresh = IvfIndex.train(liveVecs, model.cells, iters = rotateTrainIters,
             memoKey = s"ivf-rotate|$root|$batchId",
             sampleMod = IvfIndex.sampleMod(live, model.cells))
-          compactRewrite(spark, root, batchId, fresh)
+          // persist the model BEFORE the rewrite commits: a crash
+          // between the two must leave the rotation RE-FIREABLE, and
+          // only this order does — the layout is still old, so the
+          // replayed compact point re-measures HIGH skew and retrains
+          // (deterministically, same live set → same centroids) before
+          // rewriting again. The reverse order leaves a rewritten
+          // (low-skew) layout under the OLD persisted model: the
+          // replay measures low skew, never re-fires, and every later
+          // ingest/probe silently routes by centroids that do not
+          // match the at-rest cells.
           IvfIndex.save(fresh, modelDir, spark)
+          compactRewrite(spark, root, batchId, fresh)
           model = fresh
         } else compact(spark, root, batchId)
       }

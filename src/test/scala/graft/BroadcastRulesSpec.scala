@@ -81,6 +81,19 @@ class BroadcastRulesSpec extends AnyFunSuite {
         assert(live === Set((1L, 2000L)))
         // bounded retention: at most 2 committed versions on disk
         assert(new java.io.File(root).listFiles().count(_.getName.startsWith("v=")) <= 2)
+        // TOMBSTONE FENCE: a stale lower-ver image of the DELETED rule
+        // 2 arrives in a later batch (cross-partition reordering in
+        // the rules feed) — the retained -D@3 must outrank +U@2 and
+        // keep the rule dead
+        rulesIn.addData(Seq(RuleChange("+U", 2L, "error", 1L, 2L)))
+        rq.processAllAvailable()
+        val live2 = BroadcastRules.currentRules(spark, root)
+          .select(col("rule_id")).collect().map(_.getLong(0)).toSet
+        assert(live2 === Set(1L), s"stale image resurrected the deleted rule: $live2")
+        mainIn.addData(Seq(Ev(330L, "error", 50L)))
+        mq.processAllAvailable()
+        val all2 = alerts.synchronized(alerts.toVector)
+        assert(!all2.exists(_._2 == 330L), "deleted rule fired an alert after the stale image")
       } finally { rq.stop(); mq.stop() }
     } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
   }
