@@ -93,6 +93,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q84: changelog top-N is materialize (pk exchange) + rank (grp exchange) — two shuffles, no join") {
+    val p = plan("q84_cdc_topn")
+    assert(!p.contains("Join"), s"no join belongs in the fold:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 2, s"expected exactly two exchanges:\n$p")
+  }
+
   test("q46: PII redaction is a single shuffle-free scan") {
     val p = plan("q46_pii_redact")
     assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")
