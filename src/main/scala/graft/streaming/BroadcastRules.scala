@@ -100,10 +100,25 @@ object BroadcastRules {
       col("event_type") === col("__rt") && col("cents") >= col("min_cents"))
       .drop("__rt")
 
+  /** A GC race, specifically: the rules stream deleted the version
+    * dir between our listing and our read. ONLY these retry —
+    * anything else (schema corruption, permission/auth failures)
+    * must surface, not be laundered into a transient. */
+  private def isVersionGcRace(e: Throwable): Boolean = e match {
+    case _: java.io.FileNotFoundException => true
+    case a: org.apache.spark.sql.AnalysisException =>
+      Option(a.getCondition).contains("PATH_NOT_FOUND") ||
+        a.getMessage.contains("Path does not exist")
+    case _ => e.getCause != null && isVersionGcRace(e.getCause)
+  }
+
   /** foreachBatch sink for the MAIN stream: collects the newest
-    * committed live rules to the driver (retrying once if the rules
-    * stream GC'd the version underfoot) and broadcasts them into the
-    * batch's alert join before handing the rows to `out`. */
+    * committed live rules to the driver (retrying, bounded, when the
+    * rules stream GC'd the listed version underfoot — each retry
+    * re-lists and lands on a newer committed version, so two rules
+    * commits during the window just mean two quick retries) and
+    * broadcasts them into the batch's alert join before handing the
+    * rows to `out`. */
   def matcherSink(spark: SparkSession, root: String,
       out: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (events, batchId) => {
@@ -112,8 +127,11 @@ object BroadcastRules {
         currentRules(spark, root)
           .select(col("rule_id"), col("event_type"), col("min_cents"))
           .as[(Long, String, Long)].collect().toSeq
-      val live = try readLive() catch { case _: Exception => readLive() }
-      val rules = live.toDF("rule_id", "event_type", "min_cents")
+      def attempt(left: Int): Seq[(Long, String, Long)] =
+        try readLive() catch {
+          case e: Exception if left > 0 && isVersionGcRace(e) => attempt(left - 1)
+        }
+      val rules = attempt(5).toDF("rule_id", "event_type", "min_cents")
       out(matchEvents(events, rules), batchId)
     }
 }

@@ -155,7 +155,14 @@ object CdcJoinStream {
       // order preserved so emission order follows first-touch order
       val touched = scala.collection.mutable.LinkedHashMap.empty[Long, (Slot, Slot)]
       var batchMaxVer = Long.MinValue
-      // fold in (ver, rank) order so intra-batch sequences net correctly
+      // fold in (ver, rank) order so intra-batch sequences net
+      // correctly. toSeq materializes ONE KEY'S SHARE OF ONE
+      // MICRO-BATCH'S INPUT on the heap (state is never materialized
+      // — see the skew contract above); that per-key heap is bounded
+      // by the source's per-trigger admission control — size
+      // maxOffsetsPerTrigger / maxFilesPerTrigger so a backlog replay
+      // (a cold start reading the whole topic as one batch) cannot
+      // land an unbounded seed on a hot key
       rows.toSeq.sortBy(c => (c.ver, opRank(c.op))).foreach { c =>
         val rank = opRank(c.op)
         batchMaxVer = math.max(batchMaxVer, c.ver)

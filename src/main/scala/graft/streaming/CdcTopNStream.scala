@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Continuous Top-N over a CHANGELOG — Flink SQL's retractable Top-N
   * (RetractableTopNFunction): the ranking input is itself a
@@ -16,48 +16,78 @@ import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, Stateful
   *
   * Entity state: one slot per id (tombstone-fenced last-writer-wins
   * by `ver` with changelog op ranking — the shared CDC rule), held
-  * in MapState so a batch touches only its own ids. The current
-  * top-N rides a separate N-entry list. Per-batch cost is
-  * INCREMENTAL whenever the batch only inserts/raises entities: a
-  * candidate either beats the stored N-th (evicting a KNOWN member)
-  * or it doesn't — O(touched), no scan. Only a batch that kills or
-  * demotes a CURRENT MEMBER pays a rebuild, and the rebuild streams
-  * `slots.iterator()` through an N-entry accumulator — O(live) compute
-  * with O(N) heap, never a materialized copy (the CdcJoinStream
-  * skew rule). Flink pays the equivalent log-structured cost in its
-  * TreeMap-backed state; a RocksDB MapState has no sorted index to
-  * exploit, so the demote-rebuild is the honest translation.
+  * in MapState so a batch touches only its own ids. The ranking
+  * rides a RUNNER-UP BUFFER of up to `bufFactor`·N entries (the
+  * top-N plus up to (bufFactor−1)·N runners-up), maintained under
+  * the invariant "the buffer is EXACTLY the best `buf.size` live
+  * entities": every live entity outside the buffer provably ranks
+  * below the buffer's last. That makes every batch O(touched):
+  *  - an insert/raise either beats the buffer's last (insert in
+  *    place, trim — the dropped tail entry is provably outside the
+  *    top-M) or provably sits below the whole buffer (skip);
+  *  - a kill/demote REMOVES its buffer entry, and the remainder is
+  *    still exactly the best `size−1` (outsiders ranked below the
+  *    old last, which only rises);
+  *  - a member kill/demote therefore promotes a runner-up WITHOUT a
+  *    scan — the buffer already knows the next-best.
+  * Only when the buffer UNDERFLOWS the membership (size < N after
+  * ≥ (bufFactor−1)·N + 1 net buffer removals since the last refill)
+  * does the operator pay the O(live) rebuild, streaming
+  * `slots.iterator()` through an M-entry insertion accumulator —
+  * O(live) compute with O(M) heap, never a materialized copy (the
+  * CdcJoinStream skew rule). Groups whose live population has never
+  * exceeded the buffer (`exact` state flag) skip even that: their
+  * buffer IS the live set, and kills stay O(touched) forever. Flink
+  * pays the equivalent log-structured cost in its TreeMap-backed
+  * state; a RocksDB MapState has no sorted index to exploit, so the
+  * amortized-buffer design is the honest translation.
   *
   * Output: membership changelog of the top-N (+I entered / -D left)
   * — the same "no ranking field" contract as [[TopNRetractStream]];
   * a downstream materializer on (grp, id) holds the current top N.
-  * Ordering (score desc, id asc), ties and re-deliveries
-  * deterministic.
+  * A -D carries the ENTRY-TIME score image — the exact score its +I
+  * published — so image-matching retract consumers always find the
+  * matching insert, even when the member's score was raised (without
+  * emission — raises inside the membership are silent) between entry
+  * and eviction. Ordering (score desc, id asc), ties and
+  * re-deliveries deterministic.
+  *
+  * Per-key micro-batch input (`rows.toSeq`) is materialized on the
+  * heap to fold in (ver, rank) order — bounded by the source's
+  * per-trigger admission control (`maxOffsetsPerTrigger` /
+  * `maxFilesPerTrigger`), the same contract as [[CdcJoinStream]].
   */
 object CdcTopNStream {
 
   /** Changelog row about entity `id` in group `grp`; `-U`/`-D` carry
     * the before-image score (standard CDC before-image routing). */
   case class RankChange(op: String, grp: String, id: Long, score: Double, ver: Long)
-  /** Membership delta of the maintained top-N view. */
+  /** Membership delta of the maintained top-N view; a -D's `score`
+    * is the entry-time image its +I carried. */
   case class RankDelta(op: String, grp: String, id: Long, score: Double)
   /** Per-entity slot (public for encoder codegen). */
   case class RankSlot(ver: Long, rank: Int, score: Double, live: Boolean)
-  /** Stored top-N entry (public for encoder codegen). */
-  case class RankEntry(id: Long, score: Double)
+  /** Buffer entry: `score` is the CURRENT ranking score, `entry` the
+    * score image published by the entity's +I (meaningful for the
+    * first N entries only). Public for encoder codegen. */
+  case class RankEntry(id: Long, score: Double, entry: Double)
 
   // the shared changelog ordering rule — ONE definition
   private def opRank(op: String): Int = graft.operators.Cdc.opRank(op)
 
-  private class Proc(n: Int) extends StatefulProcessor[String, RankChange, RankDelta] {
+  private class Proc(n: Int, bufFactor: Int) extends StatefulProcessor[String, RankChange, RankDelta] {
+    private val maxBuf = n * bufFactor
     @transient private var slots: MapState[Long, RankSlot] = _
     @transient private var top: ListState[RankEntry] = _
+    @transient private var exactState: ValueState[Boolean] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       slots = getHandle.getMapState[Long, RankSlot]("slots",
         Encoders.scalaLong, Encoders.product[RankSlot], TTLConfig.NONE)
       top = getHandle.getListState[RankEntry]("top",
         Encoders.product[RankEntry], TTLConfig.NONE)
+      exactState = getHandle.getValueState[Boolean]("exact",
+        Encoders.scalaBoolean, TTLConfig.NONE)
     }
 
     private def wins(cur: RankSlot, ver: Long, rank: Int): Boolean =
@@ -69,8 +99,15 @@ object CdcTopNStream {
 
     override def handleInputRows(grp: String, rows: Iterator[RankChange],
         timers: TimerValues): Iterator[RankDelta] = {
-      val cur = top.get().toSeq // best-first invariant
-      val curIds = cur.map(_.id).toSet
+      val buf = scala.collection.mutable.ArrayBuffer.empty[RankEntry]
+      buf ++= top.get() // best-first invariant
+      // exact = "the buffer holds EVERY live entity" (never trimmed
+      // since the last refill); absent state (new group) is exact-empty
+      var isExact = if (exactState.exists()) exactState.get() else true
+      val prevMembers = buf.take(n).toVector
+      val prevIds = prevMembers.map(_.id).toSet
+      val prevEntry = prevMembers.map(e => e.id -> e.entry).toMap
+
       // fold the batch per id (point lookups only)
       val touched = scala.collection.mutable.LinkedHashMap.empty[Long, RankSlot]
       rows.toSeq.sortBy(c => (c.ver, opRank(c.op))).foreach { c =>
@@ -80,44 +117,52 @@ object CdcTopNStream {
           touched(c.id) = RankSlot(c.ver, rank, c.score, live = rank == 1 || rank == 2)
       }
       touched.foreach { case (id, s) => slots.updateValue(id, s) }
-      // a batch that kills or DEMOTES a current member needs the
-      // next-best live entity — only the full slot scan knows it
-      val curScore = cur.map(e => e.id -> e.score).toMap
-      val rebuild = touched.exists { case (id, s) =>
-        curIds.contains(id) && (!s.live || s.score < curScore(id))
+
+      def insertSorted(id: Long, score: Double): Unit = {
+        val at = buf.indexWhere(b => beats(score, id, b.score, b.id))
+        if (at < 0) buf.append(RankEntry(id, score, score))
+        else buf.insert(at, RankEntry(id, score, score))
+        if (buf.size > maxBuf) { buf.remove(maxBuf, buf.size - maxBuf); isExact = false }
       }
-      val next: Seq[RankEntry] =
-        if (rebuild) {
-          // streamed O(live) scan, O(N) heap: bounded insertion buffer
-          val buf = scala.collection.mutable.ArrayBuffer.empty[RankEntry]
-          slots.iterator().foreach { case (id, s) =>
-            if (s.live) {
-              val e = RankEntry(id, s.score)
-              if (buf.size < n || beats(e.score, e.id, buf.last.score, buf.last.id)) {
-                val at = buf.indexWhere(b => beats(e.score, e.id, b.score, b.id))
-                if (at < 0) buf.append(e) else buf.insert(at, e)
-                if (buf.size > n) buf.remove(n)
-              }
-            }
-          }
-          buf.toSeq
-        } else {
-          // incremental: merge live touched candidates into the stored
-          // top — untouched non-members were below the old bar and the
-          // bar only rises on an insert-only batch
-          val merged = scala.collection.mutable.Map.empty[Long, Double]
-          cur.foreach(e => merged(e.id) = e.score)
-          touched.foreach { case (id, s) =>
-            if (s.live && (!merged.contains(id) || s.score > merged(id))) merged(id) = s.score
-          }
-          merged.toSeq.map { case (id, sc) => RankEntry(id, sc) }
-            .sortWith((a, b) => beats(a.score, a.id, b.score, b.id)).take(n)
+
+      // apply each touched id to the buffer under the invariant
+      // "buf = exactly the best buf.size live entities"
+      touched.foreach { case (id, s) =>
+        val at = buf.indexWhere(_.id == id)
+        if (at >= 0) buf.remove(at)
+        if (s.live) {
+          if (isExact) insertSorted(id, s.score) // buffer = live set: always exact
+          else if (buf.nonEmpty && beats(s.score, id, buf.last.score, buf.last.id))
+            insertSorted(id, s.score) // beats the bar: outsiders all rank below it
+          // else: provably below every buffer entry — stays an outsider
         }
+      }
+
+      // underflow: membership needs N, the buffer can no longer prove
+      // who the next-best is — the one place that pays the O(live)
+      // scan, streamed through an M-entry accumulator (O(M) heap)
+      if (!isExact && buf.size < n) {
+        buf.clear()
+        slots.iterator().foreach { case (id, s) =>
+          if (s.live && (buf.size < maxBuf || beats(s.score, id, buf.last.score, buf.last.id)))
+            insertSorted(id, s.score)
+        }
+        isExact = buf.size < maxBuf
+      }
+
+      // membership diff; surviving members keep their entry-time
+      // image, fresh members publish (and record) their current score
+      val next = buf.toVector.zipWithIndex.map { case (e, i) =>
+        if (i < n && prevIds.contains(e.id)) e.copy(entry = prevEntry(e.id))
+        else if (i < n) e.copy(entry = e.score)
+        else e
+      }
       top.clear()
       if (next.nonEmpty) top.appendList(next.toArray)
-      val nextIds = next.map(_.id).toSet
-      (next.filter(e => !curIds.contains(e.id)).map(e => RankDelta("+I", grp, e.id, e.score)) ++
-        cur.filter(e => !nextIds.contains(e.id)).map(e => RankDelta("-D", grp, e.id, e.score))).iterator
+      exactState.update(isExact)
+      val nextIds = next.take(n).map(_.id).toSet
+      (next.take(n).filter(e => !prevIds.contains(e.id)).map(e => RankDelta("+I", grp, e.id, e.score)) ++
+        prevMembers.filter(e => !nextIds.contains(e.id)).map(e => RankDelta("-D", grp, e.id, e.entry))).iterator
     }
 
     override def handleExpiredTimer(key: String, timers: TimerValues,
@@ -126,10 +171,14 @@ object CdcTopNStream {
   }
 
   /** Maintain each group's top `n` LIVE entities by score over a
-    * changelog stream (see object doc for the contract). */
-  def topN(changes: Dataset[RankChange], n: Int): Dataset[RankDelta] = {
+    * changelog stream (see object doc for the contract). `bufFactor`
+    * sizes the runner-up buffer (`bufFactor`·n entries): larger
+    * amortizes more member-retraction rebuilds at `(bufFactor−1)·n`
+    * extra state rows per group. */
+  def topN(changes: Dataset[RankChange], n: Int, bufFactor: Int = 4): Dataset[RankDelta] = {
+    require(bufFactor >= 1, s"cdcTopNStream: bufFactor must be >= 1, got $bufFactor")
     import changes.sparkSession.implicits._
     changes.groupByKey(_.grp)
-      .transformWithState(new Proc(n), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new Proc(n, bufFactor), TimeMode.None(), OutputMode.Append())
   }
 }

@@ -141,13 +141,35 @@ object IvfChangelog {
     * corruption window: rewritten layout + old persisted model reads
     * as LOW skew on replay and never heals.) Probes pick the new
     * model up on their next [[topK]] call ([[IvfIndex.load]] is a
-    * plain per-call read). */
+    * plain per-call read).
+    *
+    * Replay idempotence of the compact point itself: the skew
+    * re-measure only covers a crash BETWEEN the two commits. A crash
+    * AFTER both (but before the streaming checkpoint commits — the
+    * rest of processBatch sits in that window) would replay the
+    * compact point against the REWRITTEN layout, read LOW skew, and
+    * take the plain-compact branch — which assembles parts strictly
+    * below batchId (the pre-rotation version + retained b= dirs) and
+    * overwrites compact/v=batchId with OLD-model cell assignments
+    * while modelDir holds the new model: deleted keys stay probeable,
+    * moved keys go missing, silently. So a compact point whose
+    * v=batchId is ALREADY COMMITTED is skipped entirely (both
+    * branches) and only the persisted model is re-read — the replay
+    * re-ingests its batch rows (overwrite-idempotent b= dir) and
+    * nothing else. */
   def sink(spark: SparkSession, root: String, modelDir: String,
       compactEvery: Int = 16, seqCol: Option[String] = None,
       rotateSkewAbove: Double = 0.0, rotateTrainIters: Int = 3): (DataFrame, Long) => Unit = {
     var model = IvfIndex.load(spark, modelDir)
     (batch, batchId) => {
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+        if (committed(spark, root, batchId)) {
+          // replayed compact point: the work (possibly a rotation)
+          // committed before the crash — pick up the persisted model
+          // (it is the one the at-rest layout was written under) and
+          // fall through to re-ingesting the batch rows only
+          model = IvfIndex.load(spark, modelDir)
+        } else {
         val (skew, live) =
           if (rotateSkewAbove > 0) occupancySkew(spark, root) else (0.0, 0L)
         if (rotateSkewAbove > 0 && skew > rotateSkewAbove && live > 0) {
@@ -169,10 +191,17 @@ object IvfChangelog {
           compactRewrite(spark, root, batchId, fresh)
           model = fresh
         } else compact(spark, root, batchId)
+        }
       }
       processBatch(batch, batchId, root, model, compactEvery = 0, seqCol)
     }
   }
+
+  /** Is compact version v=`batchId` already committed (`_SUCCESS`
+    * present)? The compact-point replay fence for [[sink]] and
+    * [[compact]]. */
+  private def committed(spark: SparkSession, root: String, batchId: Long): Boolean =
+    BatchVersioned.versions(spark, s"$root/compact").exists(_._1 == batchId)
 
   /** Explicit read schema: an EMPTY committed micro-batch (normal in
     * a quiet stream) writes a dir with `_SUCCESS` but no data files,
@@ -219,8 +248,14 @@ object IvfChangelog {
 
   /** Rewrite history below `batchId` as compact version v=`batchId`
     * (resolved, one file per cell, `ver` retained so tail batches
-    * still outrank it), then GC below the previous version. */
+    * still outrank it), then GC below the previous version. A replay
+    * whose v=`batchId` is already committed is a no-op — the
+    * committed version may have been written by a ROTATION
+    * ([[compactRewrite]] under a new model), and re-compacting from
+    * the parts below it would clobber the new-model layout with
+    * old-model cell assignments. */
   private[graft] def compact(spark: SparkSession, root: String, batchId: Long): Unit = {
+    if (committed(spark, root, batchId)) return
     val (prev, ps) = parts(spark, root, upper = Some(batchId))
     if (ps.nonEmpty) {
       resolveAll(ps.reduce(_ unionByName _))

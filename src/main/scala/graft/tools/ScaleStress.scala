@@ -466,7 +466,12 @@ object ScaleStress {
     time("quantiles_narrowing_10M") {
       val n = 10L * 1000 * 1000
       val pcts = Seq(50, 95, 99)
-      val data = spark.range(n).select(
+      // the narrowing runs on its OWN SparkSession (shared context,
+      // isolated ExecutionListenerManager): the pass counter sees
+      // exactly this session's actions, so a concurrent action on the
+      // shared session can neither inflate nor mask the count
+      val s69 = spark.newSession()
+      val data = s69.range(n).select(
         concat(lit("g"), pmod($"id", lit(7))).as("g"),
         (pmod($"id" * 2654435761L, lit(1000000007L)) / 1000.0).as("v"))
       val passes = new java.util.concurrent.atomic.AtomicInteger
@@ -478,7 +483,7 @@ object ScaleStress {
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
       }
-      spark.listenerManager.register(ql)
+      s69.listenerManager.register(ql)
       spark.sparkContext.setJobGroup("q69_stress", "quantiles narrowing scan count", false)
       val t0 = System.nanoTime()
       val qres = graft.operators.Quantiles.groupQuantiles(data, "g", "v", pcts)
@@ -486,8 +491,19 @@ object ScaleStress {
       spark.sparkContext.clearJobGroup()
       graft.CachePool.drain()
       // the execution listener is async on the listener bus — settle
-      Thread.sleep(3000)
-      spark.listenerManager.unregister(ql)
+      // with a bounded poll (count stable for 1s, 15s cap), not a
+      // fixed sleep a slow bus can outlast
+      locally {
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        var last = -1
+        var stableSince = System.nanoTime()
+        while (System.nanoTime() < deadline &&
+            (passes.get() != last || System.nanoTime() - stableSince < 1000L * 1000 * 1000)) {
+          if (passes.get() != last) { last = passes.get(); stableSince = System.nanoTime() }
+          Thread.sleep(200)
+        }
+      }
+      s69.listenerManager.unregister(ql)
       val jobCount = spark.sparkContext.statusTracker.getJobIdsForGroup("q69_stress").length
       require(passes.get() <= 5,
         s"narrowing took ${passes.get()} passes at 10M rows — the bounded-scan claim broke")

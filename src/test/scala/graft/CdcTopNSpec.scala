@@ -8,19 +8,22 @@ import graft.streaming.CdcTopNStream
 import graft.streaming.CdcTopNStream.{RankChange, RankDelta}
 
 /** Changelog Top-N (retractable ranking): the leader's retraction
-  * must surface the next-best LIVE entity (the rebuild path),
-  * insert-only batches stay incremental, group moves cross shards,
-  * and a dealt replay of the q84 changelog materializes to the batch
-  * q84 top-3 exactly. */
+  * must surface the next-best LIVE entity (runner-up buffer, or the
+  * underflow scan when the buffer is exhausted), insert-only batches
+  * stay incremental, group moves cross shards, -D images carry the
+  * entry-time score, and a dealt replay of the q84 changelog
+  * materializes to the batch q84 top-3 exactly — at both the default
+  * buffer factor and bufFactor=1 (which forces the scan path). */
 class CdcTopNSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def run(name: String, n: Int, batches: Seq[Seq[RankChange]]): Seq[(Long, RankDelta)] = {
+  private def run(name: String, n: Int, batches: Seq[Seq[RankChange]],
+      bufFactor: Int = 4): Seq[(Long, RankDelta)] = {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[RankChange]
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, RankDelta)]
-    val q = CdcTopNStream.topN(in.toDS(), n)
+    val q = CdcTopNStream.topN(in.toDS(), n, bufFactor)
       .writeStream.outputMode("append")
       .foreachBatch { (df: org.apache.spark.sql.Dataset[RankDelta], id: Long) =>
         val rows = df.collect()
@@ -40,7 +43,20 @@ class CdcTopNSpec extends AnyFunSuite {
       .collect { case ((g, id), ds) if ds.maxBy { case ((b, _), i) => (b, i) }._1._2.op == "+I" => (g, id) }
       .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
 
-  test("cdc_topn: leader retraction surfaces the next-best live entity; demotion rebuilds; group move crosses shards") {
+  /** every (grp,id)'s delta sequence alternates +I/-D starting live. */
+  private def wellFormed(deltas: Seq[(Long, RankDelta)]): Unit =
+    deltas.map(_._2).groupBy(d => (d.grp, d.id)).foreach { case (id, ds) =>
+      var live = false
+      ds.foreach { d =>
+        d.op match {
+          case "+I" => assert(!live, s"$id: +I while live"); live = true
+          case "-D" => assert(live, s"$id: -D while dead"); live = false
+          case other => fail(s"$id: unexpected op $other")
+        }
+      }
+    }
+
+  test("cdc_topn: leader retraction surfaces the next-best live entity; demotion; group move crosses shards") {
     val out = run("ctn_hand", 2, Seq(
       // batch 0: four entities, top-2 = {1 (90), 2 (80)}
       Seq(RankChange("+I", "a", 1L, 90.0, 1),
@@ -48,7 +64,7 @@ class CdcTopNSpec extends AnyFunSuite {
         RankChange("+I", "a", 3L, 70.0, 1),
         RankChange("+I", "a", 4L, 60.0, 1)),
       // batch 1: the LEADER deletes -> next-best (3 at 70) must
-      // surface from outside the stored top (the rebuild path)
+      // surface — served from the runner-up buffer, no scan
       Seq(RankChange("-D", "a", 1L, 90.0, 2)),
       // batch 2: member 2 DEMOTES below everyone -> 4 (60) surfaces
       Seq(RankChange("-U", "a", 2L, 80.0, 3),
@@ -76,7 +92,56 @@ class CdcTopNSpec extends AnyFunSuite {
     assert(materialize(out) === Map("a" -> Set(5L, 4L), "b" -> Set(3L)))
   }
 
-  test("cdc_topn: dealt replay of the q84 changelog materializes to batch q84's top-3") {
+  test("cdc_topn: -D carries the ENTRY-TIME score image even after a silent in-membership raise") {
+    val out = run("ctn_entry", 2, Seq(
+      Seq(RankChange("+I", "a", 1L, 90.0, 1),
+        RankChange("+I", "a", 2L, 50.0, 1),
+        RankChange("+I", "a", 3L, 40.0, 1)),
+      // member 2's score raised while a member: NO emission (raises
+      // inside the membership are silent by the no-ranking contract)
+      Seq(RankChange("-U", "a", 2L, 50.0, 2),
+        RankChange("+U", "a", 2L, 85.0, 2)),
+      // entity 4 evicts 2... no — 4 at 87 evicts member 2 (now 85):
+      // the -D must carry 50.0 (the +I image), NOT 85.0 — an
+      // image-matching retract consumer pairs it with the insert
+      Seq(RankChange("+I", "a", 4L, 87.0, 3))))
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBatch(0L) === Set(
+      RankDelta("+I", "a", 1L, 90.0), RankDelta("+I", "a", 2L, 50.0)))
+    assert(byBatch.getOrElse(1L, Set.empty) === Set.empty[RankDelta],
+      "a silent raise inside the membership must not emit")
+    assert(byBatch(2L) === Set(
+      RankDelta("+I", "a", 4L, 87.0), RankDelta("-D", "a", 2L, 50.0)))
+    wellFormed(out)
+  }
+
+  test("cdc_topn bufFactor=1: buffer underflow pays the scan and still promotes the correct next-best") {
+    // M = n = 2: every member kill underflows the buffer immediately,
+    // so each of the three kill batches exercises the O(live) scan
+    val out = run("ctn_scan", 2, Seq(
+      Seq(RankChange("+I", "a", 1L, 90.0, 1),
+        RankChange("+I", "a", 2L, 80.0, 1),
+        RankChange("+I", "a", 3L, 70.0, 1),
+        RankChange("+I", "a", 4L, 60.0, 1),
+        RankChange("+I", "a", 5L, 50.0, 1)),
+      Seq(RankChange("-D", "a", 1L, 90.0, 2)),
+      Seq(RankChange("-D", "a", 2L, 80.0, 3)),
+      // kill a member and a runner-up in ONE batch
+      Seq(RankChange("-D", "a", 3L, 70.0, 4),
+        RankChange("-D", "a", 5L, 50.0, 4))), bufFactor = 1)
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBatch(0L) === Set(
+      RankDelta("+I", "a", 1L, 90.0), RankDelta("+I", "a", 2L, 80.0)))
+    assert(byBatch(1L) === Set(
+      RankDelta("-D", "a", 1L, 90.0), RankDelta("+I", "a", 3L, 70.0)))
+    assert(byBatch(2L) === Set(
+      RankDelta("-D", "a", 2L, 80.0), RankDelta("+I", "a", 4L, 60.0)))
+    assert(byBatch(3L) === Set(RankDelta("-D", "a", 3L, 70.0)))
+    assert(materialize(out) === Map("a" -> Set(4L)))
+    wellFormed(out)
+  }
+
+  test("cdc_topn: dealt replay of the q84 changelog materializes to batch q84's top-3 (default buffer AND bufFactor=1)") {
     import spark.implicits._
     // the exact q84 synthesis, re-read as typed changelog rows
     val o = graft.sources.Tables.orders(spark, sfDir)
@@ -99,12 +164,18 @@ class CdcTopNSpec extends AnyFunSuite {
     val batches = (0 until 4).map(i => shuffled.zipWithIndex.collect {
       case (c, j) if j % 4 == i => c
     })
-    val deltas = run("ctn_parity", 3, batches)
     val expected = SparkEntry.queries("q84_cdc_topn")(spark, sfDir)
       .select($"grp", $"id").as[(String, Long)].collect()
       .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
     CachePool.drain()
+    val deltas = run("ctn_parity", 3, batches)
     assert(materialize(deltas) === expected)
+    wellFormed(deltas)
+    // bufFactor=1 collapses the runner-up buffer to the membership:
+    // every member retraction/demotion pays the scan — the result
+    // must be identical
+    val deltas1 = run("ctn_parity_b1", 3, batches, bufFactor = 1)
+    assert(materialize(deltas1) === expected)
     assert(expected.values.map(_.size).sum >= 15, s"degenerate: $expected")
   }
 }

@@ -241,6 +241,84 @@ class IvfDriftSpec extends AnyFunSuite {
     } finally Seq(root, modelDir, refDir).foreach(d =>
       graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(d)))
   }
+  test("rotation replay fence: a crash AFTER the rotation commits but BEFORE the checkpoint does must not clobber the rotated layout on replay") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_rotreplay").toString
+    val modelDir = Files.createTempDirectory("graft_rotreplay_model").toString
+    val refDir = Files.createTempDirectory("graft_rotreplay_ref").toString
+    try {
+      val nr = 4000L
+      val ids = spark.range(nr).select($"id".as("vec_id"))
+      val base = vecs(ids, seed = 50261)
+      val noise = VectorFunctions.Sql.mixSpark("vec_id * 64 + k + 333001")
+      val drifted = ids.select($"vec_id",
+        expr(s"transform(sequence(0, 63), k -> case when k = 0 then 100.0" +
+          s" else cast($noise as double) / 1000.0 end)").as("v"))
+      val frozen = IvfIndex.train(base, cells, iters = 3, memoKey = "rotreplay-frozen",
+        sampleMod = IvfIndex.sampleMod(nr, cells))
+      IvfIndex.save(frozen, modelDir, spark)
+
+      // the sink closure IS what foreachBatch calls — drive it
+      // directly so the replay window is exact: batch 0 inserts all,
+      // batch 1 drifts 60% of keys into a tight cone, batch 2 lands
+      // on the compact point (compactEvery = 2) and fires the
+      // rotation (model save + compactRewrite) before ingesting
+      def mkSink() = IvfChangelog.sink(spark, root, modelDir,
+        compactEvery = 2, rotateSkewAbove = 6.0)
+      val sink1 = mkSink()
+      sink1(base.withColumn("row_kind", lit("+I")), 0L)
+      val wave = $"vec_id" % 5 < 3
+      sink1(base.filter(wave).withColumn("row_kind", lit("-U"))
+        .unionByName(drifted.filter(wave).withColumn("row_kind", lit("+U"))), 1L)
+      val touch = drifted.filter($"vec_id" === 1L).withColumn("row_kind", lit("+U"))
+      sink1(touch, 2L) // rotation fires here and COMMITS
+      val rotated = IvfIndex.load(spark, modelDir)
+      assert(!java.util.Arrays.deepEquals(
+        rotated.cent.asInstanceOf[Array[AnyRef]], frozen.cent.asInstanceOf[Array[AnyRef]]),
+        "precondition: rotation did not fire at batch 2")
+
+      // CRASH between the rotation's commits and the streaming
+      // checkpoint's: the restarted query re-runs batch 2 through a
+      // FRESH sink closure (new driver = new closure, model re-read).
+      // Pre-fence this replay re-measured LOW skew on the rewritten
+      // layout and plain-compacted v=2 from the retained OLD-model
+      // b= dirs — silently mismatching modelDir forever.
+      val sink2 = mkSink()
+      sink2(touch, 2L)
+
+      assert(java.util.Arrays.deepEquals(
+        IvfIndex.load(spark, modelDir).cent.asInstanceOf[Array[AnyRef]],
+        rotated.cent.asInstanceOf[Array[AnyRef]]),
+        "replay changed the persisted model")
+      val (skewAfter, liveAfter) = IvfChangelog.occupancySkew(spark, root)
+      assert(liveAfter == nr)
+      assert(skewAfter < 6.0, s"replay clobbered the rotated layout: skew=$skewAfter")
+
+      // probes through the replayed index == one-shot build of the
+      // same live state under the rotated model — the exact parity
+      // the pre-fence replay broke
+      val finalState = base.filter(!wave).unionByName(drifted.filter(wave))
+      val queries = drifted.filter(wave && $"vec_id" % 40 === 0)
+        .select($"vec_id".as("query_id"), $"v".as("qv"))
+      val got = topkSets(
+        IvfChangelog.topK(spark, root, queries, modelDir, nprobe, k = 5))
+      IvfIndex.build(finalState, rotated, refDir)
+      val ref = topkSets(
+        IvfIndex.topK(spark, refDir, queries, rotated, nprobe, k = 5))
+      assert(got == ref, "post-replay probe diverges from a one-shot build under the rotated model")
+
+      // and the stream continues correctly: a post-replay delete
+      // tombstones under the (still-)rotated model and the key
+      // becomes unprobeable
+      sink2(drifted.filter($"vec_id" === 0L).withColumn("row_kind", lit("-D")), 3L)
+      val victimHits = IvfChangelog.topK(spark, root,
+        drifted.filter($"vec_id" === 0L).select($"vec_id".as("query_id"), $"v".as("qv")),
+        modelDir, nprobe, k = 5)
+        .filter($"neighbor_id" === 0L).count()
+      assert(victimHits == 0, "post-replay delete left the key probeable")
+    } finally Seq(root, modelDir, refDir).foreach(d =>
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(d)))
+  }
 }
 
 /** MemoryStream element for the auto-rotation spec (top-level: Spark
