@@ -210,6 +210,25 @@ object CdcQ extends QueryPack {
         .select($"lpk", coalesce($"fk", $"rpk").as("fk"), $"cents", $"name")
     }),
 
+    // CASCADED 3-way maintained join view (Flink SQL's A ⋈ B ⋈ C over
+    // changelogs — a chain of binary joins, each consuming the
+    // previous retract stream; batch twin of streaming
+    // CdcJoinStream.joinStream ∘ cascade ∘ joinStream): all THREE
+    // sides arrive as multi-event histories — the q78 orders/customer
+    // synthesis (fk move on update; the customer update now also
+    // MOVES ITS NATION, the second-hop key change) plus a nation
+    // changelog (renames %3, deletes %4) — each materialized to its
+    // final state, then orders⋈customer on custkey ⋈ nation on the
+    // customer's nationkey. One pk shuffle per side + two joins; the
+    // oracle computes all three final states directly.
+    "q85_cdc_join3" -> ((s, d) => {
+      import s.implicits._
+      val (lstate, rstate) = cdcJoinStates(s, d)
+      lstate.join(rstate, $"fk" === $"rpk")
+        .join(cdcNationState(s, d), $"nk" === $"npk")
+        .select($"lpk", $"fk", $"cents", $"name", $"nk", $"nname")
+    }),
+
     // json-lines decode to typed columns (ref: format/json/Json2Json.java).
     "q22_json_lines" -> ((s, d) => {
       import s.implicits._
@@ -285,22 +304,51 @@ object CdcQ extends QueryPack {
         .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(lev("+U", $"o_custkey" + 1, cents1, 2): _*))
         .unionAll(o.filter($"o_orderstatus" === "P").select(lev("-D", $"o_custkey" + 1, cents1, 3): _*))
     val c = Tables.customer(s, d)
-    def rev(kind: String, name: org.apache.spark.sql.Column, ver: Int) = Seq(
-      lit(kind).as("op"), $"c_custkey".as("rpk"), name.as("name"), lit(ver).as("ver"))
+    // the customer's nation rides along (and MOVES on the %5 update —
+    // the cascaded join's second-hop key change; q78/q80 ignore it)
+    val nk0 = $"c_nationkey".cast("long")
+    val nk1 = (($"c_nationkey" + 1) % 25).cast("long")
+    def rev(kind: String, name: org.apache.spark.sql.Column,
+        nk: org.apache.spark.sql.Column, ver: Int) = Seq(
+      lit(kind).as("op"), $"c_custkey".as("rpk"), name.as("name"),
+      nk.as("nk"), lit(ver).as("ver"))
     val upd = c.filter($"c_custkey" % 5 === 0)
     val del = c.filter($"c_custkey" % 7 === 0)
     val rightCl =
-      c.select(rev("+I", $"c_name", 1): _*)
-        .unionAll(upd.select(rev("-U", $"c_name", 2): _*))
-        .unionAll(upd.select(rev("+U", upper($"c_name"), 2): _*))
+      c.select(rev("+I", $"c_name", nk0, 1): _*)
+        .unionAll(upd.select(rev("-U", $"c_name", nk0, 2): _*))
+        .unionAll(upd.select(rev("+U", upper($"c_name"), nk1, 2): _*))
         .unionAll(del.select(rev("-D",
-          when($"c_custkey" % 5 === 0, upper($"c_name")).otherwise($"c_name"), 3): _*))
+          when($"c_custkey" % 5 === 0, upper($"c_name")).otherwise($"c_name"),
+          when($"c_custkey" % 5 === 0, nk1).otherwise(nk0), 3): _*))
     // the shared changelog op ranking breaks equal-ver ties
     val lstate = Cdc.materialize(leftCl.withColumn("rk", Cdc.opRankCol($"op")),
       pk = Seq($"lpk"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
     val rstate = Cdc.materialize(rightCl.withColumn("rk", Cdc.opRankCol($"op")),
       pk = Seq($"rpk"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
     (lstate, rstate)
+  }
+
+  /** The q85 third side: nation as a multi-event changelog — +I all,
+    * %3 renames via -U/+U at one ver, %4 deletes carrying the current
+    * image — materialized to (npk, nname). */
+  private def cdcNationState(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val nt = Tables.nation(s, d)
+    def nev(kind: String, name: org.apache.spark.sql.Column, ver: Int) = Seq(
+      lit(kind).as("op"), $"n_nationkey".cast("long").as("npk"),
+      name.as("nname"), lit(ver).as("ver"))
+    val ren = nt.filter($"n_nationkey" % 3 === 0)
+    val del = nt.filter($"n_nationkey" % 4 === 0)
+    val cl =
+      nt.select(nev("+I", $"n_name", 1): _*)
+        .unionAll(ren.select(nev("-U", $"n_name", 2): _*))
+        .unionAll(ren.select(nev("+U", upper($"n_name"), 2): _*))
+        .unionAll(del.select(nev("-D",
+          when($"n_nationkey" % 3 === 0, upper($"n_name")).otherwise($"n_name"), 3): _*))
+    Cdc.materialize(cl.withColumn("rk", Cdc.opRankCol($"op")),
+      pk = Seq($"npk"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
   }
 
   def oracles: Map[String, String] = Map(
@@ -378,6 +426,28 @@ object CdcQ extends QueryPack {
         |  FROM customer WHERE c_custkey % 7 <> 0)
         |SELECT lpk, coalesce(lf.fk, rf.fk) AS fk, cents, name
         |FROM lf FULL OUTER JOIN rf ON lf.fk = rf.fk""".stripMargin,
+    // all three final states computed directly: orders as in q78,
+    // customers %7 dead / %5 renamed+nation-moved, nations %4 dead /
+    // %3 renamed — the cascaded join must agree
+    "q85_cdc_join3" ->
+      """WITH lf AS (
+        |  SELECT o_orderkey AS lpk,
+        |         CASE WHEN o_orderstatus = 'O' THEN o_custkey ELSE o_custkey + 1 END AS fk,
+        |         CAST(round((CASE WHEN o_orderstatus = 'O' THEN o_totalprice - 10
+        |                          ELSE o_totalprice END) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus <> 'P'),
+        |rf AS (
+        |  SELECT c_custkey AS fk,
+        |         CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) ELSE c_name END AS name,
+        |         CAST(CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 1) % 25
+        |                   ELSE c_nationkey END AS BIGINT) AS nk
+        |  FROM customer WHERE c_custkey % 7 <> 0),
+        |nf AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS nk,
+        |         CASE WHEN n_nationkey % 3 = 0 THEN upper(n_name) ELSE n_name END AS nname
+        |  FROM nation WHERE n_nationkey % 4 <> 0)
+        |SELECT lpk, lf.fk, cents, name, nk, nname
+        |FROM lf JOIN rf USING (fk) JOIN nf USING (nk)""".stripMargin,
     "q21_csv_lines" ->
       "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part",
     "q22_json_lines" ->

@@ -100,11 +100,12 @@ object CdcJoinStream {
   // the shared changelog ordering rule — ONE definition
   private def opRank(op: String): Int = graft.operators.Cdc.opRank(op)
 
-  private class JoinProcessor(leftOuter: Boolean, rightOuter: Boolean)
+  private class JoinProcessor(leftOuter: Boolean, rightOuter: Boolean, strictVer: Boolean)
       extends StatefulProcessor[Long, JoinChange, JoinDelta] {
     @transient private var lrows: MapState[Long, Slot] = _
     @transient private var rrow: ValueState[Slot] = _
     @transient private var padMeta: ValueState[PadMeta] = _
+    @transient private var seqSt: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       lrows = getHandle.getMapState[Long, Slot]("lrows",
@@ -112,6 +113,8 @@ object CdcJoinStream {
       rrow = getHandle.getValueState[Slot]("rrow", Encoders.product[Slot], TTLConfig.NONE)
       if (rightOuter)
         padMeta = getHandle.getValueState[PadMeta]("padMeta", Encoders.product[PadMeta], TTLConfig.NONE)
+      if (strictVer)
+        seqSt = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
     }
 
     /** last-writer-wins under the shared changelog tie rule. */
@@ -132,12 +135,14 @@ object CdcJoinStream {
     /** Deltas for one left pk whose slot changed this batch (orig may
       * be null = first appearance). Handles every pre/post pair
       * existence combination under the (possibly also changed) right
-      * images. */
+      * images. `stamp` maps the pair's natural version to the emitted
+      * one (identity, or the strict per-key sequence). */
     private def diffTouched(k: Long, pk: Long, orig: Slot, now: Slot,
-        preImg: Option[String], postImg: Option[String], right: Slot): Iterator[JoinDelta] = {
+        preImg: Option[String], postImg: Option[String], right: Slot,
+        stamp: Long => Long): Iterator[JoinDelta] = {
       val pre = if (orig != null && orig.live) preImg.map(p => (orig.payload, p)) else None
       val post = if (now.live) postImg.map(p => (now.payload, p)) else None
-      val ver = pairVer(now, right)
+      val ver = stamp(pairVer(now, right))
       (pre, post) match {
         case (None, Some((l, r))) => Iterator.single(JoinDelta("+I", pk, k, l, r, ver))
         case (Some((pl, pr)), Some((l, r))) if pl != l || pr != r =>
@@ -184,6 +189,18 @@ object CdcJoinStream {
       val preImg = rightImage(rightIn)
       val postImg = rightImage(right)
 
+      // strict-version mode: stamp every delta this key emits this
+      // batch with a per-key strictly-increasing sequence (see
+      // joinStream's doc) — captured as a local so the lazy output
+      // iterators stay correct across keys
+      val stamp: Long => Long =
+        if (!strictVer) identity
+        else {
+          val seq = (if (seqSt.exists()) seqSt.get() else 0L) + 1
+          seqSt.update(seq)
+          _ => seq
+        }
+
       // persist only what this batch changed (a hot key's untouched
       // left rows must not be rewritten to the state store every time
       // its right side blinks); tombstones kept — they fence late
@@ -193,7 +210,7 @@ object CdcJoinStream {
       if (right != null && (right ne rightIn)) rrow.update(right)
 
       val touchedOut = touched.iterator.flatMap { case (pk, (orig, now)) =>
-        diffTouched(k, pk, orig, now, preImg, postImg, right)
+        diffTouched(k, pk, orig, now, preImg, postImg, right, stamp)
       }
       // right image changed -> every UNTOUCHED live match re-emits.
       // Streams the state iterator straight out; never materialized.
@@ -202,7 +219,7 @@ object CdcJoinStream {
         else lrows.iterator().flatMap { case (pk, s) =>
           if (touched.contains(pk) || !s.live) Iterator.empty
           else {
-            val ver = pairVer(s, right)
+            val ver = stamp(pairVer(s, right))
             (preImg, postImg) match {
               case (Some(a), Some(b)) =>
                 Iterator(JoinDelta("-U", pk, k, s.payload, a, ver),
@@ -225,11 +242,12 @@ object CdcJoinStream {
         padMeta.update(PadMeta(postCnt, hiVer))
         val prePad = rightIn != null && rightIn.live && m0.liveCnt == 0
         val postPad = right != null && right.live && postCnt == 0
-        if (!prePad && postPad) Iterator.single(JoinDelta("+I", null, k, null, right.payload, hiVer))
-        else if (prePad && !postPad) Iterator.single(JoinDelta("-D", null, k, null, rightIn.payload, hiVer))
+        val padVer = stamp(hiVer)
+        if (!prePad && postPad) Iterator.single(JoinDelta("+I", null, k, null, right.payload, padVer))
+        else if (prePad && !postPad) Iterator.single(JoinDelta("-D", null, k, null, rightIn.payload, padVer))
         else if (prePad && postPad && rightIn.payload != right.payload)
-          Iterator(JoinDelta("-U", null, k, null, rightIn.payload, hiVer),
-            JoinDelta("+U", null, k, null, right.payload, hiVer))
+          Iterator(JoinDelta("-U", null, k, null, rightIn.payload, padVer),
+            JoinDelta("+U", null, k, null, right.payload, padVer))
         else Iterator.empty
       }
 
@@ -241,17 +259,39 @@ object CdcJoinStream {
       Iterator.empty
   }
 
-  /** Maintain the equi-join view of two changelog streams (see
-    * object doc for the contract). Inner by default; `leftOuter`
-    * null-pads unmatched left rows and retracts the pad when the
-    * right row arrives (Flink's outer dynamic-table join). */
-  def joinStream(changes: Dataset[JoinChange], leftOuter: Boolean = false): Dataset[JoinDelta] =
+  /** Maintain the INNER equi-join view of two changelog streams (see
+    * object doc for the contract). */
+  def joinStream(changes: Dataset[JoinChange]): Dataset[JoinDelta] =
+    joinStream(changes, "inner")
+
+  /** `leftOuter` null-pads unmatched left rows and retracts the pad
+    * when the right row arrives (Flink's outer dynamic-table join). */
+  def joinStream(changes: Dataset[JoinChange], leftOuter: Boolean): Dataset[JoinDelta] =
     joinStream(changes, if (leftOuter) "left" else "inner")
 
   /** Mode-explicit variant: `mode` ∈ inner | left | right | full
     * (Flink's four dynamic-table join types — see object doc for
-    * the right/full pad-row contract). */
-  def joinStream(changes: Dataset[JoinChange], mode: String): Dataset[JoinDelta] = {
+    * the right/full pad-row contract).
+    *
+    * `strictVer` — CASCADE mode (default off): emitted deltas carry a
+    * per-join-key STRICTLY-INCREASING batch sequence as `ver` instead
+    * of the pair's max-slot-ver stamp. The default stamp is monotone
+    * but can PLATEAU (a dominant left ver rides through several right
+    * updates), and a plateau is fatal one join downstream: the second
+    * join folds its input per pk by (ver, op-rank), so a pair that
+    * dies at stamp v in one batch and is reborn at the same v in a
+    * later batch would fold to DEAD (the retained -D outranks +I at
+    * equal ver). The strict sequence removes equal stamps across
+    * batches entirely; within one batch a pair emits at most one
+    * transition (-U/+U sharing the sequence value, disambiguated by
+    * op rank — the standard Debezium shape). The sequence lives in
+    * one extra per-key long of state, checkpointed with the batch, so
+    * a replayed batch re-stamps identically. In strict mode `ver` is
+    * an opaque per-key ordering token, not a source-version hint;
+    * Flink's cascaded joins make the same trade (StreamRecord order
+    * replaces any user-space version). */
+  def joinStream(changes: Dataset[JoinChange], mode: String,
+      strictVer: Boolean = false): Dataset[JoinDelta] = {
     import changes.sparkSession.implicits._
     val (lo, ro) = mode match {
       case "inner" => (false, false)
@@ -263,6 +303,44 @@ object CdcJoinStream {
     }
     changes
       .groupByKey(_.k)
-      .transformWithState(new JoinProcessor(lo, ro), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new JoinProcessor(lo, ro, strictVer), TimeMode.None(), OutputMode.Append())
+  }
+
+  /** CASCADE adapter — Flink SQL's `A ⋈ B ⋈ C` over changelogs is a
+    * chain of binary joins, each consuming the previous one's retract
+    * stream; this turns [[joinStream]] output into the NEXT join's
+    * LEFT-side changelog:
+    *
+    *  - entity identity downstream = the upstream PAIR (lpk, k) —
+    *    `pairPk` must encode it injectively into a Long (the caller
+    *    knows both key spaces; e.g. `d.lpk * K + d.k` for k < K). An
+    *    fk move upstream then lives as two independent downstream
+    *    entities dying/being born on their own shards, exactly like a
+    *    direct fk move;
+    *  - the next join key (`key2`) is read from the DELTA'S IMAGES —
+    *    a -U/-D carries the pre-image payloads, so a retraction
+    *    routes to the shard its old enriched row lives on (standard
+    *    before-image routing, one level up);
+    *  - ops pass through unchanged (+I/-U/+U/-D is already a
+    *    well-formed retract grammar per pair);
+    *  - `ver` passes through and MUST be the strict per-key sequence:
+    *    run the upstream join with `strictVer = true` (loudly
+    *    documented on [[joinStream]]; the default plateau-prone stamp
+    *    can fold a cross-batch die/rebirth at equal stamps to dead).
+    *
+    * Right/full-outer pad rows (lpk = null) have no pair identity and
+    * are rejected loudly — cascade from an inner or left join (Flink
+    * cascades outer joins the same way: the null-padded row is a
+    * regular retractable row THERE, but its identity is the pad key,
+    * which this Long-keyed shape cannot carry). */
+  def cascade(deltas: Dataset[JoinDelta], key2: JoinDelta => Long,
+      pairPk: JoinDelta => Long, payload: JoinDelta => String): Dataset[JoinChange] = {
+    import deltas.sparkSession.implicits._
+    deltas.map { d =>
+      if (d.lpk == null) throw new IllegalArgumentException(
+        s"cascade: pad row (lpk = null, k = ${d.k}) cannot feed a cascaded join — " +
+          "run the upstream join in inner or left mode")
+      JoinChange("L", d.op, key2(d), pairPk(d), payload(d), d.ver)
+    }
   }
 }

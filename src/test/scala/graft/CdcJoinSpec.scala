@@ -318,6 +318,211 @@ class CdcJoinSpec extends AnyFunSuite {
     assert(expected.values.exists(_._2 == null), "corpus produced no left pads")
   }
 
+  test("cdc_join strictVer: stamps are per-key strictly increasing across batches; a -U/+U pair shares one; die/rebirth at a plateaued source ver folds correctly downstream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[JoinChange]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, JoinDelta)]
+    val q = CdcJoinStream.joinStream(in.toDS(), "inner", strictVer = true)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[JoinDelta], id: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+      }
+      .queryName("cj_strict").start()
+    try {
+      // the plateau trap: left pk 10 carries a DOMINANT ver (100), so
+      // the default stamp would freeze at 100 through the right's
+      // die (ver 5) and rebirth (ver 6) — strict mode must not
+      Seq(
+        Seq(JoinChange("R", "+I", 1L, 1L, "dim", 4),
+          JoinChange("L", "+I", 1L, 10L, "a0", 100)),
+        Seq(JoinChange("R", "-D", 1L, 1L, "dim", 5)), // pair dies
+        Seq(JoinChange("R", "+I", 1L, 1L, "dim2", 6)), // pair reborn
+        Seq(JoinChange("L", "-U", 1L, 10L, "a0", 101), // rename via -U/+U
+          JoinChange("L", "+U", 1L, 10L, "a1", 101))
+      ).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val out = buf.synchronized(buf.toVector)
+      val ops = out.sortBy(_._1).map(d => (d._2.op, d._2.ver))
+      // strictly increasing across batches; the -U/+U pair shares one
+      assert(ops.map(_._1) === Seq("+I", "-D", "+I", "-U", "+U"), s"ops: $ops")
+      val seqs = ops.map(_._2)
+      assert(seqs(0) < seqs(1) && seqs(1) < seqs(2) && seqs(2) < seqs(3), s"stamps not strict: $seqs")
+      assert(seqs(3) === seqs(4), s"-U/+U should share a stamp: $seqs")
+      // and the deltas fold correctly as a DOWNSTREAM join's input:
+      // last-writer-wins by (ver, op rank) per pair must be LIVE a1
+      val byPair = out.map(_._2).maxBy(d => (d.ver, Seq("-U", "+I", "+U", "-D").indexOf(d.op)))
+      assert(byPair.op === "+U" && byPair.left === "a1" && byPair.right === "dim2")
+    } finally q.stop()
+  }
+
+  /** Drive the full cascaded chain — orders⋈customers (strictVer) →
+    * cascade adapter → (∪ nation changelog) ⋈ nations — and return
+    * every final-output delta in batch order. Customer payload =
+    * "name|nationkey"; downstream identity = (lpk·10⁶+custkey, nk). */
+  private def runCascade(name: String,
+      batches: Seq[Seq[JoinChange]]): Seq[(Long, JoinDelta)] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in1 = MemoryStream[JoinChange] // orders + customers (join 1)
+    val inN = MemoryStream[JoinChange] // nations (join 2 right side)
+    val j1 = CdcJoinStream.joinStream(in1.toDS(), "inner", strictVer = true)
+    val casc = CdcJoinStream.cascade(j1,
+      key2 = d => d.right.split('|')(1).toLong,
+      pairPk = d => d.lpk * 1000000L + d.k,
+      payload = d => s"${d.left}|${d.right.split('|')(0)}")
+    val j2 = CdcJoinStream.joinStream(casc.union(inN.toDS()), "inner")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, JoinDelta)]
+    val q = j2.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[JoinDelta], id: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+      }
+      .queryName(name).start()
+    try {
+      batches.foreach { b =>
+        val (nat, oc) = b.partition(isNation)
+        if (oc.nonEmpty) in1.addData(oc: _*)
+        if (nat.nonEmpty) inN.addData(nat: _*)
+        q.processAllAvailable()
+      }
+      buf.synchronized(buf.toVector)
+    } finally q.stop()
+  }
+
+  /** spec convention: nation keys live at ≥ 100, customer keys below. */
+  private def isNation(c: JoinChange): Boolean = c.k >= 100L
+
+  test("cdc_join cascade: 3-way chain — customer nation move migrates the enriched pair, order fk move crosses both hops, nation updates sweep, deletes kill") {
+    val out = runCascade("cj_cascade", Seq(
+      // batch 0: nations de/fr, customer 5 in nation 100, order 10 -> 5
+      Seq(JoinChange("R", "+I", 100L, 100L, "de", 1),
+        JoinChange("R", "+I", 200L, 200L, "fr", 1),
+        JoinChange("R", "+I", 5L, 5L, "ann|100", 1),
+        JoinChange("L", "+I", 5L, 10L, "70", 1)),
+      // batch 1: customer 5 renames AND MOVES NATION 100 -> 200: the
+      // enriched pair must die on nation-shard 100 and be born on 200
+      Seq(JoinChange("R", "-U", 5L, 5L, "ann|100", 2),
+        JoinChange("R", "+U", 5L, 5L, "ANN|200", 2)),
+      // batch 2: order 10 moves custkey 5 -> 6 (customer 6 arrives in
+      // the same batch, nation 100): pair (10,5) dies on shard 200,
+      // pair (10,6) born on shard 100; order 11 -> 5 stays on 200
+      Seq(JoinChange("L", "-U", 5L, 10L, "70", 3),
+        JoinChange("L", "+U", 6L, 10L, "71", 3),
+        JoinChange("R", "+I", 6L, 6L, "bob|100", 3),
+        JoinChange("L", "+I", 5L, 11L, "80", 3)),
+      // batch 3: nation 100 renames: every live enriched row under it
+      // re-emits -U/+U (the downstream sweep)
+      Seq(JoinChange("R", "-U", 100L, 100L, "de", 9),
+        JoinChange("R", "+U", 100L, 100L, "DE", 9)),
+      // batch 4: nation 100 deleted: its enriched rows die
+      Seq(JoinChange("R", "-D", 100L, 100L, "DE", 10))))
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def vless(d: JoinDelta) = (d.op, d.lpk, d.k, d.left, d.right)
+    assert(byBatch(0L).map(vless) === Set(("+I", 10000005L: java.lang.Long, 100L, "70|ann", "de")))
+    assert(byBatch(1L).map(vless) === Set(
+      ("-D", 10000005L: java.lang.Long, 100L, "70|ann", "de"),
+      ("+I", 10000005L: java.lang.Long, 200L, "70|ANN", "fr")))
+    assert(byBatch(2L).map(vless) === Set(
+      ("-D", 10000005L: java.lang.Long, 200L, "70|ANN", "fr"),
+      ("+I", 10000006L: java.lang.Long, 100L, "71|bob", "de"),
+      ("+I", 11000005L: java.lang.Long, 200L, "80|ANN", "fr")))
+    assert(byBatch(3L).map(vless) === Set(
+      ("-U", 10000006L: java.lang.Long, 100L, "71|bob", "de"),
+      ("+U", 10000006L: java.lang.Long, 100L, "71|bob", "DE")))
+    assert(byBatch(4L).map(vless) === Set(
+      ("-D", 10000006L: java.lang.Long, 100L, "71|bob", "DE")))
+    assert(materialize(out) === Map(
+      (java.lang.Long.valueOf(11000005L), 200L) -> (("80|ANN", "fr"))))
+  }
+
+  test("cdc_join cascade: randomized dealt 3-way replay materializes to the final-state triple join") {
+    val rnd = new scala.util.Random(41)
+    var ver = 0L
+    def v(): Long = { ver += 1; ver }
+    // nations 100..105: rename some, delete one
+    val nations = (100L to 105L).flatMap { nk =>
+      val b = scala.collection.mutable.ArrayBuffer(
+        JoinChange("R", "+I", nk, nk, s"nat$nk", v()))
+      if (nk % 2 == 0) {
+        b += JoinChange("R", "-U", nk, nk, s"nat$nk", { val x = v(); x })
+        b += JoinChange("R", "+U", nk, nk, s"NAT$nk", ver)
+      }
+      if (nk == 103L) b += JoinChange("R", "-D", nk, nk, s"nat$nk", v())
+      b
+    }
+    // customers 1..10: rename + nation-move on update, some deleted
+    val custState = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    val custs = (1L to 10L).flatMap { c =>
+      var nk = 100L + rnd.nextInt(6)
+      var nm = s"name$c"
+      val b = scala.collection.mutable.ArrayBuffer(
+        JoinChange("R", "+I", c, c, s"$nm|$nk", v()))
+      custState(c) = (nm, nk)
+      if (rnd.nextBoolean()) {
+        val nnk = 100L + rnd.nextInt(6)
+        val nnm = s"NAME$c"
+        b += JoinChange("R", "-U", c, c, s"$nm|$nk", { val x = v(); x })
+        b += JoinChange("R", "+U", c, c, s"$nnm|$nnk", ver)
+        nm = nnm; nk = nnk; custState(c) = (nm, nk)
+      }
+      if (rnd.nextInt(5) == 0) {
+        b += JoinChange("R", "-D", c, c, s"$nm|$nk", v())
+        custState.remove(c)
+      }
+      b
+    }
+    // orders 100..149 -> fks 1..12 (11/12 have no customer), fk moves, deletes
+    val orderState = scala.collection.mutable.Map.empty[Long, (Long, String)]
+    val orders = (100L until 150L).flatMap { o =>
+      var fk = 1L + rnd.nextInt(12)
+      var pl = s"o$o"
+      val b = scala.collection.mutable.ArrayBuffer(JoinChange("L", "+I", fk, o, pl, v()))
+      orderState(o) = (fk, pl)
+      (0 until rnd.nextInt(3)).foreach { i =>
+        val nfk = 1L + rnd.nextInt(12)
+        val npl = s"o${o}v$i"
+        b += JoinChange("L", "-U", fk, o, pl, { val x = v(); x })
+        b += JoinChange("L", "+U", nfk, o, npl, ver)
+        fk = nfk; pl = npl; orderState(o) = (fk, pl)
+      }
+      if (rnd.nextInt(6) == 0) {
+        b += JoinChange("L", "-D", fk, o, pl, v())
+        orderState.remove(o)
+      }
+      b
+    }
+    // nation live fold
+    val natLive = Map(100L -> "NAT100", 101L -> "nat101", 102L -> "NAT102",
+      104L -> "NAT104", 105L -> "nat105")
+    val all = rnd.shuffle((nations ++ custs ++ orders).toList)
+    val batches = (0 until 5).map(i => all.zipWithIndex.collect {
+      case (c, j) if j % 5 == i => c
+    })
+    val deltas = runCascade("cj_cascade_parity", batches)
+    val expected: Map[(java.lang.Long, Long), (String, String)] =
+      orderState.toSeq.flatMap { case (o, (fk, pl)) =>
+        custState.get(fk).flatMap { case (nm, nk) =>
+          natLive.get(nk).map(nn =>
+            ((java.lang.Long.valueOf(o * 1000000L + fk), nk), (s"$pl|$nm", nn)))
+        }
+      }.toMap
+    assert(materialize(deltas) === expected)
+    assert(expected.size >= 15, s"degenerate corpus: ${expected.size} live rows")
+    // well-formed retract grammar per downstream identity
+    deltas.map(_._2).groupBy(d => (d.lpk, d.k)).foreach { case (id, ds) =>
+      var live = false
+      ds.foreach { d =>
+        d.op match {
+          case "+I" => assert(!live, s"$id: +I while live"); live = true
+          case "+U" => live = true
+          case "-U" => assert(live, s"$id: -U while dead"); live = false
+          case "-D" => assert(live, s"$id: -D while dead"); live = false
+        }
+      }
+    }
+  }
+
   test("cdc_join composed with cdc_agg: maintained revenue per customer name equals the final-state aggregate") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
