@@ -45,6 +45,27 @@ object MiscQ extends QueryPack {
         .select($"event_id", $"event_type", $"cents", $"min_cents")
     }),
 
+    // Predicate rules (batch twin of streaming.BroadcastRules'
+    // predicate variant — round 13): each rule carries an arbitrary
+    // SQL predicate over the event columns, compiled via the
+    // injection-guarded expr() path into ONE codegen'd projection —
+    // no join, no shuffle, no broadcast; the rules live inside the
+    // generated code. The four predicates exercise distinct column
+    // sets, IN-lists, BETWEEN, and modular arithmetic; the oracle
+    // replays them literally as a UNION ALL.
+    "q86_pred_rules" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select(
+        $"event_id", $"user_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      graft.streaming.BroadcastRules.matchEventsPred(ev, Seq(
+          1L -> "event_type = 'error' AND cents >= 500",
+          2L -> "event_type = 'click' AND user_id % 10 = 0",
+          3L -> "cents >= 900",
+          4L -> "event_type IN ('view', 'click') AND cents BETWEEN 100 AND 200"))
+        .select($"event_id", $"rule_id")
+    }),
+
     "q36_multimodal_meta" -> ((s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d).select(
@@ -67,6 +88,23 @@ object MiscQ extends QueryPack {
         |  CAST(round(e.value * 100) AS BIGINT) AS cents, r.min_cents
         |FROM events e JOIN rules r ON e.event_type = r.event_type
         |WHERE CAST(round(e.value * 100) AS BIGINT) >= r.min_cents""".stripMargin,
+
+    "q86_pred_rules" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_id, CAST(rule_id AS BIGINT) AS rule_id FROM (
+        |  SELECT event_id, 1 AS rule_id FROM ev
+        |    WHERE event_type = 'error' AND cents >= 500
+        |  UNION ALL
+        |  SELECT event_id, 2 FROM ev
+        |    WHERE event_type = 'click' AND user_id % 10 = 0
+        |  UNION ALL
+        |  SELECT event_id, 3 FROM ev WHERE cents >= 900
+        |  UNION ALL
+        |  SELECT event_id, 4 FROM ev
+        |    WHERE event_type IN ('view', 'click') AND cents BETWEEN 100 AND 200)""".stripMargin,
 
     "q23_datagen" ->
       """SELECT id,

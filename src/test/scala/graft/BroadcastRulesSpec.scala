@@ -97,4 +97,116 @@ class BroadcastRulesSpec extends AnyFunSuite {
       } finally { rq.stop(); mq.stop() }
     } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
   }
+
+  // ---- predicate rules (round 13) ----
+
+  private def evFrame = {
+    import spark.implicits._
+    Seq(Ev(1L, "click", 600L), Ev(2L, "error", 50L), Ev(3L, "view", 150L)).toDF()
+  }
+
+  test("compilePredicate guard: every injection/typo/nondeterminism case loud-rejects; good predicates compile") {
+    val ev = evFrame
+    def rejects(pred: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](BroadcastRules.compilePredicate(ev, pred))
+      assert(e.getMessage.toLowerCase.contains(needle),
+        s"`$pred` rejected with the wrong message: ${e.getMessage}")
+    }
+    rejects("cents >=", "parse") // malformed
+    rejects("EXISTS (SELECT 1)", "subquery") // plan expression
+    rejects("cents IN (SELECT cents FROM other)", "subquery")
+    rejects("(SELECT max(cents) FROM t) > 5", "subquery") // scalar subquery
+    rejects("secret_col = 1", "not an event column") // outside schema
+    rejects("cents + 1", "boolean") // wrong type
+    rejects("rand() < 0.5", "deterministic") // replay-unsafe
+    // good ones compile and select correctly
+    val ok = BroadcastRules.matchEventsPred(ev, Seq(
+      7L -> "event_type = 'click' AND cents >= 500",
+      8L -> "CENTS between 100 and 200")) // case-insensitive resolution
+    val got = ok.select(col("event_id"), col("rule_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 7L), (3L, 8L)))
+  }
+
+  test("matchEventsPred: duplicate rule_ids and oversized rule sets loud-reject; empty rules match nothing") {
+    val ev = evFrame
+    val dup = intercept[IllegalArgumentException](BroadcastRules.matchEventsPred(ev,
+      Seq(1L -> "cents > 0", 1L -> "cents > 1")))
+    assert(dup.getMessage.contains("duplicate"))
+    val big = intercept[IllegalArgumentException](BroadcastRules.matchEventsPred(ev,
+      (1L to 1025L).map(i => i -> "cents > 0")))
+    assert(big.getMessage.contains("KB-scale"))
+    assert(BroadcastRules.matchEventsPred(ev, Seq.empty).count() === 0L)
+  }
+
+  test("matchEventsPred plan: one projection, no join, no exchange — the rules live inside the plan") {
+    val ev = evFrame
+    val plan = BroadcastRules.matchEventsPred(ev, Seq(
+      1L -> "cents >= 500", 2L -> "event_type = 'view'"))
+      .queryExecution.executedPlan
+    val txt = plan.toString
+    assert(!txt.contains("Join"), s"predicate match must not join:\n$txt")
+    assert(!txt.contains("Exchange"), s"predicate match must not shuffle:\n$txt")
+  }
+
+  test("predicate rules stream: mid-stream predicate swap applies next batch; admission rejects a poisoned rule before it can reach a snapshot") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_prules").toString
+    val evDdl = "event_id BIGINT, event_type STRING, cents BIGINT"
+    try {
+      val rulesIn = MemoryStream[(String, Long, String, Long)] // op, rule_id, pred, ver
+      val mainIn = MemoryStream[Ev]
+      val alerts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val rq = rulesIn.toDF().toDF("op", "rule_id", "pred", "ver")
+        .writeStream.outputMode("append")
+        .foreachBatch(BroadcastRules.predRulesSink(spark, root, evDdl))
+        .queryName("prules_rules").start()
+      val mq = mainIn.toDS().toDF().writeStream.outputMode("append")
+        .foreachBatch(BroadcastRules.predMatcherSink(spark, root,
+          (df, id) => {
+            val rows = df.select(col("event_id"), col("rule_id")).collect()
+            alerts.synchronized { rows.foreach(r => alerts += ((id, r.getLong(0), r.getLong(1)))) }
+            ()
+          }))
+        .queryName("prules_main").start()
+      try {
+        rulesIn.addData(Seq(("+I", 1L, "event_type = 'click' AND cents >= 500", 1L)))
+        rq.processAllAvailable()
+        val events = Seq(Ev(10L, "click", 600L), Ev(11L, "click", 100L), Ev(12L, "error", 600L))
+        mainIn.addData(events)
+        mq.processAllAvailable()
+        // swap the predicate ENTIRELY (not a threshold tweak): rule 1
+        // now matches errors by parity — applies from the next batch
+        rulesIn.addData(Seq(
+          ("-U", 1L, "event_type = 'click' AND cents >= 500", 2L),
+          ("+U", 1L, "event_type = 'error' AND cents % 2 = 0", 2L)))
+        rq.processAllAvailable()
+        mainIn.addData(events.map(e => e.copy(event_id = e.event_id + 100L)))
+        mq.processAllAvailable()
+        val byBatch = alerts.synchronized(alerts.toVector).groupBy(_._1)
+          .view.mapValues(_.map(a => (a._2, a._3)).toSet).toMap
+        assert(byBatch(0L) === Set((10L, 1L)))
+        assert(byBatch.getOrElse(1L, Set.empty) === Set((112L, 1L)))
+        // ADMISSION: a rule referencing a non-event column fails the
+        // RULES stream loudly (poison pill) — and the snapshot chain
+        // still serves the last good version to the matcher
+        rulesIn.addData(Seq(("+I", 2L, "secret_col = 1", 3L)))
+        val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          rq.processAllAvailable()
+        }
+        assert(Iterator.iterate(boom: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+            .exists(t => Option(t.getMessage).exists(m =>
+              m.contains("rejected at admission") && m.contains("rule 2"))),
+          s"wrong failure: ${boom.getMessage}")
+        val live = BroadcastRules.currentPredRules(spark, root)
+          .select(col("rule_id")).collect().map(_.getLong(0)).toSet
+        assert(live === Set(1L), s"poisoned rule reached a snapshot: $live")
+        mainIn.addData(Seq(Ev(220L, "error", 40L)))
+        mq.processAllAvailable()
+        val all = alerts.synchronized(alerts.toVector)
+        assert(all.filter(_._1 == 2L).map(a => (a._2, a._3)).toSet === Set((220L, 1L)))
+      } finally { rq.stop(); mq.stop() }
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
+  }
 }
