@@ -224,8 +224,11 @@ object CdcQ extends QueryPack {
     "q85_cdc_join3" -> ((s, d) => {
       import s.implicits._
       val (lstate, rstate) = cdcJoinStates(s, d)
+      // the second hop's dim state is nation-count rows at ANY corpus
+      // scale — broadcast it so the enriched fact stream never
+      // re-shuffles for the second join
       lstate.join(rstate, $"fk" === $"rpk")
-        .join(cdcNationState(s, d), $"nk" === $"npk")
+        .join(broadcast(cdcNationState(s, d)), $"nk" === $"npk")
         .select($"lpk", $"fk", $"cents", $"name", $"nk", $"nname")
     }),
 

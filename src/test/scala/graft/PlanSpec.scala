@@ -99,6 +99,19 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 2, s"expected exactly two exchanges:\n$p")
   }
 
+  test("q85: cascaded 3-way join — the nation hop broadcasts (the enriched stream never re-shuffles for the dim); no cartesian") {
+    val p = plan("q85_cdc_join3")
+    assert(p.contains("BroadcastHashJoin"), s"nation hop must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"cascade must stay equi-join:\n$p")
+  }
+
+  test("q86: predicate rules compile into one projection — no join, no exchange at all") {
+    val p = plan("q86_pred_rules")
+    assert(!p.contains("Join"), s"predicate match must not join:\n$p")
+    assert(!p.contains("Exchange"), s"predicate match must not shuffle:\n$p")
+  }
+
   test("q46: PII redaction is a single shuffle-free scan") {
     val p = plan("q46_pii_redact")
     assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")
