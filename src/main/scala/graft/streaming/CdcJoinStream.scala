@@ -343,4 +343,39 @@ object CdcJoinStream {
       JoinChange("L", d.op, key2(d), pairPk(d), payload(d), d.ver)
     }
   }
+
+  /** RANK adapter — feed the maintained join view into the
+    * retractable Top-N ([[CdcTopNStream.topN]]): "top N enriched
+    * facts per <dim attribute>, maintained" is Flink SQL's
+    * `JOIN … ROW_NUMBER() OVER (PARTITION BY dim.attr)` pipeline.
+    * Same contract as [[cascade]], restated for a RANKING consumer:
+    *
+    *  - downstream ENTITY identity = the upstream pair — `pairId`
+    *    must pack (lpk, k) injectively. Do NOT use bare `lpk`: the
+    *    Top-N fold compares stamps per entity, and the strict
+    *    sequence is per JOIN KEY — an fk move would land the dying
+    *    (lpk, k_old) and the newborn (lpk, k_new) on ONE entity with
+    *    INCOMPARABLE stamps (two independent per-key sequences), so
+    *    the kill could outrank the birth. Pair identity keeps every
+    *    entity fed by exactly one key's sequence;
+    *  - `grp`/`score` read the delta's IMAGES — a -U/-D carries
+    *    pre-images, so retractions rank-route to the group the old
+    *    enriched row occupies (before-image routing, the same rule
+    *    the Top-N's own changelog input follows);
+    *  - run the upstream join with `strictVer = true` (the default
+    *    plateau-prone stamp can fold a cross-batch die/rebirth of a
+    *    pair to dead — [[joinStream]]'s strictVer doc);
+    *  - pad rows (lpk = null) loud-reject: a pad is a whole-key
+    *    aggregate with no pair identity to rank. */
+  def toRankChanges(deltas: Dataset[JoinDelta], grp: JoinDelta => String,
+      pairId: JoinDelta => Long, score: JoinDelta => Double)
+      : Dataset[CdcTopNStream.RankChange] = {
+    import deltas.sparkSession.implicits._
+    deltas.map { d =>
+      if (d.lpk == null) throw new IllegalArgumentException(
+        s"toRankChanges: pad row (lpk = null, k = ${d.k}) has no pair identity to rank — " +
+          "run the upstream join in inner or left mode")
+      CdcTopNStream.RankChange(d.op, grp(d), pairId(d), score(d), d.ver)
+    }
+  }
 }

@@ -358,8 +358,11 @@ class CdcJoinSpec extends AnyFunSuite {
 
   /** Drive the full cascaded chain — orders⋈customers (strictVer) →
     * cascade adapter → (∪ nation changelog) ⋈ nations — and return
-    * every final-output delta in batch order. Customer payload =
-    * "name|nationkey"; downstream identity = (lpk·10⁶+custkey, nk). */
+    * every final-output delta stamped with its logical STEP (sliced
+    * at each processAllAvailable: a trigger racing the two addData
+    * calls can split one step across micro-batch ids, so batch ids
+    * are not step ids). Customer payload = "name|nationkey";
+    * downstream identity = (lpk·10⁶+custkey, nk). */
   private def runCascade(name: String,
       batches: Seq[Seq[JoinChange]]): Seq[(Long, JoinDelta)] = {
     import spark.implicits._
@@ -380,13 +383,16 @@ class CdcJoinSpec extends AnyFunSuite {
       }
       .queryName(name).start()
     try {
-      batches.foreach { b =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, JoinDelta)]
+      batches.zipWithIndex.foreach { case (b, step) =>
         val (nat, oc) = b.partition(isNation)
         if (oc.nonEmpty) in1.addData(oc: _*)
         if (nat.nonEmpty) inN.addData(nat: _*)
         q.processAllAvailable()
+        val drained = buf.synchronized { val v = buf.toVector; buf.clear(); v }
+        drained.sortBy(_._1).foreach { case (_, d) => out += ((step.toLong, d)) }
       }
-      buf.synchronized(buf.toVector)
+      out.toVector
     } finally q.stop()
   }
 
@@ -521,6 +527,73 @@ class CdcJoinSpec extends AnyFunSuite {
         }
       }
     }
+  }
+
+  test("cdc_join composed with cdc_topn: maintained top-2 enriched facts per dim attribute — member kill promotes, fk move crosses groups, dim rename sweeps the ranking") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.CdcTopNStream
+    import graft.streaming.CdcTopNStream.RankDelta
+    val in = MemoryStream[JoinChange]
+    // join (strictVer — the ranking consumer folds per entity by
+    // stamp) -> rank adapter (grp = customer name, entity = the pair,
+    // score = order cents) -> retractable top-2 per name
+    val ranked = CdcTopNStream.topN(
+      CdcJoinStream.toRankChanges(
+        CdcJoinStream.joinStream(in.toDS(), "inner", strictVer = true),
+        grp = _.right, pairId = d => d.lpk * 1000000L + d.k,
+        score = _.left.toDouble),
+      n = 2)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, RankDelta)]
+    val q = ranked.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[RankDelta], id: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+      }
+      .queryName("cj_topn").start()
+    try {
+      Seq(
+        // batch 0: ann has orders 10(70) 11(80) 12(90) -> top2 {12, 11}; bob has 13(50)
+        Seq(JoinChange("R", "+I", 5L, 5L, "ann", 1),
+          JoinChange("R", "+I", 6L, 6L, "bob", 1),
+          JoinChange("L", "+I", 5L, 10L, "70", 1),
+          JoinChange("L", "+I", 5L, 11L, "80", 1),
+          JoinChange("L", "+I", 5L, 12L, "90", 1),
+          JoinChange("L", "+I", 6L, 13L, "50", 1)),
+        // batch 1: order 12 deleted -> ann member kill, 10 promotes
+        Seq(JoinChange("L", "-D", 5L, 12L, "90", 2)),
+        // batch 2: order 11 fk-moves to bob at cents 85 -> pair (11,5)
+        // dies out of ann's top-2, pair (11,6) enters bob's
+        Seq(JoinChange("L", "-U", 5L, 11L, "80", 3),
+          JoinChange("L", "+U", 6L, 11L, "85", 3)),
+        // batch 3: ann renames to ANN -> every ann member re-enters
+        // under the new group (the dim-rename ranking sweep)
+        Seq(JoinChange("R", "-U", 5L, 5L, "ann", 4),
+          JoinChange("R", "+U", 5L, 5L, "ANN", 4))
+      ).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val out = buf.synchronized(buf.toVector)
+      val byBatch = out.groupBy(_._1).view
+        .mapValues(_.map(d => (d._2.op, d._2.grp, d._2.id)).toSet).toMap
+      def pid(lpk: Long, k: Long) = lpk * 1000000L + k
+      assert(byBatch(0L) === Set(
+        ("+I", "ann", pid(12, 5)), ("+I", "ann", pid(11, 5)), ("+I", "bob", pid(13, 6))))
+      assert(byBatch(1L) === Set(
+        ("-D", "ann", pid(12, 5)), ("+I", "ann", pid(10, 5))))
+      assert(byBatch(2L) === Set(
+        ("-D", "ann", pid(11, 5)), ("+I", "bob", pid(11, 6))))
+      assert(byBatch(3L) === Set(
+        ("-D", "ann", pid(10, 5)), ("+I", "ANN", pid(10, 5))))
+      // final membership == the final-state batch ranking
+      val live = scala.collection.mutable.Set.empty[(String, Long)]
+      out.foreach { case (_, d) =>
+        d.op match {
+          case "+I" => assert(live.add((d.grp, d.id)), s"dupe +I $d")
+          case "-D" => assert(live.remove((d.grp, d.id)), s"orphan -D $d")
+        }
+      }
+      assert(live.toSet === Set(
+        ("ANN", pid(10, 5)), ("bob", pid(11, 6)), ("bob", pid(13, 6))))
+    } finally q.stop()
   }
 
   test("cdc_join composed with cdc_agg: maintained revenue per customer name equals the final-state aggregate") {
