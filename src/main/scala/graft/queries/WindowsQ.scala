@@ -110,6 +110,25 @@ object WindowsQ extends QueryPack {
           sum(round($"value" * 100).cast("long")).over(w).as("cents_1h"))
     }),
 
+    // ROWS-frame OVER aggregation (round 13; completes the OVER
+    // family next to q81's RANGE frame — Flink SQL `ROWS BETWEEN 2
+    // PRECEDING AND CURRENT ROW` ordered by event time): for EVERY
+    // event, count + exact cents sum over the up-to-3 same-user rows
+    // ending at it in (ts, event_id) order — the deterministic tie
+    // rule both engines share. Same single user-key shuffle as q81;
+    // frame scan is the sorted partition.
+    "q87_over_rows" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy(unix_micros($"ts"), $"event_id")
+        .rowsBetween(-2, 0)
+      Tables.events(s, d)
+        .select(
+          $"user_id", $"event_id",
+          count(lit(1)).over(w).as("n_3r"),
+          sum(round($"value" * 100).cast("long")).over(w).as("cents_3r"))
+    }),
+
     // AS-OF (temporal) join: each order priced against the credit
     // limit IN EFFECT at its order date (Flink `FOR SYSTEM_TIME AS OF`
     // over a CDC-materialized history). The version history is
@@ -169,6 +188,14 @@ object WindowsQ extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q87_over_rows" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_3r,
+        |  cast(sum(cast(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_3r
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q13_tumbling_window" ->
       s"""SELECT date_trunc('hour', ts) AS w_start, event_type,

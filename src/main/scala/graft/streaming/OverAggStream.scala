@@ -123,6 +123,60 @@ object OverAggStream {
       fold(key, held.get().toSeq, timers.getCurrentWatermarkInMs() * 1000L)
   }
 
+  /** ROWS-frame twin of [[OverProcessor]] (Flink SQL `ROWS BETWEEN
+    * n−1 PRECEDING AND CURRENT ROW` ordered by event time): every
+    * event aggregates over the up-to-`n` same-key rows ending at
+    * itself in (us, id) order. Same decision rule as RANGE — an
+    * event's frame is final once the watermark strictly passes its
+    * ts, because a late row with a smaller us INSERTS into the count
+    * order and would shift every later frame; watermark discipline
+    * is what makes ROWS frames decidable at all. Retention is even
+    * tighter than RANGE: a future event sorts strictly after every
+    * decided row (us ≥ wm > decided us), so only the LAST n−1 decided
+    * rows can ever re-enter a frame — state per key is n−1 plus
+    * in-flight, independent of both stream depth AND event rate
+    * (Flink's ROWS OverAggregate retains the same last-n tail, and
+    * like Flink the dormant tail lives until idle-state TTL — an
+    * upstream concern, documented not hidden). */
+  private class RowsProcessor(n: Int)
+      extends StatefulProcessor[Long, OverEvent, OverAgg] {
+    @transient private var held: ListState[Held] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      held = getHandle.getListState[Held]("rheld", Encoders.product[Held], TTLConfig.NONE)
+
+    private def fold(key: Long, events: Seq[Held], wmUs: Long): Iterator[OverAgg] = {
+      val sorted = events.sortBy(e => (e.us, e.id)).toArray
+      val pfx = new Array[Long](sorted.length + 1)
+      var i = 0
+      while (i < sorted.length) { pfx(i + 1) = pfx(i) + sorted(i).cents; i += 1 }
+      val out = sorted.iterator.zipWithIndex
+        .filter { case (e, _) => !e.emitted && e.us < wmUs }
+        .map { case (e, idx) =>
+          val a = math.max(0, idx + 1 - n)
+          OverAgg(key, e.id, e.us, (idx + 1 - a).toLong, pfx(idx + 1) - pfx(a), usToTs(e.us))
+        }.toVector
+      val (dec, undec) = sorted.partition(_.us < wmUs)
+      val keep = dec.takeRight(n - 1).map(_.copy(emitted = true)) ++ undec
+      held.clear()
+      if (keep.nonEmpty) held.appendList(keep)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (undec.nonEmpty)
+        getHandle.registerTimer(undec.map(_.us).min / 1000L + 1L)
+      out.iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[OverEvent],
+        timers: TimerValues): Iterator[OverAgg] = {
+      val incoming = rows.map(r => Held(r.id, r.us, r.cents, emitted = false)).toSeq
+      fold(key, held.get().toSeq ++ incoming, timers.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[OverAgg] =
+      fold(key, held.get().toSeq, timers.getCurrentWatermarkInMs() * 1000L)
+  }
+
   /** Per-event trailing-window aggregate over a streaming events
     * relation: one [[OverAgg]] per input row, with count + exact
     * cents sum over the same key's rows in `[ts − window, ts]`.
@@ -154,5 +208,26 @@ object OverAggStream {
       .transformWithState(
         new OverProcessor(window.toNanos / 1000L),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** ROWS-frame per-event aggregate (q87's streaming twin): one
+    * [[OverAgg]] per input row with count + exact cents sum over the
+    * up-to-`n` same-key rows ending at it in (event time, id) order —
+    * Flink SQL `ROWS BETWEEN n−1 PRECEDING AND CURRENT ROW`. Same
+    * timer/no-declared-event-time contract as [[overAgg]]. */
+  def overRows(events: DataFrame, n: Int, watermark: String,
+      keyCol: String = "user_id", idCol: String = "event_id",
+      valueCol: String = "value", tsCol: String = "ts"): Dataset[OverAgg] = {
+    require(n >= 1, s"overRows: frame size must be >= 1, got $n")
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long").as("key"), col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol)).as("us"),
+        round(col(valueCol) * lit(100)).cast("long").as("cents"), col(tsCol).as("ts"))
+      .as[OverEvent]
+      .groupByKey(_.key)
+      .transformWithState(new RowsProcessor(n), TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -105,4 +105,83 @@ class OverAggSpec extends AnyFunSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("over_rows stream: count-order frames, (ts,id) tie rule, late row inserts into the order, bounded n-1 tail") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = OverAggStream.overRows(
+        in.toDF().toDF("user_id", "event_id", "ts", "value"),
+        n = 3, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rows_hand").start()
+    try {
+      in.addData(Seq(
+        // key 1: four rows — id 13's frame is rows {11, 12, 13}, NOT
+        // 10 (count frame, not time frame: 10 is 3 rows back)
+        (1L, 10L, us(1000000L), 1.00),
+        (1L, 11L, us(2000000L), 2.00),
+        (1L, 12L, us(9000000L), 3.00), // far outside any 1s RANGE — ROWS doesn't care
+        (1L, 13L, us(9500000L), 4.00),
+        // key 2: equal-ts rows order by id — 21's frame = {20, 21}
+        (2L, 20L, us(1000000L), 0.10),
+        (2L, 21L, us(1000000L), 0.20),
+        // key 4: id 41 arrives first; the LATE id 40 (smaller ts) must
+        // insert BEFORE it in the count order
+        (4L, 41L, us(3000000L), 7.00)))
+      q.processAllAvailable()
+      assert(spark.table("rows_hand").count() == 0)
+      in.addData(Seq((4L, 40L, us(2500000L), 4.00)))
+      q.processAllAvailable()
+      in.addData(Seq((99L, 990L, Timestamp.valueOf("2030-01-01 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("rows_hand").filter($"key" =!= 99L)
+        .select($"id", $"n_win", $"cents_win").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === Map(
+        10L -> ((1L, 100L)),
+        11L -> ((2L, 300L)),
+        12L -> ((3L, 600L)),
+        13L -> ((3L, 900L)), // rows 11+12+13 — row 10 aged out of the count frame
+        20L -> ((1L, 10L)),
+        21L -> ((2L, 30L)), // id tie-break put 20 first
+        40L -> ((1L, 400L)),
+        41L -> ((2L, 1100L)))) // late 40 inserted before 41
+    } finally q.stop()
+  }
+
+  test("over_rows stream: dealt-out-of-order replay of the events table == batch q87") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .as[(Long, Long, Timestamp, Double)].collect().toSeq
+    val rnd = new scala.util.Random(43)
+    val shuffled = rnd.shuffle(ev.toList)
+    val batches = (0 until 4).map(i => shuffled.zipWithIndex.collect {
+      case (x, j) if j % 4 == i => x
+    })
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = OverAggStream.overRows(
+        in.toDF().toDF("user_id", "event_id", "ts", "value"),
+        n = 3, watermark = "400 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rows_parity").start()
+    try {
+      batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+      Seq("2030-01-01 00:00:00", "2030-01-02 00:00:00").foreach { d =>
+        in.addData(Seq((999999L, 0L, Timestamp.valueOf(d), 0.0)))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("rows_parity").filter($"key" =!= 999999L)
+        .select($"id", $"n_win", $"cents_win").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = SparkEntry.queries("q87_over_rows")(spark, sfDir)
+        .select($"event_id", $"n_3r", $"cents_3r").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      CachePool.drain()
+      assert(streamed.size === batch.size)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }

@@ -80,6 +80,12 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one exchange:\n$p")
   }
 
+  test("q87: ROWS-frame OVER is ONE user-key exchange + window — no self-join, no extra shuffle") {
+    val p = plan("q87_over_rows")
+    assert(!p.contains("Join"), s"ROWS frame must not self-join:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one exchange:\n$p")
+  }
+
   test("q82: window join is a hash equi-join on (user, bucket) — never a nested loop") {
     val p = plan("q82_window_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
