@@ -44,4 +44,53 @@ object Cep {
       .filter(isAnchor && col("__resp_us").isNull)
       .drop("__resp_us")
   }
+
+  /** POSITIVE CEP match with measures — Flink CEP
+    * `begin(anchor).followedBy(response).within(T)` under AFTER MATCH
+    * SKIP TO NEXT ROW (every anchor may match; responses are shared):
+    * for every anchor row, the EARLIEST response of the same key in
+    * `(ts, ts + windowUs]` (same strict-left/inclusive-right bounds
+    * as [[absence]] — the two are complements on the anchor set),
+    * ties broken by `id`. Measures: `n_mid` = count of `isMid` rows
+    * STRICTLY between the anchor and its matched response in
+    * (ts, id) order, and `dur_us` = response ts − anchor ts.
+    *
+    * Scale shape: NO inequality join — one shuffle on `key`, one
+    * per-partition sort, then (a) a running `isMid` counter and (b) a
+    * RANGE-frame `min` over a (us, id, counter) STRUCT, which carries
+    * the earliest response's identity AND its counter image through
+    * the frame in one pass. `n_mid` is the counter difference — the
+    * same prefix-sum trick q81 uses, lifted into the frame min. The
+    * three predicates must be mutually exclusive (an anchor that is
+    * also a response would self-count) — loud-checked per row.
+    * Output: (key, anchor_id, response_id, n_mid, dur_us). */
+  def followedBy(events: DataFrame, key: Column, ts: Column, id: Column,
+      isAnchor: Column, isResponse: Column, isMid: Column, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"followedBy window must be positive: $windowUs")
+    val us = unix_micros(ts)
+    val wNext = Window.partitionBy(col("__key")).orderBy(col("__us").asc)
+      .rangeBetween(1L, windowUs)
+    // the exclusivity check rides the consumed columns (a dangling
+    // check column would be pruned away with its raise_error)
+    val boom = raise_error(lit(
+      "followedBy: anchor/response/mid predicates must be mutually exclusive"))
+    events
+      .filter(isAnchor || isResponse || isMid)
+      .select(key.as("__key"), id.as("__id"), us.as("__us"),
+        when(isAnchor && (isResponse || isMid), boom).otherwise(isAnchor).as("__a"),
+        when(isResponse && isMid, boom).otherwise(isResponse).as("__r"),
+        isMid.as("__m"))
+      .withColumn("__mids", count(when(col("__m"), lit(1))).over(
+        Window.partitionBy(col("__key")).orderBy(col("__us").asc, col("__id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__resp", min(when(col("__r"),
+        struct(col("__us"), col("__id"), col("__mids")))).over(wNext))
+      .filter(col("__a") && col("__resp").isNotNull)
+      .select(
+        col("__key").as("key"),
+        col("__id").as("anchor_id"),
+        col("__resp.__id").as("response_id"),
+        (col("__resp.__mids") - col("__mids")).as("n_mid"),
+        (col("__resp.__us") - col("__us")).as("dur_us"))
+  }
 }

@@ -70,6 +70,26 @@ object FunnelQ extends QueryPack {
         .select($"user_id", $"event_id", $"ts")
     }),
 
+    // POSITIVE CEP match with measures (round 13; Flink CEP
+    // begin(error).followedBy(click).within(24h) under AFTER MATCH
+    // SKIP TO NEXT ROW — the complement of q76's absence on the same
+    // bounds): every error matched to the EARLIEST same-user click in
+    // the next 24 h, measuring the views in between and the match
+    // duration. No inequality join — one user shuffle, running mid
+    // counter + RANGE-frame struct-min carrying the response identity
+    // AND counter image; n_mid is a counter difference (q81's
+    // prefix-sum trick lifted into the frame min).
+    "q88_cep_match" -> ((s, d) => {
+      import s.implicits._
+      Cep.followedBy(
+        Tables.events(s, d).select($"user_id", $"event_id", $"ts", $"event_type"),
+        key = $"user_id", ts = $"ts", id = $"event_id",
+        isAnchor = $"event_type" === "error",
+        isResponse = $"event_type" === "click",
+        isMid = $"event_type" === "view",
+        windowUs = DayUs)
+    }),
+
     // Weekly retention cohorts: cohort = the user's first-seen week,
     // cell (cohort_week, week_offset) counts distinct users active
     // that many weeks later. Week indices are integer µs division —
@@ -120,6 +140,25 @@ object FunnelQ extends QueryPack {
          |  WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
          |    AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) + 1
          |                           AND epoch_us(e.ts) + $DayUs)""".stripMargin,
+
+    "q88_cep_match" ->
+      s"""WITH pe AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+         |  FROM events WHERE event_type IN ('error', 'click', 'view')),
+         |runs AS (
+         |  SELECT *, count(*) FILTER (WHERE event_type = 'view') OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS mids
+         |  FROM pe)
+         |SELECT a.user_id AS key, a.event_id AS anchor_id,
+         |  c.event_id AS response_id,
+         |  c.mids - a.mids AS n_mid, c.us - a.us AS dur_us
+         |FROM runs a JOIN runs c
+         |  ON c.user_id = a.user_id
+         | AND a.event_type = 'error' AND c.event_type = 'click'
+         | AND c.us BETWEEN a.us + 1 AND a.us + $DayUs
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY a.user_id, a.event_id ORDER BY c.us, c.event_id) = 1""".stripMargin,
 
     "q74_retention_cohorts" ->
       s"""WITH f AS (

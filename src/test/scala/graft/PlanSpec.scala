@@ -86,6 +86,16 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one exchange:\n$p")
   }
 
+  test("q88: CEP match is one key exchange + windows — no inequality join, and the scan reads only the pattern's event types") {
+    val p = plan("q88_cep_match")
+    assert(!p.contains("Join"), s"CEP match must not self-join:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one exchange:\n$p")
+    val f = planFormatted("q88_cep_match")
+    assert(f.contains("Or(Or(EqualTo(event_type,error),EqualTo(event_type,click)),EqualTo(event_type,view))")
+        || f.contains("In(event_type"),
+      s"pattern-type disjunction not pushed to the scan:\n${f.take(2000)}")
+  }
+
   test("q82: window join is a hash equi-join on (user, bucket) — never a nested loop") {
     val p = plan("q82_window_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
