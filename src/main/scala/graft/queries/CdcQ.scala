@@ -179,6 +179,43 @@ object CdcQ extends QueryPack {
         .select($"grp", $"id", $"cents", $"rn")
     }),
 
+    // changelog → maintained TIE-INCLUDING Top-N (Flink SQL's
+    // rank() <= N strategy; batch twin of streaming
+    // CdcTopNStream.topNRank): the q84 materialization with the
+    // score COARSENED to $10k buckets (floor(cents/1e6)) so boundary
+    // ties actually occur — rank ≤ 3 keeps the top 3 rows PLUS every
+    // tie of the 3rd, so groups can hold more than 3 members. Same
+    // two shuffles as q84 (pk materialize + grp window); the id
+    // appears in the ORDER BY only to make rn deterministic for the
+    // oracle hash, never in the rank predicate.
+    "q89_cdc_topn_rank" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"grp").orderBy($"bucket".desc)
+      Cdc.materialize(cdcEntityChangelog(s, d),
+        pk = Seq($"id"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
+        .withColumn("bucket", floor($"cents" / 1000000L))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .filter($"rnk" <= 3)
+        .select($"grp", $"id", $"bucket", $"rnk")
+    }),
+
+    // changelog → maintained DENSE-RANK Top-N (Flink SQL's
+    // dense_rank() <= N strategy; batch twin of streaming
+    // CdcTopNStream.topNRank(dense = true)): membership = every live
+    // entity in the group's top 3 DISTINCT score buckets — gaps left
+    // by dead entities never widen the window (dense), so the member
+    // set is usually wider than q89's. Same plan shape as q89.
+    "q90_cdc_topn_dense" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"grp").orderBy($"bucket".desc)
+      Cdc.materialize(cdcEntityChangelog(s, d),
+        pk = Seq($"id"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
+        .withColumn("bucket", floor($"cents" / 1000000L))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .filter($"drnk" <= 3)
+        .select($"grp", $"id", $"bucket", $"drnk")
+    }),
+
     // changelog ⋈ changelog → MAINTAINED join view (Flink dynamic-
     // table binary join; the batch twin of streaming.CdcJoinStream):
     // BOTH sides arrive as multi-event +I/-U/+U/-D histories — orders
@@ -416,6 +453,36 @@ object CdcQ extends QueryPack {
         |         CAST(row_number() OVER (PARTITION BY grp ORDER BY cents DESC, id ASC) AS BIGINT) AS rn
         |  FROM st
         |) WHERE rn <= 3""".stripMargin,
+    "q89_cdc_topn_rank" ->
+      """WITH st AS (
+        |  SELECT o_orderkey AS id, o_orderpriority AS grp,
+        |         CAST(floor(round((o_totalprice - 10) * 100) / 1000000) AS BIGINT) AS bucket
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U-' || o_orderpriority,
+        |         CAST(floor(round(o_totalprice * 100) / 1000000) AS BIGINT)
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |)
+        |SELECT grp, id, bucket, rnk FROM (
+        |  SELECT grp, id, bucket,
+        |         CAST(rank() OVER (PARTITION BY grp ORDER BY bucket DESC) AS BIGINT) AS rnk
+        |  FROM st
+        |) WHERE rnk <= 3""".stripMargin,
+    "q90_cdc_topn_dense" ->
+      """WITH st AS (
+        |  SELECT o_orderkey AS id, o_orderpriority AS grp,
+        |         CAST(floor(round((o_totalprice - 10) * 100) / 1000000) AS BIGINT) AS bucket
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U-' || o_orderpriority,
+        |         CAST(floor(round(o_totalprice * 100) / 1000000) AS BIGINT)
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |)
+        |SELECT grp, id, bucket, drnk FROM (
+        |  SELECT grp, id, bucket,
+        |         CAST(dense_rank() OVER (PARTITION BY grp ORDER BY bucket DESC) AS BIGINT) AS drnk
+        |  FROM st
+        |) WHERE drnk <= 3""".stripMargin,
     "q80_cdc_join_full" ->
       """WITH lf AS (
         |  SELECT o_orderkey AS lpk,

@@ -42,6 +42,15 @@ import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, Stateful
   * state; a RocksDB MapState has no sorted index to exploit, so the
   * amortized-buffer design is the honest translation.
   *
+  * All three Flink SQL rank strategies ride this one processor
+  * ([[RankMode]]): `row_number() <= n` (the default, id-tiebreak,
+  * exactly ≤ n members), `rank() <= n`, and `dense_rank() <= n`
+  * (tie-including — membership is a score threshold). Membership
+  * under every mode is a PREFIX of the (score desc, id asc) buffer
+  * order, so the modes differ only in where the cut falls and in
+  * the tie-extension scan the tie modes need when the boundary
+  * tie-run outgrows the buffer.
+  *
   * Output: membership changelog of the top-N (+I entered / -D left)
   * — the same "no ranking field" contract as [[TopNRetractStream]];
   * a downstream materializer on (grp, id) holds the current top N.
@@ -59,6 +68,22 @@ import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, Stateful
   */
 object CdcTopNStream {
 
+  /** Flink SQL Top-N rank strategies (RankProcessStrategy): membership
+    * under every mode is a PREFIX of the (score desc, id asc) total
+    * order — `RowNum` cuts at exactly n entries (id breaks ties),
+    * `RankTies` (`rank() <= n`) extends the cut through the n-th
+    * entry's tie-run, `DenseTies` (`dense_rank() <= n`) cuts after
+    * the n-th DISTINCT score's run. The tie modes can hold MORE than
+    * n members (all boundary ties are rank-n), so their membership
+    * is a score threshold, not a count — which is why they need the
+    * tie-extension scan below and RowNum never does. */
+  sealed trait RankMode
+  object RankMode {
+    case object RowNum extends RankMode
+    case object RankTies extends RankMode
+    case object DenseTies extends RankMode
+  }
+
   /** Changelog row about entity `id` in group `grp`; `-U`/`-D` carry
     * the before-image score (standard CDC before-image routing). */
   case class RankChange(op: String, grp: String, id: Long, score: Double, ver: Long)
@@ -75,7 +100,7 @@ object CdcTopNStream {
   // the shared changelog ordering rule — ONE definition
   private def opRank(op: String): Int = graft.operators.Cdc.opRank(op)
 
-  private class Proc(n: Int, bufFactor: Int) extends StatefulProcessor[String, RankChange, RankDelta] {
+  private class Proc(n: Int, bufFactor: Int, mode: RankMode) extends StatefulProcessor[String, RankChange, RankDelta] {
     private val maxBuf = n * bufFactor
     @transient private var slots: MapState[Long, RankSlot] = _
     @transient private var top: ListState[RankEntry] = _
@@ -97,6 +122,31 @@ object CdcTopNStream {
     private def beats(aScore: Double, aId: Long, bScore: Double, bId: Long): Boolean =
       aScore > bScore || (aScore == bScore && aId < bId)
 
+    /** Membership = this many entries off the front of the best-first
+      * buffer. All three rank strategies cut a prefix: RowNum at n,
+      * RankTies through the tie-run containing index n-1, DenseTies
+      * after the n-th distinct score's run. */
+    private def memberCut(entries: scala.collection.IndexedSeq[RankEntry]): Int = mode match {
+      case RankMode.RowNum => math.min(n, entries.size)
+      case RankMode.RankTies =>
+        if (entries.size <= n) entries.size
+        else {
+          val s = entries(n - 1).score
+          var j = n
+          while (j < entries.size && entries(j).score == s) j += 1
+          j
+        }
+      case RankMode.DenseTies =>
+        var i = 0
+        var runs = 0
+        while (i < entries.size && runs < n) {
+          val s = entries(i).score
+          while (i < entries.size && entries(i).score == s) i += 1
+          runs += 1
+        }
+        i
+    }
+
     override def handleInputRows(grp: String, rows: Iterator[RankChange],
         timers: TimerValues): Iterator[RankDelta] = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[RankEntry]
@@ -104,7 +154,7 @@ object CdcTopNStream {
       // exact = "the buffer holds EVERY live entity" (never trimmed
       // since the last refill); absent state (new group) is exact-empty
       var isExact = if (exactState.exists()) exactState.get() else true
-      val prevMembers = buf.take(n).toVector
+      val prevMembers = buf.take(memberCut(buf)).toVector
       val prevIds = prevMembers.map(_.id).toSet
       val prevEntry = prevMembers.map(e => e.id -> e.entry).toMap
 
@@ -138,30 +188,59 @@ object CdcTopNStream {
         }
       }
 
-      // underflow: membership needs N, the buffer can no longer prove
-      // who the next-best is — the one place that pays the O(live)
-      // scan, streamed through an M-entry accumulator (O(M) heap)
-      if (!isExact && buf.size < n) {
+      // underflow: the buffer can no longer PROVE membership complete
+      // — the one place that pays the O(live) scan, streamed through
+      // an M-entry accumulator (O(M) heap). RowNum: fewer than n
+      // entries (outsiders rank strictly below buf.last by the id
+      // tiebreak, so n present ⇒ proven). Tie modes: the membership
+      // cut reaches the buffer end — an outsider tying buf.last's
+      // score with a larger id would STILL be a member, so a trimmed
+      // buffer ending inside the boundary tie-run proves nothing.
+      val scanNeeded = !isExact && (mode match {
+        case RankMode.RowNum => buf.size < n
+        case _               => buf.isEmpty || memberCut(buf) == buf.size
+      })
+      if (scanNeeded) {
         buf.clear()
         slots.iterator().foreach { case (id, s) =>
           if (s.live && (buf.size < maxBuf || beats(s.score, id, buf.last.score, buf.last.id)))
             insertSorted(id, s.score)
         }
         isExact = buf.size < maxBuf
+        // tie-extension: if the rebuilt (trimmed) buffer STILL ends
+        // inside the membership boundary's tie-run, every live entity
+        // tying that score is a member — a second streamed pass
+        // collects the full run (O(live) compute, O(ties) heap; Flink
+        // emits the same unbounded tie set). Everything ABOVE the
+        // boundary score is provably inside the accumulator (it is a
+        // best-M prefix and M ≥ n), so above ++ full-tie-run is again
+        // a prefix of the total order.
+        if (!isExact && mode != RankMode.RowNum && buf.nonEmpty && memberCut(buf) == buf.size) {
+          val sB = buf.last.score
+          val above = buf.filter(_.score > sB)
+          val ties = scala.collection.mutable.ArrayBuffer.empty[RankEntry]
+          slots.iterator().foreach { case (id, s) =>
+            if (s.live && s.score == sB) ties += RankEntry(id, s.score, s.score)
+          }
+          buf.clear()
+          buf ++= above
+          buf ++= ties.sortBy(_.id)
+        }
       }
 
       // membership diff; surviving members keep their entry-time
       // image, fresh members publish (and record) their current score
+      val cut = memberCut(buf)
       val next = buf.toVector.zipWithIndex.map { case (e, i) =>
-        if (i < n && prevIds.contains(e.id)) e.copy(entry = prevEntry(e.id))
-        else if (i < n) e.copy(entry = e.score)
+        if (i < cut && prevIds.contains(e.id)) e.copy(entry = prevEntry(e.id))
+        else if (i < cut) e.copy(entry = e.score)
         else e
       }
       top.clear()
       if (next.nonEmpty) top.appendList(next.toArray)
       exactState.update(isExact)
-      val nextIds = next.take(n).map(_.id).toSet
-      (next.take(n).filter(e => !prevIds.contains(e.id)).map(e => RankDelta("+I", grp, e.id, e.score)) ++
+      val nextIds = next.take(cut).map(_.id).toSet
+      (next.take(cut).filter(e => !prevIds.contains(e.id)).map(e => RankDelta("+I", grp, e.id, e.score)) ++
         prevMembers.filter(e => !nextIds.contains(e.id)).map(e => RankDelta("-D", grp, e.id, e.entry))).iterator
     }
 
@@ -175,10 +254,31 @@ object CdcTopNStream {
     * sizes the runner-up buffer (`bufFactor`·n entries): larger
     * amortizes more member-retraction rebuilds at `(bufFactor−1)·n`
     * extra state rows per group. */
-  def topN(changes: Dataset[RankChange], n: Int, bufFactor: Int = 4): Dataset[RankDelta] = {
+  def topN(changes: Dataset[RankChange], n: Int, bufFactor: Int = 4): Dataset[RankDelta] =
+    topNMode(changes, n, RankMode.RowNum, bufFactor)
+
+  /** Tie-including Top-N over a changelog — Flink SQL's `rank() <= n`
+    * (`dense = false`) and `dense_rank() <= n` (`dense = true`) rank
+    * strategies: membership is a SCORE threshold, so all ties of the
+    * boundary score are members and the view can hold more than `n`
+    * rows (Flink emits the same unbounded tie set). Same state,
+    * emission, and runner-up amortization contract as [[topN]]; the
+    * one extra price is the tie-extension scan — when a trimmed
+    * buffer ends INSIDE the boundary tie-run (boundary ties wider
+    * than `bufFactor`·n), membership can only be proven by streaming
+    * the slots, and a group stuck in that shape pays the O(live)
+    * scan per TOUCHED batch until the boundary narrows. Boundary
+    * tie-runs that fit the buffer (the common case) amortize exactly
+    * like RowNum. */
+  def topNRank(changes: Dataset[RankChange], n: Int, dense: Boolean = false,
+      bufFactor: Int = 4): Dataset[RankDelta] =
+    topNMode(changes, n, if (dense) RankMode.DenseTies else RankMode.RankTies, bufFactor)
+
+  private def topNMode(changes: Dataset[RankChange], n: Int, mode: RankMode,
+      bufFactor: Int): Dataset[RankDelta] = {
     require(bufFactor >= 1, s"cdcTopNStream: bufFactor must be >= 1, got $bufFactor")
     import changes.sparkSession.implicits._
     changes.groupByKey(_.grp)
-      .transformWithState(new Proc(n, bufFactor), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new Proc(n, bufFactor, mode), TimeMode.None(), OutputMode.Append())
   }
 }

@@ -18,12 +18,17 @@ class CdcTopNSpec extends AnyFunSuite {
   import TestSpark._
 
   private def run(name: String, n: Int, batches: Seq[Seq[RankChange]],
-      bufFactor: Int = 4): Seq[(Long, RankDelta)] = {
+      bufFactor: Int = 4, mode: String = "rownum"): Seq[(Long, RankDelta)] = {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[RankChange]
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, RankDelta)]
-    val q = CdcTopNStream.topN(in.toDS(), n, bufFactor)
+    val ranked = mode match {
+      case "rownum" => CdcTopNStream.topN(in.toDS(), n, bufFactor)
+      case "rank"   => CdcTopNStream.topNRank(in.toDS(), n, dense = false, bufFactor)
+      case "dense"  => CdcTopNStream.topNRank(in.toDS(), n, dense = true, bufFactor)
+    }
+    val q = ranked
       .writeStream.outputMode("append")
       .foreachBatch { (df: org.apache.spark.sql.Dataset[RankDelta], id: Long) =>
         val rows = df.collect()
@@ -139,6 +144,123 @@ class CdcTopNSpec extends AnyFunSuite {
     assert(byBatch(3L) === Set(RankDelta("-D", "a", 3L, 70.0)))
     assert(materialize(out) === Map("a" -> Set(4L)))
     wellFormed(out)
+  }
+
+  test("cdc_topn rank mode: boundary ties are all members; membership narrows when a better entity displaces the tie-run") {
+    val out = run("ctn_rank_hand", 2, Seq(
+      // batch 0: rank() <= 2 over [90, 80, 80, 80, 70]: top-2 rows
+      // plus every tie of the 2nd -> members {1, 2, 3, 4}
+      Seq(RankChange("+I", "a", 1L, 90.0, 1),
+        RankChange("+I", "a", 2L, 80.0, 1),
+        RankChange("+I", "a", 3L, 80.0, 1),
+        RankChange("+I", "a", 4L, 80.0, 1),
+        RankChange("+I", "a", 5L, 70.0, 1)),
+      // batch 1: kill ONE tie member -> the rest of the run stays
+      Seq(RankChange("-D", "a", 2L, 80.0, 2)),
+      // batch 2: a 95 arrives -> top-2 = {95, 90}, no ties of the
+      // 2nd -> the whole 80-run leaves the membership
+      Seq(RankChange("+I", "a", 6L, 95.0, 3)),
+      // batch 3: the 95 dies -> the 80-run RE-ENTERS
+      Seq(RankChange("-D", "a", 6L, 95.0, 4))), mode = "rank")
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBatch(0L) === Set(
+      RankDelta("+I", "a", 1L, 90.0), RankDelta("+I", "a", 2L, 80.0),
+      RankDelta("+I", "a", 3L, 80.0), RankDelta("+I", "a", 4L, 80.0)))
+    assert(byBatch(1L) === Set(RankDelta("-D", "a", 2L, 80.0)))
+    assert(byBatch(2L) === Set(
+      RankDelta("+I", "a", 6L, 95.0),
+      RankDelta("-D", "a", 3L, 80.0), RankDelta("-D", "a", 4L, 80.0)))
+    assert(byBatch(3L) === Set(
+      RankDelta("-D", "a", 6L, 95.0),
+      RankDelta("+I", "a", 3L, 80.0), RankDelta("+I", "a", 4L, 80.0)))
+    assert(materialize(out) === Map("a" -> Set(1L, 3L, 4L)))
+    wellFormed(out)
+  }
+
+  test("cdc_topn dense mode: membership = top n DISTINCT scores; a dead bucket pulls the next bucket in") {
+    val out = run("ctn_dense_hand", 2, Seq(
+      // dense_rank() <= 2 over buckets {90: [1], 80: [2, 3], 70: [4]}
+      // -> members {1, 2, 3}
+      Seq(RankChange("+I", "a", 1L, 90.0, 1),
+        RankChange("+I", "a", 2L, 80.0, 1),
+        RankChange("+I", "a", 3L, 80.0, 1),
+        RankChange("+I", "a", 4L, 70.0, 1)),
+      // the 90 bucket dies ENTIRELY -> buckets {80, 70} -> 4 enters
+      Seq(RankChange("-D", "a", 1L, 90.0, 2)),
+      // one 80 dies -> the bucket SURVIVES (3 still holds it) -> 4 stays
+      Seq(RankChange("-D", "a", 2L, 80.0, 3))), mode = "dense")
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBatch(0L) === Set(
+      RankDelta("+I", "a", 1L, 90.0), RankDelta("+I", "a", 2L, 80.0),
+      RankDelta("+I", "a", 3L, 80.0)))
+    assert(byBatch(1L) === Set(
+      RankDelta("-D", "a", 1L, 90.0), RankDelta("+I", "a", 4L, 70.0)))
+    assert(byBatch(2L) === Set(RankDelta("-D", "a", 2L, 80.0)))
+    assert(materialize(out) === Map("a" -> Set(3L, 4L)))
+    wellFormed(out)
+  }
+
+  test("cdc_topn tie modes, bufFactor=1: a boundary tie-run WIDER than the buffer is collected by the tie-extension scan") {
+    // maxBuf = n = 2, but FIVE entities tie at 80: the buffer trims to
+    // 2, membership proof fails, and the tie-extension pass must
+    // stream the slots to find all five
+    val out = run("ctn_tie_scan", 2, Seq(
+      Seq(RankChange("+I", "a", 1L, 80.0, 1),
+        RankChange("+I", "a", 2L, 80.0, 1),
+        RankChange("+I", "a", 3L, 80.0, 1),
+        RankChange("+I", "a", 4L, 80.0, 1),
+        RankChange("+I", "a", 5L, 80.0, 1)),
+      // kill one tie -> the other four remain members (pathological
+      // rescan shape, documented: the scan re-proves it)
+      Seq(RankChange("-D", "a", 3L, 80.0, 2))), bufFactor = 1, mode = "rank")
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBatch(0L) === (1L to 5L).map(i => RankDelta("+I", "a", i, 80.0)).toSet,
+      "all five boundary ties are rank-1 members")
+    assert(byBatch(1L) === Set(RankDelta("-D", "a", 3L, 80.0)))
+    assert(materialize(out) === Map("a" -> Set(1L, 2L, 4L, 5L)))
+    wellFormed(out)
+  }
+
+  test("cdc_topn tie modes: dealt replay of the q89/q90 bucketed changelog == batch rank()/dense_rank() membership") {
+    import spark.implicits._
+    // the q89/q90 synthesis: same changelog, score coarsened to $10k
+    // buckets so boundary ties actually occur
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    def ev(kind: String, cents: org.apache.spark.sql.Column,
+        grp: org.apache.spark.sql.Column, ver: Int) =
+      Seq(lit(kind).as("op"), grp.as("grp"), $"o_orderkey".as("id"),
+        floor(cents / 1000000L).cast("double").as("score"), lit(ver.toLong).as("ver"))
+    val cents0 = round(($"o_totalprice" - 10) * 100).cast("long")
+    val cents1 = round($"o_totalprice" * 100).cast("long")
+    val grp1 = concat(lit("U-"), $"o_orderpriority")
+    val changelog =
+      o.select(ev("+I", cents0, $"o_orderpriority", 1): _*)
+        .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("-U", cents0, $"o_orderpriority", 2): _*))
+        .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("+U", cents1, grp1, 2): _*))
+        .unionAll(o.filter($"o_orderstatus" === "P").select(ev("-D", cents1, grp1, 3): _*))
+        .as[RankChange].collect().toSeq
+    val rnd = new scala.util.Random(89)
+    val shuffled = rnd.shuffle(changelog.toList)
+    val batches = (0 until 4).map(i => shuffled.zipWithIndex.collect {
+      case (c, j) if j % 4 == i => c
+    })
+    def expected(q: String) = SparkEntry.queries(q)(spark, sfDir)
+      .select($"grp", $"id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    val expRank = expected("q89_cdc_topn_rank")
+    val expDense = expected("q90_cdc_topn_dense")
+    CachePool.drain()
+    assert(expRank.values.map(_.size).sum > expRank.size * 3,
+      s"degenerate: no boundary ties in the rank corpus")
+    val rankDeltas = run("ctn_rank_parity", 3, batches, mode = "rank")
+    assert(materialize(rankDeltas) === expRank)
+    wellFormed(rankDeltas)
+    val denseDeltas = run("ctn_dense_parity", 3, batches, mode = "dense")
+    assert(materialize(denseDeltas) === expDense)
+    wellFormed(denseDeltas)
+    // bufFactor=1 forces the scan + tie-extension path throughout
+    val rankDeltas1 = run("ctn_rank_parity_b1", 3, batches, bufFactor = 1, mode = "rank")
+    assert(materialize(rankDeltas1) === expRank)
   }
 
   test("cdc_topn: dealt replay of the q84 changelog materializes to batch q84's top-3 (default buffer AND bufFactor=1)") {

@@ -115,6 +115,14 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 2, s"expected exactly two exchanges:\n$p")
   }
 
+  test("q89/q90: tie-mode top-N keeps q84's exact shape — two shuffles, no join, rank runs in the same window pass") {
+    Seq("q89_cdc_topn_rank", "q90_cdc_topn_dense").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: no join belongs in the fold:\n$p")
+      assert("Exchange".r.findAllIn(p).size == 2, s"$q: expected exactly two exchanges:\n$p")
+    }
+  }
+
   test("q85: cascaded 3-way join — the nation hop broadcasts (the enriched stream never re-shuffles for the dim); no cartesian") {
     val p = plan("q85_cdc_join3")
     assert(p.contains("BroadcastHashJoin"), s"nation hop must broadcast:\n$p")
