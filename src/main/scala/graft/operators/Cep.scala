@@ -93,4 +93,34 @@ object Cep {
         (col("__resp.__mids") - col("__mids")).as("n_mid"),
         (col("__resp.__us") - col("__us")).as("dur_us"))
   }
+
+  /** STRICT-CONTIGUITY CEP match — Flink CEP
+    * `begin(anchor).next(response).within(T)`: an anchor matches iff
+    * its IMMEDIATELY following same-key event in (ts, id) order —
+    * over ALL events, any intervening row of any type breaks the
+    * pattern (that is what `next` means vs [[followedBy]]'s relaxed
+    * contiguity) — satisfies `isResponse` and lands within
+    * `windowUs`. Because contiguity is defined over the whole event
+    * stream, no pre-filter is possible: every row is a potential
+    * pattern-breaker and must reach the sort. One shuffle on `key` +
+    * a `lead` window; no join, no frame scan. A row may be both
+    * anchor and response (it can answer its predecessor and anchor
+    * its own match) — no exclusivity constraint, same as Flink.
+    * Output: (key, anchor_id, response_id, dur_us). Streaming twin:
+    * graft.streaming.CepNextStream. */
+  def next(events: DataFrame, key: Column, ts: Column, id: Column,
+      isAnchor: Column, isResponse: Column, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"next window must be positive: $windowUs")
+    val us = unix_micros(ts)
+    val w = Window.partitionBy(col("__key")).orderBy(col("__us").asc, col("__id").asc)
+    events
+      .select(key.as("__key"), id.as("__id"), us.as("__us"),
+        isAnchor.as("__a"), isResponse.as("__r"))
+      .withColumn("__nx", lead(struct(col("__us"), col("__id"), col("__r")), 1).over(w))
+      .filter(col("__a") && col("__nx").isNotNull && col("__nx.__r") &&
+        col("__nx.__us") - col("__us") <= windowUs)
+      .select(col("__key").as("key"), col("__id").as("anchor_id"),
+        col("__nx.__id").as("response_id"),
+        (col("__nx.__us") - col("__us")).as("dur_us"))
+  }
 }

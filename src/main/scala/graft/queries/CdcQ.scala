@@ -216,6 +216,28 @@ object CdcQ extends QueryPack {
         .select($"grp", $"id", $"bucket", $"drnk")
     }),
 
+    // changelog → MAINTAINED DISTINCT aggregate (Flink retract-stream
+    // distinct agg — DistinctAggCodeGen's MapView refcount; batch
+    // twin of streaming.CdcDistinctStream): count(DISTINCT bucket) /
+    // sum(DISTINCT bucket) over the LIVE entities' current values,
+    // next to the plain live count. Same materialize-first price as
+    // q79 (whether a retraction shrinks the distinct set depends on
+    // the OTHER live holders of the value — not signed-foldable);
+    // the score coarsened to $10k buckets (as q89) so values are
+    // actually shared across entities and DISTINCT differs from
+    // plain. Catalyst plans the distinct pair via its own two-phase
+    // Expand — the batch analog of Flink's split-distinct rewrite.
+    "q91_cdc_distinct" -> ((s, d) => {
+      import s.implicits._
+      Cdc.materialize(cdcEntityChangelog(s, d),
+        pk = Seq($"id"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
+        .withColumn("bucket", floor($"cents" / 1000000L))
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("live_cnt"),
+          countDistinct($"bucket").as("distinct_cnt"),
+          sum_distinct($"bucket").as("distinct_sum"))
+    }),
+
     // changelog ⋈ changelog → MAINTAINED join view (Flink dynamic-
     // table binary join; the batch twin of streaming.CdcJoinStream):
     // BOTH sides arrive as multi-event +I/-U/+U/-D histories — orders
@@ -483,6 +505,18 @@ object CdcQ extends QueryPack {
         |         CAST(dense_rank() OVER (PARTITION BY grp ORDER BY bucket DESC) AS BIGINT) AS drnk
         |  FROM st
         |) WHERE drnk <= 3""".stripMargin,
+    "q91_cdc_distinct" ->
+      """SELECT grp, count(*)::BIGINT AS live_cnt,
+        |       count(DISTINCT bucket)::BIGINT AS distinct_cnt,
+        |       sum(DISTINCT bucket)::BIGINT AS distinct_sum FROM (
+        |  SELECT o_orderpriority AS grp,
+        |         CAST(floor(round((o_totalprice - 10) * 100) / 1000000) AS BIGINT) AS bucket
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT 'U-' || o_orderpriority,
+        |         CAST(floor(round(o_totalprice * 100) / 1000000) AS BIGINT)
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |) GROUP BY grp""".stripMargin,
     "q80_cdc_join_full" ->
       """WITH lf AS (
         |  SELECT o_orderkey AS lpk,

@@ -90,6 +90,23 @@ object FunnelQ extends QueryPack {
         windowUs = DayUs)
     }),
 
+    // STRICT-CONTIGUITY CEP match (round 13; Flink CEP
+    // begin(error).next(click).within(24h) — `next` vs q88's relaxed
+    // `followedBy`: ANY intervening event of any type breaks the
+    // pattern, so no pre-filter is possible and every row reaches the
+    // per-user sort as a potential breaker). One user shuffle + a
+    // lead() window — no join, no frame scan. Same 24 h bound as
+    // q76/q88, closing the contiguity-mode trio on one corpus.
+    "q93_cep_next" -> ((s, d) => {
+      import s.implicits._
+      Cep.next(
+        Tables.events(s, d).select($"user_id", $"event_id", $"ts", $"event_type"),
+        key = $"user_id", ts = $"ts", id = $"event_id",
+        isAnchor = $"event_type" === "error",
+        isResponse = $"event_type" === "click",
+        windowUs = DayUs)
+    }),
+
     // Weekly retention cohorts: cohort = the user's first-seen week,
     // cell (cohort_week, week_offset) counts distinct users active
     // that many weeks later. Week indices are integer µs division —
@@ -159,6 +176,21 @@ object FunnelQ extends QueryPack {
          | AND c.us BETWEEN a.us + 1 AND a.us + $DayUs
          |QUALIFY row_number() OVER (
          |  PARTITION BY a.user_id, a.event_id ORDER BY c.us, c.event_id) = 1""".stripMargin,
+
+    // lead() replay of strict contiguity: the immediate successor in
+    // (ts, id) order must be a click within the bound
+    "q93_cep_next" ->
+      s"""WITH r AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+         |    lead(struct_pack(us := epoch_us(ts), id := event_id,
+         |                     tp := event_type)) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS nx
+         |  FROM events)
+         |SELECT user_id AS key, event_id AS anchor_id,
+         |  nx.id AS response_id, nx.us - us AS dur_us
+         |FROM r
+         |WHERE event_type = 'error' AND nx IS NOT NULL
+         |  AND nx.tp = 'click' AND nx.us - us <= $DayUs""".stripMargin,
 
     "q74_retention_cohorts" ->
       s"""WITH f AS (

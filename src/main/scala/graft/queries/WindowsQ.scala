@@ -91,6 +91,29 @@ object WindowsQ extends QueryPack {
         .select($"user_id", $"w_start", $"click_id", $"error_id")
     }),
 
+    // WINDOW DEDUPLICATION TVF (round 13; Flink SQL's window dedup —
+    // `ROW_NUMBER() OVER (PARTITION BY window_start, key ORDER BY
+    // ts) = 1` over TUMBLE — the "first event per user per hour"
+    // shape behind sampled sessionization): one shuffle on
+    // (user, hour bucket) + a row_number window; the hour bucket is
+    // date_trunc (epoch-aligned, identical to window('1 hour')), so
+    // the dedup key is a plain column both engines compute the same
+    // way. Ties broken by event_id — deterministic first row.
+    // Streaming twin: Pipelines.streamingWindowDedup (a NATIVE
+    // watermarked window aggregate with a min_by struct — no custom
+    // state; Spark emits each window's final first-row exactly once
+    // at watermark passage, which IS the TVF's emit-at-window-close).
+    "q92_window_dedup" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"w_start")
+        .orderBy($"ts".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .withColumn("w_start", date_trunc("hour", $"ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"w_start", $"event_id", $"ts", $"event_type")
+    }),
+
     // Event-time OVER aggregation (Flink SQL `SUM(...) OVER (PARTITION
     // BY user ORDER BY ts RANGE INTERVAL '1' HOUR PRECEDING)` — the
     // per-event trailing-window shape behind fraud velocity checks and
@@ -180,6 +203,13 @@ object WindowsQ extends QueryPack {
         |  ON c.user_id = e.user_id
         | AND date_trunc('hour', c.ts) = date_trunc('hour', e.ts)
         |WHERE c.event_type = 'click' AND e.event_type = 'error'""".stripMargin,
+
+    "q92_window_dedup" ->
+      """SELECT user_id, w_start, event_id, ts, event_type FROM (
+        |  SELECT user_id, date_trunc('hour', ts) AS w_start, event_id, ts, event_type,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
 
     "q81_over_agg" ->
       """SELECT user_id, event_id,

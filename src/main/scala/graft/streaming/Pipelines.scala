@@ -431,6 +431,30 @@ object Pipelines {
       .drop("__rk", "__w", "__rw")
   }
 
+  /** WINDOW DEDUPLICATION TVF — streaming twin of q92_window_dedup
+    * (Flink SQL window dedup: first row per key per tumbling window).
+    * Spark-first: a NATIVE watermarked window aggregate whose
+    * aggregate is `min_by` over the (ts, id) order struct — no custom
+    * state, no timers. Append mode emits each window's final first
+    * row exactly once when the watermark passes the window end, which
+    * IS the TVF's emit-at-window-close; a late-but-in-watermark row
+    * that precedes the held first simply displaces it inside the agg
+    * before emission. State per (key, open window) is ONE struct —
+    * smaller than any row_number buffering — and evicts with the
+    * watermark. */
+  def streamingWindowDedup(events: DataFrame, windowLen: String, watermark: String,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("__w"), col(keyCol))
+      .agg(min_by(
+        struct(col(idCol).as("id"), col(tsCol).as("ts"), col("event_type").as("tp")),
+        struct(col(tsCol), col(idCol))).as("__first"))
+      .select(col(keyCol), col("__w.start").as("w_start"),
+        col("__first.id").as(idCol), col("__first.ts").as(tsCol),
+        col("__first.tp").as("event_type"))
+
   // ---- streaming NEAR-dup dedup (SimHash band state) ----
 
   case class BandRow(band_key: Long, doc_id: Long, ts: Timestamp, fp: Long)
