@@ -108,6 +108,113 @@ object Cep {
     * its own match) — no exclusivity constraint, same as Flink.
     * Output: (key, anchor_id, response_id, dur_us). Streaming twin:
     * graft.streaming.CepNextStream. */
+  /** LOOPING-pattern CEP match — Flink CEP
+    * `begin(anchor).oneOrMore().greedy().within(gap)` / MATCH_RECOGNIZE
+    * `PATTERN (A+)` with measures over the loop: MAXIMAL runs of
+    * consecutive same-key `isAnchor` events — strict contiguity in
+    * (ts, id) order over ALL events (any intervening row of any type
+    * breaks the run, the [[next]] rule lifted to a loop) — where each
+    * consecutive pair lands within `gapUs` (the decidable per-step
+    * reading of `within`: a stream can close a run at watermark
+    * `last + gap` without waiting for a terminator row). Runs shorter
+    * than `minLen` are dropped (Flink's `times(minLen, ∞)`).
+    *
+    * Scale shape: one shuffle on `key`, then three window passes over
+    * the SAME (us, id) sort and a groupBy on (key, run) that the key
+    * partitioning already satisfies — ONE exchange total, no join.
+    * No pre-filter (every row is a potential breaker, as [[next]]).
+    * Output: (key, start_id, end_id, n, dur_us) — first/last event of
+    * the run, its length, its time span. Streaming twin:
+    * graft.streaming.CepRunsStream. */
+  def runs(events: DataFrame, key: Column, ts: Column, id: Column,
+      isAnchor: Column, gapUs: Long, minLen: Int): DataFrame = {
+    require(gapUs > 0, s"runs gap must be positive: $gapUs")
+    require(minLen >= 1, s"runs minLen must be >= 1: $minLen")
+    val us = unix_micros(ts)
+    val wAll = Window.partitionBy(col("__key")).orderBy(col("__us").asc, col("__id").asc)
+    events
+      .select(key.as("__key"), id.as("__id"), us.as("__us"), isAnchor.as("__a"))
+      // the run-break decision needs the previous row over ALL events
+      .withColumn("__prev", lag(struct(col("__us"), col("__a")), 1).over(wAll))
+      .filter(col("__a"))
+      .withColumn("__new", (col("__prev").isNull || !col("__prev.__a") ||
+        col("__us") - col("__prev.__us") > gapUs).cast("int"))
+      // run id = prefix count of run starts among this key's anchors;
+      // same sort, same partitioning — no new exchange
+      .withColumn("__run", sum(col("__new")).over(
+        wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__key"), col("__run"))
+      .agg(
+        min(struct(col("__us"), col("__id"))).as("__first"),
+        max(struct(col("__us"), col("__id"))).as("__last"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= minLen)
+      .select(col("__key").as("key"),
+        col("__first.__id").as("start_id"), col("__last.__id").as("end_id"),
+        col("n"), (col("__last.__us") - col("__first.__us")).as("dur_us"))
+  }
+
+  /** MATCH_RECOGNIZE multi-variable pattern with measures — the
+    * canonical Flink SQL example, `PATTERN (STRT PRICE_DOWN+
+    * PRICE_UP+)` over a per-key value series: a maximal STRICTLY
+    * decreasing run immediately followed by a maximal strictly
+    * increasing run, in (ts, id) order. A flat step (equal values)
+    * matches neither variable and breaks the pattern, as does a
+    * session break (consecutive rows further apart than
+    * `sessionGapUs` — the bound that makes greedy `UP+` decidable on
+    * a stream: without it, the last ascent of a dormant key never
+    * proves maximal; Flink's `within` plays the same role).
+    *
+    * Scale shape: one shuffle on `key`; lag for the step direction,
+    * prefix-sum block ids (runs of equal direction), a groupBy on
+    * (key, block) and a lead over blocks — the key partitioning
+    * satisfies every stage, so ONE exchange, no join, and measures
+    * are running aggregates (a block is never materialized as rows).
+    *
+    * Output: (key, start_id, bottom_id, end_id, start_val,
+    * bottom_val, end_val, n_down, n_up) — the peak row (the row
+    * BEFORE the first down step), the bottom, the last up row, their
+    * values, and the two run lengths (in steps). Adjacent matches may
+    * share the peak/end row (Flink's AFTER MATCH SKIP TO LAST UP
+    * chaining). Streaming twin: graft.streaming.MatchVStream. */
+  def vPattern(events: DataFrame, key: Column, ts: Column, id: Column,
+      value: Column, sessionGapUs: Long): DataFrame = {
+    require(sessionGapUs > 0, s"vPattern session gap must be positive: $sessionGapUs")
+    val us = unix_micros(ts)
+    val wAll = Window.partitionBy(col("__key")).orderBy(col("__us").asc, col("__id").asc)
+    val wCum = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlk = Window.partitionBy(col("__key")).orderBy(col("__blk").asc)
+    events
+      .select(key.as("__key"), id.as("__id"), us.as("__us"), value.as("__v"))
+      .withColumn("__prev", lag(struct(col("__us"), col("__id"), col("__v")), 1).over(wAll))
+      // step direction vs the predecessor; null = session start
+      .withColumn("__dir",
+        when(col("__prev").isNull ||
+          col("__us") - col("__prev.__us") > sessionGapUs, lit(null).cast("int"))
+          .when(col("__v") < col("__prev.__v"), lit(-1))
+          .when(col("__v") > col("__prev.__v"), lit(1))
+          .otherwise(lit(0)))
+      // consecutive equal-direction rows form one block
+      .withColumn("__nb", (!(col("__dir") <=> lag(col("__dir"), 1).over(wAll))).cast("int"))
+      .withColumn("__blk", sum(col("__nb")).over(wCum))
+      .groupBy(col("__key"), col("__blk"))
+      .agg(
+        min(col("__dir")).as("__dir"), // uniform within a block
+        count(lit(1)).as("__n"),
+        // first row's predecessor IS the descent's peak
+        min(struct(col("__us"), col("__id"),
+          col("__prev.__id").as("__pid"), col("__prev.__v").as("__pv"))).as("__f"),
+        max(struct(col("__us"), col("__id"), col("__v"))).as("__l"))
+      .withColumn("__nxt", lead(struct(col("__dir"), col("__n"), col("__l")), 1).over(wBlk))
+      .filter(col("__dir") === -1 && col("__nxt.__dir") === 1)
+      .select(col("__key").as("key"),
+        col("__f.__pid").as("start_id"), col("__l.__id").as("bottom_id"),
+        col("__nxt.__l.__id").as("end_id"),
+        col("__f.__pv").as("start_val"), col("__l.__v").as("bottom_val"),
+        col("__nxt.__l.__v").as("end_val"),
+        col("__n").as("n_down"), col("__nxt.__n").as("n_up"))
+  }
+
   def next(events: DataFrame, key: Column, ts: Column, id: Column,
       isAnchor: Column, isResponse: Column, windowUs: Long): DataFrame = {
     require(windowUs > 0, s"next window must be positive: $windowUs")

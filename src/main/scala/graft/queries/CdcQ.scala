@@ -216,6 +216,24 @@ object CdcQ extends QueryPack {
         .select($"grp", $"id", $"bucket", $"drnk")
     }),
 
+    // Deduplication KEEP LAST ROW (round 13; Flink SQL's
+    // `ROW_NUMBER() OVER (PARTITION BY key ORDER BY rowtime DESC)=1`
+    // dedup — the batch twin of streaming.DedupLastStream, whose
+    // streamed retract output materializes to exactly this view):
+    // each user's latest event by (ts, event_id). Keep-FIRST never
+    // changes and needs no retractions (stream_dedup); keep-LAST is
+    // the updating half of Flink's dedup split. One key shuffle +
+    // row_number.
+    "q96_dedup_last" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"ts", $"event_type",
+          round($"value" * 100).cast("long").as("cents"))
+    }),
+
     // changelog → MAINTAINED DISTINCT aggregate (Flink retract-stream
     // distinct agg — DistinctAggCodeGen's MapView refcount; batch
     // twin of streaming.CdcDistinctStream): count(DISTINCT bucket) /
@@ -505,6 +523,12 @@ object CdcQ extends QueryPack {
         |         CAST(dense_rank() OVER (PARTITION BY grp ORDER BY bucket DESC) AS BIGINT) AS drnk
         |  FROM st
         |) WHERE drnk <= 3""".stripMargin,
+    "q96_dedup_last" ->
+      """SELECT user_id, event_id, ts, event_type,
+        |       CAST(round(value * 100) AS BIGINT) AS cents FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
     "q91_cdc_distinct" ->
       """SELECT grp, count(*)::BIGINT AS live_cnt,
         |       count(DISTINCT bucket)::BIGINT AS distinct_cnt,

@@ -107,6 +107,39 @@ object FunnelQ extends QueryPack {
         windowUs = DayUs)
     }),
 
+    // LOOPING CEP pattern (round 13; Flink CEP oneOrMore/times —
+    // `begin(click).oneOrMore().greedy()` with a 24 h per-step gap
+    // bound): MAXIMAL runs of consecutive clicks per user — strict
+    // contiguity in (ts, id) order over ALL events (any intervening
+    // event breaks the run; q93's rule lifted to a loop), consecutive
+    // pairs within 24 h, runs of length >= 2 kept. One user shuffle,
+    // three window passes + a groupBy the same partitioning already
+    // satisfies — no join, one exchange.
+    "q94_cep_times" -> ((s, d) => {
+      import s.implicits._
+      Cep.runs(
+        Tables.events(s, d).select($"user_id", $"event_id", $"ts", $"event_type"),
+        key = $"user_id", ts = $"ts", id = $"event_id",
+        isAnchor = $"event_type" === "click",
+        gapUs = DayUs, minLen = 2)
+    }),
+
+    // MATCH_RECOGNIZE V-pattern (round 13; the canonical Flink SQL
+    // example — PATTERN (STRT PRICE_DOWN+ PRICE_UP+) with measures):
+    // per user over the event `value` series in (ts, id) order, every
+    // maximal strictly-decreasing run immediately followed by a
+    // maximal strictly-increasing run; flat steps and session breaks
+    // (> 24 h between consecutive rows) break the pattern. One user
+    // shuffle; blocks, their collapse, and the block-adjacency lead
+    // all ride the same key partitioning.
+    "q95_match_v" -> ((s, d) => {
+      import s.implicits._
+      Cep.vPattern(
+        Tables.events(s, d).select($"user_id", $"event_id", $"ts", $"value"),
+        key = $"user_id", ts = $"ts", id = $"event_id",
+        value = $"value", sessionGapUs = DayUs)
+    }),
+
     // Weekly retention cohorts: cohort = the user's first-seen week,
     // cell (cohort_week, week_offset) counts distinct users active
     // that many weeks later. Week indices are integer µs division —
@@ -191,6 +224,69 @@ object FunnelQ extends QueryPack {
          |FROM r
          |WHERE event_type = 'error' AND nx IS NOT NULL
          |  AND nx.tp = 'click' AND nx.us - us <= $DayUs""".stripMargin,
+
+    // islands replay of gap-bounded maximal anchor runs
+    "q94_cep_times" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us,
+         |    event_type = 'click' AS a,
+         |    lag(struct_pack(us := epoch_us(ts),
+         |                    a := event_type = 'click')) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |anch AS (
+         |  SELECT user_id, event_id, us,
+         |    CASE WHEN prev IS NULL OR NOT prev.a
+         |              OR us - prev.us > $DayUs THEN 1 ELSE 0 END AS nr
+         |  FROM o WHERE a),
+         |runs AS (
+         |  SELECT user_id, event_id, us, sum(nr) OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS rid
+         |  FROM anch)
+         |SELECT user_id AS key,
+         |  min(struct_pack(us := us, id := event_id)).id AS start_id,
+         |  max(struct_pack(us := us, id := event_id)).id AS end_id,
+         |  count(*)::BIGINT AS n,
+         |  max(us) - min(us) AS dur_us
+         |FROM runs GROUP BY user_id, rid HAVING count(*) >= 2""".stripMargin,
+
+    // direction-block islands replay of the V pattern
+    "q95_match_v" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         |    lag(struct_pack(us := epoch_us(ts), id := event_id,
+         |                    v := value)) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |d AS (
+         |  SELECT user_id, event_id, us, value, prev.id AS pid, prev.v AS pv,
+         |    CASE WHEN prev IS NULL OR us - prev.us > $DayUs THEN NULL
+         |         WHEN value < prev.v THEN -1
+         |         WHEN value > prev.v THEN 1 ELSE 0 END AS dir
+         |  FROM o),
+         |m AS (
+         |  SELECT *, CASE WHEN dir IS DISTINCT FROM lag(dir) OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id) THEN 1 ELSE 0 END AS nb
+         |  FROM d),
+         |b AS (
+         |  SELECT *, sum(nb) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                          ROWS UNBOUNDED PRECEDING) AS bid
+         |  FROM m),
+         |blk AS (
+         |  SELECT user_id, bid, min(dir) AS dir, count(*)::BIGINT AS n,
+         |    min(struct_pack(us := us, id := event_id, pid := pid, pv := pv)) AS f,
+         |    max(struct_pack(us := us, id := event_id, v := value)) AS l
+         |  FROM b GROUP BY 1, 2),
+         |sq AS (
+         |  SELECT user_id, dir, n, f, l,
+         |    lead(struct_pack(dir := dir, n := n, l := l)) OVER (
+         |      PARTITION BY user_id ORDER BY bid) AS nxt
+         |  FROM blk)
+         |SELECT user_id AS key, f.pid AS start_id, l.id AS bottom_id,
+         |  nxt.l.id AS end_id, f.pv AS start_val, l.v AS bottom_val,
+         |  nxt.l.v AS end_val, n AS n_down, nxt.n AS n_up
+         |FROM sq WHERE dir = -1 AND nxt.dir = 1""".stripMargin,
 
     "q74_retention_cohorts" ->
       s"""WITH f AS (

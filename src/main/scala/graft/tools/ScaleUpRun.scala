@@ -106,10 +106,16 @@ object ScaleUpRun {
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/lineitem.parquet")))
       gen(spark, src, dst, copies)
 
-    guardEvidence(spark, dst).foreach(println)
-
+    // SCALEUP_ONLY=q89_x,q93_y runs a late-addition solo subset on the
+    // same corpus (the sweep's solo-re-measure protocol for queries
+    // added after a full sweep row); unset = the full set. The
+    // broadcast-guard evidence belongs to full sweeps only.
+    val only = sys.env.get("SCALEUP_ONLY").map(_.split(',').map(_.trim).toSet)
+    if (only.isEmpty) guardEvidence(spark, dst).foreach(println)
     var failed = 0
-    val times = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val times = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val outcome =
         try {

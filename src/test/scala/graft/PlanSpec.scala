@@ -136,6 +136,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"predicate match must not shuffle:\n$p")
   }
 
+  test("q94: looping CEP is ONE key exchange — lag, run ids, and the run collapse all ride the same partitioning; no join") {
+    val p = plan("q94_cep_times")
+    assert(!p.contains("Join"), s"run detection must not self-join:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one exchange:\n$p")
+  }
+
+  test("q95: V-pattern is ONE key exchange — direction, blocks, collapse, and block adjacency all ride the same partitioning; no join") {
+    val p = plan("q95_match_v")
+    assert(!p.contains("Join"), s"V-pattern must not self-join:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one exchange:\n$p")
+  }
+
   test("q46: PII redaction is a single shuffle-free scan") {
     val p = plan("q46_pii_redact")
     assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")
