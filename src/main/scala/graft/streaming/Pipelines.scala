@@ -455,6 +455,68 @@ object Pipelines {
         col("__first.id").as(idCol), col("__first.ts").as(tsCol),
         col("__first.tp").as("event_type"))
 
+  /** Row + its lateness verdict under the query's event-time
+    * watermark. `wm_us` is the watermark the verdict was made
+    * against — the evidence a dead-letter consumer needs. */
+  case class LateTag(key: Long, id: Long, us: Long, ts: Timestamp,
+      late: Boolean, wm_us: Long)
+
+  /** SIDE OUTPUT of late data — Flink's
+    * `allowedLateness + sideOutputLateData(tag)` (every production
+    * windowed job wires one): rows that arrive after the watermark
+    * passed them would be SILENTLY DROPPED by any downstream stateful
+    * operator; this tags them instead, so the caller can route
+    * on-time rows into the window aggregate and late rows into a
+    * dead-letter sink (two filters on one tagged stream — the Spark
+    * idiom for a side output).
+    *
+    * The mechanics are the subtle part: watermarked streaming
+    * AGGREGATES, dedup, and joins PRE-FILTER late rows — a tagging
+    * function downstream of one would never see them. But
+    * flatMapGroupsWithState does NOT drop late input (Spark leaves
+    * late handling to the user function — spec-asserted here), while
+    * still requiring a watermark attribute in its input for
+    * `getCurrentWatermarkMs`. So the watermark rides a clone column
+    * (`__wm`) carried through the operator, and EVERY input row comes
+    * out exactly once, tagged.
+    *
+    * Two lateness notions, matching what the downstream op actually
+    * drops (both against the same batch-start watermark the op
+    * filters by):
+    *  - `windowUs = None` — ROW-level (`us < wm`): what per-row
+    *    stateful ops (dedup, joins, transformWithState processors)
+    *    reject.
+    *  - `windowUs = Some(w)` — WINDOW-level (epoch-aligned tumbling
+    *    window end ≤ wm — the row's window has already closed and
+    *    emitted): what a windowed aggregate rejects; a row may be
+    *    behind the watermark yet still on-time for its open window,
+    *    exactly Flink's windowed side-output rule.
+    * Stateless: the group function never stores state — grouping
+    * exists only to reach `getCurrentWatermarkMs`. */
+  def streamingLateSplit(events: DataFrame, watermark: String,
+      windowUs: Option[Long] = None,
+      keyCol: String = "user_id", idCol: String = "event_id",
+      tsCol: String = "ts"): Dataset[LateTag] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withColumn("__wm", col(tsCol))
+      .withWatermark("__wm", watermark)
+      .select(col(keyCol).cast("long").as("key"), col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol)).as("us"), col(tsCol).as("ts"), col("__wm"))
+      .as[(Long, Long, Long, Timestamp, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, LateTag](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Timestamp, Timestamp)], state: GroupState[Boolean]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          def isLate(us: Long): Boolean = windowUs match {
+            case Some(w) => Math.floorDiv(us, w) * w + w <= wmUs
+            case None => us < wmUs
+          }
+          rows.map(r => LateTag(key, r._2, r._3, r._4, late = isLate(r._3), wmUs))
+      }
+  }
+
   // ---- streaming NEAR-dup dedup (SimHash band state) ----
 
   case class BandRow(band_key: Long, doc_id: Long, ts: Timestamp, fp: Long)
