@@ -234,6 +234,26 @@ object CdcQ extends QueryPack {
           round($"value" * 100).cast("long").as("cents"))
     }),
 
+    // Deduplication KEEP FIRST ROW by EVENT time (round 13; Flink
+    // SQL's `ROW_NUMBER() OVER (PARTITION BY key ORDER BY rowtime
+    // ASC) = 1` dedup — the batch twin of streaming.DedupFirstStream).
+    // NOT the same operator as arrival-order keep-first
+    // (streamingExactDedup, which never retracts): under event time a
+    // LATE row with a SMALLER rowtime displaces the held view, so the
+    // streaming twin is an updating/retract stream exactly like q96's
+    // — the two orders are symmetric once "first" means first in
+    // EVENT time rather than first to ARRIVE. Same single key shuffle
+    // + row_number plan as q96.
+    "q97_dedup_first" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"ts", $"event_type",
+          round($"value" * 100).cast("long").as("cents"))
+    }),
+
     // changelog → MAINTAINED DISTINCT aggregate (Flink retract-stream
     // distinct agg — DistinctAggCodeGen's MapView refcount; batch
     // twin of streaming.CdcDistinctStream): count(DISTINCT bucket) /
@@ -528,6 +548,12 @@ object CdcQ extends QueryPack {
         |       CAST(round(value * 100) AS BIGINT) AS cents FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q97_dedup_first" ->
+      """SELECT user_id, event_id, ts, event_type,
+        |       CAST(round(value * 100) AS BIGINT) AS cents FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
     "q91_cdc_distinct" ->
       """SELECT grp, count(*)::BIGINT AS live_cnt,

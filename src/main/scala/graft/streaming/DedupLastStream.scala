@@ -16,10 +16,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * CdcDistinctStream — this operator is how a plain append stream
   * BECOMES their input without a CDC source).
   *
-  * Keep-FIRST needs no retractions (the first row never changes —
-  * streamingExactDedup covers it); keep-LAST is the updating half of
-  * Flink's dedup split, exactly as min/max vs count/sum split the
-  * aggregates.
+  * ARRIVAL-order keep-first needs no retractions (the first arrival
+  * never changes — streamingExactDedup covers it); keep-LAST is an
+  * updating view, as is EVENT-time keep-first, where a late OLDER
+  * row displaces the held minimum ([[DedupFirstStream]]).
   *
   * Semantics are event-time deterministic: "last" = the (us, id)
   * maximum seen so far, so a late row older than the stored image
