@@ -28,6 +28,22 @@ object WindowsQ extends QueryPack {
         .select($"w.start".as("w_start"), $"event_type", $"n", $"total_value")
     }),
 
+    // Tumbling window WITH OFFSET (round 13; Flink's
+    // TumblingEventTimeWindows.of(Time.days(1), Time.hours(8)) —
+    // the offset parameter that aligns day windows to a non-UTC
+    // local midnight, e.g. UTC+16's day starting at 08:00 UTC;
+    // Spark's `window()` exposes it as startTime). Window start =
+    // floor((t − offset) / size) · size + offset, all integer
+    // seconds, so the oracle replays it exactly. Same one-exchange
+    // plan as q13 — the offset is pure scan-side arithmetic.
+    "q98_window_offset" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 day", "1 day", "8 hours").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), moneySum($"value").as("total_value"))
+        .select($"w.start".as("w_start"), $"event_type", $"n", $"total_value")
+    }),
+
     // Sliding (hopping) 1h window every 15min; each row lands in 4 windows.
     "q14_sliding_window" -> ((s, d) => {
       import s.implicits._
@@ -230,6 +246,11 @@ object WindowsQ extends QueryPack {
     "q13_tumbling_window" ->
       s"""SELECT date_trunc('hour', ts) AS w_start, event_type,
          |  count(*) AS n, ${moneySumSql("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q98_window_offset" ->
+      s"""SELECT make_timestamp(((cast(floor((epoch(ts) - 28800) / 86400) as bigint) * 86400) + 28800) * 1000000) AS w_start,
+         |  event_type, count(*) AS n, ${moneySumSql("value")} AS total_value
          |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q14_sliding_window" ->
