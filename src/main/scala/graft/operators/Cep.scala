@@ -94,6 +94,48 @@ object Cep {
         (col("__resp.__us") - col("__us")).as("dur_us"))
   }
 
+  /** TIMED-OUT PARTIAL MATCH with measures — Flink CEP's timeout side
+    * output (`PatternStream.select(timeoutTag, PatternTimeoutFunction,
+    * …)` / TimedOutPartialMatchHandler): for every `isAnchor` row with
+    * NO `isResponse` row in the us-window `(ts, ts + windowUs]`, emit
+    * the partial match's measures — here the count of `isMid` rows the
+    * pattern observed inside the full window before timing out. The
+    * complement of [[followedBy]] on the same corpus: each anchor is
+    * EITHER a match there or a timeout here, never both or neither.
+    *
+    * Window bounds are us-only, matching [[absence]]'s rule (a
+    * response or mid at the anchor's exact µs is outside the window —
+    * strict left, inclusive right); [[followedBy]]'s BETWEEN-measure
+    * counts in (us, id) order instead, because there the span's right
+    * end is a specific row, not a time.
+    *
+    * One key shuffle, ONE shared RANGE frame serving both the
+    * response-existence test and the mid count — no join, no second
+    * pass. Output: (key, anchor_id, n_mid). Streaming twin:
+    * [[graft.streaming.CepMatchStream.matchesWithTimeouts]]. */
+  def timeout(events: DataFrame, key: Column, ts: Column, id: Column,
+      isAnchor: Column, isResponse: Column, isMid: Column, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"timeout window must be positive: $windowUs")
+    val us = unix_micros(ts)
+    val wNext = Window.partitionBy(col("__key")).orderBy(col("__us").asc)
+      .rangeBetween(1L, windowUs)
+    val boom = raise_error(lit(
+      "timeout: anchor/response/mid predicates must be mutually exclusive"))
+    events
+      .filter(isAnchor || isResponse || isMid)
+      .select(key.as("__key"), id.as("__id"), us.as("__us"),
+        when(isAnchor && (isResponse || isMid), boom).otherwise(isAnchor).as("__a"),
+        when(isResponse && isMid, boom).otherwise(isResponse).as("__r"),
+        isMid.as("__m"))
+      .withColumn("__nresp", count(when(col("__r"), lit(1))).over(wNext))
+      .withColumn("__nmid", count(when(col("__m"), lit(1))).over(wNext))
+      .filter(col("__a") && col("__nresp") === 0L)
+      .select(
+        col("__key").as("key"),
+        col("__id").as("anchor_id"),
+        col("__nmid").as("n_mid"))
+  }
+
   /** STRICT-CONTIGUITY CEP match — Flink CEP
     * `begin(anchor).next(response).within(T)`: an anchor matches iff
     * its IMMEDIATELY following same-key event in (ts, id) order —

@@ -90,6 +90,27 @@ object FunnelQ extends QueryPack {
         windowUs = DayUs)
     }),
 
+    // TIMED-OUT PARTIAL MATCH side output (round 13; Flink CEP's
+    // timeout tag — PatternStream.select(timeoutTag,
+    // PatternTimeoutFunction, selectFn) / TimedOutPartialMatchHandler):
+    // q88's complement on the same corpus and bounds — every error
+    // with NO same-user click in the next 24 h, measuring the views
+    // the partial match observed inside the full window before it
+    // timed out. q76's absence tells you WHICH anchors died; the
+    // timeout side output also carries the partial match's MEASURES
+    // (what the pattern saw), which is what Flink's handler exists
+    // for. Every error anchor lands in exactly one of q88 ∪ q99.
+    "q99_cep_timeout" -> ((s, d) => {
+      import s.implicits._
+      Cep.timeout(
+        Tables.events(s, d).select($"user_id", $"event_id", $"ts", $"event_type"),
+        key = $"user_id", ts = $"ts", id = $"event_id",
+        isAnchor = $"event_type" === "error",
+        isResponse = $"event_type" === "click",
+        isMid = $"event_type" === "view",
+        windowUs = DayUs)
+    }),
+
     // STRICT-CONTIGUITY CEP match (round 13; Flink CEP
     // begin(error).next(click).within(24h) — `next` vs q88's relaxed
     // `followedBy`: ANY intervening event of any type breaks the
@@ -209,6 +230,22 @@ object FunnelQ extends QueryPack {
          | AND c.us BETWEEN a.us + 1 AND a.us + $DayUs
          |QUALIFY row_number() OVER (
          |  PARTITION BY a.user_id, a.event_id ORDER BY c.us, c.event_id) = 1""".stripMargin,
+
+    // frame replay of the timeout side: both the response-existence
+    // test and the mid measure from one RANGE frame, as in Spark
+    "q99_cep_timeout" ->
+      s"""WITH pe AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+         |  FROM events WHERE event_type IN ('error', 'click', 'view')),
+         |f AS (
+         |  SELECT *,
+         |    count(*) FILTER (WHERE event_type = 'click') OVER w AS nresp,
+         |    count(*) FILTER (WHERE event_type = 'view') OVER w AS nmid
+         |  FROM pe
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+         |               RANGE BETWEEN 1 FOLLOWING AND $DayUs FOLLOWING))
+         |SELECT user_id AS key, event_id AS anchor_id, nmid::BIGINT AS n_mid
+         |FROM f WHERE event_type = 'error' AND nresp = 0""".stripMargin,
 
     // lead() replay of strict contiguity: the immediate successor in
     // (ts, id) order must be a click within the bound

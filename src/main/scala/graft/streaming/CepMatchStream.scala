@@ -19,9 +19,11 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * late row below the watermark can never precede it in (us, id)
   * order (an equal-us smaller-id response, or a mid inside the span,
   * could still arrive while wm == r.us, hence strict). An anchor with
-  * NO in-window response is decided at wm > ts + window and dropped
-  * silently (q88 emits matches only; the no-match half IS
-  * [[AbsenceStream]]). So matches emit as soon as the watermark
+  * NO in-window response is decided at wm > ts + window: [[matches]]
+  * drops it silently (q88 emits matches only; the no-match half IS
+  * [[AbsenceStream]]), while [[matchesWithTimeouts]] emits it as a
+  * "TIMEOUT" outcome with the partial match's measures — Flink CEP's
+  * timeout side output. Matches emit as soon as the watermark
   * allows — an anchor answered in seconds does not wait out its
   * 24 h window.
   *
@@ -43,12 +45,23 @@ object CepMatchStream {
   case class CepMatch(key: Long, anchor_id: Long, response_id: Long,
       n_mid: Long, dur_us: Long)
 
+  /** Unified outcome row for [[matchesWithTimeouts]] — Flink's main
+    * output + timeout tag as ONE stream the caller splits by
+    * `verdict`: "MATCH" carries (response_id, n_mid, dur_us) exactly
+    * as [[CepMatch]]; "TIMEOUT" is the timed-out partial match —
+    * response_id/dur_us null, n_mid = the mids observed in the full
+    * us-window `(ts, ts + window]` before it expired (the batch q99
+    * measure; us-only bounds, [[graft.operators.Cep.timeout]]'s
+    * rule, vs the match measure's (us, id)-between count). */
+  case class CepOutcome(key: Long, verdict: String, anchor_id: Long,
+      response_id: java.lang.Long, n_mid: Long, dur_us: java.lang.Long)
+
   private val KAnchor = 0
   private val KResponse = 1
   private val KMid = 2
 
-  private class MatchProcessor(windowUs: Long)
-      extends StatefulProcessor[Long, CepEvent, CepMatch] {
+  private class MatchProcessor(windowUs: Long, emitTimeouts: Boolean)
+      extends StatefulProcessor[Long, CepEvent, CepOutcome] {
     @transient private var anchors: ListState[PendingA] = _
     @transient private var resps: ListState[SpanRow] = _
     @transient private var mids: ListState[SpanRow] = _
@@ -62,7 +75,7 @@ object CepMatchStream {
     private def lexLess(aUs: Long, aId: Long, bUs: Long, bId: Long): Boolean =
       aUs < bUs || (aUs == bUs && aId < bId)
 
-    private def fold(key: Long, pending: Seq[PendingA], wmUs: Long): Iterator[CepMatch] = {
+    private def fold(key: Long, pending: Seq[PendingA], wmUs: Long): Iterator[CepOutcome] = {
       val rs = resps.get().toArray.sortBy(r => (r.us, r.id))
       val ms = mids.get().toArray.sortBy(m => (m.us, m.id))
       // count of mids lexicographically BELOW (us, id)
@@ -74,7 +87,17 @@ object CepMatchStream {
         }
         lo
       }
-      val out = Vector.newBuilder[CepMatch]
+      // count of mids with us <= bound (id-blind — the timeout
+      // measure's us-only window rule)
+      def midsAtOrBelowUs(bound: Long): Int = {
+        var lo = 0; var hi = ms.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (ms(mid).us <= bound) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+      val out = Vector.newBuilder[CepOutcome]
       val hold = Vector.newBuilder[PendingA]
       pending.sortBy(a => (a.us, a.id)).foreach { a =>
         // earliest in-window response by (us, id) — rs is sorted, and
@@ -83,10 +106,14 @@ object CepMatchStream {
         r match {
           case Some(m) if m.us < wmUs =>
             // final: nothing below the watermark can still arrive
-            out += CepMatch(key, a.id, m.id,
+            out += CepOutcome(key, "MATCH", a.id, m.id,
               (midsBelow(m.us, m.id) - midsBelow(a.us, a.id)).toLong, m.us - a.us)
           case None if a.us + windowUs < wmUs =>
-            () // decided no-match: absence's half, dropped here
+            // decided no-match — Flink's timeout tag: the partial
+            // match's measure is the full window's mid count
+            if (emitTimeouts)
+              out += CepOutcome(key, "TIMEOUT", a.id, null,
+                (midsAtOrBelowUs(a.us + windowUs) - midsAtOrBelowUs(a.us)).toLong, null)
           case _ => hold += a
         }
       }
@@ -113,7 +140,7 @@ object CepMatchStream {
     }
 
     override def handleInputRows(key: Long, rows: Iterator[CepEvent],
-        timers: TimerValues): Iterator[CepMatch] = {
+        timers: TimerValues): Iterator[CepOutcome] = {
       val incoming = rows.toSeq
       val newR = incoming.filter(_.kind == KResponse).map(r => SpanRow(r.id, r.us))
       val newM = incoming.filter(_.kind == KMid).map(m => SpanRow(m.id, m.us))
@@ -125,7 +152,7 @@ object CepMatchStream {
     }
 
     override def handleExpiredTimer(key: Long, timers: TimerValues,
-        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[CepMatch] =
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[CepOutcome] =
       fold(key, anchors.get().toSeq, timers.getCurrentWatermarkInMs() * 1000L)
   }
 
@@ -139,6 +166,35 @@ object CepMatchStream {
       midType: String, window: java.time.Duration, watermark: String,
       keyCol: String = "user_id", typeCol: String = "event_type",
       idCol: String = "event_id", tsCol: String = "ts"): Dataset[CepMatch] = {
+    val s = events.sparkSession
+    import s.implicits._
+    run(events, anchorType, responseType, midType, window, watermark,
+      keyCol, typeCol, idCol, tsCol, emitTimeouts = false)
+      .map(o => CepMatch(o.key, o.anchor_id, o.response_id, o.n_mid, o.dur_us))
+  }
+
+  /** [[matches]] plus Flink CEP's TIMEOUT SIDE OUTPUT
+    * (`PatternStream.select(timeoutTag, PatternTimeoutFunction, …)`):
+    * one [[CepOutcome]] per anchor — verdict "MATCH" with the q88
+    * measures, or "TIMEOUT" once the watermark strictly passes the
+    * anchor's window with no in-window response, carrying the partial
+    * match's mid count over the full window (batch twin: q99 /
+    * [[graft.operators.Cep.timeout]]). Every anchor decides exactly
+    * once; the caller splits the one stream by `verdict` (the side
+    * output), so no row is silently dropped — the same contract as
+    * streamingLateSplit's dead-letter route. */
+  def matchesWithTimeouts(events: DataFrame, anchorType: String,
+      responseType: String, midType: String, window: java.time.Duration,
+      watermark: String, keyCol: String = "user_id",
+      typeCol: String = "event_type", idCol: String = "event_id",
+      tsCol: String = "ts"): Dataset[CepOutcome] =
+    run(events, anchorType, responseType, midType, window, watermark,
+      keyCol, typeCol, idCol, tsCol, emitTimeouts = true)
+
+  private def run(events: DataFrame, anchorType: String, responseType: String,
+      midType: String, window: java.time.Duration, watermark: String,
+      keyCol: String, typeCol: String, idCol: String, tsCol: String,
+      emitTimeouts: Boolean): Dataset[CepOutcome] = {
     val s = events.sparkSession
     import s.implicits._
     require(Set(anchorType, responseType, midType).size == 3,
@@ -155,7 +211,7 @@ object CepMatchStream {
       .as[CepEvent]
       .groupByKey(_.key)
       .transformWithState(
-        new MatchProcessor(window.toNanos / 1000L),
+        new MatchProcessor(window.toNanos / 1000L, emitTimeouts),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }
