@@ -53,6 +53,37 @@ object WindowsQ extends QueryPack {
         .select($"w.start".as("w_start"), $"n", $"total_value")
     }),
 
+    // CUMULATE window TVF (round 13; Flink SQL's fourth window TVF —
+    // TUMBLE=q13, HOP=q14, SESSION=q15, CUMULATE was the gap):
+    // CUMULATE(ts, 6h step, 1d size) assigns each row to every
+    // day-anchored growing window [w0, w0 + k·6h) whose end is after
+    // the row — the early-firing daily total (the "today so far"
+    // rollup at 06:00/12:00/18:00/24:00). A row's first window is
+    // k = floor((t − w0)/step) + 1; windows k..4 all contain it, so
+    // the explode is the TVF's row-to-window assignment verbatim.
+    // Integer-µs arithmetic end to end; one exchange after the
+    // explode. Streaming twin: Pipelines.cumulateWindowCounts (the
+    // slice-shared two-stage form — Flink's own cumulate
+    // optimization).
+    "q100_cumulate_window" -> ((s, d) => {
+      import s.implicits._
+      val sizeUs = 86400000000L
+      val stepUs = 21600000000L
+      val k = (sizeUs / stepUs).toInt
+      Tables.events(s, d)
+        .select(unix_micros($"ts").as("us"),
+          round($"value" * 100).cast("long").as("cents"))
+        .withColumn("w0", expr(s"(us div $sizeUs) * $sizeUs"))
+        .withColumn("k", explode(sequence(
+          expr(s"cast((us - w0) div $stepUs as int) + 1"), lit(k))))
+        .groupBy($"w0", $"k")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+        .select(
+          timestamp_micros($"w0").as("w_start"),
+          timestamp_micros($"w0" + $"k".cast("long") * stepUs).as("w_end"),
+          $"n", $"cents")
+    }),
+
     // Session windows, 30 min inactivity gap per user.
     "q15_session_window" -> ((s, d) => {
       import s.implicits._
@@ -258,6 +289,19 @@ object WindowsQ extends QueryPack {
          |  count(*) AS n, ${moneySumSql("value")} AS total_value
          |FROM events, generate_series(0, 3) t(g)
          |GROUP BY 1""".stripMargin,
+
+    "q100_cumulate_window" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |x AS (
+        |  SELECT us, cents, (us // 86400000000) * 86400000000 AS w0 FROM e)
+        |SELECT make_timestamp(w0) AS w_start,
+        |       make_timestamp(w0 + k * 21600000000) AS w_end,
+        |       count(*) AS n, sum(cents)::BIGINT AS cents
+        |FROM x, generate_series(1, 4) t(k)
+        |WHERE k >= (us - w0) // 21600000000 + 1
+        |GROUP BY w0, k""".stripMargin,
 
     "q15_session_window" ->
       s"""WITH flagged AS (

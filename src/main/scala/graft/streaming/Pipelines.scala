@@ -121,6 +121,56 @@ object Pipelines {
       .select(col("window.start").as("w_start"), col("n"))
   }
 
+  /** CUMULATE window TVF, streaming (batch twin: q100 — Flink SQL's
+    * `CUMULATE(ts, step, size)`, the fourth window TVF): each row is
+    * exploded into every day-anchored growing window [w0, w0 + k·step)
+    * still ahead of it, then each cumulate window rides ONE native
+    * tumbling aggregate keyed on the window's END minute — `te`, the
+    * exploded copy's window end (−1 µs so it lands inside a step-sized
+    * tumble that closes exactly at the cumulate window's fire time).
+    *
+    * Watermark shape (the part that must be exact): the ONLY watermark
+    * is on `te`, with delay `lateUs + sizeUs`. `te` runs up to `size`
+    * ahead of the row's own ts (te ≤ ts + size), so
+    * wm_te = max(te) − (late + size) ≤ max(ts) − late = the intended
+    * row-level watermark — hence a row on-time within `lateUs` can
+    * NEVER lose a copy (every copy has te > ts ≥ wm_te), and a window
+    * fires once max(ts) passes its end by ≤ late + size. Chaining two
+    * watermarked aggregates instead (slice partials → prefix agg)
+    * DEADLOCKS: the downstream watermark node sees no rows until the
+    * upstream fires, so the global min-watermark pins at 0 and the
+    * upstream never fires — the idle-source stall inside one query.
+    *
+    * Scale shape — Flink's slice-sharing optimization for free: the
+    * K× explode is consumed by Catalyst's map-side PARTIAL aggregate
+    * below the Exchange, so the shuffle carries per-(day, k) partials
+    * (≤ K × touched-days per task), not K× the rows. A very-late row
+    * (beyond `lateUs`) loses only its already-fired windows and still
+    * lands in the still-open larger ones — per-window lateness, the
+    * TVF rule. */
+  def cumulateWindowCounts(events: DataFrame, stepUs: Long, sizeUs: Long,
+      lateUs: Long): DataFrame = {
+    require(stepUs > 0 && sizeUs % stepUs == 0,
+      s"size must be a multiple of step: $sizeUs % $stepUs")
+    require(lateUs >= 0, s"lateUs must be non-negative: $lateUs")
+    val kMax = (sizeUs / stepUs).toInt
+    events
+      .select(unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("w0", expr(s"(us div $sizeUs) * $sizeUs"))
+      .withColumn("k", explode(sequence(
+        expr(s"cast((us - w0) div $stepUs as int) + 1"), lit(kMax))))
+      .withColumn("te",
+        timestamp_micros(col("w0") + col("k").cast("long") * stepUs - 1))
+      .withWatermark("te", s"${lateUs + sizeUs} microseconds")
+      .groupBy(window(col("te"), s"$stepUs microseconds").as("cw"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .select(
+        timestamp_micros(expr(
+          s"((unix_micros(cw.end) - 1) div $sizeUs) * $sizeUs")).as("w_start"),
+        col("cw.end").as("w_end"), col("n"), col("cents"))
+  }
+
   /** Streaming session windows by inactivity gap (batch twin:
     * graft.operators.Windows.sessionize) — Spark's native
     * session_window merges per-key state until the watermark closes

@@ -283,6 +283,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!pf.contains("Join"), s"absence must not plan a self-join:\n${pf.take(2000)}")
   }
 
+  test("q100: the cumulate explode is consumed by partial agg below ONE exchange (slice sharing)") {
+    val p = plan("q100_cumulate_window")
+    // map-side combine eats the K× row amplification before the shuffle
+    assert(p.contains("partial_"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"cumulate must not plan a join:\n$p")
+  }
+
+  test("q99: timeout side shares q76's pushed-disjunction scan shape — one window pass, no join") {
+    val pf = planFormatted("q99_cep_timeout")
+    assert(!pf.contains("Join"), s"timeout must not plan a self-join:\n${pf.take(2000)}")
+    // the three pattern types reach the scan as a pushed In/Or filter
+    assert(pf.contains("event_type"), pf.take(2000))
+    val windows = pf.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 1, s"one shared RANGE frame expected:\n${pf.take(2000)}")
+  }
+
   test("q69: the quantile scans read only (event_type, value) — never the full events row") {
     import org.apache.spark.sql.functions.col
     // the operator's own base projection, as Quantiles builds it
