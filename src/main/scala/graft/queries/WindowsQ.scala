@@ -138,6 +138,29 @@ object WindowsQ extends QueryPack {
         .select($"user_id", $"w_start", $"click_id", $"error_id")
     }),
 
+    // LEFT-OUTER window join (round 13; Flink's window join / interval
+    // join OUTER modes — q82 closed inner, this closes the pad side,
+    // as q80 did for the changelog join): every click keeps its row,
+    // error_id null when its (user, hour) bucket saw no error. Same
+    // (key, derived-bucket) equi-join plan as q82 — the pad costs
+    // nothing extra in batch; in streaming the pad row waits for the
+    // watermark to CLOSE the window (a match could still arrive),
+    // which is Flink's outer-interval-join latency too
+    // (Pipelines.streamingWindowJoin(joinType = "left_outer")).
+    "q101_window_join_left" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"),
+          window($"ts", "1 hour")("start").as("w_start"))
+      val errors = ev.filter($"event_type" === "error")
+        .select($"user_id".as("__ru"), $"event_id".as("error_id"),
+          window($"ts", "1 hour")("start").as("__rw"))
+      clicks.join(errors,
+          $"user_id" === $"__ru" && $"w_start" === $"__rw", "left_outer")
+        .select($"user_id", $"w_start", $"click_id", $"error_id")
+    }),
+
     // WINDOW DEDUPLICATION TVF (round 13; Flink SQL's window dedup —
     // `ROW_NUMBER() OVER (PARTITION BY window_start, key ORDER BY
     // ts) = 1` over TUMBLE — the "first event per user per hour"
@@ -250,6 +273,14 @@ object WindowsQ extends QueryPack {
         |  ON c.user_id = e.user_id
         | AND date_trunc('hour', c.ts) = date_trunc('hour', e.ts)
         |WHERE c.event_type = 'click' AND e.event_type = 'error'""".stripMargin,
+
+    "q101_window_join_left" ->
+      """SELECT c.user_id, date_trunc('hour', c.ts) AS w_start,
+        |  c.event_id AS click_id, e.event_id AS error_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id
+        | AND date_trunc('hour', c.ts) = date_trunc('hour', e.ts)""".stripMargin,
 
     "q92_window_dedup" ->
       """SELECT user_id, w_start, event_id, ts, event_type FROM (

@@ -496,9 +496,17 @@ object Pipelines {
     * equi-join on (key, bucket) lets Spark evict join state as the
     * watermark passes each window — no custom state, no timers. The
     * bucket's `start` survives as `w_start`. */
+  /** `joinType` extends the window join across Flink's OUTER modes
+    * (batch twin of the left mode: q101_window_join_left): an outer
+    * pad row can only emit once the watermark CLOSES its window — a
+    * match could still arrive while it is open — so pads carry
+    * watermark latency by construction (Flink's outer interval join
+    * pays the same). State on both sides evicts with the window, as
+    * inner. */
   def streamingWindowJoin(left: DataFrame, right: DataFrame, key: String,
       windowLen: String, watermark: String,
-      leftTs: String = "ts", rightTs: String = "ts"): DataFrame = {
+      leftTs: String = "ts", rightTs: String = "ts",
+      joinType: String = "inner"): DataFrame = {
     // the derived window() bucket carries the event-time tag; the raw
     // ts column must LEAVE each stream or Spark rejects the plan with
     // "more than one event time column" — the bucket is the join-time
@@ -508,7 +516,7 @@ object Pipelines {
     val r = right.withWatermark(rightTs, watermark)
       .withColumn("__rw", window(col(rightTs), windowLen)).drop(rightTs)
       .withColumnRenamed(key, "__rk")
-    l.join(r, col(key) === col("__rk") && col("__w") === col("__rw"))
+    l.join(r, col(key) === col("__rk") && col("__w") === col("__rw"), joinType)
       .withColumn("w_start", col("__w.start"))
       .drop("__rk", "__w", "__rw")
   }

@@ -85,4 +85,84 @@ class WindowJoinSpec extends AnyFunSuite {
       assert(batch.size > 20, s"degenerate: ${batch.size} pairs")
     } finally q.stop()
   }
+
+  test("LEFT-OUTER window join stream: pad emits only when the watermark CLOSES the window; matches never pad") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, Timestamp)]
+    val rIn = MemoryStream[(Long, Long, Timestamp)]
+    val q = Pipelines.streamingWindowJoin(
+        lIn.toDF().toDF("user_id", "click_id", "ts"),
+        rIn.toDF().toDF("user_id", "error_id", "ts").withColumnRenamed("ts", "rts"),
+        key = "user_id", windowLen = "1 hour", watermark = "1 minute",
+        leftTs = "ts", rightTs = "rts", joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wj_left_hand").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      lIn.addData(Seq(
+        (1L, 10L, ts("2024-01-01 10:15:00")), // will match
+        (2L, 20L, ts("2024-01-01 10:30:00")))) // no error ever → pad
+      rIn.addData(Seq((1L, 100L, ts("2024-01-01 10:20:00"))))
+      q.processAllAvailable()
+      val early = spark.table("wj_left_hand")
+        .select($"click_id").as[Long].collect().toSet
+      assert(early === Set(10L),
+        "pad must NOT emit while its window is still open (a match could arrive)")
+      // advance BOTH watermark nodes past the 11:00 close
+      lIn.addData(Seq((999999L, 0L, ts("2024-01-01 13:00:00"))))
+      rIn.addData(Seq((999999L, 0L, ts("2024-01-01 13:00:00"))))
+      q.processAllAvailable()
+      lIn.addData(Seq((999999L, 1L, ts("2024-01-01 15:00:00"))))
+      rIn.addData(Seq((999999L, 1L, ts("2024-01-01 15:00:00"))))
+      q.processAllAvailable()
+      val got = spark.table("wj_left_hand").filter($"user_id" =!= 999999L)
+        .select($"click_id", $"error_id").as[(Long, Option[Long])].collect().toSet
+      assert(got === Set((10L, Some(100L)), (20L, None)))
+    } finally q.stop()
+  }
+
+  test("LEFT-OUTER window join stream: dealt replay == batch q101 (pads included)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val parityDir = "/root/testdata/sf0.01"
+    val ev = graft.sources.Tables.events(spark, parityDir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .as[(Long, Long, Timestamp, String)].collect().toSeq
+    val clicks = ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3))
+    val errors = ev.filter(_._4 == "error").map(e => (e._1, e._2, e._3))
+    val rnd = new scala.util.Random(101)
+    val lb = rnd.shuffle(clicks.toList).grouped((clicks.size + 2) / 3).toSeq
+    val rb = rnd.shuffle(errors.toList).grouped((errors.size + 2) / 3).toSeq
+    val lIn = MemoryStream[(Long, Long, Timestamp)]
+    val rIn = MemoryStream[(Long, Long, Timestamp)]
+    val q = Pipelines.streamingWindowJoin(
+        lIn.toDF().toDF("user_id", "click_id", "ts"),
+        rIn.toDF().toDF("user_id", "error_id", "ts").withColumnRenamed("ts", "rts"),
+        key = "user_id", windowLen = "1 hour", watermark = "400 days",
+        leftTs = "ts", rightTs = "rts", joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wj_left_parity").start()
+    try {
+      (0 until 3).foreach { i =>
+        if (i < lb.size) lIn.addData(lb(i).toIndexedSeq)
+        if (2 - i < rb.size) rIn.addData(rb(2 - i).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // sentinels on BOTH sides (the global watermark is the min over
+      // both nodes) push past every real window so pads finalize
+      Seq("2033-01-01 00:00:00", "2034-01-01 00:00:00").foreach { d =>
+        lIn.addData(Seq((999999L, 0L, Timestamp.valueOf(d))))
+        rIn.addData(Seq((999999L, 0L, Timestamp.valueOf(d))))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("wj_left_parity").filter($"user_id" =!= 999999L)
+        .select($"click_id", $"error_id").as[(Long, Option[Long])].collect().toSet
+      val batch = SparkEntry.queries("q101_window_join_left")(spark, parityDir)
+        .select($"click_id", $"error_id").as[(Long, Option[Long])].collect().toSet
+      CachePool.drain()
+      assert(batch.exists(_._2.isEmpty), "degenerate: no pad rows in the oracle corpus")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
