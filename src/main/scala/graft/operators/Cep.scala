@@ -65,7 +65,18 @@ object Cep {
     * also a response would self-count) — loud-checked per row.
     * Output: (key, anchor_id, response_id, n_mid, dur_us). */
   def followedBy(events: DataFrame, key: Column, ts: Column, id: Column,
-      isAnchor: Column, isResponse: Column, isMid: Column, windowUs: Long): DataFrame = {
+      isAnchor: Column, isResponse: Column, isMid: Column, windowUs: Long): DataFrame =
+    followedByMatches(events, key, ts, id, isAnchor, isResponse, isMid, windowUs)
+      .select(col("key"), col("anchor_id"), col("response_id"),
+        col("n_mid"), col("dur_us"))
+
+  /** [[followedBy]]'s match set WITH the ordering evidence
+    * (anchor/response (us, id)) that sequential AFTER-MATCH
+    * strategies need — shared by [[followedBy]] and
+    * [[skipPastLastRow]]. */
+  private def followedByMatches(events: DataFrame, key: Column, ts: Column,
+      id: Column, isAnchor: Column, isResponse: Column, isMid: Column,
+      windowUs: Long): DataFrame = {
     require(windowUs > 0, s"followedBy window must be positive: $windowUs")
     val us = unix_micros(ts)
     val wNext = Window.partitionBy(col("__key")).orderBy(col("__us").asc)
@@ -89,9 +100,61 @@ object Cep {
       .select(
         col("__key").as("key"),
         col("__id").as("anchor_id"),
+        col("__us").as("a_us"),
         col("__resp.__id").as("response_id"),
+        col("__resp.__us").as("r_us"),
         (col("__resp.__mids") - col("__mids")).as("n_mid"),
         (col("__resp.__us") - col("__us")).as("dur_us"))
+  }
+
+  // not `private`: the Dataset encoder's generated projection must
+  // reach the class from codegen'd code
+  case class SeqMatch(key: Long, anchor_id: Long, a_us: Long,
+      response_id: Long, r_us: Long, n_mid: Long, dur_us: Long)
+
+  /** [[followedBy]] under AFTER MATCH SKIP PAST LAST ROW — Flink CEP's
+    * non-overlapping strategy (`AfterMatchSkipStrategy.skipPastLastEvent`
+    * / MATCH_RECOGNIZE's default): once a match completes at response
+    * r, every event at or before r is CONSUMED — an anchor inside the
+    * consumed span `(a, r]` never starts a match, and matching resumes
+    * strictly after r. Because each kept match's response is still
+    * "earliest response after MY anchor" (consumption only removes
+    * candidate ANCHORS, never changes a later anchor's response), the
+    * kept set is the GREEDY chain over [[followedBy]]'s matches in
+    * (a_us, anchor_id) order: keep m iff its anchor is lexicographically
+    * after the last kept match's (r_us, response_id).
+    *
+    * The chain is a sequential per-key fold — no window function can
+    * express it — so the scale shape is the secondary-sort idiom: one
+    * shuffle on `key`, a per-partition SORT (spill-safe, never an
+    * in-heap group), and an O(1)-state linear scan with a per-key
+    * barrier. Same output columns as [[followedBy]]; always a subset
+    * of it. Streaming twin:
+    * [[graft.streaming.CepMatchStream]] `skipPast = true`. */
+  def skipPastLastRow(events: DataFrame, key: Column, ts: Column, id: Column,
+      isAnchor: Column, isResponse: Column, isMid: Column, windowUs: Long): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    followedByMatches(events, key, ts, id, isAnchor, isResponse, isMid, windowUs)
+      .as[SeqMatch]
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("a_us"), col("anchor_id"))
+      .mapPartitions { it =>
+        var curKey = Long.MinValue
+        var first = true
+        var barUs = Long.MinValue
+        var barId = Long.MinValue
+        it.filter { m =>
+          if (first || m.key != curKey) {
+            curKey = m.key; first = false
+            barUs = Long.MinValue; barId = Long.MinValue
+          }
+          val keep = m.a_us > barUs || (m.a_us == barUs && m.anchor_id > barId)
+          if (keep) { barUs = m.r_us; barId = m.response_id }
+          keep
+        }
+      }
+      .select($"key", $"anchor_id", $"response_id", $"n_mid", $"dur_us")
   }
 
   /** TIMED-OUT PARTIAL MATCH with measures — Flink CEP's timeout side

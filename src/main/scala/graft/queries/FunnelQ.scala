@@ -90,6 +90,27 @@ object FunnelQ extends QueryPack {
         windowUs = DayUs)
     }),
 
+    // AFTER MATCH SKIP PAST LAST ROW (round 13; Flink CEP's
+    // non-overlapping skip strategy / MATCH_RECOGNIZE's default —
+    // q88 is the same pattern under SKIP TO NEXT ROW, so the two
+    // queries pin the strategy axis on one corpus): once an error
+    // matches a click, every event at or before that click is
+    // CONSUMED — an error inside the consumed span never starts a
+    // match. The kept set is the greedy chain over q88's matches; no
+    // window function expresses the sequential dependency, so the
+    // batch shape is the secondary-sort idiom (shuffle on user, sort,
+    // O(1)-state scan). Always a subset of q88.
+    "q102_cep_skip_past" -> ((s, d) => {
+      import s.implicits._
+      Cep.skipPastLastRow(
+        Tables.events(s, d).select($"user_id", $"event_id", $"ts", $"event_type"),
+        key = $"user_id", ts = $"ts", id = $"event_id",
+        isAnchor = $"event_type" === "error",
+        isResponse = $"event_type" === "click",
+        isMid = $"event_type" === "view",
+        windowUs = DayUs)
+    }),
+
     // TIMED-OUT PARTIAL MATCH side output (round 13; Flink CEP's
     // timeout tag — PatternStream.select(timeoutTag,
     // PatternTimeoutFunction, selectFn) / TimedOutPartialMatchHandler):
@@ -230,6 +251,49 @@ object FunnelQ extends QueryPack {
          | AND c.us BETWEEN a.us + 1 AND a.us + $DayUs
          |QUALIFY row_number() OVER (
          |  PARTITION BY a.user_id, a.event_id ORDER BY c.us, c.event_id) = 1""".stripMargin,
+
+    // greedy-chain replay: q88's match set, a precomputed next-kept
+    // pointer (first match whose anchor clears a given match's
+    // response), and a recursive CTE walking the pointers from each
+    // key's first match — the sequential dependency no window can
+    // express, spelled as pointer-chasing so the recursion carries
+    // no aggregates
+    "q102_cep_skip_past" ->
+      s"""WITH RECURSIVE pe AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+         |  FROM events WHERE event_type IN ('error', 'click', 'view')),
+         |runs AS (
+         |  SELECT *, count(*) FILTER (WHERE event_type = 'view') OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS mids
+         |  FROM pe),
+         |m AS (
+         |  SELECT a.user_id AS key, a.event_id AS anchor_id, a.us AS a_us,
+         |    c.event_id AS response_id, c.us AS r_us,
+         |    c.mids - a.mids AS n_mid, c.us - a.us AS dur_us
+         |  FROM runs a JOIN runs c
+         |    ON c.user_id = a.user_id
+         |   AND a.event_type = 'error' AND c.event_type = 'click'
+         |   AND c.us BETWEEN a.us + 1 AND a.us + $DayUs
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY a.user_id, a.event_id ORDER BY c.us, c.event_id) = 1),
+         |nxt AS (
+         |  SELECT a.key, a.anchor_id, b.anchor_id AS next_id
+         |  FROM m a JOIN m b
+         |    ON a.key = b.key
+         |   AND (b.a_us > a.r_us OR (b.a_us = a.r_us AND b.anchor_id > a.response_id))
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY a.key, a.anchor_id ORDER BY b.a_us, b.anchor_id) = 1),
+         |kept AS (
+         |  SELECT key, anchor_id FROM (
+         |    SELECT key, anchor_id, row_number() OVER (
+         |      PARTITION BY key ORDER BY a_us, anchor_id) AS rn FROM m)
+         |  WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.key, n.next_id FROM kept k
+         |  JOIN nxt n ON n.key = k.key AND n.anchor_id = k.anchor_id)
+         |SELECT m.key, m.anchor_id, m.response_id, m.n_mid, m.dur_us
+         |FROM m JOIN kept USING (key, anchor_id)""".stripMargin,
 
     // frame replay of the timeout side: both the response-existence
     // test and the mid measure from one RANGE frame, as in Spark

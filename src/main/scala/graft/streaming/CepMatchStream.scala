@@ -60,16 +60,24 @@ object CepMatchStream {
   private val KResponse = 1
   private val KMid = 2
 
-  private class MatchProcessor(windowUs: Long, emitTimeouts: Boolean)
+  /** Last kept match's response position — the SKIP PAST LAST ROW
+    * consumption barrier (anchors at or below it never start). */
+  case class Barrier(us: Long, id: Long)
+
+  private class MatchProcessor(windowUs: Long, emitTimeouts: Boolean,
+      skipPast: Boolean = false)
       extends StatefulProcessor[Long, CepEvent, CepOutcome] {
     @transient private var anchors: ListState[PendingA] = _
     @transient private var resps: ListState[SpanRow] = _
     @transient private var mids: ListState[SpanRow] = _
+    @transient private var barrier: org.apache.spark.sql.streaming.ValueState[Barrier] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       anchors = getHandle.getListState[PendingA]("anchors", Encoders.product[PendingA], TTLConfig.NONE)
       resps = getHandle.getListState[SpanRow]("resps", Encoders.product[SpanRow], TTLConfig.NONE)
       mids = getHandle.getListState[SpanRow]("mids", Encoders.product[SpanRow], TTLConfig.NONE)
+      if (skipPast)
+        barrier = getHandle.getValueState[Barrier]("barrier", Encoders.product[Barrier], TTLConfig.NONE)
     }
 
     private def lexLess(aUs: Long, aId: Long, bUs: Long, bId: Long): Boolean =
@@ -99,7 +107,8 @@ object CepMatchStream {
       }
       val out = Vector.newBuilder[CepOutcome]
       val hold = Vector.newBuilder[PendingA]
-      pending.sortBy(a => (a.us, a.id)).foreach { a =>
+      val ordered = pending.sortBy(a => (a.us, a.id))
+      if (!skipPast) ordered.foreach { a =>
         // earliest in-window response by (us, id) — rs is sorted, and
         // within the window the first hit is the lexicographic min
         val r = rs.find(r => r.us > a.us && r.us <= a.us + windowUs)
@@ -116,6 +125,35 @@ object CepMatchStream {
                 (midsAtOrBelowUs(a.us + windowUs) - midsAtOrBelowUs(a.us)).toLong, null)
           case _ => hold += a
         }
+      } else {
+        // SKIP PAST LAST ROW: anchors decide strictly in (us, id)
+        // order — a kept match's response becomes the consumption
+        // barrier, so an undecided anchor BLOCKS every later one (its
+        // eventual match could consume them). Timed-out anchors never
+        // set the barrier (Flink: an expired partial match consumes
+        // nothing).
+        var b = Option(barrier.get()).getOrElse(Barrier(Long.MinValue, Long.MinValue))
+        var blocked = false
+        ordered.foreach { a =>
+          if (blocked) hold += a
+          else if (!lexLess(b.us, b.id, a.us, a.id)) {
+            () // at or below the barrier: consumed, never starts
+          } else {
+            val r = rs.find(r => r.us > a.us && r.us <= a.us + windowUs)
+            r match {
+              case Some(m) if m.us < wmUs =>
+                out += CepOutcome(key, "MATCH", a.id, m.id,
+                  (midsBelow(m.us, m.id) - midsBelow(a.us, a.id)).toLong, m.us - a.us)
+                b = Barrier(m.us, m.id)
+              case None if a.us + windowUs < wmUs =>
+                if (emitTimeouts)
+                  out += CepOutcome(key, "TIMEOUT", a.id, null,
+                    (midsAtOrBelowUs(a.us + windowUs) - midsAtOrBelowUs(a.us)).toLong, null)
+              case _ => hold += a; blocked = true
+            }
+          }
+        }
+        barrier.update(b)
       }
       val held = hold.result()
       anchors.clear()
@@ -127,8 +165,12 @@ object CepMatchStream {
       mids.clear(); if (liveM.nonEmpty) mids.appendList(liveM)
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
       if (held.nonEmpty) {
-        // earliest decision point across held anchors
-        val dec = held.map { a =>
+        // earliest decision point across held anchors; under skipPast
+        // only the BLOCKER (first held in order) can decide next — a
+        // later anchor's earlier response must not re-arm a timer that
+        // can make no progress
+        val decCandidates = if (skipPast) held.take(1) else held
+        val dec = decCandidates.map { a =>
           liveR.find(r => r.us > a.us && r.us <= a.us + windowUs)
             .map(_.us).getOrElse(a.us + windowUs)
         }.min
@@ -173,6 +215,29 @@ object CepMatchStream {
       .map(o => CepMatch(o.key, o.anchor_id, o.response_id, o.n_mid, o.dur_us))
   }
 
+  /** [[matches]] under AFTER MATCH SKIP PAST LAST ROW (Flink's
+    * non-overlapping skip strategy; batch twin: q102 /
+    * [[graft.operators.Cep.skipPastLastRow]]): a kept match's response
+    * becomes the consumption barrier — anchors at or below it never
+    * start a match — so anchors must decide strictly in (us, id)
+    * order, and an undecided anchor holds every later one (its
+    * eventual match could consume them; the cascade is bounded by the
+    * decision horizon, rate × (window + delay), because the head
+    * always decides by its window end). Timed-out anchors consume
+    * nothing, exactly Flink. Output is always a subset of
+    * [[matches]]'s. */
+  def matchesSkipPast(events: DataFrame, anchorType: String,
+      responseType: String, midType: String, window: java.time.Duration,
+      watermark: String, keyCol: String = "user_id",
+      typeCol: String = "event_type", idCol: String = "event_id",
+      tsCol: String = "ts"): Dataset[CepMatch] = {
+    val s = events.sparkSession
+    import s.implicits._
+    run(events, anchorType, responseType, midType, window, watermark,
+      keyCol, typeCol, idCol, tsCol, emitTimeouts = false, skipPast = true)
+      .map(o => CepMatch(o.key, o.anchor_id, o.response_id, o.n_mid, o.dur_us))
+  }
+
   /** [[matches]] plus Flink CEP's TIMEOUT SIDE OUTPUT
     * (`PatternStream.select(timeoutTag, PatternTimeoutFunction, …)`):
     * one [[CepOutcome]] per anchor — verdict "MATCH" with the q88
@@ -194,7 +259,7 @@ object CepMatchStream {
   private def run(events: DataFrame, anchorType: String, responseType: String,
       midType: String, window: java.time.Duration, watermark: String,
       keyCol: String, typeCol: String, idCol: String, tsCol: String,
-      emitTimeouts: Boolean): Dataset[CepOutcome] = {
+      emitTimeouts: Boolean, skipPast: Boolean = false): Dataset[CepOutcome] = {
     val s = events.sparkSession
     import s.implicits._
     require(Set(anchorType, responseType, midType).size == 3,
@@ -211,7 +276,7 @@ object CepMatchStream {
       .as[CepEvent]
       .groupByKey(_.key)
       .transformWithState(
-        new MatchProcessor(window.toNanos / 1000L, emitTimeouts),
+        new MatchProcessor(window.toNanos / 1000L, emitTimeouts, skipPast),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }
