@@ -18,9 +18,11 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   * micro-batch owns its `b=` directory and OVERWRITES it on replay,
   * so a crash between data write and checkpoint commit replays
   * idempotently (the ExactlyOnce sink's rule, inherited);
-  * `root/day=<d>/_SUCCESS` markers live beside the data root, and
+  * `root/day=<d>/_SUCCESS` markers live beside the data root;
   * `root/_meta/max_us` persists the monotone event-time high-water
-  * across restarts.
+  * and `root/_meta/pending_days` the landed-but-uncommitted partition
+  * registry (bounded by OPEN days — the sink never lists the data
+  * root, which would be O(batches) driver work) across restarts.
   *
   * Commit rule, Flink's exactly: partition `day` commits when
   * `day_end + commitDelayUs ≤ maxSeen − latenessUs` — the same
@@ -63,6 +65,7 @@ object PartitionCommit {
     spark.read.option("basePath", s"$root/data").parquet(s"$root/data/b=*")
 
   private def metaPath(root: String) = Paths.get(root, "_meta", "max_us")
+  private def pendingPath(root: String) = Paths.get(root, "_meta", "pending_days")
 
   private def readMaxUs(root: String): Long = {
     val p = metaPath(root)
@@ -70,14 +73,32 @@ object PartitionCommit {
     else Long.MinValue
   }
 
-  private def writeMaxUs(root: String, v: Long): Unit = {
-    val p = metaPath(root)
+  private def atomicWrite(p: java.nio.file.Path, body: String): Unit = {
     Files.createDirectories(p.getParent)
-    val tmp = p.getParent.resolve("max_us.tmp")
-    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    val tmp = p.getParent.resolve(p.getFileName.toString + ".tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
+
+  private def writeMaxUs(root: String, v: Long): Unit =
+    atomicWrite(metaPath(root), v.toString)
+
+  /** Days landed but not yet committed — the sink's OWN registry (a
+    * per-batch listing of every b= directory would be O(batches) on
+    * the driver; Flink's sink tracks pending partitions in state the
+    * same way). Bounded by the number of OPEN days: committed days
+    * leave the file. */
+  private def readPending(root: String): Set[String] = {
+    val p = pendingPath(root)
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p), "UTF-8").linesIterator
+        .map(_.trim).filter(_.nonEmpty).toSet
+    else Set.empty
+  }
+
+  private def writePending(root: String, days: Set[String]): Unit =
+    atomicWrite(pendingPath(root), days.toSeq.sorted.mkString("\n"))
 
   /** Wire the sink onto a stream with a `ts` event-time column.
     * `latenessUs` is the out-of-orderness budget (the watermark
@@ -92,32 +113,38 @@ object PartitionCommit {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val rows = df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
+        val rows = graft.CachePool.cache(
+          df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd")))
         // idempotent data write: this batch's directory, overwritten on replay
         rows.write.mode("overwrite")
           .partitionBy("day")
           .parquet(s"$root/data/b=$batchId")
-        // monotone high-water: max event time ever seen, restart-proof
-        val batchMax = df.select(max(unix_micros(col(tsCol)))).head()
-        if (!batchMax.isNullAt(0)) {
-          val hw = math.max(readMaxUs(root), batchMax.getLong(0))
+        // one pass over the CACHED batch yields both the high-water
+        // and this batch's landed days — never a listing of the data
+        // root (that would be O(batches) driver work; the pending-days
+        // registry is the sink's partition state, as Flink's)
+        val stats = rows.agg(max(unix_micros(col(tsCol))),
+          collect_set(col("day"))).head()
+        graft.CachePool.drain()
+        if (!stats.isNullAt(0)) {
+          val hw = math.max(readMaxUs(root), stats.getLong(0))
           writeMaxUs(root, hw)
-          // commit every landed day whose window provably drained:
+          val landed = stats.getSeq[String](1).toSet
+          val pending = readPending(root) ++ landed
+          // commit every pending day whose window provably drained:
           // day_end + commitDelay <= hw - lateness
           val wm = hw - latenessUs
-          // partition inference types day= as DATE — commit wants the
-          // literal directory spelling
-          val days = readData(df.sparkSession, root)
-            .select(col("day").cast("string")).distinct().collect().map(_.getString(0))
-          days.foreach { d =>
+          val committed = pending.filter { d =>
             val dayStartUs = java.time.LocalDate.parse(d)
               .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
-            if (dayStartUs + DayUs + commitDelayUs <= wm) {
-              val dir = Paths.get(root, s"day=$d")
-              Files.createDirectories(dir)
-              Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
-            }
+            dayStartUs + DayUs + commitDelayUs <= wm
           }
+          committed.foreach { d =>
+            val dir = Paths.get(root, s"day=$d")
+            Files.createDirectories(dir)
+            Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+          }
+          writePending(root, pending -- committed)
         }
         ()
       }

@@ -91,11 +91,16 @@ object DedupFirstStream {
                 img.cents, img.seq + 1))
             else Iterator.empty
           } else {
-            val batch = rows.toSeq
-            // only the batch's (us, id) MINIMUM can move the view…
-            val best = batch.minBy(r => (r.us, r.id))
-            // …but ANY row refreshes the idle clock
-            val seenUs = batch.iterator.map(_.us).max
+            // one streaming pass, O(1) heap per key regardless of the
+            // batch's row count: only the (us, id) MINIMUM can move
+            // the view, and ANY row refreshes the idle clock
+            var best: FirstRow = null
+            var seenUs = Long.MinValue
+            rows.foreach { r =>
+              if (best == null || r.us < best.us || (r.us == best.us && r.id < best.id))
+                best = r
+              if (r.us > seenUs) seenUs = r.us
+            }
             val cur = state.getOption
             val out = cur match {
               case None =>
