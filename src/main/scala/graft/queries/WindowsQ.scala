@@ -161,6 +161,24 @@ object WindowsQ extends QueryPack {
         .select($"user_id", $"w_start", $"click_id", $"error_id")
     }),
 
+    // WINDOW TOP-N TVF (round 13; Flink SQL's WindowTopN — the batch
+    // twin stream_window_topn has carried since r8, now oracle-gated
+    // too): top-3 event types per tumbling hour by count, ties by
+    // item asc (the stream's rule). Two shuffles, both distributive:
+    // the (bucket, item) count with map-side partials, then the
+    // per-bucket rank over |distinct items| rows — never |events|.
+    "q103_window_topn" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"w_start").orderBy($"n".desc, $"event_type".asc)
+      Tables.events(s, d)
+        .withColumn("w_start", date_trunc("hour", $"ts"))
+        .groupBy($"w_start", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 3)
+        .select($"w_start", $"rnk", $"event_type", $"n")
+    }),
+
     // WINDOW DEDUPLICATION TVF (round 13; Flink SQL's window dedup —
     // `ROW_NUMBER() OVER (PARTITION BY window_start, key ORDER BY
     // ts) = 1` over TUMBLE — the "first event per user per hour"
@@ -281,6 +299,16 @@ object WindowsQ extends QueryPack {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id
         | AND date_trunc('hour', c.ts) = date_trunc('hour', e.ts)""".stripMargin,
+
+    "q103_window_topn" ->
+      """SELECT w_start, rnk, event_type, n FROM (
+        |  SELECT w_start, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY w_start
+        |      ORDER BY n DESC, event_type ASC) AS BIGINT) AS rnk
+        |  FROM (
+        |    SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n
+        |    FROM events GROUP BY 1, 2))
+        |WHERE rnk <= 3""".stripMargin,
 
     "q92_window_dedup" ->
       """SELECT user_id, w_start, event_id, ts, event_type FROM (

@@ -113,8 +113,9 @@ object PartitionCommit {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val rows = graft.CachePool.cache(
-          df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd")))
+        // batch-local persist (not the shared CachePool — a sink must
+        // never drain caches other operators hold)
+        val rows = df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd")).persist()
         // idempotent data write: this batch's directory, overwritten on replay
         rows.write.mode("overwrite")
           .partitionBy("day")
@@ -125,7 +126,7 @@ object PartitionCommit {
         // registry is the sink's partition state, as Flink's)
         val stats = rows.agg(max(unix_micros(col(tsCol))),
           collect_set(col("day"))).head()
-        graft.CachePool.drain()
+        rows.unpersist()
         if (!stats.isNullAt(0)) {
           val hw = math.max(readMaxUs(root), stats.getLong(0))
           writeMaxUs(root, hw)

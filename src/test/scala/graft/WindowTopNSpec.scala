@@ -79,4 +79,37 @@ class WindowTopNSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("stream_window_topn: dealt replay of the events table == batch q103 (the oracle-gated twin)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select($"ts", $"event_type")
+      .as[(Timestamp, String)].collect().toSeq
+    val rnd = new scala.util.Random(103)
+    val batches = rnd.shuffle(ev.toList).grouped((ev.size + 2) / 3).toSeq
+    val in = MemoryStream[(Timestamp, String)]
+    val q = WindowTopNStream.topN(
+        in.toDF().toDF("ts", "item"),
+        windowDur = "1 hour", n = 3, watermark = "400 days",
+        itemCol = "item", tsCol = "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wtopn_parity").start()
+    try {
+      batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+      Seq("2030-01-01 00:00:00", "2030-01-02 00:00:00").foreach { d =>
+        in.addData(Seq((Timestamp.valueOf(d), "z")))
+        q.processAllAvailable()
+      }
+      val sentinelCut = Timestamp.valueOf("2029-01-01 00:00:00")
+      val streamed = spark.table("wtopn_parity").as[Ranked].collect()
+        .filter(_.ws.before(sentinelCut))
+        .map(r => (r.ws, r.rank.toLong, r.item, r.cnt)).toSet
+      val batch = SparkEntry.queries("q103_window_topn")(spark, sfDir)
+        .select($"w_start", $"rnk", $"event_type", $"n")
+        .as[(Timestamp, Long, String, Long)].collect().toSet
+      assert(batch.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
