@@ -122,6 +122,43 @@ class WindowJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("FULL-OUTER window join stream: both pad kinds emit at window close") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, Timestamp)]
+    val rIn = MemoryStream[(Long, Long, Timestamp)]
+    val q = Pipelines.streamingWindowJoin(
+        lIn.toDF().toDF("user_id", "click_id", "ts"),
+        rIn.toDF().toDF("user_id", "error_id", "ts").withColumnRenamed("ts", "rts"),
+        key = "user_id", windowLen = "1 hour", watermark = "1 minute",
+        leftTs = "ts", rightTs = "rts", joinType = "full_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wj_full_hand").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      lIn.addData(Seq(
+        (1L, 10L, ts("2024-01-01 10:15:00")), // matches
+        (2L, 20L, ts("2024-01-01 10:30:00")))) // left pad
+      rIn.addData(Seq(
+        (1L, 100L, ts("2024-01-01 10:20:00")),
+        (3L, 300L, ts("2024-01-01 10:40:00")))) // right pad
+      q.processAllAvailable()
+      Seq("2024-01-01 13:00:00", "2024-01-01 15:00:00").foreach { d =>
+        lIn.addData(Seq((999999L, 0L, Timestamp.valueOf(d))))
+        rIn.addData(Seq((999999L, 0L, Timestamp.valueOf(d))))
+        q.processAllAvailable()
+      }
+      val got = spark.table("wj_full_hand")
+        .filter($"click_id" =!= 0L || $"click_id".isNull)
+        .select($"click_id", $"error_id")
+        .as[(Option[Long], Option[Long])].collect().toSet
+      assert(got.filter(r => !r._1.contains(0L)) === Set(
+        (Some(10L), Some(100L)),
+        (Some(20L), None),      // left pad
+        (None, Some(300L))))    // right pad
+    } finally q.stop()
+  }
+
   test("LEFT-OUTER window join stream: dealt replay == batch q101 (pads included)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
