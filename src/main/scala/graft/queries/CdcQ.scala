@@ -276,6 +276,52 @@ object CdcQ extends QueryPack {
           sum_distinct($"bucket").as("distinct_sum"))
     }),
 
+    // changelog → MAINTAINED FIRST_VALUE/LAST_VALUE (Flink retract-
+    // stream FirstValue/LastValueWithRetractAggFunction; batch twin
+    // of streaming.CdcOrderedStream.cdcFirstLastStream): the value of
+    // the live entity with the smallest / largest order key per
+    // group. Order = entity id (unique after pk materialization), so
+    // the result is deterministic where Flink's arrival-order variant
+    // is not. Non-invertible exactly like q79's min/max — retracting
+    // the current first must surface the next-smallest LIVE id, so
+    // the stream keeps the live (id → value) map and the batch pays
+    // the same materialize-first price (one pk shuffle + one grp
+    // shuffle, no join).
+    "q104_cdc_firstlast" -> ((s, d) => {
+      import s.implicits._
+      Cdc.materialize(cdcEntityChangelog(s, d),
+        pk = Seq($"id"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("live_cnt"),
+          min($"id").as("first_id"), min_by($"cents", $"id").as("first_cents"),
+          max($"id").as("last_id"), max_by($"cents", $"id").as("last_cents"))
+    }),
+
+    // changelog → MAINTAINED LISTAGG (Flink's
+    // ListAggWithRetractAggFunction; batch twin of streaming
+    // CdcOrderedStream.cdcListAggStream): the comma-joined values of
+    // a group's live entities in id order — the maintained
+    // concatenation a Flink SQL `LISTAGG(v)` keeps live under
+    // retraction. The output row is O(live entities in the group) by
+    // SEMANTICS (every emission republishes the whole string — Flink
+    // emits the same), so the operator is for domain-bounded groups;
+    // the maintained-state price is identical to q104's. Same two
+    // shuffles, no join; values are coarsened to $10k buckets (as
+    // q89) to keep the string width honest without changing the
+    // retraction structure.
+    "q105_cdc_listagg" -> ((s, d) => {
+      import s.implicits._
+      Cdc.materialize(cdcEntityChangelog(s, d),
+        pk = Seq($"id"), version = Seq($"ver", $"rk"), isDelete = $"op" === "-D")
+        .withColumn("bucket", floor($"cents" / 1000000L))
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("live_cnt"),
+          array_join(
+            transform(array_sort(collect_list(struct($"id", $"bucket"))),
+              x => x("bucket").cast("string")),
+            ",").as("live_list"))
+    }),
+
     // changelog ⋈ changelog → MAINTAINED join view (Flink dynamic-
     // table binary join; the batch twin of streaming.CdcJoinStream):
     // BOTH sides arrive as multi-event +I/-U/+U/-D histories — orders
@@ -564,6 +610,29 @@ object CdcQ extends QueryPack {
         |  FROM orders WHERE o_orderstatus = 'O'
         |  UNION ALL
         |  SELECT 'U-' || o_orderpriority,
+        |         CAST(floor(round(o_totalprice * 100) / 1000000) AS BIGINT)
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |) GROUP BY grp""".stripMargin,
+    "q104_cdc_firstlast" ->
+      """SELECT grp, count(*)::BIGINT AS live_cnt,
+        |       min(id)::BIGINT AS first_id, arg_min(cents, id)::BIGINT AS first_cents,
+        |       max(id)::BIGINT AS last_id, arg_max(cents, id)::BIGINT AS last_cents FROM (
+        |  SELECT o_orderkey AS id, o_orderpriority AS grp,
+        |         CAST(round((o_totalprice - 10) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U-' || o_orderpriority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |) GROUP BY grp""".stripMargin,
+    "q105_cdc_listagg" ->
+      """SELECT grp, count(*)::BIGINT AS live_cnt,
+        |       string_agg(bucket::VARCHAR, ',' ORDER BY id) AS live_list FROM (
+        |  SELECT o_orderkey AS id, o_orderpriority AS grp,
+        |         CAST(floor(round((o_totalprice - 10) * 100) / 1000000) AS BIGINT) AS bucket
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U-' || o_orderpriority,
         |         CAST(floor(round(o_totalprice * 100) / 1000000) AS BIGINT)
         |  FROM orders WHERE o_orderstatus = 'F'
         |) GROUP BY grp""".stripMargin,

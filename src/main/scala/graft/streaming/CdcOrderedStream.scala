@@ -1,0 +1,185 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Maintained ORDERED aggregates over a changelog — Flink SQL's
+  * FIRST_VALUE / LAST_VALUE / LISTAGG with retraction
+  * (FirstValueWithRetractAggFunction, LastValueWithRetractAggFunction,
+  * ListAggWithRetractAggFunction): the group's aggregate is a function
+  * of WHICH live entity sits at an order boundary (or of the whole
+  * ordered live list), so — like min/max (cdcMinMaxStream) and Top-N
+  * (CdcTopNStream) — it cannot ride the O(groups) signed fold:
+  * retracting the current first must surface the next-smallest LIVE
+  * order key, which only the full live set knows.
+  *
+  * Order key = entity id (unique per live entity), making the result
+  * deterministic where Flink's arrival-order variant is not; batch
+  * twins q104_cdc_firstlast / q105_cdc_listagg compute the same
+  * thing with arg_min/arg_max and an ordered string_agg.
+  *
+  * Entity state: one tombstone-fenced last-writer-wins slot per id
+  * (the shared CDC rule, `Cdc.changelogWins`), held in MapState so a
+  * batch touches only its own ids — cross-batch disorder resolves by
+  * `ver`, never by arrival order.
+  *
+  * Cost contracts (each the honest Flink price):
+  *  - FIRST/LAST: a maintained (cnt, first, last) summary updated
+  *    O(1) per touched id; only the death of a BOUNDARY entity (the
+  *    current first or last) pays an O(live) streamed scan for the
+  *    next boundary — exactly Flink's retract-the-first MapView scan.
+  *    O(1) heap: the scan folds `slots.iterator()` into two
+  *    accumulators, never a materialized copy. A workload that kills
+  *    the boundary EVERY batch wants the runner-up-buffer
+  *    amortization; that machinery exists as [[CdcTopNStream]] with
+  *    n = 1 ordered by id, so this operator deliberately stays scan-
+  *    simple.
+  *  - LISTAGG: every emission republishes the group's WHOLE ordered
+  *    list (Flink emits the same), so the output row is O(live) by
+  *    SEMANTICS and the per-batch O(live log live) collect-and-sort
+  *    is within that floor. For domain-bounded groups only — a
+  *    million-entity group's listagg is a megabyte row no engine
+  *    makes cheap.
+  *
+  * Emission per touched group: the updated aggregate row; live_cnt 0
+  * (zeroed boundaries / empty list) is the sink-side DELETE signal.
+  * Per-key micro-batch input (`rows.toSeq`) is heap-bounded by the
+  * source's per-trigger admission control (`maxOffsetsPerTrigger` /
+  * `maxFilesPerTrigger`) — the CdcJoinStream contract.
+  */
+object CdcOrderedStream {
+
+  /** Changelog row about entity `id` in group `grp`; `-U`/`-D` carry
+    * the before-image value (standard CDC before-image routing). */
+  case class OrdChange(op: String, grp: String, id: Long, value: Long, ver: Long)
+  /** Per-entity slot (public for encoder codegen). */
+  case class OrdSlot(ver: Long, rank: Int, value: Long, live: Boolean)
+  /** Maintained FIRST_VALUE/LAST_VALUE view of one group. */
+  case class OrdFirstLast(grp: String, live_cnt: Long,
+      first_id: Long, first_value: Long, last_id: Long, last_value: Long)
+  /** Maintained LISTAGG view of one group (`live_list` in id order). */
+  case class OrdListAgg(grp: String, live_cnt: Long, live_list: String)
+  /** FIRST/LAST summary state (public for encoder codegen). */
+  case class OrdSummary(cnt: Long, firstId: Long, firstValue: Long,
+      lastId: Long, lastValue: Long)
+
+  private def opRank(op: String): Int = graft.operators.Cdc.opRank(op)
+
+  /** Fold one micro-batch's rows into the slot map under the shared
+    * last-writer-wins rule; returns (id → (old slot or null, new
+    * slot)) for every id whose slot actually changed. */
+  private def foldSlots(slots: MapState[Long, OrdSlot],
+      rows: Iterator[OrdChange]): Seq[(Long, OrdSlot, OrdSlot)] = {
+    val touched = scala.collection.mutable.LinkedHashMap.empty[Long, (OrdSlot, OrdSlot)]
+    rows.toSeq.sortBy(c => (c.ver, opRank(c.op))).foreach { c =>
+      val rank = opRank(c.op)
+      val old = touched.get(c.id).map(_._2).getOrElse(slots.getValue(c.id))
+      if (old == null || graft.operators.Cdc.changelogWins(old.ver, old.rank, c.ver, rank)) {
+        val orig = touched.get(c.id).map(_._1).getOrElse(old)
+        touched(c.id) = (orig, OrdSlot(c.ver, rank, c.value, live = rank == 1 || rank == 2))
+      }
+    }
+    touched.foreach { case (id, (_, s)) => slots.updateValue(id, s) }
+    touched.iterator.map { case (id, (o, s)) => (id, o, s) }.toSeq
+  }
+
+  private class FirstLastProc extends StatefulProcessor[String, OrdChange, OrdFirstLast] {
+    @transient private var slots: MapState[Long, OrdSlot] = _
+    @transient private var summary: ValueState[OrdSummary] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      slots = getHandle.getMapState[Long, OrdSlot]("slots",
+        Encoders.scalaLong, Encoders.product[OrdSlot], TTLConfig.NONE)
+      summary = getHandle.getValueState[OrdSummary]("summary",
+        Encoders.product[OrdSummary], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(grp: String, rows: Iterator[OrdChange],
+        timers: TimerValues): Iterator[OrdFirstLast] = {
+      var s = if (summary.exists()) summary.get() else OrdSummary(0L, 0L, 0L, 0L, 0L)
+      var scan = false // a boundary entity died — recompute by streaming the slots
+      foldSlots(slots, rows).foreach { case (id, old, nw) =>
+        val wasLive = old != null && old.live
+        if (!wasLive && nw.live) {
+          s = s.copy(cnt = s.cnt + 1)
+          if (s.cnt == 1L) s = OrdSummary(1L, id, nw.value, id, nw.value)
+          else {
+            if (id < s.firstId) s = s.copy(firstId = id, firstValue = nw.value)
+            if (id > s.lastId) s = s.copy(lastId = id, lastValue = nw.value)
+          }
+        } else if (wasLive && !nw.live) {
+          s = s.copy(cnt = s.cnt - 1)
+          if (id == s.firstId || id == s.lastId) scan = true
+        } else if (wasLive && nw.live && nw.value != old.value) {
+          // in-place value rewrite: boundary images follow O(1)
+          if (id == s.firstId) s = s.copy(firstValue = nw.value)
+          if (id == s.lastId) s = s.copy(lastValue = nw.value)
+        }
+      }
+      if (s.cnt <= 0L) s = OrdSummary(s.cnt, 0L, 0L, 0L, 0L)
+      else if (scan) {
+        // the one O(live) branch: stream the slots through two
+        // accumulators (O(1) heap — never a materialized copy)
+        var fi = Long.MaxValue; var fv = 0L; var li = Long.MinValue; var lv = 0L
+        slots.iterator().foreach { case (id, sl) =>
+          if (sl.live) {
+            if (id < fi) { fi = id; fv = sl.value }
+            if (id > li) { li = id; lv = sl.value }
+          }
+        }
+        s = s.copy(firstId = fi, firstValue = fv, lastId = li, lastValue = lv)
+      }
+      // cnt is exactly |live slots| — the slot model resolves
+      // disorder by ver (a retraction arriving before its insert
+      // leaves a dead slot that fences the late insert), so unlike
+      // the signed folds it can never sit negative. Tombstone slots
+      // must STAY to keep that fence, so state is never dropped here.
+      summary.update(s)
+      Iterator.single(OrdFirstLast(grp, s.cnt, s.firstId, s.firstValue, s.lastId, s.lastValue))
+    }
+
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[OrdFirstLast] =
+      Iterator.empty
+  }
+
+  private class ListAggProc extends StatefulProcessor[String, OrdChange, OrdListAgg] {
+    @transient private var slots: MapState[Long, OrdSlot] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      slots = getHandle.getMapState[Long, OrdSlot]("slots",
+        Encoders.scalaLong, Encoders.product[OrdSlot], TTLConfig.NONE)
+
+    override def handleInputRows(grp: String, rows: Iterator[OrdChange],
+        timers: TimerValues): Iterator[OrdListAgg] = {
+      foldSlots(slots, rows)
+      // emission is the whole ordered list BY SEMANTICS — the collect
+      // and sort live inside that O(live) floor
+      val live = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      slots.iterator().foreach { case (id, sl) => if (sl.live) live += ((id, sl.value)) }
+      val sorted = live.sortBy(_._1)
+      Iterator.single(OrdListAgg(grp, sorted.size.toLong,
+        sorted.iterator.map(_._2.toString).mkString(",")))
+    }
+
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[OrdListAgg] =
+      Iterator.empty
+  }
+
+  /** Maintain each group's FIRST_VALUE/LAST_VALUE (by id order) over
+    * a changelog stream — see the object doc for the cost contract. */
+  def cdcFirstLastStream(changes: Dataset[OrdChange]): Dataset[OrdFirstLast] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.grp)
+      .transformWithState(new FirstLastProc, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Maintain each group's LISTAGG (id-ordered, comma-joined) over a
+    * changelog stream — see the object doc for the cost contract. */
+  def cdcListAggStream(changes: Dataset[OrdChange]): Dataset[OrdListAgg] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.grp)
+      .transformWithState(new ListAggProc, TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CdcOrderedStream
+import graft.streaming.CdcOrderedStream.{OrdChange, OrdFirstLast, OrdListAgg}
+
+/** Maintained FIRST_VALUE/LAST_VALUE and LISTAGG over a changelog:
+  * boundary deaths surface the next live boundary (the one O(live)
+  * scan), interior churn stays O(1), in-place value rewrites follow
+  * the boundary images without a scan, retraction-before-insert
+  * disorder is fenced by ver, and a dealt replay of the q104/q105
+  * changelog materializes to the batch aggregates exactly. */
+class CdcOrderedSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def runFL(name: String, batches: Seq[Seq[OrdChange]]): Seq[(Long, OrdFirstLast)] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[OrdChange]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, OrdFirstLast)]
+    val q = CdcOrderedStream.cdcFirstLastStream(in.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[OrdFirstLast], id: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+      }
+      .queryName(name).start()
+    try {
+      batches.foreach { b => if (b.nonEmpty) in.addData(b: _*); q.processAllAvailable() }
+      buf.synchronized(buf.toVector)
+    } finally q.stop()
+  }
+
+  private def runLA(name: String, batches: Seq[Seq[OrdChange]]): Seq[(Long, OrdListAgg)] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[OrdChange]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, OrdListAgg)]
+    val q = CdcOrderedStream.cdcListAggStream(in.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[OrdListAgg], id: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+      }
+      .queryName(name).start()
+    try {
+      batches.foreach { b => if (b.nonEmpty) in.addData(b: _*); q.processAllAvailable() }
+      buf.synchronized(buf.toVector)
+    } finally q.stop()
+  }
+
+  /** last emission per group across the run */
+  private def finalFL(out: Seq[(Long, OrdFirstLast)]): Map[String, OrdFirstLast] =
+    out.zipWithIndex.groupBy(_._1._2.grp)
+      .map { case (g, xs) => g -> xs.maxBy { case ((b, _), i) => (b, i) }._1._2 }
+
+  private def finalLA(out: Seq[(Long, OrdListAgg)]): Map[String, OrdListAgg] =
+    out.zipWithIndex.groupBy(_._1._2.grp)
+      .map { case (g, xs) => g -> xs.maxBy { case ((b, _), i) => (b, i) }._1._2 }
+
+  test("cdc_firstlast: boundary death scans to the next live boundary; interior churn and boundary rewrites stay incremental") {
+    val out = runFL("ord_hand", Seq(
+      // batch 0: ids 2,5,9 live -> first=(2,20) last=(9,90)
+      Seq(OrdChange("+I", "a", 5L, 50L, 1), OrdChange("+I", "a", 2L, 20L, 1),
+        OrdChange("+I", "a", 9L, 90L, 1)),
+      // batch 1: FIRST dies -> scan surfaces 5
+      Seq(OrdChange("-D", "a", 2L, 20L, 2)),
+      // batch 2: boundary value rewrite in place (id 9), O(1) path
+      Seq(OrdChange("-U", "a", 9L, 90L, 3), OrdChange("+U", "a", 9L, 99L, 3)),
+      // batch 3: interior insert between the boundaries — no change
+      // to images, cnt only
+      Seq(OrdChange("+I", "a", 7L, 70L, 4)),
+      // batch 4: LAST dies -> scan surfaces 7
+      Seq(OrdChange("-D", "a", 9L, 99L, 5)),
+      // batch 5: a new smallest id takes first without a scan
+      Seq(OrdChange("+I", "a", 1L, 10L, 6)),
+      // batch 6: everything dies -> zeros (the DELETE signal)
+      Seq(OrdChange("-D", "a", 1L, 10L, 7), OrdChange("-D", "a", 5L, 50L, 7),
+        OrdChange("-D", "a", 7L, 70L, 7))))
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byBatch(0L) === Seq(OrdFirstLast("a", 3L, 2L, 20L, 9L, 90L)))
+    assert(byBatch(1L) === Seq(OrdFirstLast("a", 2L, 5L, 50L, 9L, 90L)))
+    assert(byBatch(2L) === Seq(OrdFirstLast("a", 2L, 5L, 50L, 9L, 99L)))
+    assert(byBatch(3L) === Seq(OrdFirstLast("a", 3L, 5L, 50L, 9L, 99L)))
+    assert(byBatch(4L) === Seq(OrdFirstLast("a", 2L, 5L, 50L, 7L, 70L)))
+    assert(byBatch(5L) === Seq(OrdFirstLast("a", 3L, 1L, 10L, 7L, 70L)))
+    assert(byBatch(6L) === Seq(OrdFirstLast("a", 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("cdc_firstlast: retraction-before-insert is fenced by ver; group move routes by before-image") {
+    val out = runFL("ord_fence", Seq(
+      // batch 0: the -U (ver 2) lands BEFORE its +I (ver 1) — the
+      // tombstone fences the late insert, id 3 must never go live
+      Seq(OrdChange("-U", "a", 3L, 30L, 2), OrdChange("+I", "a", 4L, 40L, 1)),
+      Seq(OrdChange("+I", "a", 3L, 30L, 1)),
+      // batch 2: group move a->b — the before-image -U routes to a,
+      // the +U to b (different shards)
+      Seq(OrdChange("-U", "a", 4L, 40L, 3), OrdChange("+U", "b", 4L, 41L, 3)),
+      // batch 3: the moved id re-enters a later at a higher ver
+      Seq(OrdChange("+I", "a", 4L, 44L, 4))))
+    val byBatch = out.groupBy(_._1).view
+      .mapValues(_.map(d => d._2.grp -> d._2).toMap).toMap
+    assert(byBatch(0L)("a") === OrdFirstLast("a", 1L, 4L, 40L, 4L, 40L))
+    // the late +I ver 1 loses to the ver-2 tombstone: unchanged
+    assert(byBatch(1L)("a") === OrdFirstLast("a", 1L, 4L, 40L, 4L, 40L))
+    assert(byBatch(2L)("a") === OrdFirstLast("a", 0L, 0L, 0L, 0L, 0L))
+    assert(byBatch(2L)("b") === OrdFirstLast("b", 1L, 4L, 41L, 4L, 41L))
+    assert(byBatch(3L)("a") === OrdFirstLast("a", 1L, 4L, 44L, 4L, 44L))
+  }
+
+  test("cdc_listagg: every emission republishes the whole id-ordered live list") {
+    val out = runLA("la_hand", Seq(
+      Seq(OrdChange("+I", "a", 5L, 50L, 1), OrdChange("+I", "a", 2L, 20L, 1)),
+      Seq(OrdChange("+I", "a", 9L, 90L, 2)),
+      // value update in place
+      Seq(OrdChange("-U", "a", 5L, 50L, 3), OrdChange("+U", "a", 5L, 55L, 3)),
+      // middle entity dies
+      Seq(OrdChange("-D", "a", 5L, 55L, 4)),
+      // all die -> empty list
+      Seq(OrdChange("-D", "a", 2L, 20L, 5), OrdChange("-D", "a", 9L, 90L, 5))))
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byBatch(0L) === Seq(OrdListAgg("a", 2L, "20,50")))
+    assert(byBatch(1L) === Seq(OrdListAgg("a", 3L, "20,50,90")))
+    assert(byBatch(2L) === Seq(OrdListAgg("a", 3L, "20,55,90")))
+    assert(byBatch(3L) === Seq(OrdListAgg("a", 2L, "20,90")))
+    assert(byBatch(4L) === Seq(OrdListAgg("a", 0L, "")))
+  }
+
+  test("cdc_ordered: dealt replay of the q104/q105 changelog == the batch aggregates") {
+    import spark.implicits._
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    def ev(kind: String, value: org.apache.spark.sql.Column,
+        grp: org.apache.spark.sql.Column, ver: Int) =
+      Seq(lit(kind).as("op"), grp.as("grp"), $"o_orderkey".as("id"),
+        value.as("value"), lit(ver.toLong).as("ver"))
+    val cents0 = round(($"o_totalprice" - 10) * 100).cast("long")
+    val cents1 = round($"o_totalprice" * 100).cast("long")
+    val grp1 = concat(lit("U-"), $"o_orderpriority")
+    def changelog(v0: org.apache.spark.sql.Column, v1: org.apache.spark.sql.Column) =
+      o.select(ev("+I", v0, $"o_orderpriority", 1): _*)
+        .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("-U", v0, $"o_orderpriority", 2): _*))
+        .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("+U", v1, grp1, 2): _*))
+        .unionAll(o.filter($"o_orderstatus" === "P").select(ev("-D", v1, grp1, 3): _*))
+        .as[OrdChange].collect().toSeq
+    def deal(cl: Seq[OrdChange], seed: Int): Seq[Seq[OrdChange]] = {
+      val shuffled = new scala.util.Random(seed).shuffle(cl.toList)
+      (0 until 4).map(i => shuffled.zipWithIndex.collect { case (c, j) if j % 4 == i => c })
+    }
+
+    // FIRST/LAST on cents
+    val clFL = changelog(cents0, cents1)
+    assert(clFL.size > 500, s"degenerate: ${clFL.size} changes")
+    val expFL = SparkEntry.queries("q104_cdc_firstlast")(spark, sfDir)
+      .select($"grp", $"live_cnt", $"first_id", $"first_cents", $"last_id", $"last_cents")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> OrdFirstLast(r._1, r._2, r._3, r._4, r._5, r._6)).toMap
+    CachePool.drain()
+    val gotFL = finalFL(runFL("ord_parity", deal(clFL, 41)))
+    // groups the stream touched but batch retracted to empty keep a
+    // zero row; batch GROUP BY drops them — compare on live groups
+    assert(gotFL.filter(_._2.live_cnt > 0L) === expFL)
+
+    // LISTAGG on $10k buckets
+    val clLA = changelog(floor(cents0 / 1000000L), floor(cents1 / 1000000L))
+    val expLA = SparkEntry.queries("q105_cdc_listagg")(spark, sfDir)
+      .select($"grp", $"live_cnt", $"live_list")
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> OrdListAgg(r._1, r._2, r._3)).toMap
+    CachePool.drain()
+    val gotLA = finalLA(runLA("la_parity", deal(clLA, 42)))
+    assert(gotLA.filter(_._2.live_cnt > 0L) === expLA)
+  }
+}

@@ -123,6 +123,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q104/q105: ordered aggregates keep the materialize-first shape — pk exchange + grp exchange, no join") {
+    Seq("q104_cdc_firstlast", "q105_cdc_listagg").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: no join belongs in the fold:\n$p")
+      assert("Exchange".r.findAllIn(p).size == 2, s"$q: expected exactly two exchanges:\n$p")
+    }
+  }
+
   test("q85: cascaded 3-way join — the nation hop broadcasts (the enriched stream never re-shuffles for the dim); no cartesian") {
     val p = plan("q85_cdc_join3")
     assert(p.contains("BroadcastHashJoin"), s"nation hop must broadcast:\n$p")
