@@ -240,6 +240,26 @@ object WindowsQ extends QueryPack {
           sum(round($"value" * 100).cast("long")).over(w).as("cents_3r"))
     }),
 
+    // UNBOUNDED-frame OVER aggregation (round 13; completes the OVER
+    // family's third frame next to q81 RANGE and q87 ROWS-n — Flink
+    // SQL `ROWS UNBOUNDED PRECEDING` ordered by event time, the
+    // running-total shape behind lifetime-spend and sequence-number
+    // views): for EVERY event, count + exact cents sum over ALL
+    // same-user rows up to it in (ts, event_id) order. Same single
+    // user-key shuffle; this is the frame whose STREAMING state is
+    // O(1) per key (one accumulator — decided rows are forgotten).
+    "q106_over_unbounded" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy(unix_micros($"ts"), $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select(
+          $"user_id", $"event_id",
+          count(lit(1)).over(w).as("n_run"),
+          sum(round($"value" * 100).cast("long")).over(w).as("cents_run"))
+    }),
+
     // AS-OF (temporal) join: each order priced against the credit
     // limit IN EFFECT at its order date (Flink `FOR SYSTEM_TIME AS OF`
     // over a CDC-materialized history). The version history is
@@ -332,6 +352,14 @@ object WindowsQ extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q106_over_unbounded" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_run,
+        |  cast(sum(cast(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_run
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS UNBOUNDED PRECEDING)""".stripMargin,
 
     "q13_tumbling_window" ->
       s"""SELECT date_trunc('hour', ts) AS w_start, event_type,

@@ -177,6 +177,59 @@ object OverAggStream {
       fold(key, held.get().toSeq, timers.getCurrentWatermarkInMs() * 1000L)
   }
 
+  /** Running-total accumulator state (public for encoder codegen). */
+  case class RunAcc(cnt: Long, cents: Long)
+
+  /** UNBOUNDED-frame twin (Flink SQL `ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND CURRENT ROW` ordered by event time — the
+    * RowTimeUnboundedOverProcessFunction): every event aggregates
+    * over ALL same-key rows at or before it in (us, id) order. The
+    * cheapest member of the OVER family: decided rows fold into ONE
+    * (count, sum) accumulator and are forgotten — no decided row can
+    * ever re-enter a frame (frames only grow forward), so state per
+    * key is two longs plus the in-flight rows (ts ≥ watermark),
+    * independent of depth, rate, AND frame width. Same decision rule
+    * as RANGE/ROWS: a row is final once the watermark strictly
+    * passes its ts (a late smaller-ts row would insert below it and
+    * shift its running total). */
+  private class UnboundedProcessor
+      extends StatefulProcessor[Long, OverEvent, OverAgg] {
+    @transient private var pending: ListState[Held] = _
+    @transient private var acc: org.apache.spark.sql.streaming.ValueState[RunAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[Held]("pending", Encoders.product[Held], TTLConfig.NONE)
+      acc = getHandle.getValueState[RunAcc]("acc", Encoders.product[RunAcc], TTLConfig.NONE)
+    }
+
+    private def fold(key: Long, events: Seq[Held], wmUs: Long): Iterator[OverAgg] = {
+      val sorted = events.sortBy(e => (e.us, e.id))
+      var a = if (acc.exists()) acc.get() else RunAcc(0L, 0L)
+      val (dec, undec) = sorted.partition(_.us < wmUs)
+      val out = dec.iterator.map { e =>
+        a = RunAcc(a.cnt + 1L, a.cents + e.cents)
+        OverAgg(key, e.id, e.us, a.cnt, a.cents, usToTs(e.us))
+      }.toVector
+      acc.update(a)
+      pending.clear()
+      if (undec.nonEmpty) pending.appendList(undec.toArray)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (undec.nonEmpty)
+        getHandle.registerTimer(undec.map(_.us).min / 1000L + 1L)
+      out.iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[OverEvent],
+        timers: TimerValues): Iterator[OverAgg] = {
+      val incoming = rows.map(r => Held(r.id, r.us, r.cents, emitted = false)).toSeq
+      fold(key, pending.get().toSeq ++ incoming, timers.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[OverAgg] =
+      fold(key, pending.get().toSeq, timers.getCurrentWatermarkInMs() * 1000L)
+  }
+
   /** Per-event trailing-window aggregate over a streaming events
     * relation: one [[OverAgg]] per input row, with count + exact
     * cents sum over the same key's rows in `[ts − window, ts]`.
@@ -229,5 +282,27 @@ object OverAggStream {
       .as[OverEvent]
       .groupByKey(_.key)
       .transformWithState(new RowsProcessor(n), TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** UNBOUNDED-frame per-event running aggregate (q106's streaming
+    * twin): one [[OverAgg]] per input row with count + exact cents
+    * sum over ALL same-key rows up to and including it in (event
+    * time, id) order — Flink SQL `ROWS UNBOUNDED PRECEDING`. State =
+    * one (count, sum) accumulator + in-flight rows per key (see
+    * [[UnboundedProcessor]]); same timer/no-declared-event-time
+    * contract as [[overAgg]]. */
+  def overUnbounded(events: DataFrame, watermark: String,
+      keyCol: String = "user_id", idCol: String = "event_id",
+      valueCol: String = "value", tsCol: String = "ts"): Dataset[OverAgg] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long").as("key"), col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol)).as("us"),
+        round(col(valueCol) * lit(100)).cast("long").as("cents"), col(tsCol).as("ts"))
+      .as[OverEvent]
+      .groupByKey(_.key)
+      .transformWithState(new UnboundedProcessor, TimeMode.EventTime(), OutputMode.Append())
   }
 }

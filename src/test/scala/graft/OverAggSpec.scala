@@ -184,4 +184,85 @@ class OverAggSpec extends AnyFunSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("over_unbounded stream: running totals in (ts,id) order; a late smaller-ts row inserts below and shifts nothing already decided") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = OverAggStream.overUnbounded(
+        in.toDF().toDF("user_id", "event_id", "ts", "value"),
+        watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("unb_hand").start()
+    try {
+      in.addData(Seq(
+        (1L, 10L, us(1000000L), 1.00),
+        (1L, 11L, us(2000000L), 2.00),
+        // key 2: equal-ts rows order by id
+        (2L, 20L, us(1000000L), 0.10),
+        (2L, 21L, us(1000000L), 0.20),
+        // key 4: id 41 first; the LATE id 40 (smaller ts) must insert
+        // BELOW it — 41's running total counts 40
+        (4L, 41L, us(3000000L), 7.00)))
+      q.processAllAvailable()
+      assert(spark.table("unb_hand").count() == 0)
+      in.addData(Seq((4L, 40L, us(2500000L), 4.00)))
+      q.processAllAvailable()
+      // first flush: decide everything so far
+      in.addData(Seq((99L, 990L, Timestamp.valueOf("2030-01-01 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      // key 1 continues AFTER its earlier rows were decided and
+      // forgotten — the accumulator alone must carry the history
+      in.addData(Seq((1L, 12L, Timestamp.valueOf("2030-01-01 01:00:00"), 3.00)))
+      q.processAllAvailable()
+      in.addData(Seq((99L, 991L, Timestamp.valueOf("2031-01-01 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("unb_hand").filter($"key" =!= 99L)
+        .select($"id", $"n_win", $"cents_win").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === Map(
+        10L -> ((1L, 100L)),
+        11L -> ((2L, 300L)),
+        12L -> ((3L, 600L)), // accumulator carried rows 10+11 after they were dropped
+        20L -> ((1L, 10L)),
+        21L -> ((2L, 30L)),
+        40L -> ((1L, 400L)),
+        41L -> ((2L, 1100L)))) // late 40 inserted below 41
+    } finally q.stop()
+  }
+
+  test("over_unbounded stream: dealt-out-of-order replay of the events table == batch q106") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .as[(Long, Long, Timestamp, Double)].collect().toSeq
+    val rnd = new scala.util.Random(47)
+    val shuffled = rnd.shuffle(ev.toList)
+    val batches = (0 until 4).map(i => shuffled.zipWithIndex.collect {
+      case (x, j) if j % 4 == i => x
+    })
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = OverAggStream.overUnbounded(
+        in.toDF().toDF("user_id", "event_id", "ts", "value"),
+        watermark = "400 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("unb_parity").start()
+    try {
+      batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+      Seq("2030-01-01 00:00:00", "2030-01-02 00:00:00").foreach { d =>
+        in.addData(Seq((999999L, 0L, Timestamp.valueOf(d), 0.0)))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("unb_parity").filter($"key" =!= 999999L)
+        .select($"id", $"n_win", $"cents_win").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = SparkEntry.queries("q106_over_unbounded")(spark, sfDir)
+        .select($"event_id", $"n_run", $"cents_run").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      CachePool.drain()
+      assert(streamed.size === batch.size)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
