@@ -76,22 +76,57 @@ object TemporalJoins {
     * inclusive, microseconds — Flink `intervalJoin.between()`
     * semantics). Left and right column sets must be disjoint except
     * `key`; `0 <= lowerUs <= upperUs` (look-ahead bands; mirror the
-    * inputs for look-back). */
+    * inputs for look-back).
+    *
+    * `joinType` "inner" (default) or "left" (Flink SQL's LEFT OUTER
+    * interval join: every left row emits at least once, null-padded
+    * when its band holds no match). The two modes bucketize on
+    * OPPOSITE sides — inner explodes the LEFT into its two reachable
+    * buckets (each right row in exactly one bucket ⇒ no pair matches
+    * twice); left outer explodes the RIGHT into the two buckets it
+    * can serve and keeps each LEFT row in exactly ONE bucket, so the
+    * plain left join pads each unmatched left row exactly once and
+    * no pair can match twice (a right copy pair sits in two DIFFERENT
+    * buckets; a left row joins only its own). Same single equi-join
+    * shuffle either way — outer-ness costs nothing extra. */
   def interval(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, lowerUs: Long, upperUs: Long): DataFrame = {
+      leftTs: String, rightTs: String, lowerUs: Long, upperUs: Long,
+      joinType: String = "inner"): DataFrame = {
     require(lowerUs >= 0 && upperUs >= lowerUs && upperUs > 0,
       s"interval: need 0 <= lower <= upper with upper > 0, got [$lowerUs, $upperUs]")
     val W = upperUs // bucket width = band reach ⇒ a band spans at most 2 buckets
-    val l = left
-      .withColumn("__lt", unix_micros(col(leftTs)))
-      .withColumn("__b", explode(array(expr(s"__lt div $W"), expr(s"__lt div $W + 1"))))
-    val r = right
-      .withColumn("__rt", unix_micros(col(rightTs)))
-      .withColumn("__b", expr(s"__rt div $W"))
-    // right rows live in exactly ONE bucket, so no pair can match twice
-    l.join(r, Seq(key, "__b"))
-      .filter(col("__rt") >= col("__lt") + lowerUs && col("__rt") <= col("__lt") + upperUs)
-      .drop("__b", "__lt", "__rt")
+    joinType match {
+      case "inner" =>
+        val l = left
+          .withColumn("__lt", unix_micros(col(leftTs)))
+          .withColumn("__b", explode(array(expr(s"__lt div $W"), expr(s"__lt div $W + 1"))))
+        val r = right
+          .withColumn("__rt", unix_micros(col(rightTs)))
+          .withColumn("__b", expr(s"__rt div $W"))
+        // right rows live in exactly ONE bucket, so no pair can match twice
+        l.join(r, Seq(key, "__b"))
+          .filter(col("__rt") >= col("__lt") + lowerUs && col("__rt") <= col("__lt") + upperUs)
+          .drop("__b", "__lt", "__rt")
+      case "left" =>
+        val l = left
+          .withColumn("__lt", unix_micros(col(leftTs)))
+          .withColumn("__b", expr(s"__lt div $W"))
+        val r = right
+          .withColumn("__rt", unix_micros(col(rightTs)))
+          // a right row at rt serves left rows in [rt − upper, rt −
+          // lower] ⊆ buckets {rt div W − 1, rt div W}
+          .withColumn("__rb", explode(array(expr(s"__rt div $W - 1"), expr(s"__rt div $W"))))
+          .withColumnRenamed(key, "__rkey")
+        // the band predicate must live IN the join condition (a
+        // post-filter would turn pad rows into dropped rows)
+        l.join(r,
+            col(key) === col("__rkey") && col("__b") === col("__rb") &&
+              col("__rt") >= col("__lt") + lowerUs && col("__rt") <= col("__lt") + upperUs,
+            "left")
+          .drop("__b", "__rb", "__rkey", "__lt", "__rt")
+      case other => throw new IllegalArgumentException(
+        s"interval: joinType must be inner or left, got '$other'")
+    }
   }
 
   /** Pure-SQL formulations of the same two plans — the reference UX is

@@ -300,6 +300,31 @@ object WindowsQ extends QueryPack {
           leftTs = "c_ts", rightTs = "e_ts", lowerUs = 0L, upperUs = 600000000L)
         .select($"click_id", $"error_id", $"user_id",
           (unix_micros($"e_ts") - unix_micros($"c_ts")).as("gap_us"))
+    }),
+
+    // LEFT OUTER interval join (round 13; Flink SQL's outer interval
+    // join — `l LEFT JOIN r ON key AND r.ts BETWEEN l.ts AND l.ts +
+    // band`: every click emits, null-padded when no error followed
+    // within the band): the pad side of q51. The outer mode
+    // bucketizes the OPPOSITE side — each left row lives in exactly
+    // ONE bucket and the right explodes into the two buckets it can
+    // serve, so the plain left equi-join pads each unmatched click
+    // exactly once and no pair can match twice; the band predicate
+    // rides IN the join condition (a post-filter would eat the
+    // pads). Same single equi-join shuffle as q51 — outer-ness is
+    // free (plan-asserted: hash join, never nested-loop).
+    "q107_interval_join_left" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_ts"))
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id".as("error_id"), $"user_id", $"ts".as("e_ts"))
+      TemporalJoins.interval(clicks, errors,
+          key = "user_id", leftTs = "c_ts", rightTs = "e_ts",
+          lowerUs = 0L, upperUs = 600000000L, joinType = "left")
+        .select($"click_id", $"error_id", $"user_id",
+          (unix_micros($"e_ts") - unix_micros($"c_ts")).as("gap_us"))
     })
   )
 
@@ -441,6 +466,14 @@ object WindowsQ extends QueryPack {
         |SELECT click_id, error_id, c.user_id AS user_id,
         |  cast(epoch_us(e_ts) - epoch_us(c_ts) AS bigint) AS gap_us
         |FROM c JOIN e ON c.user_id = e.user_id
+        |  AND e.e_ts >= c.c_ts AND e.e_ts <= c.c_ts + INTERVAL 10 MINUTE""".stripMargin,
+
+    "q107_interval_join_left" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+        |e AS (SELECT event_id AS error_id, user_id AS e_user, ts AS e_ts FROM events WHERE event_type = 'error')
+        |SELECT click_id, error_id, c.user_id AS user_id,
+        |  cast(epoch_us(e_ts) - epoch_us(c_ts) AS bigint) AS gap_us
+        |FROM c LEFT JOIN e ON c.user_id = e.e_user
         |  AND e.e_ts >= c.c_ts AND e.e_ts <= c.c_ts + INTERVAL 10 MINUTE""".stripMargin
   )
 }

@@ -478,12 +478,21 @@ object Pipelines {
     * join condition, not a custom operator. Both sides need a
     * watermark and the time-range predicate must bound each side in
     * terms of the other, which is what lets the state stay finite at
-    * any volume. Column sets must be disjoint except `key`. */
+    * any volume. Column sets must be disjoint except `key`.
+    *
+    * `joinType` "inner" (default) or "leftOuter" (Flink SQL's LEFT
+    * OUTER interval join, batch twin q107_interval_join_left): a pad
+    * row can only emit once the watermark CLOSES the left row's band
+    * — a match could still arrive while it is open — so pads carry
+    * watermark latency by construction (Flink's outer interval join
+    * pays the same); state evicts on the same watermark either way. */
   def streamingIntervalJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, band: String, watermark: String): DataFrame = {
+      leftTs: String, rightTs: String, band: String, watermark: String,
+      joinType: String = "inner"): DataFrame = {
     val r = right.withColumnRenamed(key, "__rk").withWatermark(rightTs, watermark)
     left.withWatermark(leftTs, watermark)
-      .join(r, expr(s"$key = __rk AND $rightTs >= $leftTs AND $rightTs <= $leftTs + interval $band"))
+      .join(r, expr(s"$key = __rk AND $rightTs >= $leftTs AND $rightTs <= $leftTs + interval $band"),
+        joinType)
       .drop("__rk")
   }
 

@@ -62,6 +62,83 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("interval join LEFT mode: every left row emits, unmatched pads exactly once, matched pairs identical to inner") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_ts"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("error_id"), $"user_id", $"ts".as("e_ts"))
+    val band = 7200000000L
+    val out = TemporalJoins.interval(clicks, errors, "user_id", "c_ts", "e_ts",
+      0L, band, joinType = "left")
+    val rows = out.select($"click_id", $"error_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    val inner = TemporalJoins.interval(clicks, errors, "user_id", "c_ts", "e_ts", 0L, band)
+      .select($"click_id", $"error_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // matched pairs = exactly the inner set, each exactly once
+    val matched = rows.filter(_._2 >= 0L)
+    assert(matched.toSet == inner && matched.length == inner.size)
+    // unmatched clicks pad exactly once (never twice across the
+    // bucket pair — the left side lives in ONE bucket)
+    val pads = rows.filter(_._2 == -1L).map(_._1)
+    assert(pads.toSet.size == pads.length, "a pad row emitted twice")
+    val matchedIds = matched.map(_._1).toSet
+    assert(pads.toSet.intersect(matchedIds).isEmpty, "a matched click also padded")
+    // every click emits at least once
+    assert(pads.toSet ++ matchedIds == clicks.select($"click_id").as[Long].collect().toSet)
+    assert(pads.nonEmpty && matched.nonEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
+  }
+
+  test("streaming interval join leftOuter: the pad holds while the band could still match and emits once the watermark closes it") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    val cIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val eIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = graft.streaming.Pipelines.streamingIntervalJoin(
+      cIn.toDF().toDF("click_id", "user_id", "c_ts"),
+      eIn.toDF().toDF("error_id", "user_id", "e_ts"),
+      key = "user_id", leftTs = "c_ts", rightTs = "e_ts",
+      band = "10 minutes", watermark = "0 seconds", joinType = "leftOuter")
+    val q = joined.select($"click_id", $"error_id")
+      .writeStream.format("memory").queryName("t_sij_left").start()
+    try {
+      // u1's click matches; u2's click has no error in band
+      cIn.addData((100L, 1L, ts(0)), (102L, 2L, ts(0)))
+      eIn.addData((200L, 1L, ts(3)))
+      q.processAllAvailable()
+      val early = spark.table("t_sij_left").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // the match may emit immediately; the PAD must NOT — u2's band
+      // is still open (watermark is at ts(3), band closes at ts(10))
+      assert(!early.contains((102L, -1L)), s"pad emitted while band open: $early")
+      // advance the watermark far past the band on both inputs
+      cIn.addData((999L, 9L, ts(1000)))
+      eIn.addData((998L, 9L, ts(1000)))
+      q.processAllAvailable()
+      cIn.addData((997L, 9L, ts(2000)))
+      eIn.addData((996L, 9L, ts(2000)))
+      q.processAllAvailable()
+      val got = spark.table("t_sij_left")
+        .filter($"click_id" < 900L)
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got == Set((100L, 200L), (102L, -1L)))
+      // parity with the batch left operator on the same corpus
+      val batch = TemporalJoins.interval(
+          Seq((100L, 1L, ts(0)), (102L, 2L, ts(0))).toDF("click_id", "user_id", "c_ts"),
+          Seq((200L, 1L, ts(3))).toDF("error_id", "user_id", "e_ts"),
+          "user_id", "c_ts", "e_ts", 0L, 600000000L, joinType = "left")
+        .select($"click_id", $"error_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("asOf equals the naive inequality-join definition on the orders/history corpus") {
     import spark.implicits._
     val versions = graft.sources.Tables.customer(spark, sfDir)
