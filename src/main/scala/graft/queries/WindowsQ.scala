@@ -240,6 +240,27 @@ object WindowsQ extends QueryPack {
           sum(round($"value" * 100).cast("long")).over(w).as("cents_3r"))
     }),
 
+    // Windowed aggregation with GROUPING SETS (round 13; Flink SQL's
+    // window agg + GROUPING SETS — one pass serving both the
+    // per-(window, type) counts and the per-window totals a dashboard
+    // reads side by side): sets {(w_start, event_type), (w_start)}
+    // — the window is ALWAYS present (not rollup's global row).
+    // Catalyst plans ONE Expand (each input row replicated per set)
+    // consumed by map-side partial agg below a single exchange —
+    // Flink's shared window pane for free; the 2× expand amplification
+    // is eaten before the shuffle (plan-asserted). Streaming twin
+    // composes the same sets as a union of two watermarked window
+    // aggregates (Pipelines.streamingWindowGsets).
+    "q108_window_gsets" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("w_start", date_trunc("hour", $"ts"))
+        .groupingSets(
+          Seq(Seq($"w_start", $"event_type"), Seq($"w_start")),
+          $"w_start", $"event_type")
+        .agg(count(lit(1)).as("n"), moneySum($"value").as("total_value"))
+    }),
+
     // UNBOUNDED-frame OVER aggregation (round 13; completes the OVER
     // family's third frame next to q81 RANGE and q87 ROWS-n — Flink
     // SQL `ROWS UNBOUNDED PRECEDING` ordered by event time, the
@@ -377,6 +398,13 @@ object WindowsQ extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q108_window_gsets" ->
+      s"""SELECT date_trunc('hour', ts) AS w_start, event_type,
+         |  count(*) AS n, ${moneySumSql("value")} AS total_value
+         |FROM events
+         |GROUP BY GROUPING SETS ((date_trunc('hour', ts), event_type),
+         |                        (date_trunc('hour', ts)))""".stripMargin,
 
     "q106_over_unbounded" ->
       """SELECT user_id, event_id,

@@ -171,6 +171,29 @@ object Pipelines {
         col("cw.end").as("w_end"), col("n"), col("cents"))
   }
 
+  /** Streaming windowed aggregation with GROUPING SETS (batch twin:
+    * q108_window_gsets — Flink SQL's window agg + GROUPING SETS):
+    * sets {(window, event_type), (window)} served as a UNION of two
+    * watermarked window aggregates over the same input — Spark's
+    * streaming aggregation can't Expand (no multi-aggregate over one
+    * shuffled pane), so the honest composition is one aggregate per
+    * set, each with its own bounded state, both finalized by the
+    * SAME watermark so a window's rows land together (multiple
+    * stateful operators, supported since Spark 3.4). The grouped-out
+    * dimension is NULL, as in batch; 2× input cost vs Flink's shared
+    * pane, stated not hidden — K sets cost K aggregates. */
+  def streamingWindowGsets(events: DataFrame, watermark: String): DataFrame = {
+    val base = events.withWatermark("ts", watermark)
+    def agg(keys: Seq[org.apache.spark.sql.Column]) = base
+      .groupBy((window(col("ts"), "1 hour").as("w") +: keys): _*)
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("cents"))
+    agg(Seq(col("event_type")))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("cents"))
+      .unionByName(agg(Nil)
+        .select(col("w.start").as("w_start"), lit(null).cast("string").as("event_type"),
+          col("n"), col("cents")))
+  }
+
   /** Streaming session windows by inactivity gap (batch twin:
     * graft.operators.Windows.sessionize) — Spark's native
     * session_window merges per-key state until the watermark closes

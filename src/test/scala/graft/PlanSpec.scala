@@ -295,6 +295,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("row_number") && !p.contains("Window"), s"pk materialization crept in:\n$p")
   }
 
+  test("q108: grouping sets plan ONE Expand eaten by partial agg below ONE exchange — never two scans") {
+    val p = plan("q108_window_gsets")
+    assert(p.contains("Expand"), s"grouping sets must Expand, not rescan:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one exchange:\n$p")
+    assert(!p.contains("Union"), s"a Union means the input was scanned per set:\n$p")
+  }
+
   test("q76: the absence scan reads only the pattern's event types (pushed disjunction)") {
     val pf = planFormatted("q76_absence_alert")
     assert(pf.contains("Or(EqualTo(event_type,click),EqualTo(event_type,purchase))"),
