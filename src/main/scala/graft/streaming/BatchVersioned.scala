@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions.col
   * batch carries the same batchId (Structured Streaming's contract),
   * reads only state written by earlier batches, and overwrites
   * exactly its own outputs. */
-private[streaming] object BatchVersioned {
+private[graft] object BatchVersioned {
 
   def fs(spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(dir)
