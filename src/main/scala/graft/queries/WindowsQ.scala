@@ -281,6 +281,21 @@ object WindowsQ extends QueryPack {
           sum(round($"value" * 100).cast("long")).over(w).as("cents_run"))
     }),
 
+    // LAG over event-time order (round 13; Flink SQL `LAG(v) OVER
+    // (PARTITION BY key ORDER BY ts)` — the previous-row shape behind
+    // delta/gap features): for EVERY event, the previous same-user
+    // cents in (ts, event_id) order, NULL for the user's first. Same
+    // ONE user-key shuffle as the OVER family; streaming state is a
+    // single last-decided image per key (OverAggStream.overLag).
+    "q109_over_lag" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"), $"event_id")
+      Tables.events(s, d)
+        .select(
+          $"user_id", $"event_id",
+          lag(round($"value" * 100).cast("long"), 1).over(w).as("prev_cents"))
+    }),
+
     // AS-OF (temporal) join: each order priced against the credit
     // limit IN EFFECT at its order date (Flink `FOR SYSTEM_TIME AS OF`
     // over a CDC-materialized history). The version history is
@@ -398,6 +413,12 @@ object WindowsQ extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q109_over_lag" ->
+      """SELECT user_id, event_id,
+        |  lag(cast(round(value * 100) AS BIGINT), 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_cents
+        |FROM events""".stripMargin,
 
     "q108_window_gsets" ->
       s"""SELECT date_trunc('hour', ts) AS w_start, event_type,

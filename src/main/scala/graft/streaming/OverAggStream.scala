@@ -230,6 +230,58 @@ object OverAggStream {
       fold(key, pending.get().toSeq, timers.getCurrentWatermarkInMs() * 1000L)
   }
 
+  /** LAG output row; `prev_cents` is None for the key's first event. */
+  case class OverLag(key: Long, id: Long, us: Long, prev_cents: Option[Long], ts: Timestamp)
+  /** Last decided image per key (public for encoder codegen). */
+  case class LastImg(us: Long, id: Long, cents: Long)
+
+  /** LAG(1) over event-time order (Flink SQL `LAG(v) OVER (PARTITION
+    * BY key ORDER BY ts)` — q109's streaming twin): every event emits
+    * the PREVIOUS same-key row's value in (us, id) order, None for
+    * the first. Same watermark-strict decision rule as the frames —
+    * a late smaller-ts row would BECOME some later row's predecessor,
+    * so a row's lag is final only once the watermark passes it.
+    * State = ONE last-decided image per key + in-flight rows: the
+    * ROWS-n retention argument with n = 2. */
+  private class LagProcessor
+      extends StatefulProcessor[Long, OverEvent, OverLag] {
+    @transient private var pending: ListState[Held] = _
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[LastImg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[Held]("lpending", Encoders.product[Held], TTLConfig.NONE)
+      last = getHandle.getValueState[LastImg]("last", Encoders.product[LastImg], TTLConfig.NONE)
+    }
+
+    private def fold(key: Long, events: Seq[Held], wmUs: Long): Iterator[OverLag] = {
+      val sorted = events.sortBy(e => (e.us, e.id))
+      var prev = if (last.exists()) Some(last.get()) else None
+      val (dec, undec) = sorted.partition(_.us < wmUs)
+      val out = dec.iterator.map { e =>
+        val o = OverLag(key, e.id, e.us, prev.map(_.cents), usToTs(e.us))
+        prev = Some(LastImg(e.us, e.id, e.cents))
+        o
+      }.toVector
+      prev.foreach(last.update)
+      pending.clear()
+      if (undec.nonEmpty) pending.appendList(undec.toArray)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (undec.nonEmpty)
+        getHandle.registerTimer(undec.map(_.us).min / 1000L + 1L)
+      out.iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[OverEvent],
+        timers: TimerValues): Iterator[OverLag] = {
+      val incoming = rows.map(r => Held(r.id, r.us, r.cents, emitted = false)).toSeq
+      fold(key, pending.get().toSeq ++ incoming, timers.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[OverLag] =
+      fold(key, pending.get().toSeq, timers.getCurrentWatermarkInMs() * 1000L)
+  }
+
   /** Per-event trailing-window aggregate over a streaming events
     * relation: one [[OverAgg]] per input row, with count + exact
     * cents sum over the same key's rows in `[ts − window, ts]`.
@@ -304,5 +356,24 @@ object OverAggStream {
       .as[OverEvent]
       .groupByKey(_.key)
       .transformWithState(new UnboundedProcessor, TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** LAG(1) per event in (event time, id) order (q109's streaming
+    * twin — Flink SQL LAG in an event-time OVER window). State = one
+    * last-decided image per key + in-flight rows; same timer/
+    * no-declared-event-time contract as [[overAgg]]. */
+  def overLag(events: DataFrame, watermark: String,
+      keyCol: String = "user_id", idCol: String = "event_id",
+      valueCol: String = "value", tsCol: String = "ts"): Dataset[OverLag] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long").as("key"), col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol)).as("us"),
+        round(col(valueCol) * lit(100)).cast("long").as("cents"), col(tsCol).as("ts"))
+      .as[OverEvent]
+      .groupByKey(_.key)
+      .transformWithState(new LagProcessor, TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -185,6 +185,65 @@ class OverAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("over_lag stream: previous-row value in (ts,id) order, None for a key's first; dealt replay == batch q109") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // hand corpus: the late smaller-ts row must BECOME the held row's
+    // predecessor
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = graft.streaming.OverAggStream.overLag(
+        in.toDF().toDF("user_id", "event_id", "ts", "value"),
+        watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lag_hand").start()
+    try {
+      in.addData(Seq(
+        (1L, 10L, us(1000000L), 1.00),
+        (1L, 11L, us(2000000L), 2.00),
+        (4L, 41L, us(3000000L), 7.00)))
+      q.processAllAvailable()
+      in.addData(Seq((4L, 40L, us(2500000L), 4.00))) // late, smaller ts
+      q.processAllAvailable()
+      in.addData(Seq((99L, 990L, Timestamp.valueOf("2030-01-01 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("lag_hand").filter($"key" =!= 99L)
+        .select($"id", $"prev_cents")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(got === Map(10L -> -1L, 11L -> 100L, 40L -> -1L, 41L -> 400L))
+    } finally q.stop()
+
+    // dealt replay == batch q109
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .as[(Long, Long, Timestamp, Double)].collect().toSeq
+    val shuffled = new scala.util.Random(59).shuffle(ev.toList)
+    val batches = (0 until 4).map(i => shuffled.zipWithIndex.collect {
+      case (x, j) if j % 4 == i => x
+    })
+    val in2 = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q2 = graft.streaming.OverAggStream.overLag(
+        in2.toDF().toDF("user_id", "event_id", "ts", "value"),
+        watermark = "400 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lag_parity").start()
+    try {
+      batches.foreach { b => in2.addData(b.toIndexedSeq); q2.processAllAvailable() }
+      Seq("2030-01-01 00:00:00", "2030-01-02 00:00:00").foreach { d =>
+        in2.addData(Seq((999999L, 0L, Timestamp.valueOf(d), 0.0)))
+        q2.processAllAvailable()
+      }
+      val streamed = spark.table("lag_parity").filter($"key" =!= 999999L)
+        .select($"id", $"prev_cents")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val batch = SparkEntry.queries("q109_over_lag")(spark, sfDir)
+        .select($"event_id", $"prev_cents")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      CachePool.drain()
+      assert(streamed.size === batch.size)
+      assert(streamed === batch)
+    } finally q2.stop()
+  }
+
   test("over_unbounded stream: running totals in (ts,id) order; a late smaller-ts row inserts below and shifts nothing already decided") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -92,6 +92,12 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one exchange:\n$p")
   }
 
+  test("q109: LAG is ONE user-key exchange + window — no self-join") {
+    val p = plan("q109_over_lag")
+    assert(!p.contains("Join"), s"lag must not self-join:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one exchange:\n$p")
+  }
+
   test("q88: CEP match is one key exchange + windows — no inequality join, and the scan reads only the pattern's event types") {
     val p = plan("q88_cep_match")
     assert(!p.contains("Join"), s"CEP match must not self-join:\n$p")
