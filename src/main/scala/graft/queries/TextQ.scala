@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Fingerprint, TextFunctions => TF}
@@ -231,6 +232,27 @@ object TextQ extends QueryPack {
     // selection — reproducible across runs/engines, no RNG). Two
     // passes: a per-source token aggregate (tiny, broadcast back) and
     // a scan-side filter — the mixture step of an LLM data pipeline.
+    // Deterministic BOTTOM-K sampling per source (round 13; the
+    // streaming-maintainable reservoir an LLM ingest needs — a fixed
+    // uniform sample per source over an unbounded arrival stream,
+    // replayable with NO RNG): keep the k docs with the smallest
+    // 52-bit md5 prefix of doc_id. Equivalent to a k-reservoir in
+    // distribution (the hash is uniform) but ORDER-FREE: any subset,
+    // any arrival order, any replay folds to the same sample — which
+    // is what makes it streamable as exactly a bottom-k rank
+    // (TopNRetractStream with score = −hash) with k-entry state per
+    // source. 52 bits so the score is double-exact in the streaming
+    // composition. Batch: one source shuffle + row_number.
+    "q110_bottomk_sample" -> ((s, d) => {
+      import s.implicits._
+      val h = conv(substring(md5($"doc_id".cast("string")), 1, 13), 16, 10).cast("long")
+      val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+      Tables.documents(s, d)
+        .select($"source", $"doc_id", h.as("h"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 25)
+    }),
+
     "q43_source_rebalance" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -706,6 +728,15 @@ object TextQ extends QueryPack {
          |SELECT k.doc_id, k.source, k.n_chars, k.quality_score
          |FROM kept k JOIN keepers USING (doc_id)""".stripMargin
     },
+
+    "q110_bottomk_sample" ->
+      """SELECT source, doc_id, h, rn FROM (
+        |  SELECT source, doc_id, h,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn
+        |  FROM (SELECT source, doc_id,
+        |          cast(('0x' || substr(md5(doc_id::VARCHAR), 1, 13)) AS bigint) AS h
+        |        FROM documents)
+        |) WHERE rn <= 25""".stripMargin,
 
     "q43_source_rebalance" ->
       """WITH docs AS (SELECT doc_id, source,

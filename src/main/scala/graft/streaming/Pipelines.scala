@@ -371,6 +371,29 @@ object Pipelines {
     cdcUpsertStream(changelog)
   }
 
+  /** Deterministic BOTTOM-K sample per source over a live document
+    * stream (batch twin: q110_bottomk_sample) — the streaming
+    * reservoir an LLM ingest keeps per source: the k docs with the
+    * smallest 52-bit md5 prefix of doc_id. Hash-order sampling is a
+    * k-reservoir in distribution but ORDER-FREE (any arrival order or
+    * replay folds to the same sample), so it streams as exactly a
+    * bottom-k rank: [[TopNRetractStream.topN]] with score = −hash —
+    * k-entry state per source, membership changelog out (+I entered
+    * the sample / -D displaced by a smaller hash). 52 bits keeps the
+    * negated score double-exact, so stream and batch tie-break
+    * identically. */
+  def streamingBottomKSample(docs: DataFrame, k: Int): Dataset[TopNRetractStream.TopNDelta] = {
+    import docs.sparkSession.implicits._
+    TopNRetractStream.topN(
+      docs.select(
+        col("source").as("grp"),
+        col("doc_id").cast("long").as("id"),
+        (-conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").cast("double")).as("score"))
+        .as[TopNRetractStream.ScoredRow],
+      n = k)
+  }
+
   /** Streaming exact dedup for an LLM-data ingest: keep the first
     * occurrence of each content hash, with state bounded by the
     * watermark (batch twin: graft.operators.Dedup.exact). At 100 TB/
