@@ -232,6 +232,31 @@ object TextQ extends QueryPack {
     // selection — reproducible across runs/engines, no RNG). Two
     // passes: a per-source token aggregate (tiny, broadcast back) and
     // a scan-side filter — the mixture step of an LLM data pipeline.
+    // Token-window document CHUNKING (round 13; the context-length
+    // packer's upstream — split every document into fixed-size token
+    // windows with overlap, the standard pretraining chunking shape:
+    // size 64, stride 48 ⇒ 16-token overlap carrying context across
+    // chunk boundaries): whitespace tokens, chunk i covers tokens
+    // [i·stride, i·stride + size) for i·stride < n_tokens, so every
+    // token lands in ≥ 1 chunk and no chunk is empty. Stateless
+    // per-document explode — shuffle-free, streams as the identical
+    // projection (no watermark, no state), and at 100 TB it is pure
+    // map-side work whose ~size/stride amplification is the
+    // semantics, not a plan defect.
+    "q111_doc_chunk" -> ((s, d) => {
+      import s.implicits._
+      val toks = filter(split($"text", " "), x => x =!= lit(""))
+      Tables.documents(s, d)
+        .select($"doc_id", toks.as("toks"))
+        .withColumn("n", size($"toks"))
+        .filter($"n" > 0)
+        .withColumn("chunk_id", explode(sequence(lit(0L), expr("(n - 1) div 48"))))
+        .select($"doc_id", $"chunk_id",
+          least(lit(64L), ($"n" - $"chunk_id" * 48).cast("long")).as("n_tok"),
+          array_join(slice($"toks", ($"chunk_id" * 48 + 1).cast("int"), lit(64)), " ")
+            .as("chunk_text"))
+    }),
+
     // Deterministic BOTTOM-K sampling per source (round 13; the
     // streaming-maintainable reservoir an LLM ingest needs — a fixed
     // uniform sample per source over an unbounded arrival stream,
@@ -728,6 +753,16 @@ object TextQ extends QueryPack {
          |SELECT k.doc_id, k.source, k.n_chars, k.quality_score
          |FROM kept k JOIN keepers USING (doc_id)""".stripMargin
     },
+
+    "q111_doc_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        |           FROM documents),
+        |     s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, i AS chunk_id,
+        |  least(64, n - i * 48)::BIGINT AS n_tok,
+        |  array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+        |FROM s, unnest(generate_series(0, (n - 1) // 48)) AS g(i)""".stripMargin,
 
     "q110_bottomk_sample" ->
       """SELECT source, doc_id, h, rn FROM (

@@ -175,6 +175,12 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one exchange:\n$p")
   }
 
+  test("q111: chunking is a single shuffle-free scan (the explode amplification never crosses an exchange)") {
+    val p = plan("q111_doc_chunk")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+  }
+
   test("q46: PII redaction is a single shuffle-free scan") {
     val p = plan("q46_pii_redact")
     assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")
