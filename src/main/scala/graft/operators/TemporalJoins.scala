@@ -124,9 +124,45 @@ object TemporalJoins {
               col("__rt") >= col("__lt") + lowerUs && col("__rt") <= col("__lt") + upperUs,
             "left")
           .drop("__b", "__rb", "__rkey", "__lt", "__rt")
+      case "full" =>
+        // FULL OUTER: the bucket tricks cannot pad both sides in one
+        // join (whichever side explodes would pad twice), so the
+        // outer rows come from anti-joins against the matched ids —
+        // `leftId`/`rightId` name unique row ids on each side. Three
+        // bucketized equi-joins total (match + two anti) — still
+        // never a nested loop, and the anti sides join against the
+        // DISTINCT matched-id sets (bounded by the smaller of matches
+        // and rows).
+        throw new IllegalArgumentException(
+          "interval: use intervalFull(...) for the full-outer mode (it needs row ids)")
       case other => throw new IllegalArgumentException(
         s"interval: joinType must be inner or left, got '$other'")
     }
+  }
+
+  /** FULL OUTER interval join (Flink SQL's full outer interval join):
+    * all qualifying pairs, plus every unmatched left row once
+    * (right columns null) and every unmatched right row once (left
+    * columns null). `leftId`/`rightId` name UNIQUE id columns on each
+    * side — the anti-join pads need row identity. Plan: the inner
+    * bucketized equi-join + one anti-join per side against the
+    * distinct matched ids; all three are equi-joins (never a nested
+    * loop), and the matched-id sets are usually broadcast-sized. */
+  def intervalFull(left: DataFrame, right: DataFrame, key: String,
+      leftId: String, rightId: String, leftTs: String, rightTs: String,
+      lowerUs: Long, upperUs: Long): DataFrame = {
+    val matched = interval(left, right, key, leftTs, rightTs, lowerUs, upperUs)
+    // pads on each side carry their OWN key in the shared key column
+    val lPads = left
+      .join(matched.select(col(leftId)).distinct(), Seq(leftId), "left_anti")
+    val rPads = right
+      .join(matched.select(col(rightId)).distinct(), Seq(rightId), "left_anti")
+    val cols = matched.columns
+    def aligned(df: DataFrame): DataFrame =
+      df.select(cols.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(matched.schema(c).dataType).as(c)): _*)
+    aligned(matched).unionByName(aligned(lPads)).unionByName(aligned(rPads))
   }
 
   /** Pure-SQL formulations of the same two plans — the reference UX is

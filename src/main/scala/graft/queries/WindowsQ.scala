@@ -296,6 +296,28 @@ object WindowsQ extends QueryPack {
           lag(round($"value" * 100).cast("long"), 1).over(w).as("prev_cents"))
     }),
 
+    // FULL OUTER interval join (round 13; completes the interval
+    // family's mode axis next to q51 inner and q107 left): all
+    // qualifying pairs plus every matchless click AND every matchless
+    // error, each padded once. The bucket tricks cannot pad both
+    // sides in one join (whichever side explodes would pad twice), so
+    // the outer rows come from one anti-join per side against the
+    // DISTINCT matched ids — three bucketized equi-joins total, never
+    // a nested loop (plan-asserted), matched-id sets broadcast-sized.
+    "q112_interval_join_full" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_ts"))
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id".as("error_id"), $"user_id", $"ts".as("e_ts"))
+      TemporalJoins.intervalFull(clicks, errors, key = "user_id",
+          leftId = "click_id", rightId = "error_id",
+          leftTs = "c_ts", rightTs = "e_ts", lowerUs = 0L, upperUs = 600000000L)
+        .select($"click_id", $"error_id", $"user_id",
+          (unix_micros($"e_ts") - unix_micros($"c_ts")).as("gap_us"))
+    }),
+
     // AS-OF (temporal) join: each order priced against the credit
     // limit IN EFFECT at its order date (Flink `FOR SYSTEM_TIME AS OF`
     // over a CDC-materialized history). The version history is
@@ -515,6 +537,14 @@ object WindowsQ extends QueryPack {
         |SELECT click_id, error_id, c.user_id AS user_id,
         |  cast(epoch_us(e_ts) - epoch_us(c_ts) AS bigint) AS gap_us
         |FROM c JOIN e ON c.user_id = e.user_id
+        |  AND e.e_ts >= c.c_ts AND e.e_ts <= c.c_ts + INTERVAL 10 MINUTE""".stripMargin,
+
+    "q112_interval_join_full" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+        |e AS (SELECT event_id AS error_id, user_id AS e_user, ts AS e_ts FROM events WHERE event_type = 'error')
+        |SELECT click_id, error_id, coalesce(c.user_id, e.e_user) AS user_id,
+        |  cast(epoch_us(e_ts) - epoch_us(c_ts) AS bigint) AS gap_us
+        |FROM c FULL OUTER JOIN e ON c.user_id = e.e_user
         |  AND e.e_ts >= c.c_ts AND e.e_ts <= c.c_ts + INTERVAL 10 MINUTE""".stripMargin,
 
     "q107_interval_join_left" ->

@@ -115,11 +115,13 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q107: left-outer interval join is a hash equi-join on (user, bucket) — never a nested loop") {
-    val p = plan("q107_interval_join_left")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"outer interval join must stay an equi-join:\n$p")
-    assert(p.contains("Join"), s"expected a join:\n$p")
+  test("q107/q112: outer interval joins are hash equi-joins on (user, bucket) — never a nested loop") {
+    Seq("q107_interval_join_left", "q112_interval_join_full").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q: outer interval join must stay an equi-join:\n$p")
+      assert(p.contains("Join"), s"$q: expected a join:\n$p")
+    }
   }
 
   test("q83: the rules side broadcasts — events never shuffle for the match") {

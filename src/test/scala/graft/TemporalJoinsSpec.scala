@@ -139,6 +139,79 @@ class TemporalJoinsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval join FULL mode: matched pairs == inner, both pad kinds exactly once, every row on both sides accounted") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_ts"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("error_id"), $"user_id", $"ts".as("e_ts"))
+    val band = 7200000000L
+    val out = TemporalJoins.intervalFull(clicks, errors, "user_id",
+      "click_id", "error_id", "c_ts", "e_ts", 0L, band)
+    val rows = out.select($"click_id", $"error_id").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+    val inner = TemporalJoins.interval(clicks, errors, "user_id", "c_ts", "e_ts", 0L, band)
+      .select($"click_id", $"error_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val matched = rows.filter(p => p._1 >= 0L && p._2 >= 0L)
+    assert(matched.toSet == inner && matched.length == inner.size)
+    val lPads = rows.filter(p => p._2 == -1L).map(_._1)
+    val rPads = rows.filter(p => p._1 == -1L).map(_._2)
+    assert(lPads.toSet.size == lPads.length && rPads.toSet.size == rPads.length,
+      "a pad emitted twice")
+    assert(lPads.toSet.intersect(matched.map(_._1).toSet).isEmpty)
+    assert(rPads.toSet.intersect(matched.map(_._2).toSet).isEmpty)
+    assert(lPads.toSet ++ matched.map(_._1) ==
+      clicks.select($"click_id").as[Long].collect().toSet)
+    assert(rPads.toSet ++ matched.map(_._2) ==
+      errors.select($"error_id").as[Long].collect().toSet)
+    assert(lPads.nonEmpty && rPads.nonEmpty && matched.nonEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"non-equi join in plan:\n$plan")
+  }
+
+  test("streaming interval join fullOuter: both pad kinds emit at watermark close and match the batch full operator") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    val cIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val eIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = graft.streaming.Pipelines.streamingIntervalJoin(
+      cIn.toDF().toDF("click_id", "user_id", "c_ts"),
+      eIn.toDF().toDF("error_id", "user_id", "e_ts"),
+      key = "user_id", leftTs = "c_ts", rightTs = "e_ts",
+      band = "10 minutes", watermark = "0 seconds", joinType = "fullOuter")
+    val q = joined.select($"click_id", $"error_id")
+      .writeStream.format("memory").queryName("t_sij_full").start()
+    try {
+      // u1 matches; u2's click matchless; u3's error matchless
+      cIn.addData((100L, 1L, ts(0)), (102L, 2L, ts(0)))
+      eIn.addData((200L, 1L, ts(3)), (203L, 3L, ts(4)))
+      q.processAllAvailable()
+      Seq(1500L, 3000L).foreach { m =>
+        cIn.addData((990L, 9L, ts(m))); eIn.addData((991L, 9L, ts(m)))
+        q.processAllAvailable()
+      }
+      val got = spark.table("t_sij_full")
+        .filter(coalesce($"click_id", lit(0L)) < 900L && coalesce($"error_id", lit(0L)) < 900L)
+        .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got == Set((100L, 200L), (102L, -1L), (-1L, 203L)))
+      val batch = TemporalJoins.intervalFull(
+          Seq((100L, 1L, ts(0)), (102L, 2L, ts(0))).toDF("click_id", "user_id", "c_ts"),
+          Seq((200L, 1L, ts(3)), (203L, 3L, ts(4))).toDF("error_id", "user_id", "e_ts"),
+          "user_id", "click_id", "error_id", "c_ts", "e_ts", 0L, 600000000L)
+        .select($"click_id", $"error_id")
+        .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("asOf equals the naive inequality-join definition on the orders/history corpus") {
     import spark.implicits._
     val versions = graft.sources.Tables.customer(spark, sfDir)
