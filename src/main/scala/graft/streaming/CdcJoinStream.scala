@@ -378,4 +378,25 @@ object CdcJoinStream {
       CdcTopNStream.RankChange(d.op, grp(d), pairId(d), score(d), d.ver)
     }
   }
+
+  /** ORDERED-AGGREGATE adapter — feed the maintained join view into
+    * the retractable FIRST/LAST/LISTAGG
+    * ([[CdcOrderedStream.cdcFirstLastStream]] /
+    * [[CdcOrderedStream.cdcListAggStream]]): "the first/last/list of
+    * enriched facts per <dim attribute>, maintained". Identical
+    * contract to [[toRankChanges]] — pair identity (`pairId`
+    * injective over (lpk, k)), images read from the delta
+    * (before-image routing for retractions), upstream join run with
+    * `strictVer = true`, pad rows loud-rejected. */
+  def toOrdChanges(deltas: Dataset[JoinDelta], grp: JoinDelta => String,
+      pairId: JoinDelta => Long, value: JoinDelta => Long)
+      : Dataset[CdcOrderedStream.OrdChange] = {
+    import deltas.sparkSession.implicits._
+    deltas.map { d =>
+      if (d.lpk == null) throw new IllegalArgumentException(
+        s"toOrdChanges: pad row (lpk = null, k = ${d.k}) has no pair identity — " +
+          "run the upstream join in inner or left mode")
+      CdcOrderedStream.OrdChange(d.op, grp(d), pairId(d), value(d), d.ver)
+    }
+  }
 }

@@ -129,6 +129,57 @@ class CdcOrderedSpec extends AnyFunSuite {
     assert(byBatch(4L) === Seq(OrdListAgg("a", 0L, "")))
   }
 
+  test("cdc_ordered composed with cdc_join: maintained first/last enriched fact per dim attribute — boundary kill scans, fk move crosses groups, dim rename sweeps") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.CdcJoinStream
+    import graft.streaming.CdcJoinStream.JoinChange
+    val in = MemoryStream[JoinChange]
+    def pid(lpk: Long, k: Long) = lpk * 1000000L + k
+    val view = CdcOrderedStream.cdcFirstLastStream(
+      CdcJoinStream.toOrdChanges(
+        CdcJoinStream.joinStream(in.toDS(), "inner", strictVer = true),
+        grp = _.right, pairId = d => pid(d.lpk, d.k),
+        value = _.left.toLong))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, OrdFirstLast)]
+    val q = view.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[OrdFirstLast], id: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+      }
+      .queryName("cj_ordered").start()
+    try {
+      Seq(
+        // batch 0: ann has orders 10(70) 11(80) 12(90); bob has 13(50)
+        Seq(JoinChange("R", "+I", 5L, 5L, "ann", 1),
+          JoinChange("R", "+I", 6L, 6L, "bob", 1),
+          JoinChange("L", "+I", 5L, 10L, "70", 1),
+          JoinChange("L", "+I", 5L, 11L, "80", 1),
+          JoinChange("L", "+I", 5L, 12L, "90", 1),
+          JoinChange("L", "+I", 6L, 13L, "50", 1)),
+        // batch 1: order 10 deleted -> ann's FIRST dies (boundary scan)
+        Seq(JoinChange("L", "-D", 5L, 10L, "70", 2)),
+        // batch 2: order 12 fk-moves to bob at 95 -> ann's LAST dies,
+        // pair (12,6) becomes bob's new FIRST (smaller pair id)
+        Seq(JoinChange("L", "-U", 5L, 12L, "90", 3),
+          JoinChange("L", "+U", 6L, 12L, "95", 3)),
+        // batch 3: ann renames to ANN -> the whole group moves
+        Seq(JoinChange("R", "-U", 5L, 5L, "ann", 4),
+          JoinChange("R", "+U", 5L, 5L, "ANN", 4))
+      ).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val out = buf.synchronized(buf.toVector)
+      val byBatch = out.groupBy(_._1).view
+        .mapValues(_.map(d => d._2.grp -> d._2).toMap).toMap
+      assert(byBatch(0L)("ann") === OrdFirstLast("ann", 3L, pid(10, 5), 70L, pid(12, 5), 90L))
+      assert(byBatch(0L)("bob") === OrdFirstLast("bob", 1L, pid(13, 6), 50L, pid(13, 6), 50L))
+      assert(byBatch(1L)("ann") === OrdFirstLast("ann", 2L, pid(11, 5), 80L, pid(12, 5), 90L))
+      assert(byBatch(2L)("ann") === OrdFirstLast("ann", 1L, pid(11, 5), 80L, pid(11, 5), 80L))
+      assert(byBatch(2L)("bob") === OrdFirstLast("bob", 2L, pid(12, 6), 95L, pid(13, 6), 50L))
+      assert(byBatch(3L)("ann") === OrdFirstLast("ann", 0L, 0L, 0L, 0L, 0L))
+      assert(byBatch(3L)("ANN") === OrdFirstLast("ANN", 1L, pid(11, 5), 80L, pid(11, 5), 80L))
+    } finally q.stop()
+  }
+
   test("cdc_ordered: dealt replay of the q104/q105 changelog == the batch aggregates") {
     import spark.implicits._
     val o = graft.sources.Tables.orders(spark, sfDir)
