@@ -80,7 +80,10 @@ object TemporalJoins {
     *
     * `joinType` "inner" (default) or "left" (Flink SQL's LEFT OUTER
     * interval join: every left row emits at least once, null-padded
-    * when its band holds no match). The two modes bucketize on
+    * when its band holds no match). RIGHT outer is the left mode with
+    * the inputs swapped and both timestamp columns negated (µs) — the
+    * band mirror — or [[intervalFull]] filtered to its right rows;
+    * FULL outer is [[intervalFull]]. The two modes bucketize on
     * OPPOSITE sides — inner explodes the LEFT into its two reachable
     * buckets (each right row in exactly one bucket ⇒ no pair matches
     * twice); left outer explodes the RIGHT into the two buckets it

@@ -73,4 +73,39 @@ class DocChunkSpec extends AnyFunSuite {
       .as[(Long, Long, Long, String)].collect().toSet
     assert(streamed === batch.toSet)
   }
+
+  test("chunks compose into q47-style sequence packing: every chunk assigned, pack budgets hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // chunk the corpus, then pack chunks (identity = (doc, chunk))
+    // into 256-token shards with the q47 prefix-sum discipline —
+    // the chunk→pack end of the training-data pipeline
+    val seqLen = 256L
+    val chunks = SparkEntry.queries("q111_doc_chunk")(spark, sfDir)
+      .select(($"doc_id" * 1000L + $"chunk_id").as("cid"), $"n_tok")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"cid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val packed = chunks
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .select($"cid", $"n_tok", expr(s"cum_before div $seqLen").as("pack_id"),
+        ($"cum_before" % seqLen).as("pack_offset"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    CachePool.drain()
+    // every chunk assigned exactly once
+    assert(packed.map(_._1).distinct.size == packed.size && packed.nonEmpty)
+    // offsets never exceed the budget, pack ids are the prefix-sum law
+    packed.foreach { case (cid, n, pid, off) =>
+      assert(off >= 0L && off < seqLen, s"chunk $cid offset $off outside [0, $seqLen)")
+      assert(n > 0L)
+    }
+    // the prefix-sum law: each chunk's (pack_id, pack_offset) is
+    // exactly its cumulative predecessor total split by the budget
+    var cum = 0L
+    packed.sortBy(_._1).foreach { case (cid, n, pid, off) =>
+      assert(pid == cum / seqLen && off == cum % seqLen,
+        s"chunk $cid: (pack $pid, off $off) != prefix-sum law at cum=$cum")
+      cum += n
+    }
+  }
 }

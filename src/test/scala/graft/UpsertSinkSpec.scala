@@ -64,6 +64,11 @@ class UpsertSinkSpec extends AnyFunSuite {
       Seq(UpsertChange("+I", 3L, "c", 3))))
     val before = readMap(root)
     assert(before === Map(1L -> (("a", 1L)), 3L -> (("c", 3L))))
+    // the read is ONE pk shuffle (partial agg below a single
+    // exchange), never a join or a sort of the segment union
+    val plan = UpsertSink.read(spark, root).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, s"read must shuffle once:\n$plan")
+    assert(!plan.contains("Join"), s"read must not join:\n$plan")
     UpsertSink.compact(spark, root, tombstoneRetainSegs = 2L)
     assert(readMap(root) === before, "compaction changed the read")
     // the tombstone (written at seg 1, fold point 2) is INSIDE the
