@@ -276,6 +276,34 @@ object CdcQ extends QueryPack {
           sum_distinct($"bucket").as("distinct_sum"))
     }),
 
+    // changelog → MAINTAINED MOMENTS (count, sum, sum of squares) —
+    // the invertible-aggregate family GENERALIZED (round 13; Flink's
+    // VAR_POP/VAR_SAMP/STDDEV over retract streams ride exactly this:
+    // all three moments accept signed deltas, so variance needs NO
+    // per-key state — the q75 O(groups) fold with one more
+    // accumulator). Output is the integer-exact moment TRIPLE, not
+    // the division: variance is derivable sink-side ((sumsq −
+    // sum²/cnt)/cnt), and emitting the triple keeps the oracle
+    // hash-exact where a float division would not be. The moments run
+    // over the $100-bucketed amount (cents div 10000): squaring raw
+    // cents (~5·10⁷) would overflow Long by ~10⁹ rows per group —
+    // the fixed-point coarsening keeps sumsq inside Long out past
+    // 10¹² rows, the honest price of exact integer moments. Same ONE
+    // map-side-combined shuffle as q75 (plan-asserted there).
+    "q113_cdc_moments" -> ((s, d) => {
+      import s.implicits._
+      val changelog = cdcEntityChangelog(s, d)
+        .withColumn("b", expr("cents div 10000"))
+      val signed = changelog.withColumn("sgn",
+        when($"op".isin("+I", "+U"), 1L)
+          .when($"op".isin("-U", "-D"), -1L)
+          .otherwise(raise_error(concat(lit("unknown row_kind "), $"op"))))
+      signed.groupBy($"grp")
+        .agg(sum($"sgn").as("live_cnt"),
+          sum($"sgn" * $"b").as("live_sum"),
+          sum($"sgn" * $"b" * $"b").as("live_sumsq"))
+    }),
+
     // changelog → MAINTAINED FIRST_VALUE/LAST_VALUE (Flink retract-
     // stream FirstValue/LastValueWithRetractAggFunction; batch twin
     // of streaming.CdcOrderedStream.cdcFirstLastStream): the value of
@@ -613,6 +641,19 @@ object CdcQ extends QueryPack {
         |         CAST(floor(round(o_totalprice * 100) / 1000000) AS BIGINT)
         |  FROM orders WHERE o_orderstatus = 'F'
         |) GROUP BY grp""".stripMargin,
+    "q113_cdc_moments" ->
+      """SELECT grp, count(*)::BIGINT AS live_cnt,
+        |       sum(b)::BIGINT AS live_sum,
+        |       sum(b * b)::BIGINT AS live_sumsq FROM (
+        |  SELECT o_orderpriority AS grp,
+        |         CAST(round((o_totalprice - 10) * 100) AS BIGINT) // 10000 AS b
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT 'U-' || o_orderpriority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) // 10000
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |) GROUP BY grp""".stripMargin,
+
     "q104_cdc_firstlast" ->
       """SELECT grp, count(*)::BIGINT AS live_cnt,
         |       min(id)::BIGINT AS first_id, arg_min(cents, id)::BIGINT AS first_cents,

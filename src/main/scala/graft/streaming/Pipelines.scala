@@ -453,6 +453,41 @@ object Pipelines {
       }
   }
 
+  case class GroupMoments(grp: String, live_cnt: Long, live_sum: Long, live_sumsq: Long)
+
+  /** Maintained MOMENTS (count, sum, sum of squares) over a changelog
+    * — the invertible family generalized (q113's streaming twin;
+    * Flink's VAR_POP/STDDEV retract aggregates keep exactly these
+    * three accumulators): every moment accepts signed deltas, so the
+    * state is THREE longs per group — same O(groups) contract,
+    * disorder debt, and emission rules as [[cdcAggStream]], one more
+    * accumulator. Variance/stddev are sink-side divisions of the
+    * emitted triple; `value` must be fixed-point coarse enough that
+    * value² · live_cnt stays inside Long (q113 buckets to $100). */
+  def cdcMomentsStream(changes: Dataset[AggChange]): Dataset[GroupMoments] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[(Long, Long, Long), GroupMoments](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[AggChange], state: GroupState[(Long, Long, Long)]) =>
+          var (cnt, sum, sumsq) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.foreach { c =>
+            val s = c.op match {
+              case "+I" | "+U" => 1L
+              case "-U" | "-D" => -1L
+              case other => throw new IllegalArgumentException(
+                s"cdcMomentsStream: unknown row_kind '$other' for group $grp")
+            }
+            cnt += s
+            sum += s * c.value
+            sumsq += s * c.value * c.value
+          }
+          if (cnt == 0L && sum == 0L && sumsq == 0L) state.remove()
+          else state.update((cnt, sum, sumsq))
+          Iterator.single(GroupMoments(grp, cnt, sum, sumsq))
+      }
+  }
+
   case class GroupMinMax(grp: String, live_cnt: Long, live_min: Long, live_max: Long)
 
   /** Retractable MIN/MAX — the half of Flink's aggregate split that

@@ -608,6 +608,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_cdc_moments: signed three-moment fold — group moves, retract-to-zero, dealt replay == batch q113") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Pipelines.GroupMoments
+    def run(name: String, batches: Seq[Seq[AggChange]]): Map[String, (Long, Long, Long)] = {
+      val in = MemoryStream[AggChange]
+      val latest = scala.collection.mutable.Map.empty[String, (Long, (Long, Long, Long))]
+      val q = Pipelines.cdcMomentsStream(in.toDS())
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[GroupMoments], id: Long) =>
+          val rows = df.collect()
+          latest.synchronized {
+            rows.foreach { g =>
+              if (!latest.get(g.grp).exists(_._1 > id))
+                latest(g.grp) = (id, (g.live_cnt, g.live_sum, g.live_sumsq))
+            }
+          }
+        }
+        .queryName(name).start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        latest.synchronized(latest.view.mapValues(_._2).toMap.filter(_._2._1 > 0L))
+      } finally q.stop()
+    }
+    // hand fold: value-changing move A→B, delete; sumsq must track
+    val out = run("cdc_moments_hand", Seq(
+      Seq(AggChange("+I", "A", 3), AggChange("+I", "A", 4), AggChange("+I", "B", 5)),
+      Seq(AggChange("-U", "A", 4), AggChange("+U", "B", 6)),
+      Seq(AggChange("-D", "B", 5))))
+    assert(out == Map("A" -> ((1L, 3L, 9L)), "B" -> ((1L, 6L, 36L))))
+
+    // dealt replay of the exact q113 changelog == the batch triple
+    import org.apache.spark.sql.functions.{expr, concat, lit}
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    val b0 = expr("cast(round((o_totalprice - 10) * 100) as bigint) div 10000")
+    val b1 = expr("cast(round(o_totalprice * 100) as bigint) div 10000")
+    val grp1 = concat(lit("U-"), $"o_orderpriority")
+    def ev(kind: String, b: org.apache.spark.sql.Column,
+        grp: org.apache.spark.sql.Column) =
+      Seq(lit(kind).as("op"), grp.as("grp"), b.cast("long").as("value"))
+    val changelog =
+      o.select(ev("+I", b0, $"o_orderpriority"): _*)
+        .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("-U", b0, $"o_orderpriority"): _*))
+        .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("+U", b1, grp1): _*))
+        .unionAll(o.filter($"o_orderstatus" === "P").select(ev("-D", b1, grp1): _*))
+        .as[AggChange].collect().toSeq
+    val shuffled = new scala.util.Random(67).shuffle(changelog.toList)
+    val batches = (0 until 4).map(i => shuffled.zipWithIndex.collect {
+      case (c, j) if j % 4 == i => c
+    })
+    val expected = SparkEntry.queries("q113_cdc_moments")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    CachePool.drain()
+    assert(run("cdc_moments_parity", batches) === expected)
+  }
+
   test("stream_cdc_agg: group-moving updates and retract-to-zero across micro-batch boundaries") {
     // k2 moves A→B inside one batch; k1's move A→C is SPLIT across
     // batches (the -U lands a batch before its +U); k3 is deleted.
