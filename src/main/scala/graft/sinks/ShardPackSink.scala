@@ -1,0 +1,82 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.BatchVersioned
+
+/** CONTINUOUS training-shard packing — the streaming end of the
+  * chunk→pack path (batch twins: q111 chunking → q47/q77 packing): an
+  * unbounded stream of (id, n_tok) chunks is assigned to fixed-token
+  * shards as it arrives, with shard ids and offsets CONTINUING across
+  * micro-batches and restarts — the landing path that turns an
+  * arriving 100 TB corpus into ready training shards without a final
+  * global repack.
+  *
+  * Per micro-batch: the batch's chunks are ordered deterministically
+  * (by id), given global positions via the DISTRIBUTED prefix sum
+  * (operators.Prefix.cumsum — never a single-partition window) PLUS
+  * the stream's carried token high-water, and written to an
+  * idempotent `b=<batchId>` directory; the new high-water persists as
+  * a tiny `_meta/v=<batchId>` version. A shard can SPAN a batch
+  * boundary: the carry is the token total, not a rounded-up shard id,
+  * so the boundary shard's tail fills from the next batch — packing
+  * is BYTE-IDENTICAL to a one-shot batch pack of the concatenated
+  * input (spec'd), which is what makes backfill (batch) and live
+  * (stream) shards interchangeable.
+  *
+  * Replay safety (the BatchVersioned discipline): a replayed batch
+  * reads the high-water from STRICTLY OLDER meta versions only, so it
+  * recomputes exactly its original positions and overwrites exactly
+  * its own output directory — no dupes, no gaps, no drift. Driver
+  * state is two longs read from at-rest meta; executors hold nothing
+  * between batches.
+  */
+object ShardPackSink {
+
+  case class Chunk(id: Long, n_tok: Long)
+
+  private def metaDir(root: String) = s"$root/_meta"
+
+  /** Token high-water BEFORE `batchId` (strictly-older reads). */
+  private def highWater(spark: SparkSession, root: String, batchId: Long): Long = {
+    val versions = BatchVersioned.versions(spark, metaDir(root)).filter(_._1 < batchId)
+    versions.lastOption.map { case (_, d) =>
+      spark.read.parquet(d).head().getLong(0)
+    }.getOrElse(0L)
+  }
+
+  /** Pack one micro-batch. Call from `foreachBatch`. */
+  def writeBatch(df: Dataset[Chunk], batchId: Long, root: String, seqLen: Long): Unit = {
+    require(seqLen > 0, s"ShardPackSink: seqLen must be positive, got $seqLen")
+    val spark = df.sparkSession
+    val base = highWater(spark, root, batchId)
+    val positioned = graft.operators.Prefix.cumsum(
+        df.toDF(), ord = Seq(col("id")), value = col("n_tok"), cumCol = "__cum")
+      .withColumn("__pos", col("__cum") - col("n_tok") + lit(base))
+      .select(col("id"), col("n_tok"),
+        expr(s"__pos div $seqLen").as("pack_id"),
+        (col("__pos") % seqLen).as("pack_offset"))
+    positioned.write.mode("overwrite").parquet(s"$root/b=$batchId")
+    val total = positioned.agg(sum(col("n_tok"))).head()
+    val newHw = base + (if (total.isNullAt(0)) 0L else total.getLong(0))
+    import spark.implicits._
+    Seq(newHw).toDF("hw").coalesce(1)
+      .write.mode("overwrite").parquet(s"${metaDir(root)}/v=$batchId")
+    graft.CachePool.drain()
+  }
+
+  /** foreachBatch adapter: `chunks.writeStream.foreachBatch(
+    * ShardPackSink.sink(root, seqLen))`. */
+  def sink(root: String, seqLen: Long): (Dataset[Chunk], Long) => Unit =
+    (df, batchId) => writeBatch(df, batchId, root, seqLen)
+
+  /** All packed chunks across committed batch directories. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val dirs = BatchVersioned.versions(spark, root, prefix = "b")
+    dirs.map { case (_, d) => spark.read.parquet(d) }
+      .reduceOption(_.unionByName(_))
+      .getOrElse(BatchVersioned.emptyDf(spark,
+        "id BIGINT, n_tok BIGINT, pack_id BIGINT, pack_offset BIGINT"))
+  }
+}
