@@ -46,24 +46,29 @@ object ShardPackSink {
     }.getOrElse(0L)
   }
 
-  /** Pack one micro-batch. Call from `foreachBatch`. */
+  /** Pack one micro-batch. Call from `foreachBatch`. Cache scope is
+    * THREAD-LOCAL (CachePool.scoped): the prefix sum caches its
+    * ranged input, and a global drain here would unpersist a
+    * concurrent query's blocks — the exact cross-query bug the r6
+    * review fixed in ClusterMaintenance. */
   def writeBatch(df: Dataset[Chunk], batchId: Long, root: String, seqLen: Long): Unit = {
     require(seqLen > 0, s"ShardPackSink: seqLen must be positive, got $seqLen")
     val spark = df.sparkSession
-    val base = highWater(spark, root, batchId)
-    val positioned = graft.operators.Prefix.cumsum(
-        df.toDF(), ord = Seq(col("id")), value = col("n_tok"), cumCol = "__cum")
-      .withColumn("__pos", col("__cum") - col("n_tok") + lit(base))
-      .select(col("id"), col("n_tok"),
-        expr(s"__pos div $seqLen").as("pack_id"),
-        (col("__pos") % seqLen).as("pack_offset"))
-    positioned.write.mode("overwrite").parquet(s"$root/b=$batchId")
-    val total = positioned.agg(sum(col("n_tok"))).head()
-    val newHw = base + (if (total.isNullAt(0)) 0L else total.getLong(0))
-    import spark.implicits._
-    Seq(newHw).toDF("hw").coalesce(1)
-      .write.mode("overwrite").parquet(s"${metaDir(root)}/v=$batchId")
-    graft.CachePool.drain()
+    graft.CachePool.scoped {
+      val base = highWater(spark, root, batchId)
+      val positioned = graft.operators.Prefix.cumsum(
+          df.toDF(), ord = Seq(col("id")), value = col("n_tok"), cumCol = "__cum")
+        .withColumn("__pos", col("__cum") - col("n_tok") + lit(base))
+        .select(col("id"), col("n_tok"),
+          expr(s"__pos div $seqLen").as("pack_id"),
+          (col("__pos") % seqLen).as("pack_offset"))
+      positioned.write.mode("overwrite").parquet(s"$root/b=$batchId")
+      val total = positioned.agg(sum(col("n_tok"))).head()
+      val newHw = base + (if (total.isNullAt(0)) 0L else total.getLong(0))
+      import spark.implicits._
+      Seq(newHw).toDF("hw").coalesce(1)
+        .write.mode("overwrite").parquet(s"${metaDir(root)}/v=$batchId")
+    }
   }
 
   /** foreachBatch adapter: `chunks.writeStream.foreachBatch(

@@ -117,7 +117,20 @@ object UpsertSink {
     * new landed. */
   def compact(spark: SparkSession, root: String, tombstoneRetainSegs: Long = 2L): Unit = {
     val (all, at) = sources(spark, root)
-    if (at < 0 || baseDirs(spark, root).exists(_._1 == at)) return
+    val f0 = BatchVersioned.fs(spark, root)
+    if (at < 0 || baseDirs(spark, root).exists(_._1 == at)) {
+      // replay short-circuit — but still sweep leftovers a crash
+      // between the base write and the GC below left behind (they
+      // are invisible to reads, which filter seg > baseAt, yet they
+      // would otherwise linger on disk forever)
+      baseDirs(spark, root).lastOption.foreach { case (bv, _) =>
+        BatchVersioned.versions(spark, root, prefix = "seg").filter(_._1 <= bv)
+          .foreach { case (_, d) => f0.delete(new org.apache.hadoop.fs.Path(d), true) }
+        baseDirs(spark, root).filter(_._1 < bv)
+          .foreach { case (_, d) => f0.delete(new org.apache.hadoop.fs.Path(d), true) }
+      }
+      return
+    }
     val folded = fold(all)
       // a tombstone survives until every reader of base <= its seg is
       // provably gone (the retention window — measured from the seg

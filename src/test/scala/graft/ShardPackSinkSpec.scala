@@ -83,4 +83,44 @@ class ShardPackSinkSpec extends AnyFunSuite {
     assert(readMap(root2) === oneShot(
       Seq(Chunk(1L, 60L), Chunk(2L, 70L), Chunk(3L, 40L)), 100L))
   }
+
+  test("chunk -> pack e2e: a live documents stream chunks (q111 projection) into continuously packed shards, restart included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val (half1, half2) = docs.splitAt(docs.size / 2)
+    val root = tmp()
+    val ckpt = tmp()
+    val in = MemoryStream[(Long, String)]
+    def chunked(df: org.apache.spark.sql.DataFrame) = {
+      val toks = filter(split(col("text"), " "), x => x =!= lit(""))
+      df.select(col("doc_id"), toks.as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+        .withColumn("chunk_id", explode(sequence(lit(0L), expr("(n - 1) div 48"))))
+        .select((col("doc_id") * 1000L + col("chunk_id")).as("id"),
+          least(lit(64L), (col("n") - col("chunk_id") * 48).cast("long")).as("n_tok"))
+        .as[Chunk]
+    }
+    def start() = chunked(in.toDF().toDF("doc_id", "text")).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(ShardPackSink.sink(root, seqLen = 256L))
+      .queryName("chunk_pack_e2e").start()
+    val q1 = start()
+    try { in.addData(half1: _*); q1.processAllAvailable() } finally q1.stop()
+    in.addData(half2: _*) // lands while down
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // the one-shot law over the batch q111 chunks in id order
+    val expected = oneShot(
+      SparkEntry.queries("q111_doc_chunk")(spark, sfDir)
+        .select(($"doc_id" * 1000L + $"chunk_id").as("id"), $"n_tok")
+        .as[Chunk].collect().toSeq, 256L)
+    CachePool.drain()
+    val got = readMap(root)
+    assert(got.size === expected.size)
+    assert(got === expected)
+  }
 }
