@@ -304,6 +304,42 @@ object CdcQ extends QueryPack {
           sum($"sgn" * $"b" * $"b").as("live_sumsq"))
     }),
 
+    // changelog → MAINTAINED BIVARIATE moments (round 13; Flink's
+    // COVAR_POP/COVAR_SAMP/CORR retract aggregates — the last
+    // invertible shapes: cov and corr are formulas over six signed
+    // sums (cnt, Σx, Σy, Σxy, Σx², Σy²), so the maintained view is
+    // the q75 O(groups) fold with five value accumulators and NO
+    // per-key state). x = the q113 $100 bucket, y = a custkey-derived
+    // integer; output is the integer-exact sum SEXTUPLE (cov/corr are
+    // sink-side divisions — emitting them as floats would break
+    // oracle hash-exactness). Same ONE map-side-combined shuffle.
+    "q114_cdc_bivar" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val x0 = expr("cast(round((o_totalprice - 10) * 100) as bigint) div 10000")
+      val x1 = expr("cast(round(o_totalprice * 100) as bigint) div 10000")
+      val y = ($"o_custkey" % 1000).cast("long")
+      def ev(kind: String, x: org.apache.spark.sql.Column,
+          grp: org.apache.spark.sql.Column) = Seq(
+        lit(kind).as("op"), grp.as("grp"), x.as("x"), y.as("y"))
+      val grp1 = concat(lit("U-"), $"o_orderpriority")
+      val changelog =
+        o.select(ev("+I", x0, $"o_orderpriority"): _*)
+          .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("-U", x0, $"o_orderpriority"): _*))
+          .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("+U", x1, grp1): _*))
+          .unionAll(o.filter($"o_orderstatus" === "P").select(ev("-D", x1, grp1): _*))
+      val signed = changelog.withColumn("sgn",
+        when($"op".isin("+I", "+U"), 1L)
+          .when($"op".isin("-U", "-D"), -1L)
+          .otherwise(raise_error(concat(lit("unknown row_kind "), $"op"))))
+      signed.groupBy($"grp")
+        .agg(sum($"sgn").as("live_cnt"),
+          sum($"sgn" * $"x").as("sum_x"), sum($"sgn" * $"y").as("sum_y"),
+          sum($"sgn" * $"x" * $"y").as("sum_xy"),
+          sum($"sgn" * $"x" * $"x").as("sum_xx"),
+          sum($"sgn" * $"y" * $"y").as("sum_yy"))
+    }),
+
     // changelog → MAINTAINED FIRST_VALUE/LAST_VALUE (Flink retract-
     // stream FirstValue/LastValueWithRetractAggFunction; batch twin
     // of streaming.CdcOrderedStream.cdcFirstLastStream): the value of
@@ -641,6 +677,23 @@ object CdcQ extends QueryPack {
         |         CAST(floor(round(o_totalprice * 100) / 1000000) AS BIGINT)
         |  FROM orders WHERE o_orderstatus = 'F'
         |) GROUP BY grp""".stripMargin,
+    "q114_cdc_bivar" ->
+      """SELECT grp, count(*)::BIGINT AS live_cnt,
+        |       sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+        |       sum(x * y)::BIGINT AS sum_xy,
+        |       sum(x * x)::BIGINT AS sum_xx,
+        |       sum(y * y)::BIGINT AS sum_yy FROM (
+        |  SELECT o_orderpriority AS grp,
+        |         CAST(round((o_totalprice - 10) * 100) AS BIGINT) // 10000 AS x,
+        |         (o_custkey % 1000)::BIGINT AS y
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT 'U-' || o_orderpriority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) // 10000,
+        |         (o_custkey % 1000)::BIGINT
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |) GROUP BY grp""".stripMargin,
+
     "q113_cdc_moments" ->
       """SELECT grp, count(*)::BIGINT AS live_cnt,
         |       sum(b)::BIGINT AS live_sum,

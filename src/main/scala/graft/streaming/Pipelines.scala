@@ -488,6 +488,40 @@ object Pipelines {
       }
   }
 
+  case class BivarChange(op: String, grp: String, x: Long, y: Long)
+  case class GroupBivar(grp: String, live_cnt: Long, sum_x: Long, sum_y: Long,
+      sum_xy: Long, sum_xx: Long, sum_yy: Long)
+
+  /** Maintained BIVARIATE moments over a changelog (q114's streaming
+    * twin; Flink's COVAR_POP/COVAR_SAMP/CORR retract aggregates): six
+    * signed sums per group — cov/corr are sink-side formulas. Same
+    * O(groups) contract, disorder debt, and retract-to-zero rules as
+    * [[cdcAggStream]]/[[cdcMomentsStream]]; both values must be
+    * fixed-point coarse enough that x·y · live_cnt stays in Long. */
+  def cdcBivarStream(changes: Dataset[BivarChange]): Dataset[GroupBivar] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long, Long), GroupBivar](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[BivarChange], state: GroupState[(Long, Long, Long, Long, Long, Long)]) =>
+          var (cnt, sx, sy, sxy, sxx, syy) = state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L, 0L))
+          rows.foreach { c =>
+            val s = c.op match {
+              case "+I" | "+U" => 1L
+              case "-U" | "-D" => -1L
+              case other => throw new IllegalArgumentException(
+                s"cdcBivarStream: unknown row_kind '$other' for group $grp")
+            }
+            cnt += s; sx += s * c.x; sy += s * c.y
+            sxy += s * c.x * c.y; sxx += s * c.x * c.x; syy += s * c.y * c.y
+          }
+          if (cnt == 0L && sx == 0L && sy == 0L && sxy == 0L && sxx == 0L && syy == 0L)
+            state.remove()
+          else state.update((cnt, sx, sy, sxy, sxx, syy))
+          Iterator.single(GroupBivar(grp, cnt, sx, sy, sxy, sxx, syy))
+      }
+  }
+
   case class GroupMinMax(grp: String, live_cnt: Long, live_min: Long, live_max: Long)
 
   /** Retractable MIN/MAX — the half of Flink's aggregate split that

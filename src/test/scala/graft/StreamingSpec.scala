@@ -665,6 +665,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(run("cdc_moments_parity", batches) === expected)
   }
 
+  test("stream_cdc_bivar: six-sum signed fold — dealt replay of the q114 changelog == the batch sextuple") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{expr, concat, lit, col}
+    import graft.streaming.Pipelines.{BivarChange, GroupBivar}
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    val x0 = expr("cast(round((o_totalprice - 10) * 100) as bigint) div 10000")
+    val x1 = expr("cast(round(o_totalprice * 100) as bigint) div 10000")
+    val y = (col("o_custkey") % 1000).cast("long")
+    val grp1 = concat(lit("U-"), $"o_orderpriority")
+    def ev(kind: String, x: org.apache.spark.sql.Column,
+        grp: org.apache.spark.sql.Column) =
+      Seq(lit(kind).as("op"), grp.as("grp"), x.as("x"), y.as("y"))
+    val changelog =
+      o.select(ev("+I", x0, $"o_orderpriority"): _*)
+        .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("-U", x0, $"o_orderpriority"): _*))
+        .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("+U", x1, grp1): _*))
+        .unionAll(o.filter($"o_orderstatus" === "P").select(ev("-D", x1, grp1): _*))
+        .as[BivarChange].collect().toSeq
+    val shuffled = new scala.util.Random(71).shuffle(changelog.toList)
+    val batches = (0 until 4).map(i => shuffled.zipWithIndex.collect {
+      case (c, j) if j % 4 == i => c
+    })
+    val expected = SparkEntry.queries("q114_cdc_bivar")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    CachePool.drain()
+    val in = MemoryStream[BivarChange]
+    val latest = scala.collection.mutable.Map.empty[String, (Long, (Long, Long, Long, Long, Long, Long))]
+    val q = Pipelines.cdcBivarStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[GroupBivar], id: Long) =>
+        val rows = df.collect()
+        latest.synchronized {
+          rows.foreach { g =>
+            if (!latest.get(g.grp).exists(_._1 > id))
+              latest(g.grp) = (id, (g.live_cnt, g.sum_x, g.sum_y, g.sum_xy, g.sum_xx, g.sum_yy))
+          }
+        }
+      }
+      .queryName("cdc_bivar_parity").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val got = latest.synchronized(
+        latest.view.mapValues(_._2).toMap.filter(_._2._1 > 0L))
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("stream_cdc_agg: group-moving updates and retract-to-zero across micro-batch boundaries") {
     // k2 moves A→B inside one batch; k1's move A→C is SPLIT across
     // batches (the -U lands a batch before its +U); k3 is deleted.
