@@ -342,7 +342,10 @@ object OverAggStream {
     * time, id) order — Flink SQL `ROWS UNBOUNDED PRECEDING`. State =
     * one (count, sum) accumulator + in-flight rows per key (see
     * [[UnboundedProcessor]]); same timer/no-declared-event-time
-    * contract as [[overAgg]]. */
+    * contract as [[overAgg]]. A dormant key's accumulator lives until
+    * idle-state TTL — an upstream concern, the same note as
+    * [[overRows]] (Flink's unbounded over carries the identical
+    * dormant accumulator). */
   def overUnbounded(events: DataFrame, watermark: String,
       keyCol: String = "user_id", idCol: String = "event_id",
       valueCol: String = "value", tsCol: String = "ts"): Dataset[OverAgg] = {
@@ -361,7 +364,8 @@ object OverAggStream {
   /** LAG(1) per event in (event time, id) order (q109's streaming
     * twin — Flink SQL LAG in an event-time OVER window). State = one
     * last-decided image per key + in-flight rows; same timer/
-    * no-declared-event-time contract as [[overAgg]]. */
+    * no-declared-event-time contract as [[overAgg]], same dormant-key
+    * idle-state-TTL note as [[overUnbounded]]. */
   def overLag(events: DataFrame, watermark: String,
       keyCol: String = "user_id", idCol: String = "event_id",
       valueCol: String = "value", tsCol: String = "ts"): Dataset[OverLag] = {
