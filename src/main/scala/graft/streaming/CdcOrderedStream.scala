@@ -23,6 +23,23 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
   * batch touches only its own ids — cross-batch disorder resolves by
   * `ver`, never by arrival order.
   *
+  * Tombstone retention: a dead slot's job is to fence a LATE row
+  * about the same id (an insert whose ver is older than the delete
+  * that killed it), so by default dead slots stay forever — under
+  * entity churn that is unbounded state growth. The optional
+  * `tombstoneVerHorizon = H` is the bound, mirroring
+  * [[graft.sinks.UpsertSink]]'s `tombstoneRetainSegs` but in the ver
+  * domain: it declares the SOURCE's disorder promise "no row arrives
+  * with ver ≤ maxSeenVer − H", under which a dead slot with
+  * ver ≤ maxVer − H can never fence anything again (a late row it
+  * would have rejected carries ver ≤ its ver ≤ maxVer − H, which the
+  * promise forbids) and is dropped. Compaction cost: LISTAGG rides
+  * its per-batch O(live+dead) scan for free; FIRST/LAST compacts on
+  * the boundary-death scan it already pays, plus a forced scan only
+  * when dead slots outnumber max(64, live) — amortized O(1) per
+  * change. A horizon the source does not actually honor makes
+  * results approximate exactly the way Flink's state TTL does.
+  *
   * Cost contracts (each the honest Flink price):
   *  - FIRST/LAST: a maintained (cnt, first, last) summary updated
   *    O(1) per touched id; only the death of a BOUNDARY entity (the
@@ -59,9 +76,10 @@ object CdcOrderedStream {
       first_id: Long, first_value: Long, last_id: Long, last_value: Long)
   /** Maintained LISTAGG view of one group (`live_list` in id order). */
   case class OrdListAgg(grp: String, live_cnt: Long, live_list: String)
-  /** FIRST/LAST summary state (public for encoder codegen). */
+  /** FIRST/LAST summary state (public for encoder codegen);
+    * `maxVer`/`deadCnt` drive tombstone-horizon compaction. */
   case class OrdSummary(cnt: Long, firstId: Long, firstValue: Long,
-      lastId: Long, lastValue: Long)
+      lastId: Long, lastValue: Long, maxVer: Long = 0L, deadCnt: Long = 0L)
 
   private def opRank(op: String): Int = graft.operators.Cdc.opRank(op)
 
@@ -83,7 +101,8 @@ object CdcOrderedStream {
     touched.iterator.map { case (id, (o, s)) => (id, o, s) }.toSeq
   }
 
-  private class FirstLastProc extends StatefulProcessor[String, OrdChange, OrdFirstLast] {
+  private class FirstLastProc(tombstoneVerHorizon: Option[Long])
+      extends StatefulProcessor[String, OrdChange, OrdFirstLast] {
     @transient private var slots: MapState[Long, OrdSlot] = _
     @transient private var summary: ValueState[OrdSummary] = _
 
@@ -100,9 +119,19 @@ object CdcOrderedStream {
       var scan = false // a boundary entity died — recompute by streaming the slots
       foldSlots(slots, rows).foreach { case (id, old, nw) =>
         val wasLive = old != null && old.live
+        // tombstone bookkeeping: every slot transition moves deadCnt
+        // at most one step (nothing→dead and live→dead grow it,
+        // dead→live shrinks it); maxVer is monotone over accepted
+        // slot versions — a row the fence rejected carries a ver no
+        // larger than the slot that rejected it, so it cannot exceed
+        // this maximum
+        if (nw.ver > s.maxVer) s = s.copy(maxVer = nw.ver)
+        if (!nw.live && (old == null || wasLive)) s = s.copy(deadCnt = s.deadCnt + 1)
+        else if (nw.live && old != null && !wasLive) s = s.copy(deadCnt = s.deadCnt - 1)
         if (!wasLive && nw.live) {
           s = s.copy(cnt = s.cnt + 1)
-          if (s.cnt == 1L) s = OrdSummary(1L, id, nw.value, id, nw.value)
+          if (s.cnt == 1L)
+            s = s.copy(firstId = id, firstValue = nw.value, lastId = id, lastValue = nw.value)
           else {
             if (id < s.firstId) s = s.copy(firstId = id, firstValue = nw.value)
             if (id > s.lastId) s = s.copy(lastId = id, lastValue = nw.value)
@@ -116,7 +145,7 @@ object CdcOrderedStream {
           if (id == s.lastId) s = s.copy(lastValue = nw.value)
         }
       }
-      if (s.cnt <= 0L) s = OrdSummary(s.cnt, 0L, 0L, 0L, 0L)
+      if (s.cnt <= 0L) s = s.copy(firstId = 0L, firstValue = 0L, lastId = 0L, lastValue = 0L)
       else if (scan) {
         // the one O(live) branch: stream the slots through two
         // accumulators (O(1) heap — never a materialized copy)
@@ -132,8 +161,22 @@ object CdcOrderedStream {
       // cnt is exactly |live slots| — the slot model resolves
       // disorder by ver (a retraction arriving before its insert
       // leaves a dead slot that fences the late insert), so unlike
-      // the signed folds it can never sit negative. Tombstone slots
-      // must STAY to keep that fence, so state is never dropped here.
+      // the signed folds it can never sit negative. Without a
+      // horizon, tombstone slots must STAY to keep that fence.
+      tombstoneVerHorizon.foreach { h =>
+        // compact when a full scan happened anyway, or dead slots
+        // outnumber max(64, live) — each forced O(live+dead) pass is
+        // paid once per O(dead) deletions, amortized O(1) per change
+        if (scan || s.deadCnt > math.max(64L, s.cnt)) {
+          val cutoff = s.maxVer - h
+          val doomed = scala.collection.mutable.ArrayBuffer.empty[Long]
+          slots.iterator().foreach { case (id, sl) =>
+            if (!sl.live && sl.ver <= cutoff) doomed += id
+          }
+          doomed.foreach(slots.removeKey)
+          s = s.copy(deadCnt = s.deadCnt - doomed.size)
+        }
+      }
       summary.update(s)
       Iterator.single(OrdFirstLast(grp, s.cnt, s.firstId, s.firstValue, s.lastId, s.lastValue))
     }
@@ -143,7 +186,8 @@ object CdcOrderedStream {
       Iterator.empty
   }
 
-  private class ListAggProc extends StatefulProcessor[String, OrdChange, OrdListAgg] {
+  private class ListAggProc(tombstoneVerHorizon: Option[Long])
+      extends StatefulProcessor[String, OrdChange, OrdListAgg] {
     @transient private var slots: MapState[Long, OrdSlot] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -154,9 +198,19 @@ object CdcOrderedStream {
         timers: TimerValues): Iterator[OrdListAgg] = {
       foldSlots(slots, rows)
       // emission is the whole ordered list BY SEMANTICS — the collect
-      // and sort live inside that O(live) floor
+      // and sort live inside that O(live) floor, and the tombstone
+      // compaction rides the same pass for free (maxVer over ALL
+      // slots is visible here, so no persistent maxVer is needed)
       val live = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      slots.iterator().foreach { case (id, sl) => if (sl.live) live += ((id, sl.value)) }
+      val dead = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (id, ver)
+      var maxVer = Long.MinValue
+      slots.iterator().foreach { case (id, sl) =>
+        if (sl.ver > maxVer) maxVer = sl.ver
+        if (sl.live) live += ((id, sl.value)) else dead += ((id, sl.ver))
+      }
+      tombstoneVerHorizon.foreach { h =>
+        dead.foreach { case (id, ver) => if (ver <= maxVer - h) slots.removeKey(id) }
+      }
       val sorted = live.sortBy(_._1)
       Iterator.single(OrdListAgg(grp, sorted.size.toLong,
         sorted.iterator.map(_._2.toString).mkString(",")))
@@ -168,18 +222,27 @@ object CdcOrderedStream {
   }
 
   /** Maintain each group's FIRST_VALUE/LAST_VALUE (by id order) over
-    * a changelog stream — see the object doc for the cost contract. */
-  def cdcFirstLastStream(changes: Dataset[OrdChange]): Dataset[OrdFirstLast] = {
+    * a changelog stream — see the object doc for the cost contract
+    * and the `tombstoneVerHorizon` retention promise (None = dead
+    * slots kept forever, the safe default). */
+  def cdcFirstLastStream(changes: Dataset[OrdChange],
+      tombstoneVerHorizon: Option[Long] = None): Dataset[OrdFirstLast] = {
+    tombstoneVerHorizon.foreach(h => require(h > 0, s"tombstoneVerHorizon must be positive: $h"))
     import changes.sparkSession.implicits._
     changes.groupByKey(_.grp)
-      .transformWithState(new FirstLastProc, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new FirstLastProc(tombstoneVerHorizon),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Maintain each group's LISTAGG (id-ordered, comma-joined) over a
-    * changelog stream — see the object doc for the cost contract. */
-  def cdcListAggStream(changes: Dataset[OrdChange]): Dataset[OrdListAgg] = {
+    * changelog stream — see the object doc for the cost contract and
+    * the `tombstoneVerHorizon` retention promise. */
+  def cdcListAggStream(changes: Dataset[OrdChange],
+      tombstoneVerHorizon: Option[Long] = None): Dataset[OrdListAgg] = {
+    tombstoneVerHorizon.foreach(h => require(h > 0, s"tombstoneVerHorizon must be positive: $h"))
     import changes.sparkSession.implicits._
     changes.groupByKey(_.grp)
-      .transformWithState(new ListAggProc, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new ListAggProc(tombstoneVerHorizon),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -135,10 +135,11 @@ object OverAggStream {
     * decided row (us ≥ wm > decided us), so only the LAST n−1 decided
     * rows can ever re-enter a frame — state per key is n−1 plus
     * in-flight, independent of both stream depth AND event rate
-    * (Flink's ROWS OverAggregate retains the same last-n tail, and
-    * like Flink the dormant tail lives until idle-state TTL — an
-    * upstream concern, documented not hidden). */
-  private class RowsProcessor(n: Int)
+    * (Flink's ROWS OverAggregate retains the same last-n tail).
+    * The dormant tail is bounded by the optional idle-state TTL
+    * (see [[overRows]]); with no TTL it lives forever, Flink's own
+    * default under `table.exec.state.ttl = 0`. */
+  private class RowsProcessor(n: Int, idleTtlUs: Option[Long])
       extends StatefulProcessor[Long, OverEvent, OverAgg] {
     @transient private var held: ListState[Held] = _
 
@@ -157,10 +158,22 @@ object OverAggStream {
           OverAgg(key, e.id, e.us, (idx + 1 - a).toLong, pfx(idx + 1) - pfx(a), usToTs(e.us))
         }.toVector
       val (dec, undec) = sorted.partition(_.us < wmUs)
-      val keep = dec.takeRight(n - 1).map(_.copy(emitted = true)) ++ undec
+      var keep = dec.takeRight(n - 1).map(_.copy(emitted = true)) ++ undec
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // idle-state TTL (see overRows): with nothing pending, a key
+      // whose last-seen event time has fallen idleTtlUs behind the
+      // watermark drops its decided tail entirely; otherwise arm the
+      // idle timer so a key that goes quiet still expires. The max
+      // us over `keep` IS the key's last-seen event time: the newest
+      // row is either still in-flight (kept) or the last decided row
+      // (takeRight keeps it).
+      if (undec.isEmpty && keep.nonEmpty) idleTtlUs.foreach { ttl =>
+        val lastSeenUs = keep.iterator.map(_.us).max
+        if (wmUs >= lastSeenUs + ttl) keep = Array.empty[Held]
+        else getHandle.registerTimer((lastSeenUs + ttl) / 1000L + 1L)
+      }
       held.clear()
       if (keep.nonEmpty) held.appendList(keep)
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
       if (undec.nonEmpty)
         getHandle.registerTimer(undec.map(_.us).min / 1000L + 1L)
       out.iterator
@@ -177,8 +190,10 @@ object OverAggStream {
       fold(key, held.get().toSeq, timers.getCurrentWatermarkInMs() * 1000L)
   }
 
-  /** Running-total accumulator state (public for encoder codegen). */
-  case class RunAcc(cnt: Long, cents: Long)
+  /** Running-total accumulator state (public for encoder codegen);
+    * `lastUs` is the key's newest decided event time — the idle clock
+    * the optional TTL measures against. */
+  case class RunAcc(cnt: Long, cents: Long, lastUs: Long)
 
   /** UNBOUNDED-frame twin (Flink SQL `ROWS BETWEEN UNBOUNDED
     * PRECEDING AND CURRENT ROW` ordered by event time — the
@@ -191,8 +206,10 @@ object OverAggStream {
     * independent of depth, rate, AND frame width. Same decision rule
     * as RANGE/ROWS: a row is final once the watermark strictly
     * passes its ts (a late smaller-ts row would insert below it and
-    * shift its running total). */
-  private class UnboundedProcessor
+    * shift its running total). Dormant-key bound: the optional
+    * idle-state TTL (see [[overUnbounded]]) drops the accumulator
+    * once the key sits quiet idleTtlUs past its last decided row. */
+  private class UnboundedProcessor(idleTtlUs: Option[Long])
       extends StatefulProcessor[Long, OverEvent, OverAgg] {
     @transient private var pending: ListState[Held] = _
     @transient private var acc: org.apache.spark.sql.streaming.ValueState[RunAcc] = _
@@ -204,16 +221,28 @@ object OverAggStream {
 
     private def fold(key: Long, events: Seq[Held], wmUs: Long): Iterator[OverAgg] = {
       val sorted = events.sortBy(e => (e.us, e.id))
-      var a = if (acc.exists()) acc.get() else RunAcc(0L, 0L)
+      var a = if (acc.exists()) acc.get() else RunAcc(0L, 0L, Long.MinValue)
       val (dec, undec) = sorted.partition(_.us < wmUs)
       val out = dec.iterator.map { e =>
-        a = RunAcc(a.cnt + 1L, a.cents + e.cents)
+        a = RunAcc(a.cnt + 1L, a.cents + e.cents, e.us)
         OverAgg(key, e.id, e.us, a.cnt, a.cents, usToTs(e.us))
       }.toVector
-      acc.update(a)
       pending.clear()
       if (undec.nonEmpty) pending.appendList(undec.toArray)
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // idle-state TTL (see overUnbounded): with nothing pending, a
+      // key idle idleTtlUs past its last decided row clears BOTH
+      // states (the key's next row restarts the running totals from
+      // zero — the documented straggler trade); otherwise the idle
+      // timer re-arms so a quiet key still expires.
+      val expired = undec.isEmpty && idleTtlUs.exists(ttl =>
+        a.lastUs != Long.MinValue && wmUs >= a.lastUs + ttl)
+      if (expired) acc.clear()
+      else {
+        acc.update(a)
+        if (undec.isEmpty && a.lastUs != Long.MinValue) idleTtlUs.foreach(ttl =>
+          getHandle.registerTimer((a.lastUs + ttl) / 1000L + 1L))
+      }
       if (undec.nonEmpty)
         getHandle.registerTimer(undec.map(_.us).min / 1000L + 1L)
       out.iterator
@@ -242,8 +271,10 @@ object OverAggStream {
     * a late smaller-ts row would BECOME some later row's predecessor,
     * so a row's lag is final only once the watermark passes it.
     * State = ONE last-decided image per key + in-flight rows: the
-    * ROWS-n retention argument with n = 2. */
-  private class LagProcessor
+    * ROWS-n retention argument with n = 2. Dormant-key bound: the
+    * optional idle-state TTL (see [[overLag]]) drops the image once
+    * the key sits quiet idleTtlUs past its last decided row. */
+  private class LagProcessor(idleTtlUs: Option[Long])
       extends StatefulProcessor[Long, OverEvent, OverLag] {
     @transient private var pending: ListState[Held] = _
     @transient private var last: org.apache.spark.sql.streaming.ValueState[LastImg] = _
@@ -262,10 +293,21 @@ object OverAggStream {
         prev = Some(LastImg(e.us, e.id, e.cents))
         o
       }.toVector
-      prev.foreach(last.update)
       pending.clear()
       if (undec.nonEmpty) pending.appendList(undec.toArray)
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // idle-state TTL (see overLag): with nothing pending, a key
+      // idle idleTtlUs past its last decided row drops the image (the
+      // key's next row is a fresh "first" — prev_cents None, the
+      // documented straggler trade); otherwise the timer re-arms.
+      val expired = undec.isEmpty && idleTtlUs.exists(ttl =>
+        prev.exists(p => wmUs >= p.us + ttl))
+      if (expired) last.clear()
+      else {
+        prev.foreach(last.update)
+        if (undec.isEmpty) idleTtlUs.foreach(ttl =>
+          prev.foreach(p => getHandle.registerTimer((p.us + ttl) / 1000L + 1L)))
+      }
       if (undec.nonEmpty)
         getHandle.registerTimer(undec.map(_.us).min / 1000L + 1L)
       out.iterator
@@ -319,11 +361,24 @@ object OverAggStream {
     * [[OverAgg]] per input row with count + exact cents sum over the
     * up-to-`n` same-key rows ending at it in (event time, id) order —
     * Flink SQL `ROWS BETWEEN n−1 PRECEDING AND CURRENT ROW`. Same
-    * timer/no-declared-event-time contract as [[overAgg]]. */
+    * timer/no-declared-event-time contract as [[overAgg]].
+    *
+    * `idleTtl` is Flink's idle-state retention (`table.exec.state.ttl`
+    * / RowTimeRowsBoundedPrecedingFunction's cleanup timer) as an
+    * event-time TTL: a key receiving NO input while the watermark
+    * advances `idleTtl` past its last-seen event time drops its
+    * decided last-n tail. The documented trade is Flink's too — a
+    * straggler arriving after expiry re-opens the key with an EMPTY
+    * frame history, so its frame counts restart (results become
+    * approximate the moment a key outlives its TTL). None = keep
+    * forever. RANGE ([[overAgg]]) needs no such knob: its retention
+    * rule (`us ≥ wm − T`) already self-cleans dormant keys. */
   def overRows(events: DataFrame, n: Int, watermark: String,
+      idleTtl: Option[java.time.Duration] = None,
       keyCol: String = "user_id", idCol: String = "event_id",
       valueCol: String = "value", tsCol: String = "ts"): Dataset[OverAgg] = {
     require(n >= 1, s"overRows: frame size must be >= 1, got $n")
+    idleTtl.foreach(t => require(!t.isNegative && !t.isZero, s"idleTtl must be positive: $t"))
     val s = events.sparkSession
     import s.implicits._
     events
@@ -333,7 +388,8 @@ object OverAggStream {
         round(col(valueCol) * lit(100)).cast("long").as("cents"), col(tsCol).as("ts"))
       .as[OverEvent]
       .groupByKey(_.key)
-      .transformWithState(new RowsProcessor(n), TimeMode.EventTime(), OutputMode.Append())
+      .transformWithState(new RowsProcessor(n, idleTtl.map(_.toNanos / 1000L)),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** UNBOUNDED-frame per-event running aggregate (q106's streaming
@@ -342,13 +398,15 @@ object OverAggStream {
     * time, id) order — Flink SQL `ROWS UNBOUNDED PRECEDING`. State =
     * one (count, sum) accumulator + in-flight rows per key (see
     * [[UnboundedProcessor]]); same timer/no-declared-event-time
-    * contract as [[overAgg]]. A dormant key's accumulator lives until
-    * idle-state TTL — an upstream concern, the same note as
-    * [[overRows]] (Flink's unbounded over carries the identical
-    * dormant accumulator). */
+    * contract as [[overAgg]], same `idleTtl` contract as [[overRows]]
+    * (Flink's RowTimeUnboundedOverProcessFunction registers the
+    * identical state-cleanup timer): after expiry a straggler
+    * restarts the key's running totals from zero. */
   def overUnbounded(events: DataFrame, watermark: String,
+      idleTtl: Option[java.time.Duration] = None,
       keyCol: String = "user_id", idCol: String = "event_id",
       valueCol: String = "value", tsCol: String = "ts"): Dataset[OverAgg] = {
+    idleTtl.foreach(t => require(!t.isNegative && !t.isZero, s"idleTtl must be positive: $t"))
     val s = events.sparkSession
     import s.implicits._
     events
@@ -358,17 +416,21 @@ object OverAggStream {
         round(col(valueCol) * lit(100)).cast("long").as("cents"), col(tsCol).as("ts"))
       .as[OverEvent]
       .groupByKey(_.key)
-      .transformWithState(new UnboundedProcessor, TimeMode.EventTime(), OutputMode.Append())
+      .transformWithState(new UnboundedProcessor(idleTtl.map(_.toNanos / 1000L)),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** LAG(1) per event in (event time, id) order (q109's streaming
     * twin — Flink SQL LAG in an event-time OVER window). State = one
     * last-decided image per key + in-flight rows; same timer/
-    * no-declared-event-time contract as [[overAgg]], same dormant-key
-    * idle-state-TTL note as [[overUnbounded]]. */
+    * no-declared-event-time contract as [[overAgg]], same `idleTtl`
+    * contract as [[overRows]]: after expiry a straggler is a fresh
+    * "first" row (prev_cents None). */
   def overLag(events: DataFrame, watermark: String,
+      idleTtl: Option[java.time.Duration] = None,
       keyCol: String = "user_id", idCol: String = "event_id",
       valueCol: String = "value", tsCol: String = "ts"): Dataset[OverLag] = {
+    idleTtl.foreach(t => require(!t.isNegative && !t.isZero, s"idleTtl must be positive: $t"))
     val s = events.sparkSession
     import s.implicits._
     events
@@ -378,6 +440,7 @@ object OverAggStream {
         round(col(valueCol) * lit(100)).cast("long").as("cents"), col(tsCol).as("ts"))
       .as[OverEvent]
       .groupByKey(_.key)
-      .transformWithState(new LagProcessor, TimeMode.EventTime(), OutputMode.Append())
+      .transformWithState(new LagProcessor(idleTtl.map(_.toNanos / 1000L)),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

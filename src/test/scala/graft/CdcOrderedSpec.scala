@@ -16,12 +16,13 @@ import graft.streaming.CdcOrderedStream.{OrdChange, OrdFirstLast, OrdListAgg}
 class CdcOrderedSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def runFL(name: String, batches: Seq[Seq[OrdChange]]): Seq[(Long, OrdFirstLast)] = {
+  private def runFL(name: String, batches: Seq[Seq[OrdChange]],
+      horizon: Option[Long] = None): Seq[(Long, OrdFirstLast)] = {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[OrdChange]
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, OrdFirstLast)]
-    val q = CdcOrderedStream.cdcFirstLastStream(in.toDS())
+    val q = CdcOrderedStream.cdcFirstLastStream(in.toDS(), horizon)
       .writeStream.outputMode("append")
       .foreachBatch { (df: org.apache.spark.sql.Dataset[OrdFirstLast], id: Long) =>
         val rows = df.collect()
@@ -34,12 +35,13 @@ class CdcOrderedSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  private def runLA(name: String, batches: Seq[Seq[OrdChange]]): Seq[(Long, OrdListAgg)] = {
+  private def runLA(name: String, batches: Seq[Seq[OrdChange]],
+      horizon: Option[Long] = None): Seq[(Long, OrdListAgg)] = {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[OrdChange]
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, OrdListAgg)]
-    val q = CdcOrderedStream.cdcListAggStream(in.toDS())
+    val q = CdcOrderedStream.cdcListAggStream(in.toDS(), horizon)
       .writeStream.outputMode("append")
       .foreachBatch { (df: org.apache.spark.sql.Dataset[OrdListAgg], id: Long) =>
         val rows = df.collect()
@@ -223,5 +225,40 @@ class CdcOrderedSpec extends AnyFunSuite {
     CachePool.drain()
     val gotLA = finalLA(runLA("la_parity", deal(clLA, 42)))
     assert(gotLA.filter(_._2.live_cnt > 0L) === expLA)
+  }
+
+  // Tombstone-horizon compaction: the batches kill id 1 (ver 3), push
+  // maxVer far past the horizon, then replay id 1's ORIGINAL insert
+  // (ver 2 — older than the delete that killed it). With the horizon,
+  // the tombstone was compacted away and the late insert lands (the
+  // declared source promise "no row arrives with ver ≤ maxVer − H"
+  // was violated on purpose — that violation is the only way to
+  // OBSERVE the drop from outside). Without it, the fence holds.
+  private val tombBatchesFL = Seq(
+    Seq(OrdChange("+I", "t", 1L, 10L, 1), OrdChange("+I", "t", 2L, 20L, 2)),
+    Seq(OrdChange("-D", "t", 1L, 10L, 3)), // boundary death → scan (compaction rides it)
+    Seq(OrdChange("-U", "t", 2L, 20L, 20), OrdChange("+U", "t", 2L, 21L, 20)), // maxVer → 20
+    Seq(OrdChange("-D", "t", 2L, 21L, 21)), // scan again: dead id 1 (ver 3 ≤ 21−5) compacts
+    Seq(OrdChange("+I", "t", 1L, 99L, 2))) // the late original insert
+
+  test("cdc_firstlast: tombstone horizon compacts expired fences; default keeps them") {
+    val compacted = finalFL(runFL("fl_tomb_h", tombBatchesFL, horizon = Some(5L)))
+    // fence gone → the late insert resurrects id 1
+    assert(compacted("t") === OrdFirstLast("t", 1L, 1L, 99L, 1L, 99L))
+    val fenced = finalFL(runFL("fl_tomb_none", tombBatchesFL))
+    // safe default: the ver-3 tombstone still rejects the ver-2 insert
+    assert(fenced("t") === OrdFirstLast("t", 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("cdc_listagg: tombstone horizon compacts on the per-batch scan; default keeps fences") {
+    val batches = Seq(
+      Seq(OrdChange("+I", "t", 1L, 10L, 1), OrdChange("+I", "t", 2L, 20L, 2)),
+      Seq(OrdChange("-D", "t", 1L, 10L, 3)),
+      Seq(OrdChange("+I", "t", 5L, 50L, 20)), // any touch scans: dead id 1 compacts here
+      Seq(OrdChange("+I", "t", 1L, 99L, 2))) // late original insert
+    val compacted = finalLA(runLA("la_tomb_h", batches, horizon = Some(5L)))
+    assert(compacted("t") === OrdListAgg("t", 3L, "99,20,50"))
+    val fenced = finalLA(runLA("la_tomb_none", batches))
+    assert(fenced("t") === OrdListAgg("t", 2L, "20,50"))
   }
 }

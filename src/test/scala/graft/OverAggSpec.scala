@@ -324,4 +324,77 @@ class OverAggSpec extends AnyFunSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  // Idle-state TTL (Flink's table.exec.state.ttl analog): key 1 sees
+  // ids 1-2 (1000 s, 2000 s), goes quiet while sentinels push the
+  // watermark far past lastSeen + ttl, then a straggler id 3 arrives
+  // at 20000 s. ttl = 1 h (3600 s): the key expired at 5600 s, so the
+  // straggler re-opens EMPTY state. ttl = 10 h: the idle timer was
+  // armed but never exceeded (2000 s + 36000 s = 38000 s > any wm the
+  // straggler sees), so the chain continues unbroken — the knob only
+  // bites when the key actually outlives it.
+  private val ttlBatches: Seq[Seq[(Long, Long, Timestamp, Double)]] = Seq(
+    Seq((1L, 1L, us(1000L * 1000000L), 1.00), (1L, 2L, us(2000L * 1000000L), 2.00)),
+    Seq((99L, 990L, us(10000L * 1000000L), 0.0)), // wm → 9400 s: decide ids 1-2, then expire (short ttl)
+    Seq((1L, 3L, us(20000L * 1000000L), 5.00)), // straggler re-opens the key
+    Seq((99L, 991L, us(50000L * 1000000L), 0.0))) // wm → 49400 s: decide id 3
+
+  private def runTtl[T](name: String,
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = build(in.toDF().toDF("user_id", "event_id", "ts", "value"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      ttlBatches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).filter($"key" =!= 99L)
+  }
+
+  test("over_unbounded idle TTL: expiry restarts running totals; unexpired ttl leaves them unbroken") {
+    import spark.implicits._
+    val short = runTtl("unb_ttl_short", df => OverAggStream.overUnbounded(
+        df, watermark = "10 minutes", idleTtl = Some(java.time.Duration.ofHours(1))))
+      .select($"id", $"n_win", $"cents_win").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(short === Map(1L -> ((1L, 100L)), 2L -> ((2L, 300L)),
+      3L -> ((1L, 500L)))) // restarted: the pre-expiry rows are forgotten
+    val long = runTtl("unb_ttl_long", df => OverAggStream.overUnbounded(
+        df, watermark = "10 minutes", idleTtl = Some(java.time.Duration.ofHours(10))))
+      .select($"id", $"n_win", $"cents_win").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(long === Map(1L -> ((1L, 100L)), 2L -> ((2L, 300L)),
+      3L -> ((3L, 800L)))) // armed but unexpired: totals continue
+  }
+
+  test("over_lag idle TTL: a post-expiry straggler is a fresh first (prev None)") {
+    import spark.implicits._
+    val short = runTtl("lag_ttl_short", df => OverAggStream.overLag(
+        df, watermark = "10 minutes", idleTtl = Some(java.time.Duration.ofHours(1))))
+      .select($"id", $"prev_cents").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(short === Map(1L -> None, 2L -> Some(100L), 3L -> None))
+    val long = runTtl("lag_ttl_long", df => OverAggStream.overLag(
+        df, watermark = "10 minutes", idleTtl = Some(java.time.Duration.ofHours(10))))
+      .select($"id", $"prev_cents").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(long === Map(1L -> None, 2L -> Some(100L), 3L -> Some(200L)))
+  }
+
+  test("over_rows idle TTL: expiry drops the decided last-n tail; straggler frames restart") {
+    import spark.implicits._
+    val short = runTtl("rows_ttl_short", df => OverAggStream.overRows(
+        df, n = 3, watermark = "10 minutes", idleTtl = Some(java.time.Duration.ofHours(1))))
+      .select($"id", $"n_win", $"cents_win").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(short === Map(1L -> ((1L, 100L)), 2L -> ((2L, 300L)),
+      3L -> ((1L, 500L))))
+    val long = runTtl("rows_ttl_long", df => OverAggStream.overRows(
+        df, n = 3, watermark = "10 minutes", idleTtl = Some(java.time.Duration.ofHours(10))))
+      .select($"id", $"n_win", $"cents_win").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(long === Map(1L -> ((1L, 100L)), 2L -> ((2L, 300L)),
+      3L -> ((3L, 800L))))
+  }
 }
