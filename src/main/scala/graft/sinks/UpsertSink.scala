@@ -29,6 +29,9 @@ import graft.streaming.BatchVersioned
   * committed segments (ONE pk shuffle; `seg` pruning is a directory
   * decision), tombstoned pks dropped — the materialized "current
   * table" a compacted topic serves a bootstrapping consumer.
+  * Cross-segment conflicts resolve by the SAME `(ver, op-rank)` rule
+  * as intra-batch reduction (see [[fold]]) — where the batch split
+  * falls never changes the result.
   *
   * Compaction ([[compact]]): folds the base and all committed
   * segments into a new `base=<maxSeg>` holding one record per pk.
@@ -98,10 +101,21 @@ object UpsertSink {
 
   /** Latest record per pk across base + segments. Tombstones kept
     * (`dead = true`) — [[read]] drops them, [[compact]] retains them
-    * through the retention horizon. */
+    * through the retention horizon.
+    *
+    * Ordered by `(ver, rk, seg)` — the shared CDC last-writer-wins
+    * rule FIRST, arrival (segment) order only as the tiebreak. The
+    * r13 review caught the old `(seg, ver, ...)` order making
+    * conflict resolution batch-boundary-dependent: an older-ver
+    * change landing in a later micro-batch overrode a newer-ver
+    * record, so the same disordered changelog read differently
+    * depending on where the batch split fell. Ver-first matches
+    * `Cdc.changelogWins` / `cdcUpsertStream` exactly, and the
+    * winner's `seg` still rides along as the tombstone-retention
+    * clock. */
   private def fold(all: DataFrame): DataFrame =
     all.groupBy(col("pk"))
-      .agg(max(struct(col("seg"), col("ver"), col("rk"), col("value"), col("dead"))).as("last"))
+      .agg(max(struct(col("ver"), col("rk"), col("seg"), col("value"), col("dead"))).as("last"))
       .select(col("pk"), col("last.value").as("value"), col("last.ver").as("ver"),
         col("last.rk").as("rk"), col("last.dead").as("dead"), col("last.seg").as("seg"))
 

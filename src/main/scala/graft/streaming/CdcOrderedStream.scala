@@ -56,7 +56,10 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
   *    SEMANTICS and the per-batch O(live log live) collect-and-sort
   *    is within that floor. For domain-bounded groups only — a
   *    million-entity group's listagg is a megabyte row no engine
-  *    makes cheap.
+  *    makes cheap. Domain-UNBOUNDED groups should opt into
+  *    [[cdcListAggDeltaStream]], the element-level changelog whose
+  *    emission is O(changes) and whose fold reproduces the full
+  *    string exactly.
   *
   * Emission per touched group: the updated aggregate row; live_cnt 0
   * (zeroed boundaries / empty list) is the sink-side DELETE signal.
@@ -76,6 +79,13 @@ object CdcOrderedStream {
       first_id: Long, first_value: Long, last_id: Long, last_value: Long)
   /** Maintained LISTAGG view of one group (`live_list` in id order). */
   case class OrdListAgg(grp: String, live_cnt: Long, live_list: String)
+  /** Element-level delta of the LISTAGG view (the opt-in incremental
+    * contract, [[cdcListAggDeltaStream]]): the view's ordered string
+    * is recovered by materializing live elements per (grp, id) and
+    * joining values in id order. */
+  case class OrdListDelta(op: String, grp: String, id: Long, value: Long)
+  /** Delta-mode per-group bookkeeping (public for encoder codegen). */
+  case class ListMeta(liveCnt: Long, maxVer: Long, deadCnt: Long)
   /** FIRST/LAST summary state (public for encoder codegen);
     * `maxVer`/`deadCnt` drive tombstone-horizon compaction. */
   case class OrdSummary(cnt: Long, firstId: Long, firstValue: Long,
@@ -221,6 +231,71 @@ object CdcOrderedStream {
       Iterator.empty
   }
 
+  /** Element-delta twin of [[ListAggProc]]: instead of republishing
+    * the whole ordered string per touched batch (O(live) by the full
+    * view's semantics), emit one element-level delta per CHANGED slot
+    * — +I enters, -D leaves (before-image value), -U/+U rewrites in
+    * place. Emission and compute are O(touched ids) per batch, so a
+    * domain-UNBOUNDED group (15M live entities at the 100x stress
+    * scale) pays per-change cost instead of a megabyte republish.
+    * The trade: the sink owns materialization (fold live elements
+    * per (grp, id), join in id order) — the law the delta-fold spec
+    * pins against [[cdcListAggStream]]'s full view. */
+  private class ListAggDeltaProc(tombstoneVerHorizon: Option[Long])
+      extends StatefulProcessor[String, OrdChange, OrdListDelta] {
+    @transient private var slots: MapState[Long, OrdSlot] = _
+    @transient private var meta: ValueState[ListMeta] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      slots = getHandle.getMapState[Long, OrdSlot]("slots",
+        Encoders.scalaLong, Encoders.product[OrdSlot], TTLConfig.NONE)
+      meta = getHandle.getValueState[ListMeta]("meta",
+        Encoders.product[ListMeta], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(grp: String, rows: Iterator[OrdChange],
+        timers: TimerValues): Iterator[OrdListDelta] = {
+      var m = if (meta.exists()) meta.get() else ListMeta(0L, 0L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[OrdListDelta]
+      foldSlots(slots, rows).foreach { case (id, old, nw) =>
+        val wasLive = old != null && old.live
+        if (nw.ver > m.maxVer) m = m.copy(maxVer = nw.ver)
+        if (!nw.live && (old == null || wasLive)) m = m.copy(deadCnt = m.deadCnt + 1)
+        else if (nw.live && old != null && !wasLive) m = m.copy(deadCnt = m.deadCnt - 1)
+        if (!wasLive && nw.live) {
+          m = m.copy(liveCnt = m.liveCnt + 1)
+          out += OrdListDelta("+I", grp, id, nw.value)
+        } else if (wasLive && !nw.live) {
+          m = m.copy(liveCnt = m.liveCnt - 1)
+          out += OrdListDelta("-D", grp, id, old.value)
+        } else if (wasLive && nw.live && nw.value != old.value) {
+          out += OrdListDelta("-U", grp, id, old.value)
+          out += OrdListDelta("+U", grp, id, nw.value)
+        }
+      }
+      // no per-batch full scan exists in delta mode, so compaction is
+      // the FirstLast amortization only: forced when dead slots
+      // outnumber max(64, live)
+      tombstoneVerHorizon.foreach { h =>
+        if (m.deadCnt > math.max(64L, m.liveCnt)) {
+          val cutoff = m.maxVer - h
+          val doomed = scala.collection.mutable.ArrayBuffer.empty[Long]
+          slots.iterator().foreach { case (id, sl) =>
+            if (!sl.live && sl.ver <= cutoff) doomed += id
+          }
+          doomed.foreach(slots.removeKey)
+          m = m.copy(deadCnt = m.deadCnt - doomed.size)
+        }
+      }
+      meta.update(m)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[OrdListDelta] =
+      Iterator.empty
+  }
+
   /** Maintain each group's FIRST_VALUE/LAST_VALUE (by id order) over
     * a changelog stream — see the object doc for the cost contract
     * and the `tombstoneVerHorizon` retention promise (None = dead
@@ -243,6 +318,21 @@ object CdcOrderedStream {
     import changes.sparkSession.implicits._
     changes.groupByKey(_.grp)
       .transformWithState(new ListAggProc(tombstoneVerHorizon),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Incremental-emission LISTAGG (the opt-in for domain-UNBOUNDED
+    * groups): an element-level changelog instead of the full-string
+    * republish — see [[ListAggDeltaProc]]. The full view folds back
+    * out of the deltas: keep the last op per (grp, id), live elements
+    * joined in id order equal [[cdcListAggStream]]'s `live_list`
+    * exactly (pinned by the delta-fold spec). */
+  def cdcListAggDeltaStream(changes: Dataset[OrdChange],
+      tombstoneVerHorizon: Option[Long] = None): Dataset[OrdListDelta] = {
+    tombstoneVerHorizon.foreach(h => require(h > 0, s"tombstoneVerHorizon must be positive: $h"))
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.grp)
+      .transformWithState(new ListAggDeltaProc(tombstoneVerHorizon),
         TimeMode.None(), OutputMode.Append())
   }
 }

@@ -101,10 +101,15 @@ object CdcTopNStream {
   private def opRank(op: String): Int = graft.operators.Cdc.opRank(op)
 
   private class Proc(n: Int, bufFactor: Int, mode: RankMode) extends StatefulProcessor[String, RankChange, RankDelta] {
-    private val maxBuf = n * bufFactor
+    /** Base (and floor) buffer capacity; the per-group cap grows
+      * above it only when a boundary tie-run is observed wider than
+      * the buffer (tie modes), and decays back when the boundary
+      * narrows — see the adaptive-cap notes in handleInputRows. */
+    private val baseBuf = n * bufFactor
     @transient private var slots: MapState[Long, RankSlot] = _
     @transient private var top: ListState[RankEntry] = _
     @transient private var exactState: ValueState[Boolean] = _
+    @transient private var capState: ValueState[Int] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       slots = getHandle.getMapState[Long, RankSlot]("slots",
@@ -113,6 +118,8 @@ object CdcTopNStream {
         Encoders.product[RankEntry], TTLConfig.NONE)
       exactState = getHandle.getValueState[Boolean]("exact",
         Encoders.scalaBoolean, TTLConfig.NONE)
+      capState = getHandle.getValueState[Int]("cap",
+        Encoders.scalaInt, TTLConfig.NONE)
     }
 
     private def wins(cur: RankSlot, ver: Long, rank: Int): Boolean =
@@ -154,6 +161,11 @@ object CdcTopNStream {
       // exact = "the buffer holds EVERY live entity" (never trimmed
       // since the last refill); absent state (new group) is exact-empty
       var isExact = if (exactState.exists()) exactState.get() else true
+      // adaptive capacity: starts at bufFactor·n, grows when a
+      // boundary tie-run outgrows it (growth bounded by the observed
+      // membership + n runners-up — never speculative), decays when
+      // a later rebuild shows the boundary narrowed
+      var cap = if (capState.exists()) capState.get() else baseBuf
       val prevMembers = buf.take(memberCut(buf)).toVector
       val prevIds = prevMembers.map(_.id).toSet
       val prevEntry = prevMembers.map(e => e.id -> e.entry).toMap
@@ -172,7 +184,19 @@ object CdcTopNStream {
         val at = buf.indexWhere(b => beats(score, id, b.score, b.id))
         if (at < 0) buf.append(RankEntry(id, score, score))
         else buf.insert(at, RankEntry(id, score, score))
-        if (buf.size > maxBuf) { buf.remove(maxBuf, buf.size - maxBuf); isExact = false }
+        if (buf.size > cap) { buf.remove(cap, buf.size - cap); isExact = false }
+      }
+
+      // O(live) streamed refill through a cap-entry accumulator —
+      // O(cap) heap, never a materialized copy (the CdcJoinStream
+      // skew rule)
+      def rebuild(): Unit = {
+        buf.clear()
+        slots.iterator().foreach { case (id, s) =>
+          if (s.live && (buf.size < cap || beats(s.score, id, buf.last.score, buf.last.id)))
+            insertSorted(id, s.score)
+        }
+        isExact = buf.size < cap
       }
 
       // apply each touched id to the buffer under the invariant
@@ -201,30 +225,38 @@ object CdcTopNStream {
         case _               => buf.isEmpty || memberCut(buf) == buf.size
       })
       if (scanNeeded) {
-        buf.clear()
-        slots.iterator().foreach { case (id, s) =>
-          if (s.live && (buf.size < maxBuf || beats(s.score, id, buf.last.score, buf.last.id)))
-            insertSorted(id, s.score)
-        }
-        isExact = buf.size < maxBuf
-        // tie-extension: if the rebuilt (trimmed) buffer STILL ends
-        // inside the membership boundary's tie-run, every live entity
-        // tying that score is a member — a second streamed pass
-        // collects the full run (O(live) compute, O(ties) heap; Flink
-        // emits the same unbounded tie set). Everything ABOVE the
-        // boundary score is provably inside the accumulator (it is a
-        // best-M prefix and M ≥ n), so above ++ full-tie-run is again
-        // a prefix of the total order.
+        rebuild()
+        // tie-extension with ADAPTIVE capacity: if the rebuilt
+        // (trimmed) buffer STILL ends inside the membership
+        // boundary's tie-run, every live entity tying that score is
+        // a member (Flink emits the same unbounded tie set). A
+        // boundary run wider than the buffer used to leave the
+        // buffer ending exactly AT the cut — no runner-up margin —
+        // so EVERY subsequent touched batch re-paid the O(live)
+        // scan until the run narrowed. Instead, measure the run
+        // (one streamed pass), grow the cap to hold the observed
+        // membership PLUS n runners-up — growth bounded by what the
+        // data actually demands, never speculative — and rebuild
+        // once at the new cap. The refilled buffer then proves
+        // membership with margin, so later kills amortize exactly
+        // like the RowNum case (STRESS `cdc_topn_widetie`).
         if (!isExact && mode != RankMode.RowNum && buf.nonEmpty && memberCut(buf) == buf.size) {
           val sB = buf.last.score
-          val above = buf.filter(_.score > sB)
-          val ties = scala.collection.mutable.ArrayBuffer.empty[RankEntry]
-          slots.iterator().foreach { case (id, s) =>
-            if (s.live && s.score == sB) ties += RankEntry(id, s.score, s.score)
-          }
-          buf.clear()
-          buf ++= above
-          buf ++= ties.sortBy(_.id)
+          var run = 0
+          slots.iterator().foreach { case (_, s) => if (s.live && s.score == sB) run += 1 }
+          val above = buf.count(_.score > sB)
+          cap = math.max(cap, above + run + n)
+          rebuild()
+        }
+        // decay: a boundary that narrowed leaves an oversized cap
+        // behind; shrink back toward the observed need (floor =
+        // bufFactor·n) so a one-off wide tie does not inflate the
+        // group's state forever. Evaluated only at rebuild events,
+        // so the check is amortized like the scan itself.
+        val needed = math.max(baseBuf, memberCut(buf) + n)
+        if (cap > 2 * needed) {
+          cap = needed
+          if (buf.size > cap) { buf.remove(cap, buf.size - cap); isExact = false }
         }
       }
 
@@ -239,6 +271,7 @@ object CdcTopNStream {
       top.clear()
       if (next.nonEmpty) top.appendList(next.toArray)
       exactState.update(isExact)
+      capState.update(cap)
       val nextIds = next.take(cut).map(_.id).toSet
       (next.take(cut).filter(e => !prevIds.contains(e.id)).map(e => RankDelta("+I", grp, e.id, e.score)) ++
         prevMembers.filter(e => !nextIds.contains(e.id)).map(e => RankDelta("-D", grp, e.id, e.entry))).iterator

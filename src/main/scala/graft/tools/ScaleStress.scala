@@ -1887,6 +1887,116 @@ object ScaleStress {
       } finally q.stop()
     }
 
+    // RANK-MODE Top-N with a boundary tie-run WIDER than the base
+    // buffer (the r13 verdict's remaining rank-strategy gap): 500k
+    // live entities, rank() <= 10, and a 200-wide tie-run AT the
+    // boundary (members 9 distinct + 200 ties = 209 >> bufFactor·n =
+    // 40). Claims measured (the adaptive-cap contract):
+    //  - the FIRST touched batch pays the grow event (measure-run +
+    //    rebuild at the grown cap, both O(live) streamed passes);
+    //  - after the grow, killing tie members batch-by-batch rides
+    //    the buffer at the INCREMENTAL floor — before the adaptive
+    //    cap, every one of these batches re-paid the O(live) scan
+    //    because the buffer ended exactly at the membership cut.
+    time("cdc_topn_widetie_500k") {
+      import graft.streaming.CdcTopNStream
+      import graft.streaming.CdcTopNStream.{RankChange, RankDelta}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[RankChange]
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val q = CdcTopNStream.topNRank(in.toDS(), n = 10, dense = false)
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[RankDelta], _: Long) =>
+          emitted.addAndGet(df.count())
+          ()
+        }
+        .queryName("stress_cdc_topn_widetie").start()
+      try {
+        var ver = 0L
+        // 9 distinct leaders, a 200-wide tie at rank 10, 500k filler
+        val seed =
+          (1L to 9L).map(i => RankChange("+I", "hot", i, 2e9 - i, { ver += 1; ver })) ++
+          (100L until 300L).map(i => RankChange("+I", "hot", i, 1e9, { ver += 1; ver })) ++
+          (1L to 500000L).map(i => RankChange("+I", "hot", 1000000L + i, i.toDouble, { ver += 1; ver }))
+        val t0 = System.nanoTime()
+        in.addData(seed.toIndexedSeq)
+        q.processAllAvailable()
+        require(emitted.get() == 209L, s"membership should be 209, emitted ${emitted.get()}")
+        println(f"STRESS   widetie seed rows=${seed.size} members=209 sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+        // incremental floor reference: low inserts that touch nothing
+        val incTimes = (1 to 20).map { b =>
+          val s0 = System.nanoTime()
+          in.addData(Seq(RankChange("+I", "hot", 2000000L + b, 0.5, { ver += 1; ver })))
+          q.processAllAvailable()
+          (System.nanoTime() - s0) / 1e9
+        }
+        // kill 30 tie members, one per batch: each is a member -D
+        // (ties are threshold members — no promotion delta), and each
+        // must ride the grown buffer, NOT re-pay the O(live) scan
+        val killTimes = (0 until 30).map { i =>
+          val eb = emitted.get()
+          val sb = System.nanoTime()
+          in.addData(Seq(RankChange("-D", "hot", 100L + i, 1e9, { ver += 1; ver })))
+          q.processAllAvailable()
+          require(emitted.get() - eb == 1, s"tie kill $i emitted ${emitted.get() - eb}, expected 1")
+          (System.nanoTime() - sb) / 1e9
+        }
+        val km = killTimes.sorted.apply(15)
+        val im = incTimes.sorted.apply(10)
+        println(f"STRESS   widetie tie-kill median=$km%.3f max=${killTimes.max}%.3f inc-floor=$im%.3f")
+        require(km <= im * 3 + 0.5,
+          f"tie-run member kill ($km%.3f s) should ride the adaptive buffer, not rescan (floor $im%.3f s)")
+        emitted.get()
+      } finally q.stop()
+    }
+
+    // LISTAGG DELTA MODE over a domain-unbounded group (500k live
+    // entities in ONE group — the shape the full-string republish is
+    // output-bound on, STRESS row 49): emission must be O(changes) —
+    // the seed emits one +I per element ONCE, and every subsequent
+    // single-element batch emits exactly its own delta rows (2 for a
+    // rewrite, 1 for a death) at flat per-batch time, never a
+    // republish of the 500k-element list.
+    time("cdc_listagg_delta_500k") {
+      import graft.streaming.CdcOrderedStream
+      import graft.streaming.CdcOrderedStream.{OrdChange, OrdListDelta}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[OrdChange]
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val q = CdcOrderedStream.cdcListAggDeltaStream(in.toDS())
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[OrdListDelta], _: Long) =>
+          emitted.addAndGet(df.count())
+          ()
+        }
+        .queryName("stress_listagg_delta").start()
+      try {
+        var ver = 0L
+        val nLive = 500000L
+        val t0 = System.nanoTime()
+        in.addData((1L to nLive).map(i =>
+          OrdChange("+I", "hot", i, i, { ver += 1; ver })).toIndexedSeq)
+        q.processAllAvailable()
+        require(emitted.get() == nLive, s"seed should emit one +I per element, got ${emitted.get()}")
+        println(f"STRESS   lad seed rows=$nLive sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+        // 15 single-element rewrites: exactly 2 deltas each, flat time
+        val recTimes = (1 to 15).map { b =>
+          val eb = emitted.get()
+          val sb = System.nanoTime()
+          in.addData(Seq(
+            OrdChange("-U", "hot", b.toLong, b.toLong, { ver += 1; ver }),
+            OrdChange("+U", "hot", b.toLong, b.toLong + 1000000L, ver)))
+          q.processAllAvailable()
+          require(emitted.get() - eb == 2, s"rewrite $b emitted ${emitted.get() - eb}, expected 2 (O(changes), not a republish)")
+          (System.nanoTime() - sb) / 1e9
+        }
+        println(f"STRESS   lad rewrite median=${recTimes.sorted.apply(7)}%.3f max=${recTimes.max}%.3f")
+        emitted.get()
+      } finally q.stop()
+    }
+
     // Retractable FIRST/LAST over a HOT group (500k live entities in
     // ONE group) — the CdcOrderedStream cost contract, branch by
     // branch:

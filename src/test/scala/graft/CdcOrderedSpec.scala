@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.CdcOrderedStream
-import graft.streaming.CdcOrderedStream.{OrdChange, OrdFirstLast, OrdListAgg}
+import graft.streaming.CdcOrderedStream.{OrdChange, OrdFirstLast, OrdListAgg, OrdListDelta}
 
 /** Maintained FIRST_VALUE/LAST_VALUE and LISTAGG over a changelog:
   * boundary deaths surface the next live boundary (the one O(live)
@@ -52,6 +52,37 @@ class CdcOrderedSpec extends AnyFunSuite {
       batches.foreach { b => if (b.nonEmpty) in.addData(b: _*); q.processAllAvailable() }
       buf.synchronized(buf.toVector)
     } finally q.stop()
+  }
+
+  private def runLD(name: String, batches: Seq[Seq[OrdChange]],
+      horizon: Option[Long] = None): Seq[(Long, OrdListDelta)] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[OrdChange]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, OrdListDelta)]
+    val q = CdcOrderedStream.cdcListAggDeltaStream(in.toDS(), horizon)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[OrdListDelta], id: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+      }
+      .queryName(name).start()
+    try {
+      batches.foreach { b => if (b.nonEmpty) in.addData(b: _*); q.processAllAvailable() }
+      buf.synchronized(buf.toVector)
+    } finally q.stop()
+  }
+
+  /** The delta-fold law: keep each (grp, id)'s LAST delta in emission
+    * order; live elements (+I/+U) joined in id order are the view. */
+  private def foldDeltas(out: Seq[(Long, OrdListDelta)]): Map[String, OrdListAgg] = {
+    val last = scala.collection.mutable.LinkedHashMap.empty[(String, Long), OrdListDelta]
+    out.foreach { case (_, d) => last((d.grp, d.id)) = d }
+    last.values.toSeq.filter(d => d.op == "+I" || d.op == "+U")
+      .groupBy(_.grp).map { case (g, ds) =>
+        val sorted = ds.sortBy(_.id)
+        g -> OrdListAgg(g, sorted.size.toLong, sorted.map(_.value.toString).mkString(","))
+      }
   }
 
   /** last emission per group across the run */
@@ -240,6 +271,59 @@ class CdcOrderedSpec extends AnyFunSuite {
     Seq(OrdChange("-U", "t", 2L, 20L, 20), OrdChange("+U", "t", 2L, 21L, 20)), // maxVer → 20
     Seq(OrdChange("-D", "t", 2L, 21L, 21)), // scan again: dead id 1 (ver 3 ≤ 21−5) compacts
     Seq(OrdChange("+I", "t", 1L, 99L, 2))) // the late original insert
+
+  test("cdc_listagg delta mode: per-change emission grammar, and the fold reproduces the full view") {
+    val batches = Seq(
+      // batch 0: two inserts (one group) — exactly two +I
+      Seq(OrdChange("+I", "g", 3L, 30L, 1), OrdChange("+I", "g", 1L, 10L, 1)),
+      // batch 1: in-place rewrite — exactly -U(old) +U(new), NOT a
+      // full republish of the other element
+      Seq(OrdChange("-U", "g", 3L, 30L, 2), OrdChange("+U", "g", 3L, 33L, 2)),
+      // batch 2: untouched id 1 emits nothing; new element +I only
+      Seq(OrdChange("+I", "g", 2L, 20L, 3)),
+      // batch 3: death — one -D carrying the before value
+      Seq(OrdChange("-D", "g", 1L, 10L, 4)),
+      // batch 4: retraction-before-insert disorder — tombstone fences
+      // the late insert, NOTHING emits
+      Seq(OrdChange("-D", "g", 9L, 90L, 6)),
+      Seq(OrdChange("+I", "g", 9L, 90L, 5)))
+    val out = runLD("ld_hand", batches)
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byBatch(0L).toSet === Set(OrdListDelta("+I", "g", 3L, 30L), OrdListDelta("+I", "g", 1L, 10L)))
+    assert(byBatch(1L).toSet === Set(OrdListDelta("-U", "g", 3L, 30L), OrdListDelta("+U", "g", 3L, 33L)))
+    assert(byBatch(2L) === Seq(OrdListDelta("+I", "g", 2L, 20L)))
+    assert(byBatch(3L) === Seq(OrdListDelta("-D", "g", 1L, 10L)))
+    assert(!byBatch.contains(4L) && !byBatch.contains(5L), s"fenced disorder must not emit: $byBatch")
+    assert(foldDeltas(out) === Map("g" -> OrdListAgg("g", 2L, "20,33")))
+  }
+
+  test("cdc_listagg delta mode: dealt replay folds to cdcListAggStream's full view exactly") {
+    import spark.implicits._
+    // the q105-shaped changelog: bucketed order totals with group
+    // moves and deletes, dealt out of order across 4 batches
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    def ev(kind: String, value: org.apache.spark.sql.Column,
+        grp: org.apache.spark.sql.Column, ver: Int) =
+      Seq(lit(kind).as("op"), grp.as("grp"), $"o_orderkey".as("id"),
+        value.as("value"), lit(ver.toLong).as("ver"))
+    val v0 = floor(round(($"o_totalprice" - 10) * 100).cast("long") / 1000000L)
+    val v1 = floor(round($"o_totalprice" * 100).cast("long") / 1000000L)
+    val grp1 = concat(lit("U-"), $"o_orderpriority")
+    val cl = o.select(ev("+I", v0, $"o_orderpriority", 1): _*)
+      .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("-U", v0, $"o_orderpriority", 2): _*))
+      .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("+U", v1, grp1, 2): _*))
+      .unionAll(o.filter($"o_orderstatus" === "P").select(ev("-D", v1, grp1, 3): _*))
+      .as[OrdChange].collect().toSeq
+    CachePool.drain()
+    assert(cl.size > 500, s"degenerate: ${cl.size} changes")
+    def deal(seed: Int): Seq[Seq[OrdChange]] = {
+      val shuffled = new scala.util.Random(seed).shuffle(cl.toList)
+      (0 until 4).map(i => shuffled.zipWithIndex.collect { case (c, j) if j % 4 == i => c })
+    }
+    val full = finalLA(runLA("ld_full", deal(43))).filter(_._2.live_cnt > 0L)
+    val folded = foldDeltas(runLD("ld_delta", deal(44))) // different deal: fold is order-independent
+    assert(folded === full)
+  }
 
   test("cdc_firstlast: tombstone horizon compacts expired fences; default keeps them") {
     val compacted = finalFL(runFL("fl_tomb_h", tombBatchesFL, horizon = Some(5L)))

@@ -221,6 +221,41 @@ class CdcTopNSpec extends AnyFunSuite {
     wellFormed(out)
   }
 
+  test("cdc_topn adaptive cap: wide-tie grow, incremental tie kills, underflow rescan, decay after the boundary narrows") {
+    // n=1, bufFactor=1 (base cap 1), rank mode. The 20-wide tie at 80
+    // forces the grow event (cap -> 0+20+1); the per-batch tie kills
+    // must then each emit exactly ONE -D (they ride the grown buffer
+    // — before the adaptive cap every such batch re-paid the scan);
+    // killing the LAST tie underflows (scan), surfaces the best
+    // filler, and the decay trims the now-oversized cap back — the
+    // final displacement batch proves the group still ranks correctly
+    // at the decayed cap.
+    val batches =
+      Seq((1L to 20L).map(i => RankChange("+I", "a", i, 80.0, i)).toSeq) ++ // b0: grow
+      Seq((1L to 10L).map(i => RankChange("+I", "a", 50L + i, i.toDouble, 20L + i)).toSeq) ++ // b1: fillers
+      Seq(Seq(RankChange("+I", "a", 100L, 99.0, 31L))) ++                 // b2: displaces the whole tie
+      Seq(Seq(RankChange("-D", "a", 100L, 99.0, 32L))) ++                 // b3: ties return
+      (1L to 19L).map(i => Seq(RankChange("-D", "a", i, 80.0, 32L + i))) ++ // b4..b22: one tie kill each
+      Seq(Seq(RankChange("-D", "a", 20L, 80.0, 52L))) ++                  // b23: last tie -> rescan + decay
+      Seq(Seq(RankChange("+I", "a", 200L, 50.0, 53L)))                    // b24: post-decay displacement
+    val out = run("ctn_adaptive", 1, batches, bufFactor = 1, mode = "rank")
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byBatch(0L).toSet === (1L to 20L).map(i => RankDelta("+I", "a", i, 80.0)).toSet)
+    assert(!byBatch.contains(1L), "fillers below the boundary must not emit")
+    assert(byBatch(2L).size === 21, "+I 100 and the 20 tie -Ds")
+    assert(byBatch(3L).size === 21, "retracting 100 re-admits the whole tie-run")
+    (4L to 22L).foreach { b =>
+      assert(byBatch(b).size === 1 && byBatch(b).head.op === "-D",
+        s"tie kill batch $b must be exactly one -D (buffered, no re-proof churn): ${byBatch(b)}")
+    }
+    assert(byBatch(23L).toSet === Set(RankDelta("-D", "a", 20L, 80.0),
+      RankDelta("+I", "a", 60L, 10.0)), "underflow scan surfaces the best filler")
+    assert(byBatch(24L).toSet === Set(RankDelta("+I", "a", 200L, 50.0),
+      RankDelta("-D", "a", 60L, 10.0)), "post-decay ranking stays correct")
+    assert(materialize(out) === Map("a" -> Set(200L)))
+    wellFormed(out)
+  }
+
   test("cdc_topn tie modes: dealt replay of the q89/q90 bucketed changelog == batch rank()/dense_rank() membership") {
     import spark.implicits._
     // the q89/q90 synthesis: same changelog, score coarsened to $10k

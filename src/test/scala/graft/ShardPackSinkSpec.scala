@@ -123,4 +123,20 @@ class ShardPackSinkSpec extends AnyFunSuite {
     assert(got.size === expected.size)
     assert(got === expected)
   }
+
+  test("shard pack: a batch violating cross-batch id monotonicity is rejected loudly and leaves nothing behind") {
+    import spark.implicits._
+    val root = tmp()
+    ShardPackSink.writeBatch(Seq(Chunk(10L, 50L), Chunk(20L, 50L)).toDS(), 0L, root, seqLen = 100L)
+    // id 15 <= max packed id 20: the one-shot law's precondition fails
+    val e = intercept[IllegalArgumentException] {
+      ShardPackSink.writeBatch(Seq(Chunk(15L, 10L)).toDS(), 1L, root, seqLen = 100L)
+    }
+    assert(e.getMessage.contains("monotonicity"), e.getMessage)
+    // the rejected batch wrote neither output nor meta: the stream's
+    // state is exactly as before, and a corrected batch proceeds
+    assert(readMap(root) === oneShot(Seq(Chunk(10L, 50L), Chunk(20L, 50L)), 100L))
+    ShardPackSink.writeBatch(Seq(Chunk(21L, 10L)).toDS(), 2L, root, seqLen = 100L)
+    assert(readMap(root)(21L) === ((1L, 0L)))
+  }
 }

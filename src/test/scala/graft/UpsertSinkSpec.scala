@@ -118,4 +118,22 @@ class UpsertSinkSpec extends AnyFunSuite {
     try q2.processAllAvailable() finally q2.stop()
     assert(readMap(root) === Map(2L -> (("b2", 2L)), 3L -> (("c", 1L))))
   }
+
+  test("upsert sink: cross-batch disorder resolves by ver (the shared CDC rule), not by arrival order") {
+    // the same disordered changelog must read identically however the
+    // batch split falls: an OLDER-ver change landing in a LATER
+    // micro-batch must lose to the newer-ver record already written
+    val root = tmp()
+    runBatches(root, Seq(
+      Seq(UpsertChange("+U", 1L, "new", 5)),
+      Seq(UpsertChange("+U", 1L, "stale", 3)), // late arrival, older ver
+      // disorder across the delete too: pk 2's insert arrives AFTER
+      // its tombstone — the ver-5 tombstone must keep fencing it
+      Seq(UpsertChange("-D", 2L, "x", 5)),
+      Seq(UpsertChange("+I", 2L, "resurrect", 4))))
+    assert(readMap(root) === Map(1L -> (("new", 5L))))
+    // and compaction folds under the same rule
+    UpsertSink.compact(spark, root, tombstoneRetainSegs = 10L)
+    assert(readMap(root) === Map(1L -> (("new", 5L))))
+  }
 }
