@@ -107,13 +107,21 @@ object Bench {
       pb.redirectOutput(logDir.resolve(s"$fam.log").toFile)
       try {
         val t0 = System.nanoTime()
-        val rc = pb.start().waitFor()
+        val proc = pb.start()
+        // a hung child must not take the WHOLE bench line with it —
+        // no stdout JSON means the round records nothing at all
+        val finished = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+        if (!finished) proc.destroyForcibly().waitFor()
+        val rc = proc.exitValue()
         famWall += (fam -> (System.nanoTime() - t0) / 1e9)
-        if (java.nio.file.Files.exists(emitPath)) acc ++= readEmit(emitPath)
+        if (!finished) acc += ((s"family_$fam", 0.0, 0.0,
+          Some(s"child JVM timed out after 30 min and was killed (see target/bench_family/$fam.log)")))
+        else if (java.nio.file.Files.exists(emitPath)) acc ++= readEmit(emitPath)
         else acc += ((s"family_$fam", 0.0, 0.0,
           Some(s"child JVM exited rc=$rc with no result file (see target/bench_family/$fam.log)")))
       } catch {
         case e: java.io.IOException => spawnFailed = Some(e.toString)
+        case e: InterruptedException => spawnFailed = Some(e.toString)
       }
     }
 

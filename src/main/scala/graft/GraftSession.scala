@@ -27,6 +27,14 @@ object GraftSession {
       // inside a table loader, so parquet typing never depends on
       // which table happened to load first
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Heavy-batch resilience (ScaleStress 100x sweep, STRESS row 53):
+      // a 621 s full-GC-heavy stage logged a transient executor
+      // heartbeat RpcTimeout under the 10 s default. These are the
+      // recommended settings applied as DEFAULTS rather than left as a
+      // doc note — a long GC pause must not read as a dead executor.
+      // Spark requires heartbeatInterval << network.timeout.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       // RocksDB state store: the production choice for large streaming
       // state, and required by transformWithState (column families —
       // the HDFS-backed provider cannot host StatefulProcessor state)

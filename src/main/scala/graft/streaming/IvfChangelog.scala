@@ -323,16 +323,33 @@ object IvfChangelog {
     * over the CANDIDATE rows only — newest ver wins, live beats
     * tombstone at equal ver, deleted drop — then exact cosine top-k.
     * The resolution window costs O(candidates); the index is never
-    * globally shuffled. */
+    * globally shuffled.
+    *
+    * `staticCellPushdown` (the streaming-probe path,
+    * [[AnnProbeStream]]): Catalyst's DPP rule declines a probe side
+    * with no selective predicate — exactly what a micro-batch local
+    * relation is — so the probed cell set is collected and pushed as
+    * a STATIC partition filter instead. The collect is bounded by
+    * |queries| · nprobe cell ids (the micro-batch is
+    * admission-controlled), and the pruning becomes deterministic
+    * rather than heuristic — the property the probe lives on at
+    * 100 TB. */
   def topK(spark: SparkSession, root: String, queries: DataFrame,
-      modelDir: String, nprobe: Int, k: Int): DataFrame = {
+      modelDir: String, nprobe: Int, k: Int,
+      staticCellPushdown: Boolean = false): DataFrame = {
     val model = IvfIndex.load(spark, modelDir)
     val p = IvfIndex.probeCells(queries, col("qv"), model, nprobe)
     val wRes = Window.partitionBy(col("query_id"), col("vec_id"))
       .orderBy(col("ver").desc, col("del").asc)
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    visible(spark, root).join(broadcast(p), Seq("cell"))
+    val vis =
+      if (staticCellPushdown) {
+        // bounded collect: ≤ |queries| · nprobe ints (see scaladoc)
+        val cells = p.select(col("cell")).distinct().collect().map(_.getInt(0))
+        visible(spark, root).filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      } else visible(spark, root)
+    vis.join(broadcast(p), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("__rn", row_number().over(wRes))
       .filter(col("__rn") === 1 && !col("del"))

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators.{IvfIndex, Layout}
+import graft.streaming.{AnnProbeStream, IvfChangelog}
+
+/** Streaming ANN probe over the maintained IVF changelog layout:
+  * micro-batch results are row-identical to batch `topK` at the same
+  * index state, recall is gated against the q29 brute-force truth
+  * (the RecallSpec bar), the candidate scan stays cell-pruned under
+  * foreachBatch execution, and a mid-stream index CHANGE is visible
+  * to the next probe batch (the rotation-visibility contract;
+  * IvfDriftSpec's crash-window test drives its post-replay probe
+  * through this operator). */
+class AnnProbeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("stream_ann_probe: batch parity, recall gate, cell-pruned scans, index changes visible between batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_annprobe").toString
+    val modelDir = Files.createTempDirectory("graft_annprobe_model").toString
+    val ckpt = Files.createTempDirectory("graft_annprobe_ckpt").toString
+    try {
+      val e = graft.sources.Tables.embeddings(spark, sfDir)
+        .select($"vec_id", VectorFunctions.vec($"embedding").as("v"))
+      val nVecs = e.count()
+      val model = queries.SimilarityQ.ivfModel(spark, sfDir)
+      IvfIndex.save(model, modelDir, spark)
+      val ingest = IvfChangelog.sink(spark, root, modelDir, compactEvery = 0)
+      ingest(e.withColumn("row_kind", lit("+I")), 0L)
+
+      // q38's probe width so the recall bar is RecallSpec's
+      val cellBits = graft.operators.Adaptive.bits(
+        graft.sources.Tables.embeddingCount(spark, sfDir), targetBucket = 32, lo = 4, hi = 8)
+      val nprobe = cellBits + 3
+      // q29's query set, dealt into two micro-batches
+      val qs = e.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"), $"v".as("qv"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      assert(qs.size >= 8, s"degenerate query set: ${qs.size}")
+      val (qb1, qb2) = qs.partition(_._1 % 100 === 0)
+
+      val in = MemoryStream[(Long, Seq[Double])]
+      val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+      val scanned = scala.collection.mutable.Map.empty[Long, Long]
+      val q = AnnProbeStream.start(
+        in.toDF().toDF("query_id", "qv"), root, modelDir,
+        nprobe = nprobe, k = 5, checkpointDir = ckpt) { (df, id) =>
+        // scan-row evidence first (executes this exact plan)
+        val (_, s) = Layout.scanRows(df)
+        scanned.synchronized(scanned(id) = s)
+        val rows = df.select($"query_id", $"neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        got.synchronized(got(id) = rows)
+      }
+      try {
+        in.addData(qb1); q.processAllAvailable()
+        in.addData(qb2); q.processAllAvailable()
+
+        // 1. parity: streamed == one batch topK over the full set
+        val batchRef = IvfChangelog.topK(spark, root,
+          e.filter($"vec_id" % 50 === 0).select($"vec_id".as("query_id"), $"v".as("qv")),
+          modelDir, nprobe, k = 5)
+          .select($"query_id", $"neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val streamed = got.synchronized(got.values.flatten.toSet)
+        assert(streamed === batchRef, "streamed probe diverges from batch topK on the same index")
+
+        // 2. recall gate (RecallSpec's q38 floor) vs q29 brute truth
+        val truth = SparkEntry.queries("q29_ann_brute_topk")(spark, sfDir)
+          .filter($"rnk" <= 5)
+          .select($"query_id", $"neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        CachePool.drain()
+        val recall = (truth & streamed).size.toDouble / truth.size
+        info(f"stream probe recall@5 = $recall%.2f")
+        assert(recall >= 0.8, f"streamed IVF recall below the trained-centroid floor: $recall%.2f")
+
+        // 3. an index CHANGE lands between batches: delete the top
+        // neighbor of one query, re-probe it, neighbor gone
+        val victimQ = qb1.head._1
+        val victim = got.synchronized(got(0L)).collect { case (q0, nb) if q0 == victimQ => nb }.head
+        ingest(e.filter($"vec_id" === victim).withColumn("row_kind", lit("-D")), 1L)
+        in.addData(Seq(qs.find(_._1 == victimQ).get)); q.processAllAvailable()
+        val after = got.synchronized(got(2L))
+        assert(!after.contains((victimQ, victim)),
+          s"probe batch after the delete still returns the tombstoned neighbor $victim")
+        assert(after.count(_._1 == victimQ) === 5, "re-probe should backfill to k")
+
+        // 4. cell pruning held under foreachBatch: the single-query
+        // re-probe batch must scan ONLY its probed cells' rows (the
+        // static pushdown — a multi-query batch's probed-cell union
+        // covers the whole toy corpus, so batch 2 is the evidence)
+        val probedCells = IvfIndex.probeCells(
+            e.filter($"vec_id" === victimQ).select($"vec_id".as("query_id"), $"v".as("qv")),
+            $"qv", model, nprobe)
+          .select($"cell").distinct().collect().map(_.getInt(0)).toSet
+        val expected = IvfIndex.assignCells(e, model)
+          .filter($"cell".isin(probedCells.toSeq.map(Integer.valueOf): _*)).count()
+        assert(expected < nVecs,
+          s"vacuous pruning check: the probed cells hold the whole corpus ($expected of $nVecs)")
+        val s2 = scanned.synchronized(scanned(2L))
+        // +1 for the victim's tombstone row, small slack for the
+        // local probe-side scan nodes
+        assert(s2 <= expected + 8,
+          s"single-query probe scanned $s2 rows but its ${probedCells.size} probed cells hold only $expected — pruning lost under streaming")
+      } finally q.stop()
+    } finally Seq(root, modelDir, ckpt).foreach(d =>
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(d)))
+  }
+}

@@ -56,6 +56,22 @@ class InventorySpec extends AnyFunSuite {
       s"streaming operators with no §2 mention: ${missing.sorted.mkString(", ")}")
   }
 
+  test("each SparkEntry.queries key is claimed by exactly ONE checked §2 row (1:1, not covers)") {
+    // round 14 (the r13 verdict's bookkeeping ask): q90 used to ride
+    // q89's row, making the §2 row count diverge from the oracle key
+    // count. Every oracle-gated operator now owns its row — a key
+    // claimed by zero rows is unshipped bookkeeping, by two rows an
+    // ambiguous checklist.
+    val rows = raw"- \[x\][^\n]*".r.findAllIn(sect2).toSeq
+    def claims(row: String): Set[String] =
+      raw"`([^`]+)`".r.findAllMatchIn(row).map(_.group(1)).toSet
+    val bad = SparkEntry.queries.keySet.toSeq.sorted.flatMap { k =>
+      val n = rows.count(r => claims(r).contains(k))
+      if (n == 1) None else Some(s"$k claimed by $n rows")
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("every oracleSql key is a queries key (orphan oracles are dead weight)") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(orphans.isEmpty, s"oracleSql keys without a query: ${orphans.toSeq.sorted.mkString(", ")}")

@@ -296,12 +296,30 @@ class IvfDriftSpec extends AnyFunSuite {
 
       // probes through the replayed index == one-shot build of the
       // same live state under the rotated model — the exact parity
-      // the pre-fence replay broke
+      // the pre-fence replay broke. The probe is driven through the
+      // STREAMING operator (AnnProbeStream, one micro-batch) so the
+      // crash window composes with the continuous query side too:
+      // the per-batch model re-read must pick up the rotated model.
       val finalState = base.filter(!wave).unionByName(drifted.filter(wave))
       val queries = drifted.filter(wave && $"vec_id" % 40 === 0)
         .select($"vec_id".as("query_id"), $"v".as("qv"))
-      val got = topkSets(
-        IvfChangelog.topK(spark, root, queries, modelDir, nprobe, k = 5))
+      implicit val ctx = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+      val gotBuf = scala.collection.mutable.Set.empty[(Long, Long)]
+      val probeQ = graft.streaming.AnnProbeStream.start(
+        in.toDF().toDF("query_id", "qv"), root, modelDir, nprobe, k = 5,
+        checkpointDir = Files.createTempDirectory("graft_rotreplay_probe").toString,
+        queryName = "rotreplay_probe") { (df, _) =>
+        val rows = df.select($"query_id", $"neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        gotBuf.synchronized { rows.foreach(gotBuf += _) }
+      }
+      val got = try {
+        in.addData(queries.as[(Long, Seq[Double])].collect().toSeq)
+        probeQ.processAllAvailable()
+        gotBuf.synchronized(gotBuf.toSet).groupBy(_._1)
+          .map { case (q, xs) => q -> xs.map(_._2).toSet }
+      } finally probeQ.stop()
       IvfIndex.build(finalState, rotated, refDir)
       val ref = topkSets(
         IvfIndex.topK(spark, refDir, queries, rotated, nprobe, k = 5))
