@@ -12,10 +12,13 @@ import graft.tools.MiniJson
   * inflated the pre-existing query set ~1.44x vs r12 (judge solo
   * reruns landed at r12 parity — the operators were fine, the sweep
   * artifact was not). Packs are memo/artifact self-contained (each
-  * family's train/build setup lines run inside its own child), so a
-  * per-family JVM reproduces the solo protocol while still emitting
-  * ONE combined compact line. The line carries `"proto":"family-jvm"`
-  * so future rounds compare like with like.
+  * family's train/build setup lines run inside its own child), and a
+  * family is further CHUNKED into ≤8-query JVMs — the family split
+  * alone left TextQ (34 lines + heavy memoized artifacts) self-
+  * crowding exactly like the whole-sweep JVM, while a ≤8-line JVM
+  * measures at the judge's solo floor. One combined compact line is
+  * still emitted; it carries `"proto":"family-jvm-c8"` so future
+  * rounds compare like with like.
   *
   * Modes (selected by env):
   *  - default                      → parent: fork one child per family,
@@ -55,10 +58,12 @@ object Bench {
       emit match {
         case Some(path) =>
           writeEmit(path, results)
+          stopQuietly()
           // errors surface through the TSV (parent aggregates); a
           // nonzero exit here would double-report
         case None =>
           report(results, proto = "single-jvm", famWall = Nil, sfDir = sfDir)
+          stopQuietly()
           if (results.exists(_._4.nonEmpty)) sys.exit(1)
       }
     }
@@ -87,18 +92,36 @@ object Bench {
     setupFamily.foreach { case (k, f) =>
       require(fams.exists(_._1 == f), s"bench: setup $k names unknown family $f")
     }
+    // CHUNKED children: a family is further split into ≤ CHUNK-query
+    // JVMs. The family JVM alone was not enough — TextQ (34 lines +
+    // its memoized vocab/BPE/bigram artifacts) self-crowded exactly
+    // like the r13 whole-sweep JVM (q58 4.5 s in the family child vs
+    // 1.7 s in a 7-line JVM, same code) — while a ≤8-line JVM measures
+    // at the solo floor. Setup lines ride the chunk that holds their
+    // first dependent query; later chunks rebuild the memo in their
+    // unmeasured warmup lap. Chunking multiplies the fixed per-child
+    // cost (JVM + session + generic warmups), which is why the chunk
+    // is 8 and not 1.
+    val chunkSize = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "8").toInt)
+    val units: Seq[(String, Seq[String])] = fams.flatMap { case (fam, keys) =>
+      val setups = setupFamily.collect { case (k, f) if f == fam => k }
+      val chunks = keys.grouped(chunkSize).toVector
+      chunks.zipWithIndex.map { case (ck, i) =>
+        val name = if (chunks.size == 1) fam else s"$fam-$i"
+        (name, if (i == 0) setups ++ ck else ck)
+      }
+    }
 
     val acc = Vector.newBuilder[Res]
     val famWall = Vector.newBuilder[(String, Double)]
     var spawnFailed: Option[String] = None
 
-    for ((fam, keys) <- fams if spawnFailed.isEmpty) {
-      val setups = setupFamily.collect { case (k, f) if f == fam => k }
+    for ((fam, unitKeys) <- units if spawnFailed.isEmpty) {
       val emitPath = logDir.resolve(s"$fam.tsv")
       java.nio.file.Files.deleteIfExists(emitPath)
       val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
       val pb = new ProcessBuilder(cmd)
-      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", (setups ++ keys).mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", unitKeys.mkString(","))
       pb.environment().put("SPARK_GRAFT_BENCH_EMIT", emitPath.toString)
       // child stdout+stderr go to a per-family log, NOT the parent's
       // stdout — the driver keeps only the last ~2k stdout chars and
@@ -133,6 +156,7 @@ object Bench {
         System.err.println(s"bench: child spawn failed ($why); falling back to single-JVM sweep")
         val results = sweep(sfDir, None)
         report(results, proto = "single-jvm-fallback", famWall = Nil, sfDir = sfDir)
+        stopQuietly()
         if (results.exists(_._4.nonEmpty)) sys.exit(1)
       case None =>
         // stable artifact order, matching r13's shape: setup lines
@@ -142,7 +166,8 @@ object Bench {
         val ordered =
           setupNames.flatMap(n => all.find(_._1 == n)) ++
             all.filterNot(r => setupNames.contains(r._1)).sortBy(_._1)
-        report(ordered, proto = "family-jvm", famWall = famWall.result(), sfDir = sfDir)
+        report(ordered, proto = s"family-jvm-c$chunkSize",
+          famWall = famWall.result(), sfDir = sfDir)
         if (ordered.exists(_._4.nonEmpty)) sys.exit(1)
     }
   }
@@ -188,9 +213,15 @@ object Bench {
 
     // Warm the JVM/codegen paths once so the first measured query isn't
     // charged for classloading (driver compares per-query numbers).
-    // Warmups are gated on the lines this JVM will actually measure —
-    // under the family-fork protocol a child must not pay (or pollute
-    // the block manager with) another family's warmup.
+    // The GENERIC warmups run UNCONDITIONALLY — in every family child
+    // and every solo run — because they are what brings a FRESH JVM
+    // to the steady state the per-query numbers are defined at: a
+    // gated first cut of the fork protocol skipped q18/q19 in
+    // non-CdcQ children and the whole TextQ family read 3-6x slow
+    // (q34 1.43 s MIN vs the 0.25 s it costs in a warm JVM — C2 for
+    // the shared parquet/codegen/Tungsten infrastructure is warmed by
+    // heavy full-scale queries, not by a query's own single warmup
+    // rep). Only the family-specific TOY model warmups stay gated.
     SparkEntry.entry(spark).count()
     // q18/q19 warm the json/Jackson/codegen stack AT THE BENCH SCALE:
     // the parse loop is JIT-bound (cold 7.3 s → 1.6 s by iteration 6 in
@@ -199,16 +230,33 @@ object Bench {
     // rounds with no code change. q19 rides a DIFFERENT generated
     // parser (debezium's nested before/after schema): r10 measured it
     // swinging 1.3 → 3.5 s when only q18 was warm.
-    if (included("q18_canal_parse"))
-      SparkEntry.queries("q18_canal_parse")(spark, sfDir).queryExecution.toRdd.count()
-    if (included("q19_debezium_parse"))
-      SparkEntry.queries("q19_debezium_parse")(spark, sfDir).queryExecution.toRdd.count()
+    SparkEntry.queries("q18_canal_parse")(spark, sfDir).queryExecution.toRdd.count()
+    SparkEntry.queries("q19_debezium_parse")(spark, sfDir).queryExecution.toRdd.count()
     // warm the k-means / shingle / CC kernel classes at toy scale so
     // the sf0.1 setup lines below measure the work, not JIT + classload
     if (included("q38_train")) queries.SimilarityQ.ivfModel(spark, "/root/testdata/sf0.001")
     if (included("q53_train")) queries.SimilarityQ.semdedupModel(spark, "/root/testdata/sf0.001")
     if (included("q41_clusters_build")) queries.DedupQ.ensureClusters(spark, "/root/testdata/sf0.001")
     CachePool.drain()
+    // Warmup LAPS: unmeasured passes over every line this JVM will
+    // measure, BEFORE any measurement starts. Per-line warmup reps
+    // alone leave each chunk's FIRST lines measured in a half-warm
+    // JVM (fork-protocol evidence: q67 1.04 s vs its 0.25 s warm
+    // cost, q73 1.88 vs 0.57 — shared-infra C2 warms CUMULATIVELY
+    // across queries, so early lines pay for everyone), and ONE lap
+    // still reads light lines ~0.4-0.6 s high: with lap+warmup+3
+    // reps the measured executions are iterations 3-5 of a JIT curve
+    // that flattens around 6 (ProfileQ evidence, STRESS.md). Three
+    // laps put the measured reps at iterations 5-7 — steady state.
+    // Errors are ignored here; the measured rep reports them.
+    val laps = sys.env.getOrElse("SPARK_GRAFT_BENCH_LAPS", "3").toInt
+    (1 to laps).foreach { _ =>
+      SparkEntry.queries.toSeq.filter(q => included(q._1)).sortBy(_._1).foreach { case (_, fn) =>
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); () }
+        catch { case _: Throwable => () }
+        CachePool.drain()
+      }
+    }
 
     // Median-of-REPS measurement (round-7): a single-shot number let
     // one descheduled executor thread poison a query's time for the
@@ -303,9 +351,18 @@ object Bench {
             warmups = 1)
         (name, med, min, err)
       }
-    spark.stop()
+    // deliberately NO spark.stop() here: the caller emits the results
+    // FIRST (a stop-side hang — shutdown-hook/block-manager deadlocks
+    // are a known Spark failure mode — must not discard a completed
+    // sweep: no TSV/JSON line means the family, or the round, records
+    // nothing). main() stops the session after reporting.
     results
   }
+
+  /** Best-effort session stop AFTER results are safely emitted. */
+  private def stopQuietly(): Unit =
+    try SparkSession.getActiveSession.foreach(_.stop())
+    catch { case e: Throwable => System.err.println(s"bench: spark.stop failed: $e") }
 
   // ------------------------------------------------------------------
   // Reporting: detail file + ONE compact stdout line.

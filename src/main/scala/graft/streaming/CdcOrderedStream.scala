@@ -87,11 +87,32 @@ object CdcOrderedStream {
   /** Delta-mode per-group bookkeeping (public for encoder codegen). */
   case class ListMeta(liveCnt: Long, maxVer: Long, deadCnt: Long)
   /** FIRST/LAST summary state (public for encoder codegen);
-    * `maxVer`/`deadCnt` drive tombstone-horizon compaction. */
+    * `maxVer`/`deadCnt` drive tombstone-horizon compaction.
+    * UPGRADE NOTE: these two fields were added in round 14 — a
+    * checkpoint written by the 5-field schema does not restore on
+    * this build under the default UnsafeRow state encoding (Spark's
+    * value-schema compatibility check rejects it); restart such a
+    * query from a fresh checkpoint, or run with the avro state
+    * encoding that supports schema evolution. */
   case class OrdSummary(cnt: Long, firstId: Long, firstValue: Long,
       lastId: Long, lastValue: Long, maxVer: Long = 0L, deadCnt: Long = 0L)
 
   private def opRank(op: String): Int = graft.operators.Cdc.opRank(op)
+
+  /** Drop dead slots whose ver sits at or below `maxVer − h`; returns
+    * how many were removed. ONE definition — the fence-expiry rule
+    * (the ≤-cutoff boundary and what counts as dead) must not drift
+    * between the ordered processors that share it. */
+  private def compactTombstones(slots: MapState[Long, OrdSlot],
+      maxVer: Long, h: Long): Long = {
+    val cutoff = maxVer - h
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    slots.iterator().foreach { case (id, sl) =>
+      if (!sl.live && sl.ver <= cutoff) doomed += id
+    }
+    doomed.foreach(slots.removeKey)
+    doomed.size.toLong
+  }
 
   /** Fold one micro-batch's rows into the slot map under the shared
     * last-writer-wins rule; returns (id → (old slot or null, new
@@ -177,15 +198,8 @@ object CdcOrderedStream {
         // compact when a full scan happened anyway, or dead slots
         // outnumber max(64, live) — each forced O(live+dead) pass is
         // paid once per O(dead) deletions, amortized O(1) per change
-        if (scan || s.deadCnt > math.max(64L, s.cnt)) {
-          val cutoff = s.maxVer - h
-          val doomed = scala.collection.mutable.ArrayBuffer.empty[Long]
-          slots.iterator().foreach { case (id, sl) =>
-            if (!sl.live && sl.ver <= cutoff) doomed += id
-          }
-          doomed.foreach(slots.removeKey)
-          s = s.copy(deadCnt = s.deadCnt - doomed.size)
-        }
+        if (scan || s.deadCnt > math.max(64L, s.cnt))
+          s = s.copy(deadCnt = s.deadCnt - compactTombstones(slots, s.maxVer, h))
       }
       summary.update(s)
       Iterator.single(OrdFirstLast(grp, s.cnt, s.firstId, s.firstValue, s.lastId, s.lastValue))
@@ -208,19 +222,18 @@ object CdcOrderedStream {
         timers: TimerValues): Iterator[OrdListAgg] = {
       foldSlots(slots, rows)
       // emission is the whole ordered list BY SEMANTICS — the collect
-      // and sort live inside that O(live) floor, and the tombstone
-      // compaction rides the same pass for free (maxVer over ALL
-      // slots is visible here, so no persistent maxVer is needed)
+      // and sort live inside that O(live) floor. The default
+      // (horizon-less) path tracks NOTHING extra: maxVer and the
+      // compaction pass exist only when the horizon is set (same
+      // O(live+dead) class as the scan they accompany).
       val live = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      val dead = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (id, ver)
+      val track = tombstoneVerHorizon.isDefined
       var maxVer = Long.MinValue
       slots.iterator().foreach { case (id, sl) =>
-        if (sl.ver > maxVer) maxVer = sl.ver
-        if (sl.live) live += ((id, sl.value)) else dead += ((id, sl.ver))
+        if (track && sl.ver > maxVer) maxVer = sl.ver
+        if (sl.live) live += ((id, sl.value))
       }
-      tombstoneVerHorizon.foreach { h =>
-        dead.foreach { case (id, ver) => if (ver <= maxVer - h) slots.removeKey(id) }
-      }
+      tombstoneVerHorizon.foreach { h => compactTombstones(slots, maxVer, h); () }
       val sorted = live.sortBy(_._1)
       Iterator.single(OrdListAgg(grp, sorted.size.toLong,
         sorted.iterator.map(_._2.toString).mkString(",")))
@@ -277,15 +290,8 @@ object CdcOrderedStream {
       // the FirstLast amortization only: forced when dead slots
       // outnumber max(64, live)
       tombstoneVerHorizon.foreach { h =>
-        if (m.deadCnt > math.max(64L, m.liveCnt)) {
-          val cutoff = m.maxVer - h
-          val doomed = scala.collection.mutable.ArrayBuffer.empty[Long]
-          slots.iterator().foreach { case (id, sl) =>
-            if (!sl.live && sl.ver <= cutoff) doomed += id
-          }
-          doomed.foreach(slots.removeKey)
-          m = m.copy(deadCnt = m.deadCnt - doomed.size)
-        }
+        if (m.deadCnt > math.max(64L, m.liveCnt))
+          m = m.copy(deadCnt = m.deadCnt - compactTombstones(slots, m.maxVer, h))
       }
       meta.update(m)
       out.iterator

@@ -338,7 +338,11 @@ object IvfChangelog {
       modelDir: String, nprobe: Int, k: Int,
       staticCellPushdown: Boolean = false): DataFrame = {
     val model = IvfIndex.load(spark, modelDir)
-    val p = IvfIndex.probeCells(queries, col("qv"), model, nprobe)
+    val p0 = IvfIndex.probeCells(queries, col("qv"), model, nprobe)
+    // the pushdown path reads the probe relation TWICE (cell-set
+    // collect + broadcast join side) — localCheckpoint materializes
+    // the query-vs-centroid scoring once instead of recomputing it
+    val p = if (staticCellPushdown) p0.localCheckpoint(true) else p0
     val wRes = Window.partitionBy(col("query_id"), col("vec_id"))
       .orderBy(col("ver").desc, col("del").asc)
     val wRank = Window.partitionBy(col("query_id"))

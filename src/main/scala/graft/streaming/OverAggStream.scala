@@ -192,7 +192,10 @@ object OverAggStream {
 
   /** Running-total accumulator state (public for encoder codegen);
     * `lastUs` is the key's newest decided event time — the idle clock
-    * the optional TTL measures against. */
+    * the optional TTL measures against. UPGRADE NOTE: `lastUs` was
+    * added in round 14 — a pre-upgrade checkpoint's 2-field schema
+    * does not restore under the default UnsafeRow state encoding;
+    * restart from a fresh checkpoint or use the avro encoding. */
   case class RunAcc(cnt: Long, cents: Long, lastUs: Long)
 
   /** UNBOUNDED-frame twin (Flink SQL `ROWS BETWEEN UNBOUNDED
