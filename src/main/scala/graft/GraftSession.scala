@@ -27,14 +27,6 @@ object GraftSession {
       // inside a table loader, so parquet typing never depends on
       // which table happened to load first
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Heavy-batch resilience (ScaleStress 100x sweep, STRESS row 53):
-      // a 621 s full-GC-heavy stage logged a transient executor
-      // heartbeat RpcTimeout under the 10 s default. These are the
-      // recommended settings applied as DEFAULTS rather than left as a
-      // doc note — a long GC pause must not read as a dead executor.
-      // Spark requires heartbeatInterval << network.timeout.
-      .config("spark.executor.heartbeatInterval", "60s")
-      .config("spark.network.timeout", "600s")
       // RocksDB state store: the production choice for large streaming
       // state, and required by transformWithState (column families —
       // the HDFS-backed provider cannot host StatefulProcessor state)
@@ -51,12 +43,30 @@ object GraftSession {
       // postings scan (verified by the compaction ScaleStress row)
       .config("spark.ui.enabled", "false")
 
-  /** Local session for tests/benchmarks. */
-  def local(appName: String = "graft", cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val spark = tuned(
+  /** Heavy-batch resilience profile (ScaleStress 100x sweep, STRESS
+    * row 53): a 621 s full-GC-heavy stage logged a transient executor
+    * heartbeat RpcTimeout under the 10 s default; relaxing the
+    * heartbeat keeps a long GC pause from reading as a dead executor.
+    * Applied ON TOP of [[tuned]] by the long-batch tools (Bench,
+    * ScaleStress, ScaleUpRun, ProfileQ) — deliberately NOT a base
+    * default: under these settings a genuinely dead executor goes
+    * undetected for up to 10 minutes, which is the wrong trade for
+    * latency-sensitive streaming jobs. Spark requires
+    * heartbeatInterval << network.timeout. */
+  def heavyBatch(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+
+  /** Local session for tests/benchmarks. `relaxedTimeouts` opts a
+    * long-batch tool into the [[heavyBatch]] profile. */
+  def local(appName: String = "graft", cores: Int = Runtime.getRuntime.availableProcessors(),
+      relaxedTimeouts: Boolean = false): SparkSession = {
+    var b = tuned(
       SparkSession.builder().master(s"local[$cores]").appName(appName),
       shufflePartitions = cores
-    ).getOrCreate()
+    )
+    if (relaxedTimeouts) b = heavyBatch(b)
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

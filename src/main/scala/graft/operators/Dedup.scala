@@ -131,6 +131,61 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact-duplicate collapse before pairwise verification — the
+    * MinHash-LSH spill fix (STRESS rows 56/57): docs with IDENTICAL
+    * shingle sets are interchangeable in every downstream step
+    * (MinHash is a pure function of the set, so they share every
+    * band, every candidate edge, and every Jaccard value), yet the
+    * verify join pays for each of them separately — and exact-dup
+    * CLIQUES square: 100 copies of a doc turn one candidate edge
+    * into 10⁴, and the per-pair shingle expansion that rides the
+    * verify shuffle (candidates × ~shingles rows, materialized as
+    * join output so no map-side combine can collapse it — unlike
+    * q25's postings fold) blows past local scratch. Collapsing each
+    * set to its min-id representative first runs LSH + verify on
+    * the DISTINCT sets only; [[expandExactPairs]] restores the full
+    * pair set afterwards, output-bound. Candidate bound unchanged —
+    * Σ bucket² over reps is strictly ≤ the uncollapsed bound. A
+    * corpus with no exact dups pays one extra shingle-set
+    * fingerprint aggregation; a real web corpus (or the 100×
+    * replicated gate) collapses orders of magnitude.
+    *
+    * Returns (id, rep): every doc with at least one shingle mapped
+    * to its group's min id. The fingerprint is the md5 of the
+    * SORTED shingle-key list — order-independent, 128-bit (no
+    * observable collision mass at any corpus size), and shingle
+    * sets are already capped upstream so the concat is bounded. */
+  def exactShingleGroups(hs: DataFrame): DataFrame = {
+    val fp = hs.groupBy(col("id"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(col("sh"))))).as("fp"))
+    fp.select(col("id"),
+      min(col("id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))).as("rep"))
+  }
+
+  /** Expand representative-level verified pairs back to the full doc
+    * pair set (the inverse of [[exactShingleGroups]]'s collapse):
+    *  - INTRA-group: every ordered pair inside one exact-dup group is
+    *    a Jaccard-1.0 near-dup (same set) — exactly what the
+    *    uncollapsed pipeline verifies them to;
+    *  - INTER-group: each verified rep pair fans out to all cross
+    *    pairs of the two groups, inheriting the reps' Jaccard (the
+    *    members' sets ARE the reps' sets), oriented id_a < id_b.
+    * Both steps are output-bound: no intermediate exceeds the final
+    * pair count. */
+  def expandExactPairs(repPairs: DataFrame, groups: DataFrame): DataFrame = {
+    val members = groups.select(col("rep"), col("id"))
+    val intra = members.toDF("rep", "id_a")
+      .join(members.toDF("rep", "id_b"), "rep")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    val inter = repPairs.toDF("rep_a", "rep_b", "jaccard")
+      .join(members.toDF("rep_a", "a"), "rep_a")
+      .join(members.toDF("rep_b", "b"), "rep_b")
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("jaccard"))
+    intra.unionByName(inter)
+  }
+
   /** Exact-Jaccard verification restricted to candidate pairs (the
     * LSH scale path: work is O(candidates·shingles), never O(n²)). */
   def verifyJaccard(candidates: DataFrame, hs: DataFrame, threshold: Double): DataFrame = {

@@ -181,9 +181,20 @@ object DedupQ extends QueryPack {
       val n = Tables.documentCount(s, d)
       val r = Adaptive.minhashRows(n)
       val hs = cappedShingles(s, d, n)
-      val sig = Dedup.minhashSignatures(hs, numHashes = r * Adaptive.minhashBands(r))
+      // exact-dup collapse → LSH + verify on the DISTINCT shingle
+      // sets only → output-bound expansion (Dedup.exactShingleGroups:
+      // identical sets share every band/candidate/Jaccard, so the
+      // collapsed pipeline's expansion equals the uncollapsed output
+      // exactly, while dup cliques stop squaring the verify shuffle —
+      // the STRESS row-56 disk ceiling). Signature params still
+      // derive from the FULL corpus count, matching the oracle.
+      // cached: groups feeds the rep filter, the intra expansion, and
+      // the inter expansion — three consumers of one aggregation
+      val groups = CachePool.cache(Dedup.exactShingleGroups(hs))
+      val repHs = hs.join(groups.filter(col("id") === col("rep")).select("id"), "id")
+      val sig = Dedup.minhashSignatures(repHs, numHashes = r * Adaptive.minhashBands(r))
       val cand = Dedup.lshCandidates(sig, rowsPerBand = r)
-      Dedup.verifyJaccard(cand, hs, 0.6)
+      Dedup.expandExactPairs(Dedup.verifyJaccard(cand, repHs, 0.6), groups)
     }),
 
     // Asymmetric near-superset detection: doc A with >= 90% of its

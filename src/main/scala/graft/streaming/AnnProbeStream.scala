@@ -40,18 +40,84 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object AnnProbeStream {
 
+  /** Per-batch recall telemetry: batch id, the recall estimate
+    * against the brute-forced sample, and the nprobe the batch's
+    * SINKED results were produced at. */
+  type Telemetry = (Long, Double, Int) => Unit
+
   /** Start the probe loop over a streaming `queries` relation with
-    * columns `query_id` (long) and `qv` (array&lt;double&gt;). */
+    * columns `query_id` (long) and `qv` (array&lt;double&gt;).
+    *
+    * RECALL TELEMETRY + ADAPTIVE NPROBE (opt-in via
+    * `recallSample > 0`): the spec-gated recall floor is invisible in
+    * production — an index drifting away from its trained centroids
+    * (ingest distribution shift between rotations) degrades recall
+    * silently, because the cell-pruned probe has no ground truth to
+    * compare against. With telemetry on, every batch brute-forces the
+    * EXACT top-k for a bounded sample of its queries (first
+    * `recallSample` by query id — deterministic under replay;
+    * cost O(sample · index) via [[IvfChangelog.bruteTopK]]) and
+    * estimates recall = |ANN ∩ exact| / |exact| over the sample. The
+    * estimate goes to `telemetry` alongside the batch id and the
+    * nprobe actually used. If the estimate dips below `recallFloor`,
+    * nprobe DOUBLES (capped at `maxNprobe`) and the batch re-probes
+    * before sinking — results never ship below the floor while
+    * headroom remains — and subsequent batches start at the escalated
+    * width. The escalation is driver-local, not checkpointed: a
+    * restart re-learns it within one batch (the estimate dips again,
+    * the probe re-escalates), which is self-correcting by
+    * construction. Escalation never de-escalates on its own — a
+    * ROTATION (retrain at a compact point) is the structural fix
+    * that restores the trained-cell geometry; reset `nprobe` by
+    * restarting the probe after one. */
   def start(queries: DataFrame, root: String, modelDir: String,
       nprobe: Int, k: Int, checkpointDir: String,
-      queryName: String = "ann_probe")
-      (sink: (DataFrame, Long) => Unit): StreamingQuery =
+      queryName: String = "ann_probe",
+      recallSample: Int = 0, recallFloor: Double = 0.0,
+      maxNprobe: Int = 0,
+      telemetry: Telemetry = (_, _, _) => ())
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(recallSample >= 0, s"recallSample must be >= 0: $recallSample")
+    val npCap = if (maxNprobe <= 0) nprobe else maxNprobe
+    require(npCap >= nprobe, s"maxNprobe ($maxNprobe) must be >= nprobe ($nprobe)")
+    val npCur = new java.util.concurrent.atomic.AtomicInteger(nprobe)
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(IvfChangelog.topK(batch.sparkSession, root, batch, modelDir, nprobe, k,
-          staticCellPushdown = true), id)
+        val spark = batch.sparkSession
+        if (recallSample == 0) {
+          sink(IvfChangelog.topK(spark, root, batch, modelDir, npCur.get(), k,
+            staticCellPushdown = true), id)
+        } else {
+          // the batch feeds the probe AND the sampled ground truth —
+          // materialize once
+          val b = batch.localCheckpoint(true)
+          val sample = b.orderBy("query_id").limit(recallSample).localCheckpoint(true)
+          val exact = IvfChangelog.bruteTopK(spark, root, sample, k)
+            .select("query_id", "neighbor_id").localCheckpoint(true)
+          val exactCnt = exact.count()
+          def estimate(res: DataFrame): Double =
+            if (exactCnt == 0L) 1.0
+            else res.join(sample.select("query_id"), "query_id")
+              .select("query_id", "neighbor_id")
+              .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+              .count().toDouble / exactCnt
+          var np = npCur.get()
+          var res = IvfChangelog.topK(spark, root, b, modelDir, np, k,
+            staticCellPushdown = true)
+          var est = estimate(res)
+          while (est < recallFloor && np < npCap) {
+            np = math.min(npCap, np * 2)
+            res = IvfChangelog.topK(spark, root, b, modelDir, np, k,
+              staticCellPushdown = true)
+            est = estimate(res)
+          }
+          npCur.set(np)
+          telemetry(id, est, np)
+          sink(res, id)
+        }
       }
       .start()
+  }
 }

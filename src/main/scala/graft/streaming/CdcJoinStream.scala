@@ -61,6 +61,24 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
   *     state map is never materialized on the heap, so memory stays
   *     O(touched pks + one row in flight) regardless of matches.
   *
+  * Tombstone retention: a dead left slot's job is to fence a LATE
+  * row about the same pk (an insert whose ver is older than the
+  * delete that killed it), so by default dead slots stay forever —
+  * under left-pk churn that is unbounded state growth. The optional
+  * `tombstoneVerHorizon = H` bounds it under the shared fence-expiry
+  * rule ([[Tombstones]]): it declares the LEFT source's disorder
+  * promise "no left row arrives with ver ≤ maxSeenLeftVer − H",
+  * under which a dead slot with ver ≤ maxLeftVer − H can never fence
+  * again and compacts away. The horizon lives in the LEFT version
+  * domain only (the two sources' version spaces are unrelated; the
+  * right side is ONE slot per key — no growth to bound). Compaction
+  * cost: the join has no eager per-batch full scan to ride, so the
+  * pass is forced only when dead slots outnumber max(64, live) —
+  * each O(live+dead) pass is paid once per O(dead) deletions,
+  * amortized O(1) per change (the [[CdcOrderedStream]] delta-mode
+  * amortization). A horizon the source does not honor makes the view
+  * approximate exactly the way Flink's state TTL does.
+  *
   * Modes (Flink's four dynamic-table join types), via `joinStream`'s
   * `mode` overload:
   *   - inner: pairs exist only while both sides are live.
@@ -97,15 +115,29 @@ object CdcJoinStream {
     * codegen. */
   case class PadMeta(liveCnt: Long, hiVer: Long)
 
+  /** Tombstone-horizon bookkeeping (exists only when
+    * `tombstoneVerHorizon` is set): live/dead slot counts under the
+    * key and the high-water ACCEPTED left slot ver — the compaction
+    * cutoff's reference point. Public for encoder codegen. */
+  case class TombMeta(liveCnt: Long, maxVer: Long, deadCnt: Long)
+
   // the shared changelog ordering rule — ONE definition
   private def opRank(op: String): Int = graft.operators.Cdc.opRank(op)
 
-  private class JoinProcessor(leftOuter: Boolean, rightOuter: Boolean, strictVer: Boolean)
+  /** State-schema version ([[StateSchemaVer]]): v2 = round 15
+    * (optional TombMeta added). Bump on any semantic change to the
+    * Slot/PadMeta/TombMeta encodings or the seq contract. */
+  private val SchemaV = 2
+
+  private class JoinProcessor(leftOuter: Boolean, rightOuter: Boolean, strictVer: Boolean,
+      tombstoneVerHorizon: Option[Long])
       extends StatefulProcessor[Long, JoinChange, JoinDelta] {
     @transient private var lrows: MapState[Long, Slot] = _
     @transient private var rrow: ValueState[Slot] = _
     @transient private var padMeta: ValueState[PadMeta] = _
     @transient private var seqSt: ValueState[Long] = _
+    @transient private var tombMeta: ValueState[TombMeta] = _
+    @transient private var schemaTag: ValueState[Int] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       lrows = getHandle.getMapState[Long, Slot]("lrows",
@@ -115,6 +147,9 @@ object CdcJoinStream {
         padMeta = getHandle.getValueState[PadMeta]("padMeta", Encoders.product[PadMeta], TTLConfig.NONE)
       if (strictVer)
         seqSt = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
+      if (tombstoneVerHorizon.isDefined)
+        tombMeta = getHandle.getValueState[TombMeta]("tombMeta", Encoders.product[TombMeta], TTLConfig.NONE)
+      schemaTag = StateSchemaVer.state(getHandle)
     }
 
     /** last-writer-wins under the shared changelog tie rule. */
@@ -154,6 +189,7 @@ object CdcJoinStream {
 
     override def handleInputRows(k: Long, rows: Iterator[JoinChange],
         timers: TimerValues): Iterator[JoinDelta] = {
+      StateSchemaVer.check(schemaTag, SchemaV, "cdcJoinStream")
       val rightIn = rrow.get()
       var right: Slot = rightIn
       // pk -> (slot at batch start | null, winning slot now); insertion
@@ -204,10 +240,36 @@ object CdcJoinStream {
       // persist only what this batch changed (a hot key's untouched
       // left rows must not be rewritten to the state store every time
       // its right side blinks); tombstones kept — they fence late
-      // lower-ver images. Persisting BEFORE the sweep below is safe:
+      // lower-ver images — until the optional horizon below proves a
+      // fence expired. Persisting BEFORE the sweep below is safe:
       // the sweep skips touched pks.
       touched.foreach { case (pk, (_, now)) => lrows.updateValue(pk, now) }
       if (right != null && (right ne rightIn)) rrow.update(right)
+
+      // tombstone-horizon compaction (see object doc): maintain the
+      // key's live/dead counts and high-water accepted LEFT ver from
+      // the transitions this batch already computed, and force the
+      // O(live+dead) removal pass only when dead slots outnumber
+      // max(64, live) — amortized O(1) per change. Eager removal is
+      // output-neutral: the sweep below skips dead slots, touchedOut
+      // reads the in-memory map. A pre-horizon checkpoint restores
+      // with empty TombMeta — counts rebuild from subsequent traffic
+      // and compaction stays off until maxVer re-establishes (safe:
+      // fences are only ever kept too long, never dropped early).
+      tombstoneVerHorizon.foreach { h =>
+        var m = Option(tombMeta.get()).getOrElse(TombMeta(0L, 0L, 0L))
+        touched.foreach { case (_, (orig, now)) =>
+          val wasLive = orig != null && orig.live
+          if (now.ver > m.maxVer) m = m.copy(maxVer = now.ver)
+          if (!now.live && (orig == null || wasLive)) m = m.copy(deadCnt = m.deadCnt + 1)
+          else if (now.live && orig != null && !wasLive) m = m.copy(deadCnt = m.deadCnt - 1)
+          if (now.live && !wasLive) m = m.copy(liveCnt = m.liveCnt + 1)
+          else if (!now.live && wasLive) m = m.copy(liveCnt = m.liveCnt - 1)
+        }
+        if (m.deadCnt > math.max(64L, m.liveCnt))
+          m = m.copy(deadCnt = m.deadCnt - Tombstones.compact(lrows, m.maxVer, h)(_.live, _.ver))
+        tombMeta.update(m)
+      }
 
       val touchedOut = touched.iterator.flatMap { case (pk, (orig, now)) =>
         diffTouched(k, pk, orig, now, preImg, postImg, right, stamp)
@@ -289,9 +351,18 @@ object CdcJoinStream {
     * a replayed batch re-stamps identically. In strict mode `ver` is
     * an opaque per-key ordering token, not a source-version hint;
     * Flink's cascaded joins make the same trade (StreamRecord order
-    * replaces any user-space version). */
+    * replaces any user-space version).
+    *
+    * `tombstoneVerHorizon` — the LEFT source's declared disorder
+    * bound (None = dead slots kept forever, the safe default); see
+    * the object doc's tombstone-retention paragraph. NOTE: in strict
+    * mode the emitted `ver` is the per-key sequence but the horizon
+    * still lives in the SOURCE left-ver domain (the fence compares
+    * source vers). */
   def joinStream(changes: Dataset[JoinChange], mode: String,
-      strictVer: Boolean = false): Dataset[JoinDelta] = {
+      strictVer: Boolean = false,
+      tombstoneVerHorizon: Option[Long] = None): Dataset[JoinDelta] = {
+    tombstoneVerHorizon.foreach(h => require(h > 0, s"tombstoneVerHorizon must be positive: $h"))
     import changes.sparkSession.implicits._
     val (lo, ro) = mode match {
       case "inner" => (false, false)
@@ -303,7 +374,8 @@ object CdcJoinStream {
     }
     changes
       .groupByKey(_.k)
-      .transformWithState(new JoinProcessor(lo, ro, strictVer), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new JoinProcessor(lo, ro, strictVer, tombstoneVerHorizon),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** CASCADE adapter — Flink SQL's `A ⋈ B ⋈ C` over changelogs is a

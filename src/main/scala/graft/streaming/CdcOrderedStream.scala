@@ -99,20 +99,21 @@ object CdcOrderedStream {
 
   private def opRank(op: String): Int = graft.operators.Cdc.opRank(op)
 
+  /** State-schema version ([[StateSchemaVer]]): v2 = the round-14
+    * shapes (7-field OrdSummary with maxVer/deadCnt; delta-mode
+    * ListMeta). Bump on any semantic change to OrdSlot/OrdSummary/
+    * ListMeta encodings. */
+  private val SchemaV = 2
+
   /** Drop dead slots whose ver sits at or below `maxVer − h`; returns
-    * how many were removed. ONE definition — the fence-expiry rule
-    * (the ≤-cutoff boundary and what counts as dead) must not drift
-    * between the ordered processors that share it. */
+    * how many were removed. Delegates to the ONE shared fence-expiry
+    * rule ([[Tombstones.compact]]) so the ≤-cutoff boundary and what
+    * counts as dead cannot drift between the tombstone-fenced
+    * processors (ordered aggregates here, [[CdcJoinStream]]'s join
+    * view, [[CdcTopNStream]]'s rank slots). */
   private def compactTombstones(slots: MapState[Long, OrdSlot],
-      maxVer: Long, h: Long): Long = {
-    val cutoff = maxVer - h
-    val doomed = scala.collection.mutable.ArrayBuffer.empty[Long]
-    slots.iterator().foreach { case (id, sl) =>
-      if (!sl.live && sl.ver <= cutoff) doomed += id
-    }
-    doomed.foreach(slots.removeKey)
-    doomed.size.toLong
-  }
+      maxVer: Long, h: Long): Long =
+    Tombstones.compact(slots, maxVer, h)(_.live, _.ver)
 
   /** Fold one micro-batch's rows into the slot map under the shared
     * last-writer-wins rule; returns (id → (old slot or null, new
@@ -136,16 +137,19 @@ object CdcOrderedStream {
       extends StatefulProcessor[String, OrdChange, OrdFirstLast] {
     @transient private var slots: MapState[Long, OrdSlot] = _
     @transient private var summary: ValueState[OrdSummary] = _
+    @transient private var schemaTag: ValueState[Int] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       slots = getHandle.getMapState[Long, OrdSlot]("slots",
         Encoders.scalaLong, Encoders.product[OrdSlot], TTLConfig.NONE)
       summary = getHandle.getValueState[OrdSummary]("summary",
         Encoders.product[OrdSummary], TTLConfig.NONE)
+      schemaTag = StateSchemaVer.state(getHandle)
     }
 
     override def handleInputRows(grp: String, rows: Iterator[OrdChange],
         timers: TimerValues): Iterator[OrdFirstLast] = {
+      StateSchemaVer.check(schemaTag, SchemaV, "cdcFirstLastStream")
       var s = if (summary.exists()) summary.get() else OrdSummary(0L, 0L, 0L, 0L, 0L)
       var scan = false // a boundary entity died — recompute by streaming the slots
       foldSlots(slots, rows).foreach { case (id, old, nw) =>
@@ -213,27 +217,41 @@ object CdcOrderedStream {
   private class ListAggProc(tombstoneVerHorizon: Option[Long])
       extends StatefulProcessor[String, OrdChange, OrdListAgg] {
     @transient private var slots: MapState[Long, OrdSlot] = _
+    @transient private var schemaTag: ValueState[Int] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       slots = getHandle.getMapState[Long, OrdSlot]("slots",
         Encoders.scalaLong, Encoders.product[OrdSlot], TTLConfig.NONE)
+      schemaTag = StateSchemaVer.state(getHandle)
+    }
 
     override def handleInputRows(grp: String, rows: Iterator[OrdChange],
         timers: TimerValues): Iterator[OrdListAgg] = {
+      StateSchemaVer.check(schemaTag, SchemaV, "cdcListAggStream")
       foldSlots(slots, rows)
       // emission is the whole ordered list BY SEMANTICS — the collect
       // and sort live inside that O(live) floor. The default
-      // (horizon-less) path tracks NOTHING extra: maxVer and the
-      // compaction pass exist only when the horizon is set (same
-      // O(live+dead) class as the scan they accompany).
+      // (horizon-less) path tracks NOTHING extra: maxVer, the dead
+      // bookkeeping, and the compaction pass exist only when the
+      // horizon is set (same O(live+dead) class as the scan they
+      // accompany).
       val live = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       val track = tombstoneVerHorizon.isDefined
       var maxVer = Long.MinValue
+      var minDeadVer = Long.MaxValue
       slots.iterator().foreach { case (id, sl) =>
-        if (track && sl.ver > maxVer) maxVer = sl.ver
+        if (track) {
+          if (sl.ver > maxVer) maxVer = sl.ver
+          if (!sl.live && sl.ver < minDeadVer) minDeadVer = sl.ver
+        }
         if (sl.live) live += ((id, sl.value))
       }
-      tombstoneVerHorizon.foreach { h => compactTombstones(slots, maxVer, h); () }
+      // removal pass only when the emission scan saw a dead slot at or
+      // below the cutoff — a churn-free group never re-iterates the
+      // map a second time just to find nothing to remove
+      tombstoneVerHorizon.foreach { h =>
+        if (minDeadVer <= maxVer - h) compactTombstones(slots, maxVer, h); ()
+      }
       val sorted = live.sortBy(_._1)
       Iterator.single(OrdListAgg(grp, sorted.size.toLong,
         sorted.iterator.map(_._2.toString).mkString(",")))
@@ -258,16 +276,19 @@ object CdcOrderedStream {
       extends StatefulProcessor[String, OrdChange, OrdListDelta] {
     @transient private var slots: MapState[Long, OrdSlot] = _
     @transient private var meta: ValueState[ListMeta] = _
+    @transient private var schemaTag: ValueState[Int] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       slots = getHandle.getMapState[Long, OrdSlot]("slots",
         Encoders.scalaLong, Encoders.product[OrdSlot], TTLConfig.NONE)
       meta = getHandle.getValueState[ListMeta]("meta",
         Encoders.product[ListMeta], TTLConfig.NONE)
+      schemaTag = StateSchemaVer.state(getHandle)
     }
 
     override def handleInputRows(grp: String, rows: Iterator[OrdChange],
         timers: TimerValues): Iterator[OrdListDelta] = {
+      StateSchemaVer.check(schemaTag, SchemaV, "cdcListAggDeltaStream")
       var m = if (meta.exists()) meta.get() else ListMeta(0L, 0L, 0L)
       val out = scala.collection.mutable.ArrayBuffer.empty[OrdListDelta]
       foldSlots(slots, rows).foreach { case (id, old, nw) =>
@@ -340,5 +361,81 @@ object CdcOrderedStream {
     changes.groupByKey(_.grp)
       .transformWithState(new ListAggDeltaProc(tombstoneVerHorizon),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  // --------------------------------------------------------------
+  // Delta-mode SINK composition: element changelog → upsert store →
+  // materialized full view. The fold law ("keep the last op per
+  // (grp, id); live elements joined in id order reproduce the full
+  // string") is easy to state and easy to hand-roll WRONG — this is
+  // the shipped composition, with the byte-parity spec pinning it
+  // against cdcListAggStream's republish mode.
+  // --------------------------------------------------------------
+
+  private val ElemSep = '\u0001'
+
+  /** foreachBatch sink: land each micro-batch of element deltas in
+    * [[graft.sinks.UpsertSink]] segments.
+    *
+    *  - `pk` must pack (grp, id) injectively into a Long — the
+    *    [[CdcJoinStream.cascade]] contract (the caller knows both key
+    *    spaces; e.g. `d.id` alone when ids are globally unique and
+    *    groups never move, `grpNo(d.grp) * K + d.id` otherwise). An
+    *    id-only pk under group moves folds the old group's -D against
+    *    the new group's +I and the element flickers dead.
+    *  - `ver` = the batch id: [[ListAggDeltaProc]] nets each element
+    *    to at most ONE transition per batch, and an in-place rewrite's
+    *    -U/+U pair shares the stamp resolved by op rank (the shared
+    *    CDC rule — and UpsertSink drops -U rows anyway, the
+    *    upsert-topic contract).
+    *  - the record value carries (grp, id, value) so the view fold
+    *    can recover them; grp must not contain the \\u0001 separator
+    *    (loud-rejected).
+    *
+    * Usage: `cdcListAggDeltaStream(changes).writeStream.foreachBatch(
+    * CdcOrderedStream.listAggDeltaSink(root, pk)).start()`, then
+    * [[readListAggView]] for the current full view (or
+    * `UpsertSink.compact(root)` on the store like any other upsert
+    * topic). */
+  def listAggDeltaSink(root: String, pk: OrdListDelta => Long)
+      : (Dataset[OrdListDelta], Long) => Unit = { (df, batchId) =>
+    import df.sparkSession.implicits._
+    val changes = df.map { d =>
+      if (d.grp.indexOf(ElemSep) >= 0) throw new IllegalArgumentException(
+        s"listAggDeltaSink: grp '${d.grp}' contains the \\u0001 record separator")
+      graft.sinks.UpsertSink.UpsertChange(d.op, pk(d),
+        s"${d.grp}$ElemSep${d.id}$ElemSep${d.value}", batchId)
+    }
+    graft.sinks.UpsertSink.writeBatch(changes, batchId, root)
+  }
+
+  /** Materialize the CURRENT full LISTAGG view from a
+    * [[listAggDeltaSink]] store: live elements per group, id-ordered,
+    * comma-joined — row-for-row equal to what [[cdcListAggStream]]'s
+    * republish mode would have emitted last for every group that
+    * still has live elements (byte parity pinned in CdcOrderedSpec;
+    * the republish mode's live_cnt=0 delete signals correspond to
+    * groups absent here, exactly like any upsert-topic consumer).
+    * One pk-shuffle read (UpsertSink.read) + one group fold. */
+  def readListAggView(spark: org.apache.spark.sql.SparkSession, root: String): Dataset[OrdListAgg] = {
+    import spark.implicits._
+    graft.sinks.UpsertSink.read(spark, root)
+      .select(org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("value"),
+        java.util.regex.Pattern.quote(ElemSep.toString)).as("parts"))
+      .select($"parts".getItem(0).as("grp"),
+        $"parts".getItem(1).cast("long").as("id"),
+        $"parts".getItem(2).cast("long").as("value"))
+      .groupBy($"grp")
+      .agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("live_cnt"),
+        org.apache.spark.sql.functions.concat_ws(",",
+          org.apache.spark.sql.functions.transform(
+            org.apache.spark.sql.functions.array_sort(
+              org.apache.spark.sql.functions.collect_list(
+                org.apache.spark.sql.functions.struct($"id", $"value"))),
+            e => e.getField("value").cast("string"))).as("live_list"))
+      .as[OrdListAgg]
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Continuous Top-N over a CHANGELOG — Flink SQL's retractable Top-N
@@ -87,6 +87,11 @@ object CdcTopNStream {
   /** Changelog row about entity `id` in group `grp`; `-U`/`-D` carry
     * the before-image score (standard CDC before-image routing). */
   case class RankChange(op: String, grp: String, id: Long, score: Double, ver: Long)
+  /** Event-time variant for the idle-TTL path ([[topNIdle]]): `ts`
+    * is the row's event time — the clock dormancy is measured on.
+    * The no-TTL paths ride the same processor with a null ts. */
+  case class RankChangeT(op: String, grp: String, id: Long, score: Double, ver: Long,
+      ts: java.sql.Timestamp)
   /** Membership delta of the maintained top-N view; a -D's `score`
     * is the entry-time image its +I carried. */
   case class RankDelta(op: String, grp: String, id: Long, score: Double)
@@ -96,11 +101,23 @@ object CdcTopNStream {
     * score image published by the entity's +I (meaningful for the
     * first N entries only). Public for encoder codegen. */
   case class RankEntry(id: Long, score: Double, entry: Double)
+  /** Tombstone-horizon bookkeeping (exists only when
+    * `tombstoneVerHorizon` is set): live/dead slot counts and the
+    * high-water accepted slot ver — the compaction cutoff's
+    * reference point. Public for encoder codegen. */
+  case class RankMeta(liveCnt: Long, maxVer: Long, deadCnt: Long)
 
   // the shared changelog ordering rule — ONE definition
   private def opRank(op: String): Int = graft.operators.Cdc.opRank(op)
 
-  private class Proc(n: Int, bufFactor: Int, mode: RankMode) extends StatefulProcessor[String, RankChange, RankDelta] {
+  /** State-schema version ([[StateSchemaVer]]): v2 = round 15
+    * (optional RankMeta added; idle timers). Bump on any semantic
+    * change to RankSlot/RankEntry/RankMeta encodings. */
+  private val SchemaV = 2
+
+  private class Proc(n: Int, bufFactor: Int, mode: RankMode,
+      tombstoneVerHorizon: Option[Long], idleTtlMs: Option[Long])
+      extends StatefulProcessor[String, RankChangeT, RankDelta] {
     /** Base (and floor) buffer capacity; the per-group cap grows
       * above it only when a boundary tie-run is observed wider than
       * the buffer (tie modes), and decays back when the boundary
@@ -110,6 +127,8 @@ object CdcTopNStream {
     @transient private var top: ListState[RankEntry] = _
     @transient private var exactState: ValueState[Boolean] = _
     @transient private var capState: ValueState[Int] = _
+    @transient private var metaState: ValueState[RankMeta] = _
+    @transient private var schemaTag: ValueState[Int] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       slots = getHandle.getMapState[Long, RankSlot]("slots",
@@ -120,6 +139,10 @@ object CdcTopNStream {
         Encoders.scalaBoolean, TTLConfig.NONE)
       capState = getHandle.getValueState[Int]("cap",
         Encoders.scalaInt, TTLConfig.NONE)
+      if (tombstoneVerHorizon.isDefined)
+        metaState = getHandle.getValueState[RankMeta]("tombMeta",
+          Encoders.product[RankMeta], TTLConfig.NONE)
+      schemaTag = StateSchemaVer.state(getHandle)
     }
 
     private def wins(cur: RankSlot, ver: Long, rank: Int): Boolean =
@@ -154,8 +177,9 @@ object CdcTopNStream {
         i
     }
 
-    override def handleInputRows(grp: String, rows: Iterator[RankChange],
+    override def handleInputRows(grp: String, rows: Iterator[RankChangeT],
         timers: TimerValues): Iterator[RankDelta] = {
+      StateSchemaVer.check(schemaTag, SchemaV, "cdcTopNStream")
       val buf = scala.collection.mutable.ArrayBuffer.empty[RankEntry]
       buf ++= top.get() // best-first invariant
       // exact = "the buffer holds EVERY live entity" (never trimmed
@@ -170,15 +194,43 @@ object CdcTopNStream {
       val prevIds = prevMembers.map(_.id).toSet
       val prevEntry = prevMembers.map(e => e.id -> e.entry).toMap
 
-      // fold the batch per id (point lookups only)
-      val touched = scala.collection.mutable.LinkedHashMap.empty[Long, RankSlot]
+      // tombstone-horizon bookkeeping (loaded only when the horizon
+      // is set; a pre-horizon checkpoint restores with empty counts
+      // that rebuild from traffic — safe: fences are only ever kept
+      // too long, never dropped early)
+      var m = if (tombstoneVerHorizon.isEmpty) null
+        else Option(metaState.get()).getOrElse(RankMeta(0L, 0L, 0L))
+
+      // fold the batch per id (point lookups only), keeping each id's
+      // batch-start slot so the horizon's live/dead transitions come
+      // free with the fold; the idle clock (max event time this
+      // batch) rides the same pass
+      var batchMaxTsMs = Long.MinValue
+      val touched = scala.collection.mutable.LinkedHashMap.empty[Long, (RankSlot, RankSlot)]
       rows.toSeq.sortBy(c => (c.ver, opRank(c.op))).foreach { c =>
         val rank = opRank(c.op)
-        val curSlot = touched.getOrElse(c.id, slots.getValue(c.id))
-        if (wins(curSlot, c.ver, rank))
-          touched(c.id) = RankSlot(c.ver, rank, c.score, live = rank == 1 || rank == 2)
+        if (c.ts != null && c.ts.getTime > batchMaxTsMs) batchMaxTsMs = c.ts.getTime
+        val prev = touched.get(c.id)
+        val curSlot = prev match {
+          case Some((_, now)) => now
+          case None => slots.getValue(c.id)
+        }
+        if (wins(curSlot, c.ver, rank)) {
+          val orig = prev match { case Some((o, _)) => o; case None => curSlot }
+          touched(c.id) = (orig, RankSlot(c.ver, rank, c.score, live = rank == 1 || rank == 2))
+        }
       }
-      touched.foreach { case (id, s) => slots.updateValue(id, s) }
+      touched.foreach { case (id, (orig, s)) =>
+        slots.updateValue(id, s)
+        if (m != null) {
+          val wasLive = orig != null && orig.live
+          if (s.ver > m.maxVer) m = m.copy(maxVer = s.ver)
+          if (!s.live && (orig == null || wasLive)) m = m.copy(deadCnt = m.deadCnt + 1)
+          else if (s.live && orig != null && !wasLive) m = m.copy(deadCnt = m.deadCnt - 1)
+          if (s.live && !wasLive) m = m.copy(liveCnt = m.liveCnt + 1)
+          else if (!s.live && wasLive) m = m.copy(liveCnt = m.liveCnt - 1)
+        }
+      }
 
       def insertSorted(id: Long, score: Double): Unit = {
         val at = buf.indexWhere(b => beats(score, id, b.score, b.id))
@@ -189,19 +241,28 @@ object CdcTopNStream {
 
       // O(live) streamed refill through a cap-entry accumulator —
       // O(cap) heap, never a materialized copy (the CdcJoinStream
-      // skew rule)
+      // skew rule). The horizon piggybacks this scan for free: expired
+      // dead slots are collected while streaming and removed after.
       def rebuild(): Unit = {
         buf.clear()
+        val doomed = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val cutoff = if (m != null) m.maxVer - tombstoneVerHorizon.get else Long.MinValue
         slots.iterator().foreach { case (id, s) =>
-          if (s.live && (buf.size < cap || beats(s.score, id, buf.last.score, buf.last.id)))
-            insertSorted(id, s.score)
+          if (s.live) {
+            if (buf.size < cap || beats(s.score, id, buf.last.score, buf.last.id))
+              insertSorted(id, s.score)
+          } else if (m != null && s.ver <= cutoff) doomed += id
+        }
+        if (doomed.nonEmpty) {
+          doomed.foreach(slots.removeKey)
+          m = m.copy(deadCnt = m.deadCnt - doomed.size)
         }
         isExact = buf.size < cap
       }
 
       // apply each touched id to the buffer under the invariant
       // "buf = exactly the best buf.size live entities"
-      touched.foreach { case (id, s) =>
+      touched.foreach { case (id, (_, s)) =>
         val at = buf.indexWhere(_.id == id)
         if (at >= 0) buf.remove(at)
         if (s.live) {
@@ -233,20 +294,42 @@ object CdcTopNStream {
         // boundary run wider than the buffer used to leave the
         // buffer ending exactly AT the cut — no runner-up margin —
         // so EVERY subsequent touched batch re-paid the O(live)
-        // scan until the run narrowed. Instead, measure the run
-        // (one streamed pass), grow the cap to hold the observed
-        // membership PLUS n runners-up — growth bounded by what the
-        // data actually demands, never speculative — and rebuild
-        // once at the new cap. The refilled buffer then proves
-        // membership with margin, so later kills amortize exactly
-        // like the RowNum case (STRESS `cdc_topn_widetie`).
+        // scan until the run narrowed. Instead, ONE more streamed
+        // pass gathers the boundary score's FULL tie-run plus the
+        // top-n entries below it: the rebuilt buffer already holds
+        // every live entity above the boundary (each outranks the
+        // boundary entry the trimmed buffer ends on), so
+        // prefix ++ run ++ below IS the best (above+run+below)
+        // set — identical to a rebuild at the grown cap, for two
+        // total scans instead of three (rebuild + count + rebuild).
+        // Growth stays bounded by what the data demands: observed
+        // membership + n runners-up (STRESS `cdc_topn_widetie`).
         if (!isExact && mode != RankMode.RowNum && buf.nonEmpty && memberCut(buf) == buf.size) {
           val sB = buf.last.score
-          var run = 0
-          slots.iterator().foreach { case (_, s) => if (s.live && s.score == sB) run += 1 }
-          val above = buf.count(_.score > sB)
-          cap = math.max(cap, above + run + n)
-          rebuild()
+          val prefix = buf.takeWhile(_.score > sB).toVector
+          val run = scala.collection.mutable.ArrayBuffer.empty[Long]
+          // n-entry insertion accumulator for the best below-boundary
+          // runners-up — O(n) heap on an O(live) stream
+          val below = scala.collection.mutable.ArrayBuffer.empty[RankEntry]
+          def insertBelow(id: Long, score: Double): Unit = {
+            val at = below.indexWhere(b => beats(score, id, b.score, b.id))
+            if (at < 0) below.append(RankEntry(id, score, score))
+            else below.insert(at, RankEntry(id, score, score))
+            if (below.size > n) below.remove(n, below.size - n)
+          }
+          var belowSeen = 0L
+          slots.iterator().foreach { case (id, s) =>
+            if (s.live) {
+              if (s.score == sB) run += id
+              else if (s.score < sB) { belowSeen += 1; insertBelow(id, s.score) }
+            }
+          }
+          cap = math.max(cap, prefix.size + run.size + n)
+          buf.clear()
+          buf ++= prefix
+          run.sorted.foreach(id => buf += RankEntry(id, sB, sB))
+          buf ++= below
+          isExact = belowSeen <= n && buf.size <= cap
         }
         // decay: a boundary that narrowed leaves an oversized cap
         // behind; shrink back toward the observed need (floor =
@@ -257,6 +340,38 @@ object CdcTopNStream {
         if (cap > 2 * needed) {
           cap = needed
           if (buf.size > cap) { buf.remove(cap, buf.size - cap); isExact = false }
+        }
+      }
+
+      // forced compaction pass (no rebuild happened to ride): when
+      // dead slots outnumber max(64, live), pay one O(live+dead)
+      // sweep — once per O(dead) deletions, amortized O(1) per change
+      if (m != null) {
+        if (m.deadCnt > math.max(64L, m.liveCnt))
+          m = m.copy(deadCnt = m.deadCnt -
+            Tombstones.compact(slots, m.maxVer, tombstoneVerHorizon.get)(_.live, _.ver))
+        metaState.update(m)
+      }
+
+      // idle-state TTL (Flink's table.exec.state.ttl analog, measured
+      // in EVENT time like the OVER family's — see [[topNIdle]]):
+      // advance the group's idle timer to lastSeen + ttl on every
+      // touch; never move it EARLIER (a straggler batch carrying old
+      // event times must not shorten an armed window). Expiry drops
+      // the WHOLE group state silently (no -D storm — the documented
+      // TTL approximation: downstream keeps its last view), and a
+      // later change re-opens the group empty, re-emitting +I for
+      // members the downstream materializer already holds (idempotent
+      // on (grp, id)).
+      idleTtlMs.foreach { ttl =>
+        if (batchMaxTsMs != Long.MinValue) {
+          val want = batchMaxTsMs + ttl + 1L
+          var prevMax = Long.MinValue
+          getHandle.listTimers().foreach(t => prevMax = math.max(prevMax, t.asInstanceOf[Long]))
+          if (want > prevMax) {
+            getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+            getHandle.registerTimer(want)
+          }
         }
       }
 
@@ -278,17 +393,40 @@ object CdcTopNStream {
     }
 
     override def handleExpiredTimer(key: String, timers: TimerValues,
-        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[RankDelta] =
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[RankDelta] = {
+      // idle expiry: the group sat untouched for idleTtl — drop ALL
+      // its state (slots, buffer, flags, horizon counts). Silent by
+      // design (Flink state TTL drops the same way); a straggler
+      // re-opens the group empty.
+      slots.clear()
+      top.clear()
+      exactState.clear()
+      capState.clear()
+      if (metaState != null) metaState.clear()
       Iterator.empty
+    }
   }
 
   /** Maintain each group's top `n` LIVE entities by score over a
     * changelog stream (see object doc for the contract). `bufFactor`
     * sizes the runner-up buffer (`bufFactor`·n entries): larger
     * amortizes more member-retraction rebuilds at `(bufFactor−1)·n`
-    * extra state rows per group. */
-  def topN(changes: Dataset[RankChange], n: Int, bufFactor: Int = 4): Dataset[RankDelta] =
-    topNMode(changes, n, RankMode.RowNum, bufFactor)
+    * extra state rows per group.
+    *
+    * `tombstoneVerHorizon` — the source's declared disorder bound
+    * (None = dead slots kept forever, the safe default): dead slots
+    * with ver ≤ maxSeenVer − H can provably never fence a late row
+    * again and compact away, riding the rebuild scans the operator
+    * already pays plus a forced pass only when dead slots outnumber
+    * max(64, live) — the [[Tombstones]] rule shared with
+    * [[CdcJoinStream]] and [[CdcOrderedStream]].
+    *
+    * Dormant-group retention: see [[topNIdle]] for the event-time
+    * idle-state TTL variant (this entry point keeps dormant groups
+    * forever, Flink's own `table.exec.state.ttl = 0` default). */
+  def topN(changes: Dataset[RankChange], n: Int, bufFactor: Int = 4,
+      tombstoneVerHorizon: Option[Long] = None): Dataset[RankDelta] =
+    topNMode(changes, n, RankMode.RowNum, bufFactor, tombstoneVerHorizon)
 
   /** Tie-including Top-N over a changelog — Flink SQL's `rank() <= n`
     * (`dense = false`) and `dense_rank() <= n` (`dense = true`) rank
@@ -302,16 +440,62 @@ object CdcTopNStream {
     * the slots, and a group stuck in that shape pays the O(live)
     * scan per TOUCHED batch until the boundary narrows. Boundary
     * tie-runs that fit the buffer (the common case) amortize exactly
-    * like RowNum. */
+    * like RowNum. `tombstoneVerHorizon` as on [[topN]]. */
   def topNRank(changes: Dataset[RankChange], n: Int, dense: Boolean = false,
-      bufFactor: Int = 4): Dataset[RankDelta] =
-    topNMode(changes, n, if (dense) RankMode.DenseTies else RankMode.RankTies, bufFactor)
+      bufFactor: Int = 4, tombstoneVerHorizon: Option[Long] = None): Dataset[RankDelta] =
+    topNMode(changes, n, if (dense) RankMode.DenseTies else RankMode.RankTies, bufFactor,
+      tombstoneVerHorizon)
 
   private def topNMode(changes: Dataset[RankChange], n: Int, mode: RankMode,
-      bufFactor: Int): Dataset[RankDelta] = {
+      bufFactor: Int, tombstoneVerHorizon: Option[Long]): Dataset[RankDelta] = {
     require(bufFactor >= 1, s"cdcTopNStream: bufFactor must be >= 1, got $bufFactor")
+    tombstoneVerHorizon.foreach(h => require(h > 0, s"tombstoneVerHorizon must be positive: $h"))
     import changes.sparkSession.implicits._
-    changes.groupByKey(_.grp)
-      .transformWithState(new Proc(n, bufFactor, mode), TimeMode.None(), OutputMode.Append())
+    changes.map(c => RankChangeT(c.op, c.grp, c.id, c.score, c.ver, null))
+      .groupByKey(_.grp)
+      .transformWithState(new Proc(n, bufFactor, mode, tombstoneVerHorizon, None),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Event-time idle-state TTL variant — Flink's
+    * `table.exec.state.ttl` analog for the changelog Top-N, measured
+    * in EVENT time exactly like the OVER family's `idleTtl`
+    * ([[OverAggStream.overRows]]): a group whose newest seen event
+    * time falls `idleTtl` behind the watermark drops ALL its state
+    * (slots + buffer + counters) silently; a straggler re-opens it
+    * empty and re-emits +I for the members it re-learns — the
+    * documented TTL approximation (downstream materializers are
+    * keyed on (grp, id), so re-inserts are idempotent). A dead
+    * dashboard group's N-entry buffer and live-entity slots no
+    * longer live forever.
+    *
+    * `changes` must carry the [[RankChange]] columns plus an
+    * event-time `ts` ALREADY watermarked (`withWatermark("ts", …)`)
+    * — the event-time processor loud-rejects an unwatermarked input.
+    * NOTE: event-time timers, not processing-time — the
+    * transformWithState processing-time mode re-triggers batches
+    * unconditionally (its `shouldRunAnotherBatch` is always true),
+    * which busy-spins a low-latency stream; the event-time clock
+    * fires on watermark advance only, the same trade the OVER
+    * family makes. */
+  def topNIdle(changes: DataFrame, n: Int, idleTtl: java.time.Duration,
+      mode: RankMode = RankMode.RowNum, bufFactor: Int = 4,
+      tombstoneVerHorizon: Option[Long] = None): Dataset[RankDelta] = {
+    require(bufFactor >= 1, s"cdcTopNStream: bufFactor must be >= 1, got $bufFactor")
+    require(!idleTtl.isNegative && !idleTtl.isZero, s"idleTtl must be positive: $idleTtl")
+    tombstoneVerHorizon.foreach(h => require(h > 0, s"tombstoneVerHorizon must be positive: $h"))
+    val s = changes.sparkSession
+    import s.implicits._
+    changes
+      .select(org.apache.spark.sql.functions.col("op"),
+        org.apache.spark.sql.functions.col("grp"),
+        org.apache.spark.sql.functions.col("id").cast("long"),
+        org.apache.spark.sql.functions.col("score").cast("double"),
+        org.apache.spark.sql.functions.col("ver").cast("long"),
+        org.apache.spark.sql.functions.col("ts"))
+      .as[RankChangeT]
+      .groupByKey(_.grp)
+      .transformWithState(new Proc(n, bufFactor, mode, tombstoneVerHorizon, Some(idleTtl.toMillis)),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -362,4 +362,28 @@ object IvfChangelog {
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
   }
+
+  /** EXACT top-k over the current visible index — no cell pruning,
+    * full-index candidate set, otherwise the same resolution (newest
+    * ver wins, live beats tombstone at equal ver, deleted drop) and
+    * cosine rank as [[topK]]. This is the recall GROUND TRUTH for
+    * [[AnnProbeStream]]'s per-batch telemetry: cost is
+    * O(|queries| · index), so call it on a BOUNDED probe sample only
+    * (the telemetry caps it at `recallSample` queries per batch). */
+  def bruteTopK(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val wRes = Window.partitionBy(col("query_id"), col("vec_id"))
+      .orderBy(col("ver").desc, col("del").asc)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    visible(spark, root)
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qv"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("__rn", row_number().over(wRes))
+      .filter(col("__rn") === 1 && !col("del"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        nanvl(VectorFunctions.cosine(col("qv"), col("v")), lit(-2.0)).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+  }
 }

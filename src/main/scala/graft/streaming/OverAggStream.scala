@@ -45,6 +45,12 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   */
 object OverAggStream {
 
+  /** State-schema version ([[StateSchemaVer]]): v2 = the round-14
+    * shapes (Held with `emitted`; 3-field RunAcc with `lastUs`;
+    * idle timers). Bump on any semantic change to the Held/RunAcc/
+    * LastImg encodings. */
+  private val SchemaV = 2
+
   case class OverEvent(key: Long, id: Long, us: Long, cents: Long, ts: Timestamp)
   /** Stored event; `emitted` fences re-decision across folds. */
   case class Held(id: Long, us: Long, cents: Long, emitted: Boolean)
@@ -60,9 +66,12 @@ object OverAggStream {
   private class OverProcessor(windowUs: Long)
       extends StatefulProcessor[Long, OverEvent, OverAgg] {
     @transient private var held: ListState[Held] = _
+    @transient private var schemaTag: org.apache.spark.sql.streaming.ValueState[Int] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       held = getHandle.getListState[Held]("held", Encoders.product[Held], TTLConfig.NONE)
+      schemaTag = StateSchemaVer.state(getHandle)
+    }
 
     private def fold(key: Long, events: Seq[Held], wmUs: Long): Iterator[OverAgg] = {
       // sort once; prefix sums make every frame lookup two binary
@@ -114,6 +123,7 @@ object OverAggStream {
 
     override def handleInputRows(key: Long, rows: Iterator[OverEvent],
         timers: TimerValues): Iterator[OverAgg] = {
+      StateSchemaVer.check(schemaTag, SchemaV, "overAgg")
       val incoming = rows.map(r => Held(r.id, r.us, r.cents, emitted = false)).toSeq
       fold(key, held.get().toSeq ++ incoming, timers.getCurrentWatermarkInMs() * 1000L)
     }
@@ -142,9 +152,12 @@ object OverAggStream {
   private class RowsProcessor(n: Int, idleTtlUs: Option[Long])
       extends StatefulProcessor[Long, OverEvent, OverAgg] {
     @transient private var held: ListState[Held] = _
+    @transient private var schemaTag: org.apache.spark.sql.streaming.ValueState[Int] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       held = getHandle.getListState[Held]("rheld", Encoders.product[Held], TTLConfig.NONE)
+      schemaTag = StateSchemaVer.state(getHandle)
+    }
 
     private def fold(key: Long, events: Seq[Held], wmUs: Long): Iterator[OverAgg] = {
       val sorted = events.sortBy(e => (e.us, e.id)).toArray
@@ -181,6 +194,7 @@ object OverAggStream {
 
     override def handleInputRows(key: Long, rows: Iterator[OverEvent],
         timers: TimerValues): Iterator[OverAgg] = {
+      StateSchemaVer.check(schemaTag, SchemaV, "overRows")
       val incoming = rows.map(r => Held(r.id, r.us, r.cents, emitted = false)).toSeq
       fold(key, held.get().toSeq ++ incoming, timers.getCurrentWatermarkInMs() * 1000L)
     }
@@ -216,10 +230,12 @@ object OverAggStream {
       extends StatefulProcessor[Long, OverEvent, OverAgg] {
     @transient private var pending: ListState[Held] = _
     @transient private var acc: org.apache.spark.sql.streaming.ValueState[RunAcc] = _
+    @transient private var schemaTag: org.apache.spark.sql.streaming.ValueState[Int] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       pending = getHandle.getListState[Held]("pending", Encoders.product[Held], TTLConfig.NONE)
       acc = getHandle.getValueState[RunAcc]("acc", Encoders.product[RunAcc], TTLConfig.NONE)
+      schemaTag = StateSchemaVer.state(getHandle)
     }
 
     private def fold(key: Long, events: Seq[Held], wmUs: Long): Iterator[OverAgg] = {
@@ -253,6 +269,7 @@ object OverAggStream {
 
     override def handleInputRows(key: Long, rows: Iterator[OverEvent],
         timers: TimerValues): Iterator[OverAgg] = {
+      StateSchemaVer.check(schemaTag, SchemaV, "overUnbounded")
       val incoming = rows.map(r => Held(r.id, r.us, r.cents, emitted = false)).toSeq
       fold(key, pending.get().toSeq ++ incoming, timers.getCurrentWatermarkInMs() * 1000L)
     }
@@ -281,10 +298,12 @@ object OverAggStream {
       extends StatefulProcessor[Long, OverEvent, OverLag] {
     @transient private var pending: ListState[Held] = _
     @transient private var last: org.apache.spark.sql.streaming.ValueState[LastImg] = _
+    @transient private var schemaTag: org.apache.spark.sql.streaming.ValueState[Int] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       pending = getHandle.getListState[Held]("lpending", Encoders.product[Held], TTLConfig.NONE)
       last = getHandle.getValueState[LastImg]("last", Encoders.product[LastImg], TTLConfig.NONE)
+      schemaTag = StateSchemaVer.state(getHandle)
     }
 
     private def fold(key: Long, events: Seq[Held], wmUs: Long): Iterator[OverLag] = {
@@ -318,6 +337,7 @@ object OverAggStream {
 
     override def handleInputRows(key: Long, rows: Iterator[OverEvent],
         timers: TimerValues): Iterator[OverLag] = {
+      StateSchemaVer.check(schemaTag, SchemaV, "overLag")
       val incoming = rows.map(r => Held(r.id, r.us, r.cents, emitted = false)).toSeq
       fold(key, pending.get().toSeq ++ incoming, timers.getCurrentWatermarkInMs() * 1000L)
     }

@@ -18,9 +18,9 @@ object ProfileQ {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString).toInt
-    val spark = GraftSession.tuned(
+    val spark = GraftSession.heavyBatch(GraftSession.tuned(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-profile"),
-      shufflePartitions = cpus).getOrCreate()
+      shufflePartitions = cpus)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (name == "q41_clusters_build") {
       // the one Bench SETUP line: not a queries entry — rebuild the

@@ -53,7 +53,7 @@ object ScaleStress {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local("graft-stress")
+    val spark = GraftSession.local("graft-stress", relaxedTimeouts = true)
     import spark.implicits._
 
     time("window_agg_20M_events") {

@@ -97,7 +97,7 @@ object ScaleUpRun {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local("graft-scaleup")
+    val spark = GraftSession.local("graft-scaleup", relaxedTimeouts = true)
     val src = sys.env.getOrElse("SCALEUP_SRC", "/root/testdata/sf0.1")
     val dst = sys.env.getOrElse("SCALEUP_DIR", "/tmp/graft_sf1")
     val copies = sys.env.getOrElse("SCALEUP_COPIES", "10").toInt

@@ -115,4 +115,60 @@ class AnnProbeSpec extends AnyFunSuite {
     } finally Seq(root, modelDir, ckpt).foreach(d =>
       graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(d)))
   }
+
+  test("stream_ann_probe recall telemetry: per-batch estimate on a drifted index, nprobe escalation restores the floor and sticks") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_annrec").toString
+    val modelDir = Files.createTempDirectory("graft_annrec_model").toString
+    val ckpt = Files.createTempDirectory("graft_annrec_ckpt").toString
+    try {
+      val e = graft.sources.Tables.embeddings(spark, sfDir)
+        .select($"vec_id", VectorFunctions.vec($"embedding").as("v"))
+      // DRIFTED index: centroids trained on HALF the corpus, ALL
+      // vectors ingested — the unseen half lands in ill-fitting
+      // cells, which is exactly the silent-degradation shape the
+      // telemetry exists to catch
+      val half = e.filter($"vec_id" % 2 === 0)
+      val cellBits = graft.operators.Adaptive.bits(
+        graft.sources.Tables.embeddingCount(spark, sfDir), targetBucket = 32, lo = 4, hi = 8)
+      val model = IvfIndex.train(half, cells = 1 << cellBits, iters = 8,
+        memoKey = s"$sfDir#annrec-drift")
+      IvfIndex.save(model, modelDir, spark)
+      IvfChangelog.sink(spark, root, modelDir, compactEvery = 0)(
+        e.withColumn("row_kind", lit("+I")), 0L)
+
+      val qs = e.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"), $"v".as("qv"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      val (qb1, qb2) = qs.partition(_._1 % 100 === 0)
+
+      val telem = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
+      val in = MemoryStream[(Long, Seq[Double])]
+      val q = AnnProbeStream.start(
+        in.toDF().toDF("query_id", "qv"), root, modelDir,
+        nprobe = 1, k = 5, checkpointDir = ckpt,
+        recallSample = 8, recallFloor = 0.9, maxNprobe = 1 << cellBits,
+        telemetry = (id, est, np) => telem.synchronized { telem += ((id, est, np)); () }) {
+        (df, _) => df.count(); ()
+      }
+      try {
+        in.addData(qb1); q.processAllAvailable()
+        in.addData(qb2); q.processAllAvailable()
+      } finally q.stop()
+      val t = telem.synchronized(telem.toVector).sortBy(_._1)
+      assert(t.size === 2, s"one telemetry line per batch: $t")
+      // batch 0: nprobe 1 on a drifted index sits under the floor →
+      // the probe escalates until the estimate clears it (full-width
+      // probing is exhaustive, so headroom always suffices here)
+      val (_, est0, np0) = t(0)
+      assert(np0 > 1, s"drifted index at nprobe=1 should have escalated: $t")
+      assert(est0 >= 0.9, s"sinked results must not ship below the floor with headroom left: $t")
+      // batch 1 STARTS at the escalated width — no re-learning
+      val (_, est1, np1) = t(1)
+      assert(np1 >= np0, s"escalation must stick across batches: $t")
+      assert(est1 >= 0.9, s"escalated width must hold the floor: $t")
+    } finally Seq(root, modelDir, ckpt).foreach(d =>
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(d)))
+  }
 }

@@ -638,4 +638,52 @@ class CdcJoinSpec extends AnyFunSuite {
       assert(got === Map("ANN" -> ((1L, 100L)), "bea" -> ((1L, 300L))))
     } finally q.stop()
   }
+
+  // Tombstone-horizon compaction: 70 left pks under one key die (vers
+  // 101..170, pushing maxLeftVer to 170) → deadCnt 70 > max(64, live 0)
+  // forces the compaction pass, which drops every tombstone with
+  // ver ≤ 170 − 5. Replaying pk 1's ORIGINAL insert (ver 2 — older
+  // than the ver-101 delete that killed it) then lands: the fence was
+  // compacted. The deliberate violation of the declared promise ("no
+  // left row arrives with ver ≤ maxVer − H") is the only way to
+  // OBSERVE the drop from outside. Without the horizon, the fence
+  // holds forever — the r14 verdict's unbounded-churn leak, now
+  // bounded on opt-in.
+  private def tombJoinBatches: Seq[Seq[JoinChange]] = Seq(
+    JoinChange("R", "+I", 1L, 1L, "dim", 1L) +:
+      (1 to 70).map(pk => JoinChange("L", "+I", 1L, pk.toLong, s"p$pk", pk.toLong)),
+    (1 to 70).map(pk => JoinChange("L", "-D", 1L, pk.toLong, s"p$pk", 100L + pk)),
+    // pk 1's tombstone (ver 101 ≤ 170−5) is compactable; pk 70's
+    // (ver 170, above the cutoff) must keep fencing either way
+    Seq(JoinChange("L", "+I", 1L, 1L, "late", 2L),
+      JoinChange("L", "+I", 1L, 70L, "late70", 70L)))
+
+  test("cdc_join: tombstone horizon compacts expired left fences under churn; default keeps rejecting the late image") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def drive(name: String, horizon: Option[Long]): Map[(java.lang.Long, Long), (String, String)] = {
+      val in = MemoryStream[JoinChange]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, JoinDelta)]
+      val q = CdcJoinStream.joinStream(in.toDS(), "inner", strictVer = false,
+          tombstoneVerHorizon = horizon)
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[JoinDelta], id: Long) =>
+          val rows = df.collect()
+          buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+        }
+        .queryName(name).start()
+      try {
+        tombJoinBatches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        materialize(buf.synchronized(buf.toVector))
+      } finally q.stop()
+    }
+    // horizon: pk 1's ver-101 tombstone compacted (101 ≤ 170 − 5), the
+    // late ver-2 original insert resurrects the pair; pk 70's ver-170
+    // tombstone sits ABOVE the cutoff and still fences its late image
+    val compacted = drive("cj_tomb_h", Some(5L))
+    assert(compacted === Map((java.lang.Long.valueOf(1L), 1L) -> (("late", "dim"))))
+    // safe default: every tombstone still rejects its late image
+    val fenced = drive("cj_tomb_none", None)
+    assert(fenced === Map.empty)
+  }
 }

@@ -334,6 +334,58 @@ class CdcOrderedSpec extends AnyFunSuite {
     assert(fenced("t") === OrdFirstLast("t", 0L, 0L, 0L, 0L, 0L))
   }
 
+  test("cdc_listagg delta SINK composition: deltas -> UpsertSink store -> readListAggView == the republish mode, byte for byte") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the q105-shaped dealt changelog from the replay test above,
+    // through the SHIPPED composition instead of a hand-rolled fold
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    def ev(kind: String, value: org.apache.spark.sql.Column,
+        grp: org.apache.spark.sql.Column, ver: Int) =
+      Seq(lit(kind).as("op"), grp.as("grp"), $"o_orderkey".as("id"),
+        value.as("value"), lit(ver.toLong).as("ver"))
+    val v0 = floor(round(($"o_totalprice" - 10) * 100).cast("long") / 1000000L)
+    val v1 = floor(round($"o_totalprice" * 100).cast("long") / 1000000L)
+    val grp1 = concat(lit("U-"), $"o_orderpriority")
+    val cl = o.select(ev("+I", v0, $"o_orderpriority", 1): _*)
+      .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("-U", v0, $"o_orderpriority", 2): _*))
+      .unionAll(o.filter($"o_orderstatus".isin("F", "P")).select(ev("+U", v1, grp1, 2): _*))
+      .unionAll(o.filter($"o_orderstatus" === "P").select(ev("-D", v1, grp1, 3): _*))
+      .as[OrdChange].collect().toSeq
+    CachePool.drain()
+    val batches = {
+      val shuffled = new scala.util.Random(45).shuffle(cl.toList)
+      (0 until 4).map(i => shuffled.zipWithIndex.collect { case (c, j) if j % 4 == i => c })
+    }
+    // injective (grp, id) -> Long packer: the groups are known here
+    // (the cascade contract — the CALLER knows its key spaces)
+    val grpNo = cl.map(_.grp).distinct.sorted.zipWithIndex.toMap
+    val root = java.nio.file.Files.createTempDirectory("graft_ld_sink").toString
+    val in = MemoryStream[OrdChange]
+    val q = CdcOrderedStream.cdcListAggDeltaStream(in.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch(CdcOrderedStream.listAggDeltaSink(root,
+        d => grpNo(d.grp).toLong * 100000000L + d.id))
+      .queryName("ld_sink").start()
+    try {
+      batches.foreach { b => if (b.nonEmpty) in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val folded = CdcOrderedStream.readListAggView(spark, root)
+      .collect().map(r => r.grp -> r).toMap
+    // a DIFFERENT deal through the republish mode — the store fold
+    // must be deal-independent too
+    val full = finalLA(runLA("ld_sink_full", {
+      val shuffled = new scala.util.Random(46).shuffle(cl.toList)
+      (0 until 4).map(i => shuffled.zipWithIndex.collect { case (c, j) if j % 4 == i => c })
+    })).filter(_._2.live_cnt > 0L)
+    assert(folded === full)
+    // and the store composes with the upsert store's own compaction
+    graft.sinks.UpsertSink.compact(spark, root)
+    val afterCompact = CdcOrderedStream.readListAggView(spark, root)
+      .collect().map(r => r.grp -> r).toMap
+    assert(afterCompact === full)
+  }
+
   test("cdc_listagg: tombstone horizon compacts on the per-batch scan; default keeps fences") {
     val batches = Seq(
       Seq(OrdChange("+I", "t", 1L, 10L, 1), OrdChange("+I", "t", 2L, 20L, 2)),

@@ -18,15 +18,16 @@ class CdcTopNSpec extends AnyFunSuite {
   import TestSpark._
 
   private def run(name: String, n: Int, batches: Seq[Seq[RankChange]],
-      bufFactor: Int = 4, mode: String = "rownum"): Seq[(Long, RankDelta)] = {
+      bufFactor: Int = 4, mode: String = "rownum",
+      horizon: Option[Long] = None): Seq[(Long, RankDelta)] = {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[RankChange]
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, RankDelta)]
     val ranked = mode match {
-      case "rownum" => CdcTopNStream.topN(in.toDS(), n, bufFactor)
-      case "rank"   => CdcTopNStream.topNRank(in.toDS(), n, dense = false, bufFactor)
-      case "dense"  => CdcTopNStream.topNRank(in.toDS(), n, dense = true, bufFactor)
+      case "rownum" => CdcTopNStream.topN(in.toDS(), n, bufFactor, horizon)
+      case "rank"   => CdcTopNStream.topNRank(in.toDS(), n, dense = false, bufFactor, horizon)
+      case "dense"  => CdcTopNStream.topNRank(in.toDS(), n, dense = true, bufFactor, horizon)
     }
     val q = ranked
       .writeStream.outputMode("append")
@@ -334,5 +335,95 @@ class CdcTopNSpec extends AnyFunSuite {
     val deltas1 = run("ctn_parity_b1", 3, batches, bufFactor = 1)
     assert(materialize(deltas1) === expected)
     assert(expected.values.map(_.size).sum >= 15, s"degenerate: $expected")
+  }
+
+  // Tombstone-horizon compaction, riding the rebuild scan: id 1 dies
+  // (ver 3), a later leader's death forces the underflow rebuild with
+  // maxVer already far past the horizon — the rebuild's streamed pass
+  // collects id 1's expired tombstone for free. Replaying id 1's
+  // ORIGINAL insert (ver 2, older than the delete that killed it)
+  // then lands; without the horizon the fence holds. (The deliberate
+  // promise violation is the only way to observe the drop.)
+  private val tombBatchesTopN = Seq(
+    Seq(RankChange("+I", "t", 1L, 10.0, 1), RankChange("+I", "t", 2L, 5.0, 2)),
+    Seq(RankChange("-D", "t", 1L, 10.0, 3)),   // leader dies → rebuild; maxVer 3
+    Seq(RankChange("+I", "t", 4L, 20.0, 20)),  // maxVer → 20
+    Seq(RankChange("-D", "t", 4L, 20.0, 21)),  // rebuild: id 1 (ver 3 ≤ 21−5) compacts
+    Seq(RankChange("+I", "t", 1L, 99.0, 2)))   // the late original insert
+
+  test("cdc_topn: tombstone horizon compacts expired fences on the rebuild scan; default keeps them") {
+    val compacted = run("ctn_tomb_h", 1, tombBatchesTopN, bufFactor = 1, horizon = Some(5L))
+    // fence gone → the late insert resurrects id 1, which outranks id 2
+    assert(materialize(compacted) === Map("t" -> Set(1L)))
+    wellFormed(compacted)
+    val fenced = run("ctn_tomb_none", 1, tombBatchesTopN, bufFactor = 1)
+    // safe default: the ver-3 tombstone still rejects the ver-2 insert
+    assert(materialize(fenced) === Map("t" -> Set(2L)))
+    wellFormed(fenced)
+  }
+
+  test("cdc_topn: tombstone horizon forced pass fires when dead slots outnumber max(64, live)") {
+    // 70 entities die with vers pushing maxVer to 170 — no rebuild is
+    // ever needed (the survivor keeps the buffer exact-provable), so
+    // only the forced dead≫live pass can compact. The late original
+    // insert of id 1 (ver 2 < its ver-101 tombstone) lands after it.
+    val batches = Seq(
+      (1 to 70).map(i => RankChange("+I", "t", i.toLong, i.toDouble, i.toLong)) :+
+        RankChange("+I", "t", 999L, 1000.0, 99L),
+      (1 to 70).map(i => RankChange("-D", "t", i.toLong, i.toDouble, 100L + i)),
+      Seq(RankChange("+I", "t", 1L, 2000.0, 2L)))
+    val compacted = run("ctn_tomb_forced", 1, batches, horizon = Some(5L))
+    assert(materialize(compacted) === Map("t" -> Set(1L)))
+    val fenced = run("ctn_tomb_forced_none", 1, batches)
+    assert(materialize(fenced) === Map("t" -> Set(999L)))
+  }
+
+  // Event-time idle TTL, the OverAggSpec pattern: group "a" fills its
+  // top-2 at ts 1000-1001 s, sentinel group "b" pushes the watermark
+  // far past lastSeen + ttl (wm = maxTs − 10 min), an extra sentinel
+  // batch lets the expired timer fire, then a LOW straggler row for
+  // "a" arrives — against live state it would not enter the top-2,
+  // against dropped state it is the group's only entity and must
+  // emit +I. ttl = 1 h: a expired at ~4601 s < wm 9400 s → dropped.
+  // ttl = 10 h: armed but never exceeded → survives.
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+  private val ttlBatches: Seq[Seq[(String, String, Long, Double, Long, java.sql.Timestamp)]] = Seq(
+    Seq(("+I", "a", 1L, 10.0, 1L, ts(1000)), ("+I", "a", 2L, 5.0, 1L, ts(1001))),
+    Seq(("+I", "b", 7L, 1.0, 1L, ts(10000))), // wm → 9400 s
+    Seq(("+I", "b", 8L, 1.0, 2L, ts(10001))), // a's expired timer fires here
+    Seq(("+I", "a", 3L, 0.5, 2L, ts(20000)))) // the straggler
+
+  private def runTtl(name: String, ttl: java.time.Duration): Seq[(Long, RankDelta)] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, String, Long, Double, Long, java.sql.Timestamp)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, RankDelta)]
+    val q = CdcTopNStream.topNIdle(
+        in.toDF().toDF("op", "grp", "id", "score", "ver", "ts")
+          .withWatermark("ts", "10 minutes"),
+        n = 2, idleTtl = ttl)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[RankDelta], id: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+      }
+      .queryName(name).start()
+    try {
+      ttlBatches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      buf.synchronized(buf.toVector)
+    } finally q.stop()
+  }
+
+  test("cdc_topn idle TTL (event-time): expiry drops the dormant group, a straggler re-opens it empty; armed-but-unexpired survives") {
+    val dropped = runTtl("ctn_ttl_drop", java.time.Duration.ofHours(1))
+    val aOps = dropped.collect { case (_, d) if d.grp == "a" => d }
+    // the resurrected group knows nothing of ids 1/2: id 3 enters
+    assert(aOps.exists(d => d.op == "+I" && d.id == 3L),
+      s"dropped state must re-open empty and admit id 3: $aOps")
+    // armed but unexpired: id 3 ranks below the live {1, 2}
+    val kept = runTtl("ctn_ttl_keep", java.time.Duration.ofHours(10))
+    val keptA = kept.collect { case (_, d) if d.grp == "a" => d }
+    assert(!keptA.exists(d => d.id == 3L), s"live state must reject id 3: $keptA")
+    assert(materialize(kept).getOrElse("a", Set.empty) === Set(1L, 2L))
   }
 }

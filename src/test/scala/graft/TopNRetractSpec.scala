@@ -98,4 +98,45 @@ class TopNRetractSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("topn retract idle TTL (event-time): expiry drops the dormant group, a straggler re-opens it empty; armed-but-unexpired survives") {
+    import spark.implicits._
+    import java.time.Duration
+    implicit val ctx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // the OverAggSpec TTL pattern: "a" fills its top-2 at ts
+    // 1000-1001 s, sentinel "b" rows push the watermark (maxTs − 10
+    // min) past lastSeen + ttl and let the timer fire, then a LOW
+    // straggler for "a" arrives — live state rejects it, dropped
+    // state re-opens empty and admits it
+    val batches: Seq[Seq[(String, Long, Double, java.sql.Timestamp)]] = Seq(
+      Seq(("a", 1L, 10.0, ts(1000)), ("a", 2L, 5.0, ts(1001))),
+      Seq(("b", 7L, 1.0, ts(10000))), // wm → 9400 s
+      Seq(("b", 8L, 1.0, ts(10001))), // a's expired timer fires here
+      Seq(("a", 3L, 0.5, ts(20000))))
+    def drive(name: String, ttl: Duration): Seq[(Long, TopNDelta)] = {
+      val in = MemoryStream[(String, Long, Double, java.sql.Timestamp)]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, TopNDelta)]
+      val q = TopNRetractStream.topNIdle(
+          in.toDF().toDF("grp", "id", "score", "ts").withWatermark("ts", "10 minutes"),
+          n = 2, idleTtl = ttl)
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[TopNDelta], id: Long) =>
+          val rows = df.collect()
+          buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+        }
+        .queryName(name).start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        buf.synchronized(buf.toVector)
+      } finally q.stop()
+    }
+    val dropped = drive("tnr_ttl_drop", Duration.ofHours(1))
+    assert(dropped.exists { case (_, d) => d.grp == "a" && d.op == "+I" && d.id == 3L },
+      s"dropped state must re-open empty and admit id 3: $dropped")
+    val kept = drive("tnr_ttl_keep", Duration.ofHours(10))
+    assert(!kept.exists { case (_, d) => d.id == 3L },
+      s"live state must reject id 3: $kept")
+    assert(materialize(kept).getOrElse("a", Set.empty) === Set(1L, 2L))
+  }
 }
