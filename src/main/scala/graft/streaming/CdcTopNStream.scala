@@ -347,6 +347,9 @@ object CdcTopNStream {
       // dead slots outnumber max(64, live), pay one O(live+dead)
       // sweep — once per O(dead) deletions, amortized O(1) per change
       if (m != null) {
+        if (sys.env.contains("GRAFT_TOMB_DEBUG"))
+          println(s"TOMB topn grp=$grp live=${m.liveCnt} dead=${m.deadCnt} maxVer=${m.maxVer} " +
+            s"forced=${m.deadCnt > math.max(64L, m.liveCnt)} scanNeeded=$scanNeeded")
         if (m.deadCnt > math.max(64L, m.liveCnt))
           m = m.copy(deadCnt = m.deadCnt -
             Tombstones.compact(slots, m.maxVer, tombstoneVerHorizon.get)(_.live, _.ver))

