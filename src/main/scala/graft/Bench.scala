@@ -42,7 +42,8 @@ object Bench {
   private val setupFamily: Seq[(String, String)] = Seq(
     "q38_train" -> "SimilarityQ",
     "q53_train" -> "SimilarityQ",
-    "q41_clusters_build" -> "DedupQ")
+    "q41_clusters_build" -> "DedupQ",
+    "q115_zorder_build" -> "MiscQ")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -248,6 +249,7 @@ object Bench {
     if (included("q38_train")) queries.SimilarityQ.ivfModel(spark, "/root/testdata/sf0.001")
     if (included("q53_train")) queries.SimilarityQ.semdedupModel(spark, "/root/testdata/sf0.001")
     if (included("q41_clusters_build")) queries.DedupQ.ensureClusters(spark, "/root/testdata/sf0.001")
+    if (included("q115_zorder_build")) queries.MiscQ.ensureZorder(spark, "/root/testdata/sf0.001")
     CachePool.drain()
     // Warmup LAPS: unmeasured passes over every line this JVM will
     // measure, BEFORE any measurement starts. Per-line warmup reps
@@ -345,7 +347,9 @@ object Bench {
       ("q53_train", () => { queries.SimilarityQ.semdedupModel(spark, sfDir); () },
         () => graft.operators.IvfIndex.clearMemo("#semdedup|")),
       ("q41_clusters_build", () => { queries.DedupQ.ensureClusters(spark, sfDir); () },
-        () => queries.DedupQ.invalidateClusters(spark, sfDir))
+        () => queries.DedupQ.invalidateClusters(spark, sfDir)),
+      ("q115_zorder_build", () => { queries.MiscQ.ensureZorder(spark, sfDir); () },
+        () => queries.MiscQ.invalidateZorder(spark, sfDir))
     )
     val setupResults = setups.filter(s => included(s._1)).map { case (name, fn, inval) =>
       val (med, min, err) = measure(fn, () => inval())

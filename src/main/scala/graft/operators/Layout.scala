@@ -47,6 +47,81 @@ object Layout {
       .option("parquet.block.size", blockBytes)
       .parquet(dst)
 
+  /** Z-order (Morton) cluster value over `keys` — MULTI-column
+    * data skipping where lexicographic clustering only serves the
+    * leading key.
+    *
+    * [[clusteredWrite]] on `(a, b)` sorts lexicographically: each row
+    * group covers a narrow `a` range but, within any `a` run, the
+    * FULL `b` domain — a predicate on `b` alone prunes nothing, so a
+    * 100 TB table clustered for one query pattern pays full scans for
+    * the other. Interleaving the keys' bits (bit `i` of the cell id
+    * alternates between the keys' bucket bits) makes any contiguous
+    * run of cell ids cover a ~square region of key space: every row
+    * group's min/max stats are narrow on EVERY key, and a filter on
+    * any subset of the keys prunes to ~selectivity^(1/k) of the
+    * groups instead of all of them. The price is that single-key
+    * pruning is shallower than a dedicated single-key layout — Z-order
+    * is the right call when more than one column is a common
+    * predicate, which is exactly the multi-tenant 100 TB lake case.
+    *
+    * Buckets are EQUI-DEPTH (per-key `approxQuantile` boundaries, a
+    * driver-side array of `2^bitsPerKey - 1` doubles per key), not
+    * equi-width: real key distributions are skewed (this corpus's
+    * `value` has median 35 of max 490) and equi-width grids would
+    * pack most rows into a few cells, voiding the locality the
+    * interleave exists to buy. The whole cell computation is one
+    * codegen'd Column expression — comparisons + shifts, no UDF —
+    * evaluated once per row at write time.
+    *
+    * Keys must be numeric-castable (timestamps: cast to long first).
+    */
+  def zorderValue(df: DataFrame, keys: Seq[String],
+      bitsPerKey: Int = 8): Column = {
+    require(keys.nonEmpty, "zorder: need at least one key")
+    require(bitsPerKey >= 1 && bitsPerKey <= 16, "zorder: bitsPerKey in [1,16]")
+    require(keys.size * bitsPerKey <= 62, "zorder: cell id must fit a long")
+    val q = 1 << bitsPerKey
+    val numeric = df.select(keys.map(k => col(k).cast("double").as(k)): _*)
+    // one pass over the table computes ALL keys' boundary arrays
+    // (Greenwald-Khanna sketch per column); eps = 1/(4q) keeps the
+    // bucket-population error well under one bucket width
+    val bounds: Array[Array[Double]] = numeric.stat.approxQuantile(
+      keys.toArray, (1 until q).map(_.toDouble / q).toArray, 0.25 / q)
+    val buckets: Seq[Column] = keys.zip(bounds).map { case (k, bs) =>
+      // duplicate boundaries (low-cardinality or heavily skewed keys)
+      // collapse: fewer distinct buckets, still monotone in the key
+      bs.distinct.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(k).cast("double") > lit(b), 1).otherwise(0)
+      }
+    }
+    // interleave: bit b of key i lands at position b*k + i, so a
+    // contiguous cell-id interval spans ~equal extent in every key
+    val terms = for {
+      b <- 0 until bitsPerKey
+      (bucket, i) <- buckets.zipWithIndex
+    } yield shiftleft(
+      shiftright(bucket.cast("long"), b).bitwiseAND(lit(1L)), b * keys.size + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` Z-order-clustered on `keys`: rows are range-
+    * partitioned and sorted by the interleaved cell id, then the
+    * helper column is dropped — the at-rest schema is unchanged, the
+    * pruning comes entirely from the original columns' now-narrow
+    * row-group min/max stats. Same write cost as [[clusteredWrite]]
+    * (one range Exchange + local sort) plus the one quantile pass. */
+  def zorderWrite(df: DataFrame, dst: String, keys: Seq[String],
+      files: Int, bitsPerKey: Int = 8,
+      blockBytes: Long = 128L << 20): Unit =
+    df.withColumn("__graft_z", zorderValue(df, keys, bitsPerKey))
+      .repartitionByRange(files, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", blockBytes)
+      .parquet(dst)
+
   /** Bin-pack the parquet files under `src` into ~`targetBytes`
     * outputs at `dst`, re-clustered on `keys` (compaction must not
     * forfeit the layout — a plain `coalesce` would interleave key
@@ -62,6 +137,24 @@ object Layout {
     val bytes = fs.getContentSummary(p).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     clusteredWrite(spark.read.parquet(src), dst, keys, files, blockBytes)
+    files
+  }
+
+  /** [[compactFiles]] for a Z-ordered table: bin-pack the accreted
+    * small files into ~`targetBytes` outputs re-clustered on the
+    * interleaved cell id (a key-ordered compaction would silently
+    * downgrade the layout to lexicographic and lose trailing-key
+    * pruning; plain coalesce would lose everything). Quantile
+    * boundaries are re-derived from the compacted data, so the grid
+    * tracks distribution drift across ingest epochs. */
+  def compactFilesZ(spark: SparkSession, src: String, dst: String,
+      keys: Seq[String], targetBytes: Long, bitsPerKey: Int = 8,
+      blockBytes: Long = 128L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    zorderWrite(spark.read.parquet(src), dst, keys, files, bitsPerKey, blockBytes)
     files
   }
 

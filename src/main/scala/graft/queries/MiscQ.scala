@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
@@ -17,6 +18,49 @@ import graft.sources.Tables
   * reproducible and oracle-checkable.
   */
 object MiscQ extends QueryPack {
+
+  private val zMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerCleanup(root: java.nio.file.Path): Unit =
+    if (cleanupRegistered.add(root.toString))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.tools.FileUtil.deleteTree(root)))
+
+  /** Build the Z-order-clustered events artifact for `d` once per
+    * session: events rewritten via [[graft.operators.Layout.zorderWrite]]
+    * on (user_id, value), file count derived from measured input bytes
+    * (~128 MiB targets, so the artifact stays right-sized from sf0.001
+    * to 100 TB). One-time indexing cost — Bench times it under its own
+    * `q115_zorder_build` line (the q38_train / q41_clusters_build
+    * split); q115 then measures the PROBE against the at-rest layout,
+    * which is the recurring cost a lake user actually pays. */
+  def ensureZorder(s: SparkSession, d: String): String =
+    zMemo.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val appRoot = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-artifacts",
+        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_"))
+      registerCleanup(appRoot)
+      val dir = appRoot.resolve("zorder-" + dirKey).toString
+      val src = Tables.events(s, d)
+      val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = math.max(1, math.ceil(
+        fs.getContentSummary(p).getLength.toDouble / (128L << 20)).toInt)
+      graft.operators.Layout.zorderWrite(src, dir,
+        Seq("user_id", "value"), files)
+      dir
+    })
+
+  /** Bench-only: forget + delete the artifact so `q115_zorder_build`
+    * reps each pay the full quantile + range-write chain. */
+  def invalidateZorder(s: SparkSession, d: String): Unit = {
+    val dir = zMemo.remove((s.sparkContext.applicationId, d))
+    if (dir != null) graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
 
   def defs: Map[String, Q] = Map(
     "q23_datagen" -> ((s, _) => {
@@ -66,6 +110,22 @@ object MiscQ extends QueryPack {
         .select($"event_id", $"rule_id")
     }),
 
+    // Z-order layout probe (round 15): the SAME rows as a plain
+    // events filter — the oracle pins result identity through the
+    // rewrite — but served from the Z-order-clustered at-rest copy,
+    // where a predicate on value (the TRAILING cluster key, which a
+    // lexicographic (user_id, value) layout cannot prune on at all)
+    // reads only the row groups whose interleaved cell range overlaps
+    // the value slab. LayoutSpec measures the pruning from the scan
+    // node's own metrics; this line measures the probe cost a lake
+    // user pays per query once the layout is amortized.
+    "q115_zorder_scan" -> ((s, d) => {
+      import s.implicits._
+      s.read.parquet(ensureZorder(s, d))
+        .filter($"value".between(42.0, 58.0))
+        .select($"event_id", $"user_id", $"event_type", $"value")
+    }),
+
     "q36_multimodal_meta" -> ((s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d).select(
@@ -79,6 +139,14 @@ object MiscQ extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // The layout rewrite must not change a row: the oracle is the
+    // same filter on the ORIGINAL table. `value` passes through both
+    // engines unmodified (no arithmetic), so the stored doubles
+    // compare and hash identically.
+    "q115_zorder_scan" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE value BETWEEN 42.0 AND 58.0""".stripMargin,
+
     "q83_rule_match" ->
       """WITH rules AS (
         |  SELECT DISTINCT event_type,

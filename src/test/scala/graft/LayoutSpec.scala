@@ -49,6 +49,61 @@ class LayoutSpec extends AnyFunSuite {
     } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("z-order layout prunes on the trailing key where lexicographic clustering cannot") {
+    val dir = Files.createTempDirectory("graft_layout_z").toString
+    try {
+      // two independent scattered dims (both multipliers coprime to n,
+      // so each is a permutation and (x, y) fills the grid uniformly)
+      val xy = spark.range(n).select(
+        (col("id") * 48271L % n).as("x"),
+        (col("id") * 52361L % n).as("y"),
+        (col("id") % 97).as("payload"))
+      Layout.clusteredWrite(xy, s"$dir/lex", Seq("x", "y"),
+        files = 8, blockBytes = 64 * 1024)
+      Layout.zorderWrite(xy, s"$dir/z", Seq("x", "y"),
+        files = 8, bitsPerKey = 8, blockBytes = 64 * 1024)
+
+      // trailing-key slab: every lexicographic x-run spans the full y
+      // domain, so min/max stats on y prune NOTHING; the interleaved
+      // layout keeps each row group to a narrow y extent
+      def slab(path: String) =
+        spark.read.parquet(path).filter(col("y") >= 1000L && col("y") < 2000L)
+      val (resLex, scanLex) = Layout.scanRows(slab(s"$dir/lex"))
+      val (resZ, scanZ) = Layout.scanRows(slab(s"$dir/z"))
+      assert(resLex === 1000L && resZ === 1000L) // same answer both layouts
+      assert(slab(s"$dir/z").queryExecution.executedPlan.toString
+        .contains("PushedFilters"))
+      assert(scanLex > n / 2, s"lex layout unexpectedly pruned on trailing key: $scanLex of $n")
+      assert(scanZ < n / 4, s"z-order failed to prune on trailing key: $scanZ of $n")
+      assert(scanZ < scanLex / 3, s"pruning ratio too weak: $scanZ vs $scanLex")
+
+      // box on BOTH keys: the z layout localizes to the few cells the
+      // box overlaps — deeper than either single-key slab
+      val box = spark.read.parquet(s"$dir/z")
+        .filter(col("x") >= 1000L && col("x") < 2000L &&
+                col("y") >= 1000L && col("y") < 2000L)
+      val (resBox, scanBox) = Layout.scanRows(box)
+      assert(resBox === xy.filter(col("x") >= 1000L && col("x") < 2000L &&
+        col("y") >= 1000L && col("y") < 2000L).count())
+      assert(scanBox < n / 10, s"z-order failed to prune the box: $scanBox of $n")
+
+      // maintenance half: bin-packing the z layout must KEEP the
+      // interleaved clustering (a key-ordered or coalesce compaction
+      // would forfeit trailing-key pruning)
+      Layout.zorderWrite(xy, s"$dir/zsmall", Seq("x", "y"),
+        files = 64, bitsPerKey = 8, blockBytes = 64 * 1024)
+      val pz = new org.apache.hadoop.fs.Path(s"$dir/zsmall")
+      val fsz = pz.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val zbytes = fsz.getContentSummary(pz).getLength
+      Layout.compactFilesZ(spark, s"$dir/zsmall", s"$dir/zcompact",
+        Seq("x", "y"), targetBytes = zbytes / 4, blockBytes = 64 * 1024)
+      assert(spark.read.parquet(s"$dir/zcompact").count() === n)
+      val (resC, scanC) = Layout.scanRows(slab(s"$dir/zcompact"))
+      assert(resC === 1000L)
+      assert(scanC < n / 4, s"compacted z layout lost trailing-key pruning: $scanC of $n")
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("compactFiles bin-packs small files to measured target size and keeps the clustering") {
     val dir = Files.createTempDirectory("graft_layout_c").toString
     try {

@@ -360,4 +360,23 @@ class PlanSpec extends AnyFunSuite {
     // formatted mode tags fused operators with a codegen id)
     assert(pf.contains("codegen id"), pf)
   }
+
+  test("q115: the layout rewrite changes no row, and the value bounds reach the artifact scan") {
+    import org.apache.spark.sql.functions.col
+    // rewrite identity — the oracle's exact claim, pinned Spark-side
+    // too: the z-ordered copy filtered on value equals the same filter
+    // on the original table, row for row
+    val viaLayout = SparkEntry.queries("q115_zorder_scan")(spark, sfDir)
+    val direct = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("value").between(42.0, 58.0))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    assert(viaLayout.exceptAll(direct).isEmpty && direct.exceptAll(viaLayout).isEmpty,
+      "z-order rewrite changed the row multiset")
+    // both value bounds pushed to the parquet reader — the pruning
+    // (row-group stats narrowed by the interleave) hinges on it
+    val pf = viaLayout.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(pf.contains("GreaterThanOrEqual(value,42.0"), pf)
+    assert(pf.contains("LessThanOrEqual(value,58.0"), pf)
+  }
 }
