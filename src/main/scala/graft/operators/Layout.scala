@@ -70,14 +70,30 @@ object Layout {
     * equi-width: real key distributions are skewed (this corpus's
     * `value` has median 35 of max 490) and equi-width grids would
     * pack most rows into a few cells, voiding the locality the
-    * interleave exists to buy. The whole cell computation is one
-    * codegen'd Column expression — comparisons + shifts, no UDF —
-    * evaluated once per row at write time.
+    * interleave exists to buy. The per-key quantizer is a native
+    * codegen'd binary-search expression
+    * ([[graft.functions.EquiDepthBucket]], O(log buckets) per row, no
+    * UDF); the interleave is plain shifts — the whole cell computation
+    * stays inside whole-stage codegen.
     *
     * Keys must be numeric-castable (timestamps: cast to long first).
     */
   def zorderValue(df: DataFrame, keys: Seq[String],
       bitsPerKey: Int = 8): Column = {
+    val buckets = bucketExprs(df, keys, bitsPerKey)
+    interleave(buckets, bitsPerKey, keys.size)
+  }
+
+  /** Per-key equi-depth bucket-id expressions — ONE native
+    * [[graft.functions.EquiDepthBucket]] node per key (binary search
+    * over the driver-side boundary array, codegen'd). The obvious
+    * when-chain spelling (sum of 2^bits comparisons per key) was
+    * measured at ~60 µs/row: the giant tree both bloats Catalyst's
+    * rule-driven analysis (depth- AND node-linear) and falls out of
+    * whole-stage codegen into interpreted eval — the exact failure
+    * mode the SURVEY §4 native-kernel tier exists for. */
+  private def bucketExprs(df: DataFrame, keys: Seq[String],
+      bitsPerKey: Int): Seq[Column] = {
     require(keys.nonEmpty, "zorder: need at least one key")
     require(bitsPerKey >= 1 && bitsPerKey <= 16, "zorder: bitsPerKey in [1,16]")
     require(keys.size * bitsPerKey <= 62, "zorder: cell id must fit a long")
@@ -88,39 +104,57 @@ object Layout {
     // bucket-population error well under one bucket width
     val bounds: Array[Array[Double]] = numeric.stat.approxQuantile(
       keys.toArray, (1 until q).map(_.toDouble / q).toArray, 0.25 / q)
-    val buckets: Seq[Column] = keys.zip(bounds).map { case (k, bs) =>
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    keys.zip(bounds).map { case (k, bs) =>
       // duplicate boundaries (low-cardinality or heavily skewed keys)
       // collapse: fewer distinct buckets, still monotone in the key
-      bs.distinct.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(col(k).cast("double") > lit(b), 1).otherwise(0)
-      }
+      ColumnBridge.column(graft.functions.EquiDepthBucket(
+        ColumnBridge.expression(col(k).cast("double")), bs.distinct))
     }
-    // interleave: bit b of key i lands at position b*k + i, so a
-    // contiguous cell-id interval spans ~equal extent in every key
+  }
+
+  /** Interleave: bit b of key i lands at position b*k + i, so a
+    * contiguous cell-id interval spans ~equal extent in every key. */
+  private def interleave(buckets: Seq[Column], bitsPerKey: Int,
+      nKeys: Int): Column = {
     val terms = for {
       b <- 0 until bitsPerKey
       (bucket, i) <- buckets.zipWithIndex
     } yield shiftleft(
-      shiftright(bucket.cast("long"), b).bitwiseAND(lit(1L)), b * keys.size + i)
+      shiftright(bucket.cast("long"), b).bitwiseAND(lit(1L)), b * nKeys + i)
     terms.reduce(_.bitwiseOR(_))
   }
 
   /** Write `df` Z-order-clustered on `keys`: rows are range-
     * partitioned and sorted by the interleaved cell id, then the
-    * helper column is dropped — the at-rest schema is unchanged, the
-    * pruning comes entirely from the original columns' now-narrow
+    * helper columns are dropped — the at-rest schema is unchanged,
+    * the pruning comes entirely from the original columns' now-narrow
     * row-group min/max stats. Same write cost as [[clusteredWrite]]
-    * (one range Exchange + local sort) plus the one quantile pass. */
+    * (one range Exchange + local sort) plus the one quantile pass.
+    *
+    * The bucket ids are STAGED as their own projection columns rather
+    * than inlined into the cell expression: the interleave reads each
+    * bucket `bitsPerKey` times, and staging guarantees one binary
+    * search per key per row regardless of whether the executing plan
+    * gets subexpression elimination (CollapseProject keeps
+    * multiply-referenced non-trivial aliases staged). */
   def zorderWrite(df: DataFrame, dst: String, keys: Seq[String],
       files: Int, bitsPerKey: Int = 8,
-      blockBytes: Long = 128L << 20): Unit =
-    df.withColumn("__graft_z", zorderValue(df, keys, bitsPerKey))
+      blockBytes: Long = 128L << 20): Unit = {
+    val buckets = bucketExprs(df, keys, bitsPerKey)
+    val bNames = keys.indices.map(i => s"__graft_zb$i")
+    val staged = df.select(
+      (df.columns.map(col).toSeq ++ bNames.zip(buckets).map { case (n, c) => c.as(n) }): _*)
+    staged
+      .withColumn("__graft_z",
+        interleave(bNames.map(col), bitsPerKey, keys.size))
       .repartitionByRange(files, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
-      .drop("__graft_z")
+      .drop(bNames :+ "__graft_z": _*)
       .write.mode("overwrite")
       .option("parquet.block.size", blockBytes)
       .parquet(dst)
+  }
 
   /** Bin-pack the parquet files under `src` into ~`targetBytes`
     * outputs at `dst`, re-clustered on `keys` (compaction must not

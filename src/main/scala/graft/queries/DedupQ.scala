@@ -82,15 +82,6 @@ object DedupQ extends QueryPack {
   private val ccMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
-  /** Delete the per-application artifact root at JVM exit so bench /
-    * verify / test runs stop leaving orphaned cluster tables in
-    * java.io.tmpdir. Registered once per root. */
-  private val cleanupRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def registerCleanup(root: java.nio.file.Path): Unit =
-    if (cleanupRegistered.add(root.toString))
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        graft.tools.FileUtil.deleteTree(root)))
-
   /** Build the near-dup cluster artifact for `d` if this session has
     * not yet: the full shingle → Jaccard-pair → connected-components
     * chain runs once, and [[Dedup.clustersAtRest]] writes
@@ -109,16 +100,7 @@ object DedupQ extends QueryPack {
 
   def ensureClusters(s: SparkSession, d: String): String =
     ccMemo.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
-      // md5 of the full data dir, not String.hashCode: a 32-bit
-      // collision between two dirs in one application would silently
-      // overwrite the first memo entry's clusters
-      val dirKey = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val appRoot = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-artifacts",
-        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_"))
-      registerCleanup(appRoot)
-      val dir = appRoot.resolve("clusters-" + dirKey).toString
+      val dir = graft.tools.SessionArtifacts.dirFor(s, "clusters", d)
       val pairs = Dedup.jaccardPairsHashed(
         cappedShingles(s, d, Tables.documentCount(s, d)), 0.6)
       Dedup.clustersAtRest(Dedup.connectedComponents(pairs), dir)

@@ -21,12 +21,6 @@ object MiscQ extends QueryPack {
 
   private val zMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
-  private val cleanupRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def registerCleanup(root: java.nio.file.Path): Unit =
-    if (cleanupRegistered.add(root.toString))
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        graft.tools.FileUtil.deleteTree(root)))
 
   /** Build the Z-order-clustered events artifact for `d` once per
     * session: events rewritten via [[graft.operators.Layout.zorderWrite]]
@@ -38,13 +32,7 @@ object MiscQ extends QueryPack {
     * which is the recurring cost a lake user actually pays. */
   def ensureZorder(s: SparkSession, d: String): String =
     zMemo.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
-      val dirKey = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val appRoot = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-artifacts",
-        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_"))
-      registerCleanup(appRoot)
-      val dir = appRoot.resolve("zorder-" + dirKey).toString
+      val dir = graft.tools.SessionArtifacts.dirFor(s, "zorder", d)
       val src = Tables.events(s, d)
       val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
