@@ -118,6 +118,49 @@ object ScaleStress {
         .count()
     }
 
+    // Z-order layout at 100× LayoutSpec's corpus (q115's mechanism at
+    // scale): 20M rows over two independent scattered permutations,
+    // both layouts written with 4 MiB row groups (the pruning granule
+    // — at 100 TB the same granule is the default 128 MiB; what must
+    // hold is groups ≈ cells alignment, which is scale-free in ROWS
+    // PER GROUP, not in corpus size). Gates in-harness: identical
+    // slab answer from both layouts; lex reads ≳ the whole table on
+    // the trailing key while z reads < 1/4 of it and < lex/3.
+    if (only.forall("zorder_layout_20M".contains)) {
+      val zn = 20L * 1000 * 1000
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_z").toString
+      try {
+        val xy = spark.range(zn).select(
+          ($"id" * 48271L % zn).as("x"),
+          ($"id" * 52361L % zn).as("y"),
+          pmod($"id", lit(97)).as("payload"))
+        time("zorder_layout_20M_lex_write") {
+          graft.operators.Layout.clusteredWrite(xy, s"$dir/lex", Seq("x", "y"),
+            files = 32, blockBytes = 4L << 20); zn
+        }
+        time("zorder_layout_20M_z_write") {
+          graft.operators.Layout.zorderWrite(xy, s"$dir/z", Seq("x", "y"),
+            files = 32, bitsPerKey = 8, blockBytes = 4L << 20); zn
+        }
+        // 0.5%-selective slab on the TRAILING key
+        def slab(p: String) = spark.read.parquet(p)
+          .filter($"y" >= zn / 200 && $"y" < zn / 200 + zn / 200)
+        var lexScan = 0L
+        time("zorder_layout_20M_lex_trailing_slab") {
+          val (res, sc) = graft.operators.Layout.scanRows(slab(s"$dir/lex"))
+          require(res == zn / 200, s"lex slab answer $res != ${zn / 200}")
+          lexScan = sc; sc
+        }
+        time("zorder_layout_20M_z_trailing_slab") {
+          val (res, sc) = graft.operators.Layout.scanRows(slab(s"$dir/z"))
+          require(res == zn / 200, s"z slab answer $res != ${zn / 200}")
+          require(sc < zn / 4, s"z layout failed to prune at 20M: scanned $sc of $zn")
+          require(sc < lexScan / 3, s"pruning ratio too weak at 20M: $sc vs $lexScan")
+          sc
+        }
+      } finally FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+    }
+
     // Adaptive q30 shape at two corpus sizes: bits-per-table derive
     // from n (Adaptive.bits(n, 32, 4, 16)), so candidates PER QUERY
     // must stay ~flat as the corpus quadruples — the linear-growth
