@@ -43,7 +43,8 @@ object Bench {
     "q38_train" -> "SimilarityQ",
     "q53_train" -> "SimilarityQ",
     "q41_clusters_build" -> "DedupQ",
-    "q115_zorder_build" -> "MiscQ")
+    "q115_zorder_build" -> "MiscQ",
+    "q116_manifest_build" -> "MiscQ")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -250,6 +251,7 @@ object Bench {
     if (included("q53_train")) queries.SimilarityQ.semdedupModel(spark, "/root/testdata/sf0.001")
     if (included("q41_clusters_build")) queries.DedupQ.ensureClusters(spark, "/root/testdata/sf0.001")
     if (included("q115_zorder_build")) queries.MiscQ.ensureZorder(spark, "/root/testdata/sf0.001")
+    if (included("q116_manifest_build")) queries.MiscQ.ensureManifest(spark, "/root/testdata/sf0.001")
     CachePool.drain()
     // Warmup LAPS: unmeasured passes over every line this JVM will
     // measure, BEFORE any measurement starts. Per-line warmup reps
@@ -349,7 +351,9 @@ object Bench {
       ("q41_clusters_build", () => { queries.DedupQ.ensureClusters(spark, sfDir); () },
         () => queries.DedupQ.invalidateClusters(spark, sfDir)),
       ("q115_zorder_build", () => { queries.MiscQ.ensureZorder(spark, sfDir); () },
-        () => queries.MiscQ.invalidateZorder(spark, sfDir))
+        () => queries.MiscQ.invalidateZorder(spark, sfDir)),
+      ("q116_manifest_build", () => { queries.MiscQ.ensureManifest(spark, sfDir); () },
+        () => queries.MiscQ.invalidateManifest(spark, sfDir))
     )
     val setupResults = setups.filter(s => included(s._1)).map { case (name, fn, inval) =>
       val (med, min, err) = measure(fn, () => inval())

@@ -63,8 +63,10 @@ object Bloom {
 
   /** Probe-index column for hash function `i` of geometry `m`. Both
     * sides feed `i` as an INT column so xxhash64 sees identical input
-    * bytes on build and probe. */
-  private def probeCol(i: Column, key: Column, m: Int): Column =
+    * bytes on build and probe. Public because [[Manifest]] reuses the
+    * exact build/probe pair for its per-FILE blooms — one hashing
+    * contract, not two copies that could drift. */
+  def probeCol(i: Column, key: Column, m: Int): Column =
     pmod(xxhash64(i, key), lit(m.toLong))
   private def probe(i: Int, key: Column, m: Int): Column =
     probeCol(lit(i), key, m)

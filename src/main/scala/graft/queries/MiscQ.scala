@@ -50,6 +50,45 @@ object MiscQ extends QueryPack {
     if (dir != null) graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  private val mMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** The event_ids q116 probes — present at every sf (event_id domain
+    * is 0..N-1 with N ≥ 1000 from sf0.001 up), plus one absent id so
+    * the bloom's certainty-of-absence path is exercised in the same
+    * query the oracle checks. */
+  val ProbeIds: Seq[Long] = Seq(3L, 131L, 459L, 700L, 888L, -5L)
+
+  /** Build the manifest-indexed events artifact for `d` once per
+    * session: events VALUE-clustered ([[graft.operators.Layout.clusteredWrite]]),
+    * then a [[graft.operators.Manifest]] with zone maps on `value`
+    * and a per-file Bloom on `event_id`. The file count takes
+    * max(16, measured bytes / 128 MiB): at real scale measured bytes
+    * dominates; at toy scale the floor keeps enough files for the
+    * manifest's pruning granule (the FILE) to exist at all. Bloom
+    * pruning is exactly the case zone maps cannot serve: event_id is
+    * uncorrelated with the value clustering, so every file's id
+    * range spans the domain. */
+  def ensureManifest(s: SparkSession, d: String): String =
+    mMemo.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
+      val dir = graft.tools.SessionArtifacts.dirFor(s, "manifest", d)
+      val src = Tables.events(s, d)
+      val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = math.max(16, math.ceil(
+        fs.getContentSummary(p).getLength.toDouble / (128L << 20)).toInt)
+      graft.operators.Layout.clusteredWrite(src, dir, Seq("value"), files)
+      graft.operators.Manifest.write(s, dir, Seq("value"), Some("event_id"))
+      dir
+    })
+
+  /** Bench-only: forget + delete so `q116_manifest_build` reps pay
+    * the full cluster-write + two manifest passes. */
+  def invalidateManifest(s: SparkSession, d: String): Unit = {
+    val dir = mMemo.remove((s.sparkContext.applicationId, d))
+    if (dir != null) graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   def defs: Map[String, Q] = Map(
     "q23_datagen" -> ((s, _) => {
       import s.implicits._
@@ -114,6 +153,23 @@ object MiscQ extends QueryPack {
         .select($"event_id", $"user_id", $"event_type", $"value")
     }),
 
+    // File-skipping point lookup (round 15): the SAME rows as a plain
+    // `event_id IN (…)` filter — the oracle pins result identity —
+    // but served through the at-rest manifest, where the per-file
+    // Bloom on event_id prunes the FILE LIST before any parquet
+    // footer is read. This is the lookup shape zone maps (and q115's
+    // clustering) cannot help: the probe key is uncorrelated with the
+    // layout, so every file's id min/max spans the domain and only
+    // certainty-of-absence skips files. The residual isin filter
+    // keeps exactness (bloom FPs contribute files, never rows).
+    "q116_bloom_skip" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.Manifest
+        .prunedRead(s, ensureManifest(s, d), bloomAnyOf = ProbeIds)
+        .filter($"event_id".isin(ProbeIds: _*))
+        .select($"event_id", $"user_id", $"event_type", $"value")
+    }),
+
     "q36_multimodal_meta" -> ((s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d).select(
@@ -134,6 +190,13 @@ object MiscQ extends QueryPack {
     "q115_zorder_scan" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE value BETWEEN 42.0 AND 58.0""".stripMargin,
+
+    // The manifest path must not change a row: the oracle is the same
+    // IN-filter on the ORIGINAL table (the -5 probe matches nothing
+    // in either engine — it exists to drive the bloom's absence path).
+    "q116_bloom_skip" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id IN (3, 131, 459, 700, 888, -5)""".stripMargin,
 
     "q83_rule_match" ->
       """WITH rules AS (

@@ -278,6 +278,47 @@ object TextQ extends QueryPack {
         .filter($"rn" <= 25)
     }),
 
+    // Token-budget mixture sampling (round 15): uniform-TOKEN source
+    // mixing — every source contributes the same token MASS (the
+    // min-source total), selected as the md5-ordered prefix of each
+    // source's docs up to the budget, a doc admitted iff its FIRST
+    // token lands below the cut (q77's boundary rule — exact integer
+    // semantics both engines). q43 rebalances by doc-hash RATE
+    // (correct in expectation); this is the exact-quota variant a
+    // training-mixture spec pins ("40 B tokens of source X"), still
+    // deterministic and RNG-free so replays and engines agree.
+    //
+    // Scale: the naive spelling is sum() OVER (PARTITION BY source
+    // ORDER BY h) — one window partition PER SOURCE, i.e. a multi-TB
+    // single-task sort at 100 TB with mixture-sized source counts.
+    // Instead ONE global Prefix.cumsum in (source, h, doc_id) order
+    // (distributed two-phase scan, parallel in P), then each row
+    // subtracts its source's START offset: because source is the
+    // LEADING ord key, per-source cumulative == global cumulative −
+    // (sum of all tokens of sources sorting before it) — an S-row
+    // (source-cardinality) driver-side exclusive prefix broadcast
+    // back, the same shape as Prefix's own P-row offset fold.
+    "q117_token_budget" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source", TF.tokenCount($"text").cast("long").as("n_tokens"))
+        .withColumn("h", md5($"doc_id".cast("string")))
+      val cum = graft.operators.Prefix.cumsum(docs,
+        ord = Seq($"source", $"h", $"doc_id"), value = $"n_tokens")
+      val perSrc = docs.groupBy($"source").agg(sum($"n_tokens").as("tok"))
+      val budget = Tables.memoizedLong(s, s"$d#q117-budget")(
+        perSrc.agg(min($"tok")).as[Long].head())
+      val totals = perSrc.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1)
+      var acc = 0L
+      val offs = totals.map { case (src, t) => val o = acc; acc += t; (src, o) }
+      val offDf = broadcast(offs.toSeq.toDF("source", "__off"))
+      cum.join(offDf, "source")
+        .withColumn("src_cum", $"cum" - $"__off")
+        .filter($"src_cum" - $"n_tokens" < budget)
+        .select($"doc_id", $"source", $"n_tokens", $"src_cum")
+    }),
+
     "q43_source_rebalance" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -772,6 +813,23 @@ object TextQ extends QueryPack {
         |          cast(('0x' || substr(md5(doc_id::VARCHAR), 1, 13)) AS bigint) AS h
         |        FROM documents)
         |) WHERE rn <= 25""".stripMargin,
+
+    // per-source window replay: DuckDB's PARTITION BY source window
+    // must equal the global-cumsum-minus-source-offset decomposition
+    // exactly (source is the leading ord key, so the two spellings
+    // are algebraically identical over a total order)
+    "q117_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens,
+        |             md5(doc_id::VARCHAR) AS h
+        |           FROM documents),
+        |t AS (SELECT source, sum(n_tokens)::BIGINT AS tok FROM d GROUP BY source),
+        |b AS (SELECT min(tok) AS budget FROM t),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)::BIGINT AS src_cum
+        |      FROM d)
+        |SELECT doc_id, source, n_tokens, src_cum FROM c, b
+        |WHERE src_cum - n_tokens < budget""".stripMargin,
 
     "q43_source_rebalance" ->
       """WITH docs AS (SELECT doc_id, source,

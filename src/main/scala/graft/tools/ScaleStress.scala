@@ -161,6 +161,51 @@ object ScaleStress {
       } finally FileUtil.deleteTree(java.nio.file.Paths.get(dir))
     }
 
+    // File-skipping manifest at 100× FileSkipSpec's corpus (q116's
+    // mechanism at scale): 20M rows range-clustered on k across 64
+    // files, per-file blooms on the UNCORRELATED id (every file's id
+    // zone map spans the domain — only bloom certainty-of-absence can
+    // skip). Gates in-harness: point probes keep ≤ files/8 of the
+    // list, an absent probe keeps ≤ 2, answers identical to the
+    // direct filter. The build cost is the amortized half; the probe
+    // line is what a 100 TB lake pays per lookup once footer reads
+    // are off the path.
+    if (only.forall("manifest_skip_20M".contains)) {
+      val mn = 20L * 1000 * 1000
+      val mFiles = 64
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_mf").toString
+      try {
+        val tbl = spark.range(mn).select(
+          $"id",
+          ($"id" * 48271L % mn).as("k"),
+          pmod($"id", lit(97)).as("payload"))
+        time("manifest_skip_20M_build") {
+          graft.operators.Layout.clusteredWrite(tbl, dir, Seq("k"), files = mFiles)
+          graft.operators.Manifest.write(spark, dir, Seq("k"), Some("id"))
+        }
+        val probes = Seq(7L, 3141592L, 12345678L, 19999999L, 777L)
+        time("manifest_skip_20M_point_probe") {
+          val (sel, total) = graft.operators.Manifest.selectedFiles(
+            spark, dir, bloomAnyOf = probes)
+          require(total == mFiles.toLong, s"manifest covers $total files, wrote $mFiles")
+          require(sel.length <= mFiles / 8,
+            s"bloom kept ${sel.length} of $total files at 20M")
+          val got = graft.operators.Manifest.prunedRead(spark, dir, bloomAnyOf = probes)
+            .filter($"id".isin(probes: _*)).select($"id", $"k").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          require(got == probes.map(p => (p, p * 48271L % mn)).toSet,
+            s"manifest probe answered $got")
+          sel.length.toLong
+        }
+        time("manifest_skip_20M_absent_probe") {
+          val (sel, _) = graft.operators.Manifest.selectedFiles(
+            spark, dir, bloomAnyOf = Seq(-9L))
+          require(sel.length <= 2, s"absent probe kept ${sel.length} files at 20M")
+          sel.length.toLong
+        }
+      } finally FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+    }
+
     // Adaptive q30 shape at two corpus sizes: bits-per-table derive
     // from n (Adaptive.bits(n, 32, 4, 16)), so candidates PER QUERY
     // must stay ~flat as the corpus quadruples — the linear-growth

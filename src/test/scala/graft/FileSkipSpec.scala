@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Layout, Manifest}
+
+/** File-skipping manifest: per-file zone maps + per-file blooms prune
+  * the FILE LIST before any parquet footer is read — the layer above
+  * [[LayoutSpec]]'s row-group pruning. The invariants: pruning never
+  * changes a row (the residual filter owns exactness), point lookups
+  * on a key UNCORRELATED with the clustering skip via bloom
+  * certainty-of-absence (where zone maps are blind), range predicates
+  * on the cluster key skip via zone maps, and a file whose bloom key
+  * is all-NULL is never pruned. */
+class FileSkipSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+
+  private val n = 200000L
+  private val nFiles = 16
+  // k = id * 48271 mod n is a permutation: the table is CLUSTERED on
+  // k, so id (the bloom key) is uniformly scattered across all files
+  // — every file's id zone map spans ~the whole domain and only the
+  // bloom can skip files on an id lookup
+  private def data = spark.range(n).select(
+    col("id"),
+    (col("id") * 48271L % n).as("k"),
+    (col("id") % 97).as("payload"))
+
+  private def build(dir: String): Unit = {
+    Layout.clusteredWrite(data, dir, Seq("k"), files = nFiles)
+    Manifest.write(spark, dir, Seq("k"), Some("id"))
+  }
+
+  test("bloom point lookup: identical rows, file list pruned to the hits") {
+    val dir = Files.createTempDirectory("graft_mf").toString
+    try {
+      build(dir)
+      val probes = Seq(5L, 77777L, 123456L)
+      val (sel, total) = Manifest.selectedFiles(spark, dir, bloomAnyOf = probes)
+      assert(total === nFiles.toLong)
+      // each probe lives in exactly one file; 0.8% FP per (file, probe)
+      // leaves generous room below half the table
+      assert(sel.length >= 1 && sel.length < nFiles / 2,
+        s"bloom pruned to ${sel.length} of $total files")
+      val got = Manifest.prunedRead(spark, dir, bloomAnyOf = probes)
+        .filter(col("id").isin(probes: _*))
+        .select("id", "k", "payload").collect().map(_.toSeq).toSet
+      val want = data.filter(col("id").isin(probes: _*))
+        .select("id", "k", "payload").collect().map(_.toSeq).toSet
+      assert(got === want && got.size === probes.size)
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("absent key: certainty of absence skips ~every file, zero rows") {
+    val dir = Files.createTempDirectory("graft_mf_abs").toString
+    try {
+      build(dir)
+      val (sel, total) = Manifest.selectedFiles(spark, dir, bloomAnyOf = Seq(-42L))
+      assert(total === nFiles.toLong)
+      assert(sel.length <= 2, s"absent probe kept ${sel.length} files (expected ~0 + FP)")
+      assert(Manifest.prunedRead(spark, dir, bloomAnyOf = Seq(-42L))
+        .filter(col("id") === -42L).count() === 0L)
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("zone-map range on the cluster key prunes files; rows identical") {
+    val dir = Files.createTempDirectory("graft_mf_rng").toString
+    try {
+      build(dir)
+      val (lo, hi) = (1000.0, 1999.0)
+      val (sel, total) = Manifest.selectedFiles(spark, dir,
+        ranges = Seq(("k", lo, hi)))
+      // a 0.5% slab of a 16-file range-clustered layout touches the
+      // one or two files whose range covers it
+      assert(sel.length < nFiles / 4,
+        s"zone maps pruned to ${sel.length} of $total files")
+      val q = Manifest.prunedRead(spark, dir, ranges = Seq(("k", lo, hi)))
+        .filter(col("k").between(lo, hi))
+      assert(q.count() === 1000L)
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("all-NULL bloom-key file is never pruned; present keys still found") {
+    val dir = Files.createTempDirectory("graft_mf_null").toString
+    try {
+      // ids NULLed exactly where k < n/16: after clustering on k the
+      // lowest-range file(s) carry a NULL bloom
+      val d2 = data.select(
+        when(col("k") < n / 16, lit(null).cast("long")).otherwise(col("id")).as("id"),
+        col("k"), col("payload"))
+      Layout.clusteredWrite(d2, dir, Seq("k"), files = nFiles)
+      Manifest.write(spark, dir, Seq("k"), Some("id"))
+      val (sel, _) = Manifest.selectedFiles(spark, dir, bloomAnyOf = Seq(-42L))
+      // the contract is per-FILE: every file whose bloom key was
+      // all-NULL (NULL bloom — absence unprovable) must survive any
+      // probe. A range-boundary file MIXING null and non-null ids
+      // carries a real bloom and is correctly prunable — which is why
+      // bloom pruning can never be used to FIND nulls (documented).
+      val mf = spark.read.parquet(s"$dir/${Manifest.SubDir}")
+      val nullFiles = mf.filter(col("bloom").isNull)
+        .select("file").collect().map(_.getString(0)).toSet
+      assert(nullFiles.nonEmpty, "corpus built no all-NULL file — test setup drifted")
+      assert(nullFiles.subsetOf(sel.toSet),
+        s"null-bloom files pruned: ${nullFiles -- sel.toSet}")
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("zone-map-only manifest: ranges serve, bloom probes loud-reject") {
+    val dir = Files.createTempDirectory("graft_mf_zm").toString
+    try {
+      Layout.clusteredWrite(data, dir, Seq("k"), files = nFiles)
+      Manifest.write(spark, dir, Seq("k"), bloomKey = None)
+      val (sel, total) = Manifest.selectedFiles(spark, dir,
+        ranges = Seq(("k", 0.0, 999.0)))
+      assert(sel.length < nFiles / 4 && total === nFiles.toLong)
+      assertThrows[IllegalArgumentException] {
+        Manifest.selectedFiles(spark, dir, bloomAnyOf = Seq(1L))
+      }
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+}
