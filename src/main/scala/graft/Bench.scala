@@ -44,7 +44,8 @@ object Bench {
     "q53_train" -> "SimilarityQ",
     "q41_clusters_build" -> "DedupQ",
     "q115_zorder_build" -> "MiscQ",
-    "q116_manifest_build" -> "MiscQ")
+    "q116_manifest_build" -> "MiscQ",
+    "q118_index_build" -> "TextQ")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -252,6 +253,7 @@ object Bench {
     if (included("q41_clusters_build")) queries.DedupQ.ensureClusters(spark, "/root/testdata/sf0.001")
     if (included("q115_zorder_build")) queries.MiscQ.ensureZorder(spark, "/root/testdata/sf0.001")
     if (included("q116_manifest_build")) queries.MiscQ.ensureManifest(spark, "/root/testdata/sf0.001")
+    if (included("q118_index_build")) queries.TextQ.ensureIndex(spark, "/root/testdata/sf0.001")
     CachePool.drain()
     // Warmup LAPS: unmeasured passes over every line this JVM will
     // measure, BEFORE any measurement starts. Per-line warmup reps
@@ -353,7 +355,9 @@ object Bench {
       ("q115_zorder_build", () => { queries.MiscQ.ensureZorder(spark, sfDir); () },
         () => queries.MiscQ.invalidateZorder(spark, sfDir)),
       ("q116_manifest_build", () => { queries.MiscQ.ensureManifest(spark, sfDir); () },
-        () => queries.MiscQ.invalidateManifest(spark, sfDir))
+        () => queries.MiscQ.invalidateManifest(spark, sfDir)),
+      ("q118_index_build", () => { queries.TextQ.ensureIndex(spark, sfDir); () },
+        () => queries.TextQ.invalidateIndex(spark, sfDir))
     )
     val setupResults = setups.filter(s => included(s._1)).map { case (name, fn, inval) =>
       val (med, min, err) = measure(fn, () => inval())

@@ -30,6 +30,35 @@ object TextQ extends QueryPack {
   /** q77 shard token budget: ~15 shards at sf0.01, scale-free rule. */
   private val ShardBudget = 65536L
 
+  private val idxMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** Build the inverted-index postings artifact for `d` once per
+    * session ([[graft.operators.InvertedIndex.build]]): (term, doc_id)
+    * distinct pairs, range-clustered on term. File count from measured
+    * corpus bytes (postings ≈ corpus-token-scale; ~128 MiB targets) —
+    * the q115/q116 artifact sizing rule. Bench times the build under
+    * its own `q118_index_build` line; q118 measures the recurring
+    * lookup, which at 100 TB reads the probed terms' row groups
+    * instead of the corpus. */
+  def ensureIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    idxMemo.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
+      val dir = graft.tools.SessionArtifacts.dirFor(s, "invidx", d)
+      val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = math.max(1, math.ceil(
+        fs.getContentSummary(p).getLength.toDouble / (128L << 20)).toInt)
+      graft.operators.InvertedIndex.build(Tables.documents(s, d), dir, files)
+      dir
+    })
+
+  /** Bench-only: forget + delete so `q118_index_build` reps pay the
+    * full explode + range-write chain. */
+  def invalidateIndex(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val dir = idxMemo.remove((s.sparkContext.applicationId, d))
+    if (dir != null) graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   /** DuckDB replay of q60's merge loop: emits `m1..mN` (the learned
     * merges) and `s1..sN` (the symbol table after each step). Every
     * s$t is referenced by THREE consumers (py/pp of step t+1, s of
@@ -276,6 +305,22 @@ object TextQ extends QueryPack {
         .select($"source", $"doc_id", h.as("h"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter($"rn" <= 25)
+    }),
+
+    // Conjunctive keyword search through the at-rest inverted index
+    // (round 15): the SAME doc set as a corpus scan with an
+    // array-contains residual — the oracle pins result identity — but
+    // served from the postings table, where `term IN (…)` prunes to
+    // the probed terms' row groups (scan ∝ Σ df(term), not corpus
+    // size) and only the candidate ids semi-join back for payload
+    // columns. 'dup' is this corpus's one selective term (df 25/500);
+    // 'merge' is dense — the AND exercises both posting-list shapes.
+    "q118_keyword_search" -> ((s, d) => {
+      import s.implicits._
+      val hits = graft.operators.InvertedIndex
+        .lookupAll(s, ensureIndex(s, d), Seq("dup", "merge"))
+      Tables.documents(s, d).join(hits, "doc_id")
+        .select($"doc_id", $"source")
     }),
 
     // Token-budget mixture sampling (round 15): uniform-TOKEN source
@@ -813,6 +858,16 @@ object TextQ extends QueryPack {
         |          cast(('0x' || substr(md5(doc_id::VARCHAR), 1, 13)) AS bigint) AS h
         |        FROM documents)
         |) WHERE rn <= 25""".stripMargin,
+
+    // index-path identity: the inverted lookup must return exactly
+    // the corpus-scan answer (same tokenizer — whitespace split,
+    // empties dropped — on both sides)
+    "q118_keyword_search" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS terms
+        |           FROM documents)
+        |SELECT doc_id, source FROM t
+        |WHERE list_contains(terms, 'dup') AND list_contains(terms, 'merge')""".stripMargin,
 
     // per-source window replay: DuckDB's PARTITION BY source window
     // must equal the global-cumsum-minus-source-offset decomposition

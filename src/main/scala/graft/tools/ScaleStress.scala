@@ -206,6 +206,44 @@ object ScaleStress {
       } finally FileUtil.deleteTree(java.nio.file.Paths.get(dir))
     }
 
+    // Inverted index at 40× InvertedIndexSpec's corpus (q118's
+    // mechanism at scale): 2M docs × ~21 tokens ≈ 42M postings,
+    // range-clustered on (term, doc_id) with 4 MiB row groups. Gates
+    // in-harness: the 2-term AND answers exactly the planted set and
+    // the postings scan materializes < total/20 (scan ∝ Σ df, not
+    // corpus size — the property that turns a 100 TB keyword query
+    // into a posting-list read).
+    if (only.forall("inverted_index_2M".contains)) {
+      val in = 2L * 1000 * 1000
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_inv").toString
+      try {
+        val corpus = spark.range(in).select(
+          $"id".as("doc_id"),
+          concat_ws(" ",
+            expr("transform(sequence(0, 19), i -> concat('w', cast((id * 2654435761 + cast(i as bigint) * i * 19349663) % 100000 as string)))"),
+            when($"id" % 1000 === 0, "needle").otherwise("w1"),
+            when($"id" % 700 === 0, "thread").otherwise("w2")).as("text"))
+        time("inverted_index_2M_build") {
+          graft.operators.InvertedIndex.build(corpus, dir,
+            files = 32, blockBytes = 4L << 20)
+          in
+        }
+        time("inverted_index_2M_and_lookup") {
+          val got = graft.operators.InvertedIndex
+            .lookupAll(spark, dir, Seq("needle", "thread"))
+            .collect().map(_.getLong(0)).toSet
+          val want = (0L until in).filter(i => i % 1000 == 0 && i % 700 == 0).toSet
+          require(got == want, s"AND answered ${got.size} ids, planted ${want.size}")
+          val totalPostings = spark.read.parquet(dir).count()
+          val (_, scanned) = graft.operators.Layout.scanRows(
+            spark.read.parquet(dir).filter($"term".isin("needle", "thread")))
+          require(scanned < totalPostings / 20,
+            s"index failed to prune at 2M docs: scanned $scanned of $totalPostings")
+          scanned
+        }
+      } finally FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+    }
+
     // Adaptive q30 shape at two corpus sizes: bits-per-table derive
     // from n (Adaptive.bits(n, 32, 4, 16)), so candidates PER QUERY
     // must stay ~flat as the corpus quadruples — the linear-growth

@@ -379,4 +379,26 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.contains("GreaterThanOrEqual(value,42.0"), pf)
     assert(pf.contains("LessThanOrEqual(value,58.0"), pf)
   }
+
+  test("q117: distributed prefix sum — range exchange, no single-partition stage, offsets broadcast") {
+    val p = plan("q117_token_budget")
+    // Prefix.cumsum's two-phase scan: the global order is a RANGE
+    // exchange, never a collapse to one partition (the global-window
+    // scale trap this query exists to avoid)
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global-window collapse reappeared:\n$p")
+    // both driver-computed offset tables (__pid offsets inside
+    // Prefix, per-source start offsets) join broadcast
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts:\n$p")
+  }
+
+  test("q118: the term IN-list reaches the postings scan") {
+    val pf = planFormatted("q118_keyword_search")
+    // the whole point of the index: the probe terms prune posting
+    // row groups at the parquet reader, before any Spark filter
+    assert(pf.contains("PushedFilters:"), pf)
+    assert(pf.contains("In(term"), pf)
+  }
 }
