@@ -303,7 +303,13 @@ object Bench {
       }
       var r = 0
       while (r < reps && err.isEmpty) {
-        if (r > 0 || warmups > 0) between()
+        // unconditional, INCLUDING rep 0: a setup line's artifact may
+        // already exist from the chunk's warmup LAPS (the lap runs the
+        // consumer query, whose builder memoizes at sfDir), and a
+        // memo-hit rep 0 would record ~0 s — poisoning both the min
+        // (the burst-robust reference channel) and, at REPS<3, the
+        // median. For query lines `between` is a no-op lambda.
+        between()
         val t0 = System.nanoTime()
         // A crashed query must surface as an error and a nonzero exit,
         // never as a time — its time-to-crash must NOT enter `times`

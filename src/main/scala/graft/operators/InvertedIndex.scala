@@ -32,6 +32,16 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
+  /** Docs → distinct (doc_id, term) postings: THE at-rest schema —
+    * one definition shared by the batch build and
+    * [[graft.streaming.KeywordIndexStream]]'s per-batch ingest, so a
+    * tokenization change can never diverge the streamed index from
+    * the batch index. */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(graft.functions.TextFunctions.tokens(col("text"))))
+        .as("term"))
+
   /** Write the postings table for `docs` (needs doc_id, text):
     * (term, doc_id), one row per distinct term per doc, clustered on
     * term then doc_id — the secondary key keeps each term's posting
@@ -39,32 +49,42 @@ object InvertedIndex {
     * ids sits on pre-sorted runs. */
   def build(docs: DataFrame, dst: String, files: Int,
       blockBytes: Long = 128L << 20): Unit =
-    Layout.clusteredWrite(
-      docs.select(col("doc_id"),
-        explode(array_distinct(graft.functions.TextFunctions.tokens(col("text"))))
-          .as("term")),
-      dst, Seq("term", "doc_id"), files, blockBytes)
+    Layout.clusteredWrite(postings(docs), dst, Seq("term", "doc_id"),
+      files, blockBytes)
 
-  /** Doc ids whose text contains ALL of `terms` (conjunctive keyword
-    * query). Postings are distinct per (doc, term), so matching all k
-    * terms is exactly k posting rows per doc — a count, no
-    * count-distinct shuffle-heavy shape. */
-  def lookupAll(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
+  /** Doc ids whose postings contain ALL of `terms` (conjunctive
+    * keyword query) — the one lookup definition, over ANY postings
+    * relation (an at-rest dir via the overload below, or a streamed
+    * compact+tail assembly). count(DISTINCT term), not count(1):
+    * a one-shot build emits distinct postings by construction, but a
+    * streamed lake may legally hold the same posting in two committed
+    * dirs (identical-text re-arrival across batches), and a plain
+    * count would then fabricate conjunctive matches. The distinct
+    * runs over the Σ df candidate rows, never the corpus. */
+  def lookupAll(postings: DataFrame, terms: Seq[String]): DataFrame = {
     val t = terms.distinct
     require(t.nonEmpty, "InvertedIndex.lookupAll: need at least one term")
-    spark.read.parquet(dir)
+    postings
       .filter(col("term").isin(t: _*))
-      .groupBy("doc_id").agg(count(lit(1)).as("__hits"))
+      .groupBy("doc_id").agg(countDistinct(col("term")).as("__hits"))
       .filter(col("__hits") === t.size)
       .select("doc_id")
   }
 
-  /** Doc ids whose text contains ANY of `terms` (disjunctive). */
-  def lookupAny(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
+  /** [[lookupAll]] over the at-rest postings dir. */
+  def lookupAll(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    lookupAll(spark.read.parquet(dir), terms)
+
+  /** Doc ids whose postings contain ANY of `terms` (disjunctive). */
+  def lookupAny(postings: DataFrame, terms: Seq[String]): DataFrame = {
     val t = terms.distinct
     require(t.nonEmpty, "InvertedIndex.lookupAny: need at least one term")
-    spark.read.parquet(dir)
+    postings
       .filter(col("term").isin(t: _*))
       .select("doc_id").distinct()
   }
+
+  /** [[lookupAny]] over the at-rest postings dir. */
+  def lookupAny(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    lookupAny(spark.read.parquet(dir), terms)
 }

@@ -135,7 +135,13 @@ object Manifest {
     val total = mf.count()
     var sel = mf
     for ((k, lo, hi) <- ranges)
-      sel = sel.filter(col(s"max_$k") >= lo && col(s"min_$k") <= hi)
+      // NULL zone map (a file whose key is all-NULL, or a key that
+      // does not cast numerically) = "might match", never pruned —
+      // the same unprovable-absence rule as the NULL bloom. min/max
+      // are null together (both are aggregates of the same non-null
+      // domain), so one null check covers the pair.
+      sel = sel.filter(col(s"min_$k").isNull ||
+        (col(s"max_$k") >= lo && col(s"min_$k") <= hi))
     if (bloomAnyOf.nonEmpty) {
       val m = mf.select("bloom_m").head().getInt(0)
       require(m > 0, s"Manifest at $dir was written without a bloom key")

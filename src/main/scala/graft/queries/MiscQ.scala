@@ -19,39 +19,25 @@ import graft.sources.Tables
   */
 object MiscQ extends QueryPack {
 
-  private val zMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
-
   /** Build the Z-order-clustered events artifact for `d` once per
-    * session: events rewritten via [[graft.operators.Layout.zorderWrite]]
-    * on (user_id, value), file count derived from measured input bytes
-    * (~128 MiB targets, so the artifact stays right-sized from sf0.001
-    * to 100 TB). One-time indexing cost — Bench times it under its own
-    * `q115_zorder_build` line (the q38_train / q41_clusters_build
-    * split); q115 then measures the PROBE against the at-rest layout,
-    * which is the recurring cost a lake user actually pays. */
+    * session ([[graft.tools.SessionArtifacts.ensure]]): events
+    * rewritten via [[graft.operators.Layout.zorderWrite]] on
+    * (user_id, value), file count from measured input bytes (~128 MiB
+    * targets, right-sized from sf0.001 to 100 TB). One-time indexing
+    * cost — Bench times it under its own `q115_zorder_build` line
+    * (the q38_train / q41_clusters_build split); q115 then measures
+    * the PROBE against the at-rest layout, which is the recurring
+    * cost a lake user actually pays. */
   def ensureZorder(s: SparkSession, d: String): String =
-    zMemo.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
-      val dir = graft.tools.SessionArtifacts.dirFor(s, "zorder", d)
-      val src = Tables.events(s, d)
-      val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val files = math.max(1, math.ceil(
-        fs.getContentSummary(p).getLength.toDouble / (128L << 20)).toInt)
-      graft.operators.Layout.zorderWrite(src, dir,
-        Seq("user_id", "value"), files)
-      dir
-    })
+    graft.tools.SessionArtifacts.ensure(s, "zorder", d, s"$d/events.parquet") {
+      (dir, files) => graft.operators.Layout.zorderWrite(
+        Tables.events(s, d), dir, Seq("user_id", "value"), files)
+    }
 
   /** Bench-only: forget + delete the artifact so `q115_zorder_build`
     * reps each pay the full quantile + range-write chain. */
-  def invalidateZorder(s: SparkSession, d: String): Unit = {
-    val dir = zMemo.remove((s.sparkContext.applicationId, d))
-    if (dir != null) graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
-  }
-
-  private val mMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  def invalidateZorder(s: SparkSession, d: String): Unit =
+    graft.tools.SessionArtifacts.invalidate(s, "zorder", d)
 
   /** The event_ids q116 probes — present at every sf (event_id domain
     * is 0..N-1 with N ≥ 1000 from sf0.001 up), plus one absent id so
@@ -62,32 +48,23 @@ object MiscQ extends QueryPack {
   /** Build the manifest-indexed events artifact for `d` once per
     * session: events VALUE-clustered ([[graft.operators.Layout.clusteredWrite]]),
     * then a [[graft.operators.Manifest]] with zone maps on `value`
-    * and a per-file Bloom on `event_id`. The file count takes
-    * max(16, measured bytes / 128 MiB): at real scale measured bytes
-    * dominates; at toy scale the floor keeps enough files for the
-    * manifest's pruning granule (the FILE) to exist at all. Bloom
-    * pruning is exactly the case zone maps cannot serve: event_id is
-    * uncorrelated with the value clustering, so every file's id
-    * range spans the domain. */
+    * and a per-file Bloom on `event_id`. minFiles=16: the manifest's
+    * pruning granule is the FILE, so the floor keeps it alive at toy
+    * scale. Bloom pruning is exactly the case zone maps cannot serve:
+    * event_id is uncorrelated with the value clustering, so every
+    * file's id range spans the domain. */
   def ensureManifest(s: SparkSession, d: String): String =
-    mMemo.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
-      val dir = graft.tools.SessionArtifacts.dirFor(s, "manifest", d)
-      val src = Tables.events(s, d)
-      val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val files = math.max(16, math.ceil(
-        fs.getContentSummary(p).getLength.toDouble / (128L << 20)).toInt)
-      graft.operators.Layout.clusteredWrite(src, dir, Seq("value"), files)
+    graft.tools.SessionArtifacts.ensure(s, "manifest", d,
+      s"$d/events.parquet", minFiles = 16) { (dir, files) =>
+      graft.operators.Layout.clusteredWrite(
+        Tables.events(s, d), dir, Seq("value"), files)
       graft.operators.Manifest.write(s, dir, Seq("value"), Some("event_id"))
-      dir
-    })
+    }
 
   /** Bench-only: forget + delete so `q116_manifest_build` reps pay
     * the full cluster-write + two manifest passes. */
-  def invalidateManifest(s: SparkSession, d: String): Unit = {
-    val dir = mMemo.remove((s.sparkContext.applicationId, d))
-    if (dir != null) graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
-  }
+  def invalidateManifest(s: SparkSession, d: String): Unit =
+    graft.tools.SessionArtifacts.invalidate(s, "manifest", d)
 
   def defs: Map[String, Q] = Map(
     "q23_datagen" -> ((s, _) => {

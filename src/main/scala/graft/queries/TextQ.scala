@@ -30,34 +30,24 @@ object TextQ extends QueryPack {
   /** q77 shard token budget: ~15 shards at sf0.01, scale-free rule. */
   private val ShardBudget = 65536L
 
-  private val idxMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
-
   /** Build the inverted-index postings artifact for `d` once per
-    * session ([[graft.operators.InvertedIndex.build]]): (term, doc_id)
-    * distinct pairs, range-clustered on term. File count from measured
-    * corpus bytes (postings ≈ corpus-token-scale; ~128 MiB targets) —
-    * the q115/q116 artifact sizing rule. Bench times the build under
-    * its own `q118_index_build` line; q118 measures the recurring
-    * lookup, which at 100 TB reads the probed terms' row groups
-    * instead of the corpus. */
+    * session ([[graft.operators.InvertedIndex.build]] via
+    * [[graft.tools.SessionArtifacts.ensure]]): (term, doc_id) distinct
+    * pairs, range-clustered on term, file count from measured corpus
+    * bytes (postings ≈ corpus-token-scale; ~128 MiB targets). Bench
+    * times the build under its own `q118_index_build` line; q118
+    * measures the recurring lookup, which at 100 TB reads the probed
+    * terms' row groups instead of the corpus. */
   def ensureIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
-    idxMemo.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
-      val dir = graft.tools.SessionArtifacts.dirFor(s, "invidx", d)
-      val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val files = math.max(1, math.ceil(
-        fs.getContentSummary(p).getLength.toDouble / (128L << 20)).toInt)
-      graft.operators.InvertedIndex.build(Tables.documents(s, d), dir, files)
-      dir
-    })
+    graft.tools.SessionArtifacts.ensure(s, "invidx", d, s"$d/documents.parquet") {
+      (dir, files) =>
+        graft.operators.InvertedIndex.build(Tables.documents(s, d), dir, files)
+    }
 
   /** Bench-only: forget + delete so `q118_index_build` reps pay the
     * full explode + range-write chain. */
-  def invalidateIndex(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    val dir = idxMemo.remove((s.sparkContext.applicationId, d))
-    if (dir != null) graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
-  }
+  def invalidateIndex(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    graft.tools.SessionArtifacts.invalidate(s, "invidx", d)
 
   /** DuckDB replay of q60's merge loop: emits `m1..mN` (the learned
     * merges) and `s1..sN` (the symbol table after each step). Every

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 import graft.operators.{InvertedIndex, Layout}
 
@@ -21,10 +20,14 @@ import graft.operators.{InvertedIndex, Layout}
   * groups over all but the last `compactEvery` batches, whose
   * unclustered postings are bounded by the compaction interval.
   *
-  * Contract note: doc_ids must not RE-ARRIVE with changed text across
+  * Contract note: doc_ids must not RE-ARRIVE with CHANGED text across
   * batches — postings are append-only here (the CDC-maintained
   * variant would ride the changelog operators instead). Re-arrival of
-  * the SAME batch (replay) is safe by the engine's overwrite rule.
+  * the SAME batch (replay) is safe by the engine's overwrite rule,
+  * and identical-text re-arrival in a LATER batch (at-least-once
+  * upstream delivery) is also safe: it duplicates posting rows across
+  * committed dirs, which [[InvertedIndex.lookupAll]]'s
+  * count-DISTINCT-terms shape is immune to.
   */
 object KeywordIndexStream {
 
@@ -36,7 +39,7 @@ object KeywordIndexStream {
       targetBytes,
       (df, dst, files) =>
         Layout.clusteredWrite(df, dst, Seq("term", "doc_id"), files, blockBytes),
-      ingest = postings)
+      ingest = InvertedIndex.postings)
 
   /** foreachBatch adapter. */
   def sink(root: String, compactEvery: Int = 16,
@@ -45,24 +48,11 @@ object KeywordIndexStream {
     (batch, batchId) =>
       processBatch(batch, batchId, root, compactEvery, targetBytes, blockBytes)
 
-  /** Docs → distinct (doc_id, term) postings: the one at-rest schema. */
-  private def postings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(array_distinct(graft.functions.TextFunctions.tokens(col("text"))))
-        .as("term"))
-
   /** Conjunctive lookup over everything committed: compact history
-    * (term-pruned row groups) + the bounded unclustered tail. Same
-    * count-equals-k shape as [[InvertedIndex.lookupAll]] — postings
-    * are distinct per (doc, term) within every committed dir and doc
-    * ids never re-arrive (contract above), so the count is exact. */
-  def lookupAll(spark: SparkSession, root: String, terms: Seq[String]): DataFrame = {
-    val t = terms.distinct
-    require(t.nonEmpty, "KeywordIndexStream.lookupAll: need at least one term")
-    CompactingLake.visible(spark, root)
-      .filter(col("term").isin(t: _*))
-      .groupBy("doc_id").agg(count(lit(1)).as("__hits"))
-      .filter(col("__hits") === t.size)
-      .select("doc_id")
-  }
+    * (term-pruned row groups) + the bounded unclustered tail — THE
+    * shared [[InvertedIndex.lookupAll]] definition over the lake's
+    * visible assembly (its count-distinct shape is what makes
+    * identical-text re-arrival safe here). */
+  def lookupAll(spark: SparkSession, root: String, terms: Seq[String]): DataFrame =
+    InvertedIndex.lookupAll(CompactingLake.visible(spark, root), terms)
 }

@@ -228,19 +228,24 @@ object ScaleStress {
             files = 32, blockBytes = 4L << 20)
           in
         }
+        // timed block = ONE lookup, nothing else (the zorder slab
+        // stages' rule: the probe IS the measurement; gates below run
+        // untimed so the printed seconds mean one query)
+        var got = Set.empty[Long]
         time("inverted_index_2M_and_lookup") {
-          val got = graft.operators.InvertedIndex
+          got = graft.operators.InvertedIndex
             .lookupAll(spark, dir, Seq("needle", "thread"))
             .collect().map(_.getLong(0)).toSet
-          val want = (0L until in).filter(i => i % 1000 == 0 && i % 700 == 0).toSet
-          require(got == want, s"AND answered ${got.size} ids, planted ${want.size}")
-          val totalPostings = spark.read.parquet(dir).count()
-          val (_, scanned) = graft.operators.Layout.scanRows(
-            spark.read.parquet(dir).filter($"term".isin("needle", "thread")))
-          require(scanned < totalPostings / 20,
-            s"index failed to prune at 2M docs: scanned $scanned of $totalPostings")
-          scanned
+          got.size.toLong
         }
+        val want = (0L until in).filter(i => i % 1000 == 0 && i % 700 == 0).toSet
+        require(got == want, s"AND answered ${got.size} ids, planted ${want.size}")
+        val totalPostings = spark.read.parquet(dir).count()
+        val (_, scanned) = graft.operators.Layout.scanRows(
+          spark.read.parquet(dir).filter($"term".isin("needle", "thread")))
+        require(scanned < totalPostings / 20,
+          s"index failed to prune at 2M docs: scanned $scanned of $totalPostings")
+        println(s"STRESS   inverted_index_2M scan=$scanned of $totalPostings postings")
       } finally FileUtil.deleteTree(java.nio.file.Paths.get(dir))
     }
 

@@ -31,4 +31,36 @@ object SessionArtifacts {
         FileUtil.deleteTree(appRoot)))
     appRoot.resolve(s"$prefix-$dirKey").toString
   }
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
+
+  /** Build-once-per-(application, dataDir) at-rest artifact, the OTHER
+    * half of the idiom (round-15 review: after [[dirFor]] factored the
+    * naming, the memo + measured-bytes file sizing + invalidate had
+    * grown a third hand-rolled copy — zorder, manifest, inverted
+    * index): memoize the artifact dir, derive the output file count
+    * from the MEASURED bytes of `sourcePath` (~`targetBytes` per file,
+    * floored at `minFiles` — the floor keeps a pruning granule alive
+    * at toy scale, measured bytes dominates at real scale), run
+    * `build(dir, files)` exactly once. */
+  def ensure(s: SparkSession, prefix: String, dataDir: String,
+      sourcePath: String, minFiles: Int = 1, targetBytes: Long = 128L << 20)
+      (build: (String, Int) => Unit): String =
+    memo.computeIfAbsent((s.sparkContext.applicationId, prefix, dataDir), _ => {
+      val dir = dirFor(s, prefix, dataDir)
+      val p = new org.apache.hadoop.fs.Path(sourcePath)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = math.max(minFiles, math.ceil(
+        fs.getContentSummary(p).getLength.toDouble / targetBytes).toInt)
+      build(dir, files)
+      dir
+    })
+
+  /** Bench-only: forget + delete so a setup line's reps each pay the
+    * full build. */
+  def invalidate(s: SparkSession, prefix: String, dataDir: String): Unit = {
+    val dir = memo.remove((s.sparkContext.applicationId, prefix, dataDir))
+    if (dir != null) FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }

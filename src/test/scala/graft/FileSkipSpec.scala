@@ -109,6 +109,32 @@ class FileSkipSpec extends AnyFunSuite {
     } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("all-NULL stats-key file is never range-pruned (NULL zone map = might match)") {
+    val dir = Files.createTempDirectory("graft_mf_nullzm").toString
+    try {
+      // a second stats key that is NULL everywhere k < n/16: after
+      // clustering on k the lowest-range file(s) carry NULL min/max
+      // for it — range predicates on that key must keep those files
+      val d2 = data.select(col("id"), col("k"),
+        when(col("k") < n / 16, lit(null).cast("long"))
+          .otherwise(col("id") % 1000).as("v"))
+      Layout.clusteredWrite(d2, dir, Seq("k"), files = nFiles)
+      Manifest.write(spark, dir, Seq("k", "v"), bloomKey = None)
+      val mf = spark.read.parquet(s"$dir/${Manifest.SubDir}")
+      val nullFiles = mf.filter(col("min_v").isNull)
+        .select("file").collect().map(_.getString(0)).toSet
+      assert(nullFiles.nonEmpty, "corpus built no all-NULL stats file — setup drifted")
+      val (sel, _) = Manifest.selectedFiles(spark, dir,
+        ranges = Seq(("v", 0.0, 10.0)))
+      assert(nullFiles.subsetOf(sel.toSet),
+        s"NULL zone-map files pruned: ${nullFiles -- sel.toSet}")
+      // and the answer through the pruned read matches the direct one
+      val got = Manifest.prunedRead(spark, dir, ranges = Seq(("v", 0.0, 10.0)))
+        .filter(col("v").between(0L, 10L)).count()
+      assert(got === d2.filter(col("v").between(0L, 10L)).count())
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("zone-map-only manifest: ranges serve, bloom probes loud-reject") {
     val dir = Files.createTempDirectory("graft_mf_zm").toString
     try {
