@@ -87,10 +87,13 @@ class FileSkipSpec extends AnyFunSuite {
   test("all-NULL bloom-key file is never pruned; present keys still found") {
     val dir = Files.createTempDirectory("graft_mf_null").toString
     try {
-      // ids NULLed exactly where k < n/16: after clustering on k the
-      // lowest-range file(s) carry a NULL bloom
+      // ids NULLed where k < n/4: after clustering on k the low-range
+      // files carry a NULL bloom. A quarter of the domain (≈4 of 16
+      // files), NOT one file's worth — the range partitioner's
+      // boundaries are SAMPLED, so a region sized to exactly one file
+      // sometimes covers none entirely (observed flake)
       val d2 = data.select(
-        when(col("k") < n / 16, lit(null).cast("long")).otherwise(col("id")).as("id"),
+        when(col("k") < n / 4, lit(null).cast("long")).otherwise(col("id")).as("id"),
         col("k"), col("payload"))
       Layout.clusteredWrite(d2, dir, Seq("k"), files = nFiles)
       Manifest.write(spark, dir, Seq("k"), Some("id"))
@@ -112,11 +115,12 @@ class FileSkipSpec extends AnyFunSuite {
   test("all-NULL stats-key file is never range-pruned (NULL zone map = might match)") {
     val dir = Files.createTempDirectory("graft_mf_nullzm").toString
     try {
-      // a second stats key that is NULL everywhere k < n/16: after
-      // clustering on k the lowest-range file(s) carry NULL min/max
-      // for it — range predicates on that key must keep those files
+      // a second stats key that is NULL everywhere k < n/4 (a quarter
+      // of the domain — sampled range boundaries make a one-file-sized
+      // region flaky): after clustering on k the low-range files carry
+      // NULL min/max for it — range predicates must keep those files
       val d2 = data.select(col("id"), col("k"),
-        when(col("k") < n / 16, lit(null).cast("long"))
+        when(col("k") < n / 4, lit(null).cast("long"))
           .otherwise(col("id") % 1000).as("v"))
       Layout.clusteredWrite(d2, dir, Seq("k"), files = nFiles)
       Manifest.write(spark, dir, Seq("k", "v"), bloomKey = None)
@@ -132,6 +136,43 @@ class FileSkipSpec extends AnyFunSuite {
       val got = Manifest.prunedRead(spark, dir, ranges = Seq(("v", 0.0, 10.0)))
         .filter(col("v").between(0L, 10L)).count()
       assert(got === d2.filter(col("v").between(0L, 10L)).count())
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("manifest over a Z-ORDERED table: file-level pruning on BOTH keys (composition)") {
+    val dir = Files.createTempDirectory("graft_mf_z").toString
+    try {
+      // two independent scattered dims (LayoutSpec's corpus): under
+      // lexicographic clustering only the leading key's file stats
+      // are narrow; under Z-order EVERY key's per-file min/max covers
+      // ~a square region, so the manifest can skip files on either
+      // key — file-level pruning stacked on top of q115's row-group
+      // pruning, from the same one manifest
+      val xy = spark.range(n).select(
+        (col("id") * 48271L % n).as("x"),
+        (col("id") * 52361L % n).as("y"),
+        (col("id") % 97).as("payload"))
+      Layout.zorderWrite(xy, dir, Seq("x", "y"), files = 16)
+      Manifest.write(spark, dir, Seq("x", "y"), bloomKey = None)
+      // a 3% slab on EACH key separately must both file-prune
+      val w = n / 32
+      val (selX, total) = Manifest.selectedFiles(spark, dir,
+        ranges = Seq(("x", 0.0, (w - 1).toDouble)))
+      val (selY, _) = Manifest.selectedFiles(spark, dir,
+        ranges = Seq(("y", 0.0, (w - 1).toDouble)))
+      assert(total === 16L)
+      assert(selX.length < 16 && selY.length < 16,
+        s"z-ordered manifest pruned nothing: x=${selX.length}, y=${selY.length} of $total")
+      // and a 2-key box localizes harder than either slab
+      val (selBox, _) = Manifest.selectedFiles(spark, dir,
+        ranges = Seq(("x", 0.0, (w - 1).toDouble), ("y", 0.0, (w - 1).toDouble)))
+      assert(selBox.length <= math.min(selX.length, selY.length),
+        s"box kept more files than its slabs: ${selBox.length} vs ${selX.length}/${selY.length}")
+      // answers stay exact through the pruned read
+      val got = Manifest.prunedRead(spark, dir,
+          ranges = Seq(("x", 0.0, (w - 1).toDouble), ("y", 0.0, (w - 1).toDouble)))
+        .filter(col("x") < w && col("y") < w).count()
+      assert(got === xy.filter(col("x") < w && col("y") < w).count())
     } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
