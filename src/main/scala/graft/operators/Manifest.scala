@@ -58,6 +58,20 @@ object Manifest {
 
   private def mfPath(dir: String) = s"$dir/$SubDir"
 
+  /** Whether `dir` carries a COMMITTED manifest (the manifest's own
+    * parquet `_SUCCESS`, distinct from the data write's). The build
+    * is two passes AFTER the data write, so there is always a window
+    * — and, after a crash inside it, a dwell — where the data is
+    * committed and the manifest absent or torn. Readers that must be
+    * correct at every instant (e.g.
+    * [[graft.streaming.ManifestStream.prunedScan]]) gate on this and
+    * fall back to the UNPRUNED read: pruning is a scan reduction, so
+    * its absence can cost time but never rows. */
+  def committed(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${mfPath(dir)}/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Build the manifest for the parquet table at `dir`: zone maps
     * (min/max, cast to double — same numeric-castable key contract as
     * [[Layout.zorderValue]]; long keys below 2^53 stay exact) for
@@ -70,7 +84,15 @@ object Manifest {
     * cannot be used to FIND nulls (a point lookup is by value); zone
     * maps likewise ignore nulls (min/max of the non-null domain). */
   def write(spark: SparkSession, dir: String, statsKeys: Seq[String],
-      bloomKey: Option[String] = None, bitsPerKey: Int = Bloom.BitsPerKey): Long = {
+      bloomKey: Option[String] = None, bitsPerKey: Int = Bloom.BitsPerKey): Long =
+    // scoped: the cached stats/manifest frames are fully consumed
+    // inside this call — without the scope each write would leak one
+    // persisted DF into the global pool, which a long-lived streaming
+    // session never drains (the ClusterMaintenance per-micro-batch rule)
+    graft.CachePool.scoped { writeImpl(spark, dir, statsKeys, bloomKey, bitsPerKey) }
+
+  private def writeImpl(spark: SparkSession, dir: String, statsKeys: Seq[String],
+      bloomKey: Option[String], bitsPerKey: Int): Long = {
     require(statsKeys.nonEmpty || bloomKey.nonEmpty,
       "Manifest.write: need at least one stats key or a bloom key")
     val aggCols = count(lit(1)).as("rows") +: statsKeys.flatMap(k => Seq(
@@ -130,7 +152,14 @@ object Manifest {
     * only. */
   def selectedFiles(spark: SparkSession, dir: String,
       ranges: Seq[(String, Double, Double)] = Nil,
-      bloomAnyOf: Seq[Any] = Nil): (Array[String], Long) = {
+      bloomAnyOf: Seq[Any] = Nil): (Array[String], Long) =
+    // scoped for the same streaming-session leak reason as [[write]]:
+    // the cached manifest frame is fully consumed inside this call
+    graft.CachePool.scoped { selectedFilesImpl(spark, dir, ranges, bloomAnyOf) }
+
+  private def selectedFilesImpl(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Double, Double)],
+      bloomAnyOf: Seq[Any]): (Array[String], Long) = {
     val mf = graft.CachePool.cache(spark.read.parquet(mfPath(dir)))
     val total = mf.count()
     var sel = mf

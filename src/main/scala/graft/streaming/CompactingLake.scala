@@ -60,14 +60,26 @@ object CompactingLake {
     * version. */
   private def parts(spark: SparkSession, root: String, upper: Option[Long])
       : (Option[(Long, String)], Seq[String], Seq[DataFrame]) = {
+    val (cv, tail) = readerDirs(spark, root, upper)
+    val ps = cv.map { case (_, d) => spark.read.parquet(d) }.toSeq ++
+      (if (tail.isEmpty) Seq.empty else Seq(spark.read.parquet(tail: _*)))
+    (cv, cv.map(_._2).toSeq ++ tail, ps)
+  }
+
+  /** The reader-resolution rule ITSELF — (newest committed compact
+    * version below `upper`, committed arrival dirs at-or-after it) —
+    * exposed so instantiations that read the two parts DIFFERENTLY
+    * (e.g. [[ManifestStream.prunedScan]] file-prunes the compact half
+    * and reads the tail whole) still resolve through the ONE
+    * definition instead of hand-rolling the boundary rules. */
+  private[graft] def readerDirs(spark: SparkSession, root: String,
+      upper: Option[Long] = None): (Option[(Long, String)], Seq[String]) = {
     val cv = BatchVersioned.versions(spark, s"$root/compact")
       .filter(v => upper.forall(v._1 < _)).lastOption
     val lo = cv.map(_._1).getOrElse(Long.MinValue)
     val tail = BatchVersioned.versions(spark, root, prefix = "b")
       .filter { case (b, _) => b >= lo && upper.forall(b < _) }.map(_._2)
-    val ps = cv.map { case (_, d) => spark.read.parquet(d) }.toSeq ++
-      (if (tail.isEmpty) Seq.empty else Seq(spark.read.parquet(tail: _*)))
-    (cv, cv.map(_._2).toSeq ++ tail, ps)
+    (cv, tail)
   }
 
   /** Rewrite committed history below `batchId` as compact version

@@ -12,16 +12,23 @@ import graft.operators.{Layout, Manifest}
   *
   * The manifest names files, so it can only ever describe an
   * immutable, committed directory — which is exactly what a
-  * `_SUCCESS`-gated `compact/v=<id>` is. Each compaction therefore
-  * rewrites the committed history key-clustered and THEN builds the
-  * per-file zone maps + blooms over the files it just wrote, inside
-  * the same gated version dir: a torn compaction tears the manifest
-  * with it (both invisible until the replay commits), and a reader
-  * never sees a manifest that disagrees with its files. The arrival
-  * tail is unmanifested by design — it is bounded by the compaction
-  * interval, and [[prunedScan]] reads it whole while the compact
-  * history (all but the last `compactEvery` batches) is file-pruned
-  * through [[Manifest.selectedFiles]].
+  * `_SUCCESS`-gated `compact/v=<id>` is. Each compaction rewrites the
+  * committed history key-clustered and then builds the per-file zone
+  * maps + blooms over the files it just wrote, inside the same
+  * version dir. The manifest build runs AFTER the data write's own
+  * `_SUCCESS`, so there is necessarily a window (and, after a crash
+  * between the two writes, a dwell until the compacting batch
+  * replays) where the version is committed but its manifest is
+  * absent or torn — [[prunedScan]] therefore trusts a manifest ONLY
+  * when the manifest's OWN commit marker is present
+  * ([[Manifest.committed]]) and otherwise reads that compact version
+  * UNPRUNED: a reader is exact at every instant, and the windowed
+  * cost is time, never rows. A torn pre-compaction data write stays
+  * invisible through the engine's `_SUCCESS` gate as usual. The
+  * arrival tail is unmanifested by design — it is bounded by the
+  * compaction interval, and [[prunedScan]] reads it whole while the
+  * compact history (all but the last `compactEvery` batches) is
+  * file-pruned through [[Manifest.selectedFiles]].
   */
 object ManifestStream {
 
@@ -36,7 +43,7 @@ object ManifestStream {
       targetBytes, rewrite(batch.sparkSession, statsKeys, bloomKey, blockBytes))
 
   /** foreachBatch adapter. */
-  def sink(spark: SparkSession, root: String, statsKeys: Seq[String],
+  def sink(root: String, statsKeys: Seq[String],
       bloomKey: Option[String] = None, compactEvery: Int = 16,
       targetBytes: Long = 128L << 20,
       blockBytes: Long = 128L << 20): (DataFrame, Long) => Unit =
@@ -52,20 +59,24 @@ object ManifestStream {
     }
 
   /** Pruned read over everything committed: the newest compact
-    * version file-pruned through its manifest, plus the WHOLE
+    * version file-pruned through its manifest — IF that manifest
+    * itself is committed ([[Manifest.committed]]; else the version is
+    * read unpruned, the class-doc window rule) — plus the WHOLE
     * unmanifested arrival tail (bounded by the compaction interval).
     * Callers keep their residual filter — same exactness contract as
     * [[Manifest.prunedRead]]. Before the first compaction there is no
-    * manifest yet: everything is tail, read whole. */
+    * manifest yet: everything is tail, read whole. Resolution is the
+    * engine's ONE rule ([[CompactingLake.readerDirs]]), not a local
+    * copy. */
   def prunedScan(spark: SparkSession, root: String,
       ranges: Seq[(String, Double, Double)] = Nil,
       bloomAnyOf: Seq[Any] = Nil): DataFrame = {
-    val compact = BatchVersioned.versions(spark, s"$root/compact").lastOption
-    val lo = compact.map(_._1).getOrElse(Long.MinValue)
-    val tail = BatchVersioned.versions(spark, root, prefix = "b")
-      .filter(_._1 >= lo).map(_._2)
+    val (compact, tail) = CompactingLake.readerDirs(spark, root)
     val parts =
-      compact.map { case (_, d) => Manifest.prunedRead(spark, d, ranges, bloomAnyOf) }.toSeq ++
+      compact.map { case (_, d) =>
+        if (Manifest.committed(spark, d)) Manifest.prunedRead(spark, d, ranges, bloomAnyOf)
+        else spark.read.parquet(d)
+      }.toSeq ++
       (if (tail.isEmpty) Seq.empty
        else Seq(spark.read.parquet(tail: _*)))
     require(parts.nonEmpty, s"no committed batches under $root")

@@ -27,7 +27,7 @@ class ManifestStreamSpec extends AnyFunSuite {
   test("ingest + compaction: pruned scans == direct answers; compact history file-prunes; replay safe") {
     val root = Files.createTempDirectory("graft_mstream").toString
     try {
-      val sink = ManifestStream.sink(spark, root, Seq("k"),
+      val sink = ManifestStream.sink(root, Seq("k"),
         bloomKey = Some("id"), compactEvery = 4,
         targetBytes = 64 * 1024, blockBytes = 64 * 1024)
       (0 until 9).foreach { b => sink(rows.filter(col("id") % 9 === b), b) }
@@ -68,6 +68,46 @@ class ManifestStreamSpec extends AnyFunSuite {
         targetBytes = 64 * 1024, blockBytes = 64 * 1024)
       assert(ManifestStream.prunedScan(spark, root).count() === n)
       assert(ManifestStream.visible(spark, root).count() === n)
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("manifest-less committed version (the crash window): pruned scan falls back unpruned, stays exact") {
+    val root = Files.createTempDirectory("graft_mstream_window").toString
+    try {
+      val sink = ManifestStream.sink(root, Seq("k"),
+        bloomKey = Some("id"), compactEvery = 4,
+        targetBytes = 64 * 1024, blockBytes = 64 * 1024)
+      (0 until 5).foreach { b => sink(rows.filter(col("id") % 9 === b), b) }
+      // simulate the crash between the data write's _SUCCESS and the
+      // manifest build: the committed version loses its manifest
+      val compactDir = graft.streaming.BatchVersioned
+        .versions(spark, s"$root/compact").last._2
+      graft.tools.FileUtil.deleteTree(
+        java.nio.file.Paths.get(s"$compactDir/${Manifest.SubDir}"))
+      // a pruned reader in the window answers EXACTLY (unpruned
+      // fallback — the cost is time, never rows); no throw
+      val probes = Seq(5L, 77777L)
+      val got = ManifestStream.prunedScan(spark, root, bloomAnyOf = probes)
+        .filter(col("id").isin(probes: _*)).count()
+      val want = rows.filter(col("id") % 9 <= 4)
+        .filter(col("id").isin(probes: _*)).count()
+      assert(got === want)
+      assert(ManifestStream.prunedScan(spark, root,
+        ranges = Seq(("k", 1000.0, 1999.0)))
+        .filter(col("k").between(1000L, 1999L)).count() ===
+        rows.filter(col("id") % 9 <= 4)
+          .filter(col("k").between(1000L, 1999L)).count())
+      // the replayed compacting batch rebuilds data + manifest, and
+      // pruning resumes
+      ManifestStream.processBatch(rows.filter(col("id") % 9 === 4), 4L, root,
+        Seq("k"), bloomKey = Some("id"), compactEvery = 4,
+        targetBytes = 64 * 1024, blockBytes = 64 * 1024)
+      val rebuilt = graft.streaming.BatchVersioned
+        .versions(spark, s"$root/compact").last._2
+      assert(Manifest.committed(spark, rebuilt), "replay did not rebuild the manifest")
+      val (sel, total) = Manifest.selectedFiles(spark, rebuilt,
+        bloomAnyOf = probes)
+      assert(sel.length < total, "rebuilt manifest prunes nothing")
     } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
   }
 

@@ -99,7 +99,7 @@ class TokenBudgetStreamSpec extends AnyFunSuite {
           .mkString("\n").getBytes("UTF-8"))
 
       val buf = scala.collection.mutable.ArrayBuffer.empty[TokenBudgetStream.Admit]
-      def runPhase(nBatches: Int): Unit = {
+      def runPhase(): Unit = {
         val in = spark.readStream
           .schema("doc_id BIGINT, source STRING, n_tokens BIGINT")
           .option("maxFilesPerTrigger", 1)
@@ -116,9 +116,9 @@ class TokenBudgetStreamSpec extends AnyFunSuite {
         try q.processAllAvailable() finally q.stop()
       }
 
-      (0 to 1).foreach(writeFile); runPhase(2)     // phase 1: files 0-1
+      (0 to 1).foreach(writeFile); runPhase()      // phase 1: files 0-1
       val phase1 = buf.synchronized(buf.toVector)
-      (2 to 3).foreach(writeFile); runPhase(2)     // restart: files 2-3
+      (2 to 3).foreach(writeFile); runPhase()      // restart: files 2-3
       val got = buf.synchronized(buf.toVector)
       val phase2 = got.drop(phase1.size)
 
