@@ -105,16 +105,28 @@ object Manifest {
       spark.read.parquet(dir)
         .select((input_file_name().as("file") +: statsKeys.map(col)): _*)
         .groupBy("file").agg(aggCols.head, aggCols.tail: _*))
-    val mf = bloomKey match {
-      case None => stats.withColumn("bloom", lit(null).cast("array<bigint>"))
+    val (mf, bloomBytes) = bloomKey match {
+      case None => (stats.withColumn("bloom", lit(null).cast("array<bigint>"))
         .withColumn("bloom_m", lit(0))
+        .withColumn("bloom_key", lit(null).cast("string"))
+        .withColumn("bloom_type", lit(null).cast("string")), 0L)
       case Some(bk) =>
         // geometry from the MEASURED max per-file rows (single-row
         // collect), so every file shares one (m, nh) and the probe
         // expression is a literal-geometry scan predicate
-        val maxRows = stats.agg(max("rows")).head().getLong(0)
+        val mr = stats.agg(max("rows")).head()
+        // a zero-row data dir has no files: max(rows) is NULL, and the
+        // floor geometry below covers the (empty) manifest it commits
+        val maxRows = if (mr.isNullAt(0)) 0L else mr.getLong(0)
         val m = math.max(1024L, maxRows * bitsPerKey)
           .min(Int.MaxValue.toLong - 63).toInt
+        // the build-side key TYPE is part of the hashing contract:
+        // xxhash64 hashes INT/BIGINT/STRING inputs differently, so a
+        // probe literal of the wrong type would produce silent bloom
+        // false-NEGATIVES — files pruned that contain true matches.
+        // Persist the key name + Spark dataType and cast every probe
+        // literal to it in [[selectedFiles]].
+        val bkType = spark.read.parquet(dir).schema(bk).dataType
         val agg = udaf(new Bloom.BitsetAgg(m), Encoders.scalaLong)
         // pass 2: per-file bloom — column-pruned to the bloom key
         val blooms = spark.read.parquet(dir)
@@ -124,12 +136,27 @@ object Manifest {
             explode(sequence(lit(0), lit(Bloom.NumHashes - 1))).as("__i"), col("__k"))
           .select(col("file"), Bloom.probeCol(col("__i"), col("__k"), m).as("__idx"))
           .groupBy("file").agg(agg(col("__idx")).as("bloom"))
-        stats.join(blooms, Seq("file"), "left").withColumn("bloom_m", lit(m))
+        (stats.join(blooms, Seq("file"), "left").withColumn("bloom_m", lit(m))
+          .withColumn("bloom_key", lit(bk))
+          .withColumn("bloom_type", lit(bkType.sql)), m / 8L)
     }
-    val out = mf.coalesce(1)
-    out.write.mode("overwrite").parquet(mfPath(dir))
-    stats.count()
+    // output file count from MEASURED manifest geometry (rows × bloom
+    // bytes + zone-map/path overhead), never coalesce(1): at the
+    // operator's own claimed 100 TB scale the manifest is ~800k files ×
+    // ~1.25 MB of bloom ≈ 1 TB, and a single-task funnel there would
+    // also collapse the post-shuffle bloom aggregation to one core.
+    // The read side already prunes the manifest AS A TABLE, so a
+    // multi-file manifest costs readers nothing.
+    val nFiles = stats.count()
+    val rowBytes = bloomBytes + 48L * statsKeys.size + 160L
+    val outFiles = math.max(1L, math.ceil(
+      nFiles.toDouble * rowBytes / ManifestTargetBytes).toLong).toInt
+    mf.repartition(outFiles).write.mode("overwrite").parquet(mfPath(dir))
+    nFiles
   }
+
+  /** Target manifest output-file size — the standard lake granule. */
+  private val ManifestTargetBytes: Long = 128L << 20
 
   /** Membership test against a per-ROW bits column (the manifest's
     * `bloom` array) — [[Bloom.mightContain]]'s twin where the bitset
@@ -162,6 +189,10 @@ object Manifest {
       bloomAnyOf: Seq[Any]): (Array[String], Long) = {
     val mf = graft.CachePool.cache(spark.read.parquet(mfPath(dir)))
     val total = mf.count()
+    // a zero-row data dir commits a zero-row manifest: nothing to
+    // select, and no geometry row to read — return the empty selection
+    // instead of a bare head() NoSuchElementException
+    if (total == 0) return (Array.empty[String], 0L)
     var sel = mf
     for ((k, lo, hi) <- ranges)
       // NULL zone map (a file whose key is all-NULL, or a key that
@@ -172,9 +203,19 @@ object Manifest {
       sel = sel.filter(col(s"min_$k").isNull ||
         (col(s"max_$k") >= lo && col(s"min_$k") <= hi))
     if (bloomAnyOf.nonEmpty) {
-      val m = mf.select("bloom_m").head().getInt(0)
+      val hd = mf.select("bloom_m", "bloom_type").head()
+      val m = hd.getInt(0)
       require(m > 0, s"Manifest at $dir was written without a bloom key")
-      val any = bloomAnyOf.map(v => mightContainRow(lit(v), col("bloom"), m))
+      // cast each probe literal to the BUILD side's key type — the
+      // manifest records it precisely because xxhash64 hashes
+      // INT/BIGINT/STRING differently, and an untyped lit(3) probed
+      // against a BIGINT key would silently bloom-false-negative
+      // (pruning files that contain true matches). A value that cannot
+      // cast becomes NULL, which no non-null build key hashes to —
+      // pruning everything for that value, exactly what equality on an
+      // impossible value answers.
+      val bkType = org.apache.spark.sql.types.DataType.fromDDL(hd.getString(1))
+      val any = bloomAnyOf.map(v => mightContainRow(lit(v).cast(bkType), col("bloom"), m))
         .reduce(_ || _)
       sel = sel.filter(col("bloom").isNull || any)
     }
@@ -190,6 +231,14 @@ object Manifest {
   def prunedRead(spark: SparkSession, dir: String,
       ranges: Seq[(String, Double, Double)] = Nil,
       bloomAnyOf: Seq[Any] = Nil): DataFrame = {
+    // the stale-manifest contract (class doc) relies on a read of a
+    // manifest-named-but-vanished file failing LOUDLY; with
+    // ignoreMissingFiles=true Spark would skip it silently and a
+    // manifest left over from a data-dir rewrite would return wrong
+    // rows with no error — refuse to run in that configuration.
+    require(!spark.conf.get("spark.sql.files.ignoreMissingFiles", "false").toBoolean,
+      "Manifest.prunedRead requires spark.sql.files.ignoreMissingFiles=false: " +
+        "a stale manifest must fail loudly, not silently drop vanished files")
     val (files, total) = selectedFiles(spark, dir, ranges, bloomAnyOf)
     if (files.length.toLong == total) spark.read.parquet(dir)
     else if (files.isEmpty) spark.read.parquet(dir).where(lit(false))

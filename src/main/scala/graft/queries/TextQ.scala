@@ -343,8 +343,15 @@ object TextQ extends QueryPack {
       val perSrc = docs.groupBy($"source").agg(sum($"n_tokens").as("tok"))
       val budget = Tables.memoizedLong(s, s"$d#q117-budget")(
         perSrc.agg(min($"tok")).as[Long].head())
+      // sort with Spark's OWN string collation (UTF8String = unsigned
+      // UTF-8 byte order), not Scala's UTF-16 code-unit sortBy: the
+      // two disagree for supplementary-plane source names, and the
+      // offsets must follow exactly the order Prefix.cumsum's range
+      // exchange used
       val totals = perSrc.collect().map(r => (r.getString(0), r.getLong(1)))
-        .sortBy(_._1)
+        .sortBy { case (src, _) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(src)
+        }
       var acc = 0L
       val offs = totals.map { case (src, t) => val o = acc; acc += t; (src, o) }
       val offDf = broadcast(offs.toSeq.toDF("source", "__off"))

@@ -180,6 +180,51 @@ class FileSkipSpec extends AnyFunSuite {
     } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("probe literal type is cast to the build key's type (no silent false-negatives)") {
+    val dir = Files.createTempDirectory("graft_mf_typ").toString
+    try {
+      build(dir) // bloom key `id` is BIGINT
+      // an Int probe literal hashes differently from a Long under
+      // xxhash64; the manifest's recorded bloom_type casts it before
+      // probing, so the Int spelling selects the same files — and
+      // finds the row — as the properly-typed probe
+      val (selInt, _) = Manifest.selectedFiles(spark, dir, bloomAnyOf = Seq(5))
+      val (selLong, _) = Manifest.selectedFiles(spark, dir, bloomAnyOf = Seq(5L))
+      assert(selInt.toSet === selLong.toSet,
+        s"Int probe selected ${selInt.length} files, Long probe ${selLong.length}")
+      val got = Manifest.prunedRead(spark, dir, bloomAnyOf = Seq(5))
+        .filter(col("id") === 5L).count()
+      assert(got === 1L, "typed-cast probe lost the true match")
+      // a String probe likewise casts ("5" -> 5L) rather than hashing
+      // as a string and pruning the true file
+      val gotStr = Manifest.prunedRead(spark, dir, bloomAnyOf = Seq("5"))
+        .filter(col("id") === 5L).count()
+      assert(gotStr === 1L)
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("empty data dir: zero-row manifest selects nothing instead of throwing") {
+    val dir = Files.createTempDirectory("graft_mf_empty").toString
+    try {
+      Layout.clusteredWrite(data.where(lit(false)), dir, Seq("k"), files = 1)
+      Manifest.write(spark, dir, Seq("k"), Some("id"))
+      val (sel, total) = Manifest.selectedFiles(spark, dir, bloomAnyOf = Seq(5L))
+      assert(sel.isEmpty && total === 0L)
+      assert(Manifest.prunedRead(spark, dir, bloomAnyOf = Seq(5L)).count() === 0L)
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("prunedRead refuses ignoreMissingFiles=true (stale manifests must fail loudly)") {
+    val dir = Files.createTempDirectory("graft_mf_imf").toString
+    try {
+      build(dir)
+      spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+      try assertThrows[IllegalArgumentException] {
+        Manifest.prunedRead(spark, dir, bloomAnyOf = Seq(5L))
+      } finally spark.conf.set("spark.sql.files.ignoreMissingFiles", "false")
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("zone-map-only manifest: ranges serve, bloom probes loud-reject") {
     val dir = Files.createTempDirectory("graft_mf_zm").toString
     try {

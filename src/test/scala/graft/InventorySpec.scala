@@ -72,6 +72,19 @@ class InventorySpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
+  test("the advertised §2 row count matches the actual checked rows") {
+    // round 16 (the r15 verdict's bookkeeping ask): §19 once advertised
+    // "172 rows" while the table held 170 — prose drift the 1:1 key
+    // check can't see. §2 now carries ONE canonical "Checked rows: N"
+    // line, asserted here against the real count.
+    val advertised = raw"Checked rows: (\d+)".r.findFirstMatchIn(sect2)
+      .map(_.group(1).toInt)
+      .getOrElse(fail("SURVEY.md §2 lost its 'Checked rows: N' line"))
+    val actual = raw"- \[x\]".r.findAllIn(sect2).size
+    assert(advertised == actual,
+      s"SURVEY.md §2 advertises $advertised checked rows but holds $actual — update the 'Checked rows' line")
+  }
+
   test("every oracleSql key is a queries key (orphan oracles are dead weight)") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(orphans.isEmpty, s"oracleSql keys without a query: ${orphans.toSeq.sorted.mkString(", ")}")
