@@ -84,15 +84,16 @@ object Manifest {
     * cannot be used to FIND nulls (a point lookup is by value); zone
     * maps likewise ignore nulls (min/max of the non-null domain). */
   def write(spark: SparkSession, dir: String, statsKeys: Seq[String],
-      bloomKey: Option[String] = None, bitsPerKey: Int = Bloom.BitsPerKey): Long =
+      bloomKey: Option[String] = None, bitsPerKey: Int = Bloom.BitsPerKey,
+      targetBytes: Long = 128L << 20): Long =
     // scoped: the cached stats/manifest frames are fully consumed
     // inside this call — without the scope each write would leak one
     // persisted DF into the global pool, which a long-lived streaming
     // session never drains (the ClusterMaintenance per-micro-batch rule)
-    graft.CachePool.scoped { writeImpl(spark, dir, statsKeys, bloomKey, bitsPerKey) }
+    graft.CachePool.scoped { writeImpl(spark, dir, statsKeys, bloomKey, bitsPerKey, targetBytes) }
 
   private def writeImpl(spark: SparkSession, dir: String, statsKeys: Seq[String],
-      bloomKey: Option[String], bitsPerKey: Int): Long = {
+      bloomKey: Option[String], bitsPerKey: Int, targetBytes: Long): Long = {
     require(statsKeys.nonEmpty || bloomKey.nonEmpty,
       "Manifest.write: need at least one stats key or a bloom key")
     val aggCols = count(lit(1)).as("rows") +: statsKeys.flatMap(k => Seq(
@@ -150,13 +151,10 @@ object Manifest {
     val nFiles = stats.count()
     val rowBytes = bloomBytes + 48L * statsKeys.size + 160L
     val outFiles = math.max(1L, math.ceil(
-      nFiles.toDouble * rowBytes / ManifestTargetBytes).toLong).toInt
+      nFiles.toDouble * rowBytes / targetBytes).toLong).toInt
     mf.repartition(outFiles).write.mode("overwrite").parquet(mfPath(dir))
     nFiles
   }
-
-  /** Target manifest output-file size — the standard lake granule. */
-  private val ManifestTargetBytes: Long = 128L << 20
 
   /** Membership test against a per-ROW bits column (the manifest's
     * `bloom` array) — [[Bloom.mightContain]]'s twin where the bitset

@@ -34,19 +34,25 @@ object KeywordIndexStream {
   /** One micro-batch of (doc_id, text) ingest. */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       compactEvery: Int = 16, targetBytes: Long = 128L << 20,
-      blockBytes: Long = 128L << 20): Unit =
+      blockBytes: Long = 128L << 20,
+      majorFrac: Double = CompactingLake.DefaultMajorFrac,
+      maxL1: Int = CompactingLake.DefaultMaxL1): Unit =
     CompactingLake.processBatch(batch, batchId, root, compactEvery,
       targetBytes,
       (df, dst, files) =>
         Layout.clusteredWrite(df, dst, Seq("term", "doc_id"), files, blockBytes),
-      ingest = InvertedIndex.postings)
+      ingest = InvertedIndex.postings,
+      majorFrac = majorFrac, maxL1 = maxL1)
 
   /** foreachBatch adapter. */
   def sink(root: String, compactEvery: Int = 16,
       targetBytes: Long = 128L << 20,
-      blockBytes: Long = 128L << 20): (DataFrame, Long) => Unit =
+      blockBytes: Long = 128L << 20,
+      majorFrac: Double = CompactingLake.DefaultMajorFrac,
+      maxL1: Int = CompactingLake.DefaultMaxL1): (DataFrame, Long) => Unit =
     (batch, batchId) =>
-      processBatch(batch, batchId, root, compactEvery, targetBytes, blockBytes)
+      processBatch(batch, batchId, root, compactEvery, targetBytes, blockBytes,
+        majorFrac, maxL1)
 
   /** Conjunctive lookup over everything committed: compact history
     * (term-pruned row groups) + the bounded unclustered tail — THE

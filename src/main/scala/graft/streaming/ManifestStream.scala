@@ -38,18 +38,23 @@ object ManifestStream {
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       statsKeys: Seq[String], bloomKey: Option[String] = None,
       compactEvery: Int = 16, targetBytes: Long = 128L << 20,
-      blockBytes: Long = 128L << 20): Unit =
+      blockBytes: Long = 128L << 20,
+      majorFrac: Double = CompactingLake.DefaultMajorFrac,
+      maxL1: Int = CompactingLake.DefaultMaxL1): Unit =
     CompactingLake.processBatch(batch, batchId, root, compactEvery,
-      targetBytes, rewrite(batch.sparkSession, statsKeys, bloomKey, blockBytes))
+      targetBytes, rewrite(batch.sparkSession, statsKeys, bloomKey, blockBytes),
+      majorFrac = majorFrac, maxL1 = maxL1)
 
   /** foreachBatch adapter. */
   def sink(root: String, statsKeys: Seq[String],
       bloomKey: Option[String] = None, compactEvery: Int = 16,
       targetBytes: Long = 128L << 20,
-      blockBytes: Long = 128L << 20): (DataFrame, Long) => Unit =
+      blockBytes: Long = 128L << 20,
+      majorFrac: Double = CompactingLake.DefaultMajorFrac,
+      maxL1: Int = CompactingLake.DefaultMaxL1): (DataFrame, Long) => Unit =
     (batch, batchId) =>
       processBatch(batch, batchId, root, statsKeys, bloomKey, compactEvery,
-        targetBytes, blockBytes)
+        targetBytes, blockBytes, majorFrac, maxL1)
 
   private def rewrite(spark: SparkSession, statsKeys: Seq[String],
       bloomKey: Option[String], blockBytes: Long): CompactingLake.Rewrite =
@@ -58,27 +63,29 @@ object ManifestStream {
       Manifest.write(spark, dst, statsKeys, bloomKey)
     }
 
-  /** Pruned read over everything committed: the newest compact
-    * version file-pruned through its manifest — IF that manifest
-    * itself is committed ([[Manifest.committed]]; else the version is
-    * read unpruned, the class-doc window rule) — plus the WHOLE
-    * unmanifested arrival tail (bounded by the compaction interval).
-    * Callers keep their residual filter — same exactness contract as
-    * [[Manifest.prunedRead]]. Before the first compaction there is no
-    * manifest yet: everything is tail, read whole. Resolution is the
-    * engine's ONE rule ([[CompactingLake.readerDirs]]), not a local
-    * copy. */
+  /** Pruned read over everything committed: the base AND each L1
+    * chunk file-pruned through their OWN manifests — each gated on
+    * [[Manifest.committed]] (else that dir is read unpruned, the
+    * class-doc window rule) — plus the WHOLE unmanifested arrival
+    * tail (bounded by the compaction interval). This is what makes
+    * manifest maintenance INCREMENTAL on the leveled lake: a minor
+    * compaction manifests ONLY its new L1 chunk, the base manifest is
+    * immutable until the next major. Callers keep their residual
+    * filter — same exactness contract as [[Manifest.prunedRead]].
+    * Before the first compaction there is no manifest yet: everything
+    * is tail, read whole. Resolution is the engine's ONE rule
+    * ([[CompactingLake.readerDirs]]), not a local copy. */
   def prunedScan(spark: SparkSession, root: String,
       ranges: Seq[(String, Double, Double)] = Nil,
       bloomAnyOf: Seq[Any] = Nil): DataFrame = {
-    val (compact, tail) = CompactingLake.readerDirs(spark, root)
+    val lv = CompactingLake.readerDirs(spark, root)
     val parts =
-      compact.map { case (_, d) =>
+      (lv.base.toSeq ++ lv.l1s).map { case (_, d) =>
         if (Manifest.committed(spark, d)) Manifest.prunedRead(spark, d, ranges, bloomAnyOf)
         else spark.read.parquet(d)
-      }.toSeq ++
-      (if (tail.isEmpty) Seq.empty
-       else Seq(spark.read.parquet(tail: _*)))
+      } ++
+      (if (lv.tail.isEmpty) Seq.empty
+       else Seq(spark.read.parquet(lv.tail: _*)))
     require(parts.nonEmpty, s"no committed batches under $root")
     parts.reduce(_ unionByName _)
   }

@@ -29,17 +29,22 @@ object ZOrderStream {
     * rebuild into a fresh root instead, the IvfStream retrain rule). */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       keys: Seq[String], bitsPerKey: Int = 8, compactEvery: Int = 16,
-      targetBytes: Long = 128L << 20, blockBytes: Long = 128L << 20): Unit =
+      targetBytes: Long = 128L << 20, blockBytes: Long = 128L << 20,
+      majorFrac: Double = CompactingLake.DefaultMajorFrac,
+      maxL1: Int = CompactingLake.DefaultMaxL1): Unit =
     CompactingLake.processBatch(batch, batchId, root, compactEvery,
-      targetBytes, rewrite(keys, bitsPerKey, blockBytes))
+      targetBytes, rewrite(keys, bitsPerKey, blockBytes),
+      majorFrac = majorFrac, maxL1 = maxL1)
 
   /** foreachBatch adapter. */
   def sink(root: String, keys: Seq[String], bitsPerKey: Int = 8,
       compactEvery: Int = 16, targetBytes: Long = 128L << 20,
-      blockBytes: Long = 128L << 20): (DataFrame, Long) => Unit =
+      blockBytes: Long = 128L << 20,
+      majorFrac: Double = CompactingLake.DefaultMajorFrac,
+      maxL1: Int = CompactingLake.DefaultMaxL1): (DataFrame, Long) => Unit =
     (batch, batchId) =>
       processBatch(batch, batchId, root, keys, bitsPerKey, compactEvery,
-        targetBytes, blockBytes)
+        targetBytes, blockBytes, majorFrac, maxL1)
 
   private def rewrite(keys: Seq[String], bitsPerKey: Int,
       blockBytes: Long): CompactingLake.Rewrite =

@@ -161,6 +161,81 @@ object ScaleStress {
       } finally FileUtil.deleteTree(java.nio.file.Paths.get(dir))
     }
 
+    // Leveled lake (round 16): per-MINOR compaction cost stays FLAT
+    // as committed history grows. The r15 engine rewrote the FULL
+    // history every compactEvery batches — O(N) read+write per
+    // compaction on a growing lake, the r15 verdict's scale-killer.
+    // Fixed 250k-row batches, compactEvery=4, 36 batches: the leveled
+    // run (majorFrac=∞ after the bootstrap major) measures each
+    // minor's READ bytes via task metrics; the legacy control
+    // (majorFrac=0 → every compaction full-rewrite, byte-identical to
+    // the r15 engine) shows the linear growth leveling removes.
+    // Gates: leveled minor input flat (last/first < 1.5) while
+    // history grows 7×; the legacy LAST compaction reads > 3× the
+    // leveled last minor.
+    time("leveled_lake_flat_minor_cost") {
+      val rowsPerBatch = 250000L
+      val nBatches = 36
+      val every = 4
+      def batch(b: Long) = spark.range(b * rowsPerBatch, (b + 1) * rowsPerBatch)
+        .select($"id",
+          ($"id" * 48271L % 1000000L).as("x"),
+          ($"id" * 52361L % 1000000L).as("y"))
+      val rowsRead = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) rowsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+      }
+      def measured(f: => Unit): Long = {
+        rowsRead.set(0L)
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          f
+          var prev = -1L; var cur = rowsRead.get(); var i = 0
+          while (cur != prev && i < 40) { Thread.sleep(250); prev = cur; cur = rowsRead.get(); i += 1 }
+          cur
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      // run one lake; return (compaction batchId, rows read, seconds)
+      def run(frac: Double): Seq[(Long, Long, Double)] = {
+        val root = java.nio.file.Files.createTempDirectory("graft_stress_lvl").toString
+        try {
+          var out = Seq.empty[(Long, Long, Double)]
+          (0 until nBatches).foreach { b =>
+            if (b > 0 && b % every == 0) {
+              val t0 = System.nanoTime()
+              val rows = measured {
+                graft.streaming.ZOrderStream.processBatch(batch(b), b, root,
+                  Seq("x", "y"), compactEvery = every, targetBytes = 32L << 20,
+                  majorFrac = frac)
+              }
+              out :+= ((b.toLong, rows, (System.nanoTime() - t0) / 1e9))
+            } else
+              graft.streaming.ZOrderStream.processBatch(batch(b), b, root,
+                Seq("x", "y"), compactEvery = every, targetBytes = 32L << 20,
+                majorFrac = frac)
+          }
+          out
+        } finally FileUtil.deleteTree(java.nio.file.Paths.get(root))
+      }
+      val leveled = run(Double.PositiveInfinity)
+      val legacy = run(0.0)
+      def fmt(s: Seq[(Long, Long, Double)]) =
+        s.map { case (b, r, sec) => f"$b:${r / 1000}kr/${sec}%.1fs" }.mkString(", ")
+      println(s"STRESS   leveled=${fmt(leveled)}")
+      println(s"STRESS   legacy =${fmt(legacy)}")
+      // minors start at the SECOND compaction (the first is the
+      // bootstrap major); rows READ must stay flat while history grows
+      val minors = leveled.drop(1)
+      val flat = minors.last._2.toDouble / minors.head._2
+      require(flat < 1.5,
+        f"leveled minor input grew $flat%.2fx while history grew ${nBatches / every - 1}x")
+      val gain = legacy.last._2.toDouble / minors.last._2
+      require(gain > 4.0,
+        f"legacy full-rewrite last compaction read only $gain%.1fx the leveled minor - leveling buys nothing?")
+      nBatches * rowsPerBatch
+    }
+
     // File-skipping manifest at 100× FileSkipSpec's corpus (q116's
     // mechanism at scale): 20M rows range-clustered on k across 64
     // files, per-file blooms on the UNCORRELATED id (every file's id

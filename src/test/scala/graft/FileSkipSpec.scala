@@ -225,6 +225,29 @@ class FileSkipSpec extends AnyFunSuite {
     } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("multi-file manifest (distributed build): selection and reads identical to single-file") {
+    val dir = Files.createTempDirectory("graft_mf_multi").toString
+    try {
+      // a tiny target granule forces the sized repartition to emit
+      // many manifest part files — the 800k-file geometry's shape,
+      // where coalesce(1) would funnel ~1 TB through one task. The
+      // read side prunes the manifest AS A TABLE, so selection must
+      // not care how many files carry it.
+      Layout.clusteredWrite(data, dir, Seq("k"), files = nFiles)
+      Manifest.write(spark, dir, Seq("k"), Some("id"), targetBytes = 4 * 1024)
+      val parts = new java.io.File(s"$dir/${Manifest.SubDir}").listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(parts > 1, s"tiny targetBytes still produced $parts manifest file(s)")
+      val probes = Seq(5L, 77777L, 123456L)
+      val (sel, total) = Manifest.selectedFiles(spark, dir, bloomAnyOf = probes)
+      assert(total === nFiles.toLong)
+      assert(sel.length >= 1 && sel.length < nFiles / 2)
+      val got = Manifest.prunedRead(spark, dir, bloomAnyOf = probes)
+        .filter(col("id").isin(probes: _*)).count()
+      assert(got === probes.size.toLong)
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("zone-map-only manifest: ranges serve, bloom probes loud-reject") {
     val dir = Files.createTempDirectory("graft_mf_zm").toString
     try {
