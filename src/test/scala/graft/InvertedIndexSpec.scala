@@ -25,7 +25,8 @@ class InvertedIndexSpec extends AnyFunSuite {
     concat_ws(" ",
       expr("transform(sequence(0, 19), i -> concat('w', cast((id * 2654435761 + cast(i as bigint) * i * 19349663) % 10000 as string)))"),
       when(col("id") % 1000 === 0, lit("needle")).otherwise(lit("w1")),
-      when(col("id") % 700 === 0, lit("thread")).otherwise(lit("w2")))
+      when(col("id") % 700 === 0, lit("thread")).otherwise(lit("w2")),
+      when(col("id") % 2500 === 0, lit("sparse")).otherwise(lit("w3")))
       .as("text"))
 
   test("AND lookup == corpus scan; postings scan ~ posting lists, not corpus") {
@@ -68,6 +69,76 @@ class InvertedIndexSpec extends AnyFunSuite {
       assert(got === want)
       // |ANY| > |AND| strictly here (both planted periods coprime-ish)
       assert(want.size > nDocs.toInt / 1000)
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("ranked search == driver-side BM25 reference; dense scan pruned by candidate pushdown") {
+    val dir = Files.createTempDirectory("graft_invidx_rank").toString
+    try {
+      // fine row groups: the pruning granule must be small relative to
+      // the dense term's posting run for candidate pushdown to bite
+      InvertedIndex.buildRanked(corpus, dir, files = 8, blockBytes = 16 * 1024)
+      // 'sparse' is rare (df 20), 'w2' is DENSE (every non-thread doc,
+      // df ≈ 49.9k) — the asymmetry the rarest-first probe exists for;
+      // their AND is the ~17 sparse docs that are not thread docs
+      val terms = Seq("sparse", "w2")
+      val got = InvertedIndex.searchRanked(spark, dir, terms, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+
+      // driver-side reference: textbook BM25 with rational idf, same
+      // constants, same summation order, over the collected corpus
+      val docs = corpus.select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("ts"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList))
+      val n = docs.length.toDouble
+      val avgdl = docs.map(_._2.length.toDouble).sum / docs.length
+      val dfm = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+      val (k1, b) = (1.2, 0.75)
+      val scored = docs.flatMap { case (id, ts) =>
+        if (terms.forall(ts.contains)) {
+          val dl = ts.length.toDouble
+          val s = terms.map { t =>
+            val tf = ts.count(_ == t).toDouble
+            val idf = (n - dfm(t) + 0.5) / (dfm(t) + 0.5)
+            idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl))))
+          }.reduce(_ + _)
+          Some((id, s))
+        } else None
+      }
+      val want = scored.sortBy { case (id, s) => (-s, id) }.take(10)
+        .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+      assert(got.toSeq === want.toSeq)
+      assert(want.nonEmpty, "planted ranked set empty — corpus drifted")
+
+      // the dense term's posting list is NOT read whole: the pushed
+      // search materializes only the candidates' row groups; the
+      // CONTROL below (pushdownCap = 0, the semi-join fallback) reads
+      // the dense posting run end to end — same answer, more scan
+      val search = InvertedIndex.searchRanked(spark, dir, terms, topK = 10)
+      search.queryExecution.toRdd.count()
+      val scanned = Layout.scanOutputRows(search.queryExecution.executedPlan)
+      val control = InvertedIndex.searchRanked(spark, dir, terms, topK = 10,
+        pushdownCap = 0)
+      assert(control.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+        .toSeq === got.toSeq, "fallback path disagrees with the pushed path")
+      val controlScanned = Layout.scanOutputRows(control.queryExecution.executedPlan)
+      assert(scanned.toDouble < controlScanned / 1.5,
+        s"candidate pushdown did not reduce the dense scan: $scanned vs control $controlScanned")
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("ranked search: absent term empties the result; ties break by doc_id") {
+    val dir = Files.createTempDirectory("graft_invidx_rank2").toString
+    try {
+      InvertedIndex.buildRanked(corpus, dir, files = 4, blockBytes = 256 * 1024)
+      assert(InvertedIndex.searchRanked(spark, dir, Seq("needle", "absentterm"))
+        .count() === 0L)
+      // single-term search over a planted constant-tf term: scores tie,
+      // rnk follows doc_id
+      val r = InvertedIndex.searchRanked(spark, dir, Seq("needle"), topK = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(2)))
+      assert(r.map(_._1).toSeq === r.map(_._1).sorted.toSeq,
+        s"tie-break not by doc_id: ${r.mkString(", ")}")
     } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 

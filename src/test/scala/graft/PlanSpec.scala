@@ -401,4 +401,17 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.contains("PushedFilters:"), pf)
     assert(pf.contains("In(term"), pf)
   }
+
+  test("q119: rarest-first intersection pushes the candidate doc_ids into the dense term's scan") {
+    val pf = planFormatted("q119_keyword_rank")
+    // the rarest term ('dup', df 25 at test SF) is collected as the
+    // candidate list, and the DENSE term's posting read carries
+    // doc_id IN (candidates) at the parquet reader — row-group
+    // pruning on the secondary cluster key, so the dense posting
+    // list is never scanned whole
+    assert(pf.contains("PushedFilters:"), pf)
+    assert(pf.contains("In(doc_id"), s"candidate-id pushdown missing:\n${pf.take(3000)}")
+    // and each per-term probe still prunes on term equality
+    assert(pf.contains("EqualTo(term"), pf)
+  }
 }
