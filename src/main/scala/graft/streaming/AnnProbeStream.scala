@@ -48,6 +48,16 @@ object AnnProbeStream {
   /** Start the probe loop over a streaming `queries` relation with
     * columns `query_id` (long) and `qv` (array&lt;double&gt;).
     *
+    * `shortlistR > 0` switches the per-batch probe into the streamed
+    * IVF-quantized composition ([[IvfChangelog.topK]]'s coded
+    * shortlist): candidates are approx-scored on the stored int8
+    * codes with the full-vector column pruned out of the candidate
+    * scan, and only the per-query top-R pay the exact re-rank — the
+    * q59/q70 two-phase shape against the MAINTAINED index. The recall
+    * telemetry below guards the shortlist depth exactly as it guards
+    * nprobe (too-small R dips the estimate; escalation widens nprobe
+    * before sinking).
+    *
     * RECALL TELEMETRY + ADAPTIVE NPROBE (opt-in via
     * `recallSample > 0`): the spec-gated recall floor is invisible in
     * production — an index drifting away from its trained centroids
@@ -74,7 +84,7 @@ object AnnProbeStream {
       nprobe: Int, k: Int, checkpointDir: String,
       queryName: String = "ann_probe",
       recallSample: Int = 0, recallFloor: Double = 0.0,
-      maxNprobe: Int = 0,
+      maxNprobe: Int = 0, shortlistR: Int = 0,
       telemetry: Telemetry = (_, _, _) => ())
       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(recallSample >= 0, s"recallSample must be >= 0: $recallSample")
@@ -88,7 +98,7 @@ object AnnProbeStream {
         val spark = batch.sparkSession
         if (recallSample == 0) {
           sink(IvfChangelog.topK(spark, root, batch, modelDir, npCur.get(), k,
-            staticCellPushdown = true), id)
+            staticCellPushdown = true, shortlistR = shortlistR), id)
         } else {
           // the batch feeds the probe AND the sampled ground truth —
           // materialize once
@@ -105,12 +115,12 @@ object AnnProbeStream {
               .count().toDouble / exactCnt
           var np = npCur.get()
           var res = IvfChangelog.topK(spark, root, b, modelDir, np, k,
-            staticCellPushdown = true)
+            staticCellPushdown = true, shortlistR = shortlistR)
           var est = estimate(res)
           while (est < recallFloor && np < npCap) {
             np = math.min(npCap, np * 2)
             res = IvfChangelog.topK(spark, root, b, modelDir, np, k,
-              staticCellPushdown = true)
+              staticCellPushdown = true, shortlistR = shortlistR)
             est = estimate(res)
           }
           npCur.set(np)

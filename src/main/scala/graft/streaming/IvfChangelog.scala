@@ -336,7 +336,8 @@ object IvfChangelog {
     * 100 TB. */
   def topK(spark: SparkSession, root: String, queries: DataFrame,
       modelDir: String, nprobe: Int, k: Int,
-      staticCellPushdown: Boolean = false): DataFrame = {
+      staticCellPushdown: Boolean = false,
+      shortlistR: Int = 0): DataFrame = {
     val model = IvfIndex.load(spark, modelDir)
     val p0 = IvfIndex.probeCells(queries, col("qv"), model, nprobe)
     // the pushdown path reads the probe relation TWICE (cell-set
@@ -353,14 +354,57 @@ object IvfChangelog {
         val cells = p.select(col("cell")).distinct().collect().map(_.getInt(0))
         visible(spark, root).filter(col("cell").isin(cells.map(Integer.valueOf): _*))
       } else visible(spark, root)
-    vis.join(broadcast(p), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("__rn", row_number().over(wRes))
-      .filter(col("__rn") === 1 && !col("del"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        nanvl(VectorFunctions.cosine(col("qv"), col("v")), lit(-2.0)).as("cos_sim"))
-      .withColumn("rnk", row_number().over(wRank))
-      .filter(col("rnk") <= k)
+    if (shortlistR <= 0) {
+      vis.join(broadcast(p), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("__rn", row_number().over(wRes))
+        .filter(col("__rn") === 1 && !col("del"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          nanvl(VectorFunctions.cosine(col("qv"), col("v")), lit(-2.0)).as("cos_sim"))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= k)
+    } else {
+      // CODED-SHORTLIST mode (the streamed IVF-quantized composition,
+      // q59/q70's two-phase shape on the maintained index): phase 1
+      // resolves and approx-scores candidates on the STORED int8
+      // codes — the projection excludes `v`, so parquet column
+      // pruning keeps the 8×-larger full-vector column out of the
+      // candidate scan entirely — and keeps the per-query top
+      // `shortlistR`; phase 2 fetches `v` for exactly the shortlist
+      // (joined back on the resolved (vec_id, ver) — unique: one
+      // write per key per batch, compaction preserves ver) and
+      // exact-cosine re-ranks. Changelog resolution runs BEFORE the
+      // shortlist, so tombstones/updates are honored identically to
+      // the exact path; the only approximation is which candidates
+      // reach the re-rank, guarded by [[AnnProbeStream]]'s recall
+      // telemetry like nprobe is.
+      val wShort = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
+      val qcoded = p.withColumn("qcode", VectorExpressions.sq8Encode(col("qv")))
+        .select("query_id", "cell", "qcode")
+      val short = vis.select("vec_id", "code", "cell", "ver", "del")
+        .join(broadcast(qcoded), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("__rn", row_number().over(wRes))
+        .filter(col("__rn") === 1 && !col("del"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("ver"),
+          // q59's guard: an all-zero code's 0/0 must sink, not float up
+          nanvl(VectorExpressions.sq8Dot(col("qcode"), col("code")).cast("double") /
+            (sqrt(VectorExpressions.sq8Dot(col("qcode"), col("qcode")).cast("double")) *
+              sqrt(VectorExpressions.sq8Dot(col("code"), col("code")).cast("double"))),
+            lit(-2.0)).as("approx_cos"))
+        .withColumn("__ar", row_number().over(wShort))
+        .filter(col("__ar") <= shortlistR)
+        .select("query_id", "neighbor_id", "ver")
+      short
+        .join(vis.select(col("vec_id").as("neighbor_id"), col("ver"), col("v")),
+          Seq("neighbor_id", "ver"))
+        .join(broadcast(queries.select(col("query_id"), col("qv"))), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          nanvl(VectorFunctions.cosine(col("qv"), col("v")), lit(-2.0)).as("cos_sim"))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= k)
+    }
   }
 
   /** EXACT top-k over the current visible index — no cell pruning,

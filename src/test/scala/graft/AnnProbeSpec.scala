@@ -116,6 +116,74 @@ class AnnProbeSpec extends AnyFunSuite {
       graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(d)))
   }
 
+  test("stream_ann_probe coded shortlist (streamed IVF-quantized composition): deep-R parity with the exact path, recall floor, vector column pruned from the candidate scan") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_annsl").toString
+    val modelDir = Files.createTempDirectory("graft_annsl_model").toString
+    val ckpt = Files.createTempDirectory("graft_annsl_ckpt").toString
+    try {
+      val e = graft.sources.Tables.embeddings(spark, sfDir)
+        .select($"vec_id", VectorFunctions.vec($"embedding").as("v"))
+      val model = queries.SimilarityQ.ivfModel(spark, sfDir)
+      IvfIndex.save(model, modelDir, spark)
+      IvfChangelog.sink(spark, root, modelDir, compactEvery = 0)(
+        e.withColumn("row_kind", lit("+I")), 0L)
+      val cellBits = graft.operators.Adaptive.bits(
+        graft.sources.Tables.embeddingCount(spark, sfDir), targetBucket = 32, lo = 4, hi = 8)
+      val nprobe = cellBits + 3
+      val queriesDf = e.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"), $"v".as("qv"))
+
+      // deep shortlist (R >= any candidate count at this SF): the
+      // two-phase coded path must return EXACTLY the exact path's
+      // pairs — the approximation is only WHICH candidates re-rank
+      val deepR = 1 << 20
+      val exact = IvfChangelog.topK(spark, root, queriesDf, modelDir, nprobe, k = 5)
+        .select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val deep = IvfChangelog.topK(spark, root, queriesDf, modelDir, nprobe, k = 5,
+        shortlistR = deepR)
+        .select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(deep === exact, "deep-R coded shortlist diverges from the exact path")
+
+      // streamed: production shortlist depth (q59's 20) through
+      // AnnProbeStream — recall holds the SQ8 floor (RecallSpec: the
+      // int8 approximation costs no meaningful recall on top of IVF)
+      val qs = queriesDf.as[(Long, Seq[Double])].collect().toSeq
+      val in = MemoryStream[(Long, Seq[Double])]
+      val got = scala.collection.mutable.Set.empty[(Long, Long)]
+      var planStr = ""
+      val q = AnnProbeStream.start(
+        in.toDF().toDF("query_id", "qv"), root, modelDir,
+        nprobe = nprobe, k = 5, checkpointDir = ckpt, shortlistR = 20) { (df, _) =>
+        planStr = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val rows = df.select($"query_id", $"neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        got.synchronized { got ++= rows; () }
+      }
+      try { in.addData(qs); q.processAllAvailable() } finally q.stop()
+      val truth = SparkEntry.queries("q29_ann_brute_topk")(spark, sfDir)
+        .filter($"rnk" <= 5)
+        .select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      CachePool.drain()
+      val streamed = got.synchronized(got.toSet)
+      val recall = (truth & streamed).size.toDouble / truth.size
+      info(f"streamed coded-shortlist recall@5 = $recall%.2f")
+      assert(recall >= 0.8, f"coded shortlist degraded recall below the SQ8 floor: $recall%.2f")
+
+      // the candidate (phase-1) scan is column-pruned to the codes —
+      // the 8x-larger full-vector column never rides the approx scan
+      val schemaLines = planStr.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(schemaLines.exists(l => l.contains("code") && !l.contains("v:array")),
+        s"no code-only candidate scan found:\n${schemaLines.mkString("\n")}")
+    } finally Seq(root, modelDir, ckpt).foreach(d =>
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(d)))
+  }
+
   test("stream_ann_probe recall telemetry: per-batch estimate on a drifted index, nprobe escalation restores the floor and sticks") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
