@@ -26,7 +26,29 @@ import org.apache.spark.sql.streaming.MapState
   * MapState iterator (O(live+dead) compute, O(doomed) heap) and
   * removes after the scan, never during it.
   */
-private[streaming] object Tombstones {
+private[graft] object Tombstones {
+
+  /** ONE disorder promise for both clocks (round 16 — the horizon/TTL
+    * unification): where the SOURCE stamps `ver` = event-time
+    * MILLISECONDS (the common CDC convention — Debezium's ts_ms,
+    * Canal's es), the watermark delay `D` already declares "no row
+    * arrives more than D behind the max seen event time", which in
+    * the ver domain is exactly the tombstone-horizon promise: a late
+    * row has ts ≥ watermark = maxTs − D, so ver = ts(ms) ≥
+    * globalMaxVer − D(ms) ≥ grpMaxVer − D(ms) — the per-group cutoff
+    * [[compact]] applies is strictly safer than the global one the
+    * watermark bounds. Passing this as `tombstoneVerHorizon`
+    * therefore derives the ver fence bound from the SAME declared
+    * promise that drives event-time TTL and window semantics — one
+    * config, two clocks, no second number to get wrong. Where ver is
+    * a synthetic sequence (not time), the domains are
+    * incommensurable and an explicit horizon remains the only honest
+    * config. */
+  def verHorizonFromWatermark(delay: java.time.Duration): Option[Long] = {
+    require(!delay.isNegative && !delay.isZero,
+      s"verHorizonFromWatermark: watermark delay must be positive: $delay")
+    Some(delay.toMillis)
+  }
 
   /** Drop dead slots whose ver sits at or below `maxVer − h`;
     * returns how many were removed. */

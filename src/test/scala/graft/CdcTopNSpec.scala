@@ -414,6 +414,79 @@ class CdcTopNSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // Unified disorder promise (round 16): ver = event-time MILLIS, so
+  // the ONE watermark delay drives BOTH clocks — the event-time idle
+  // TTL and (via Tombstones.verHorizonFromWatermark) the tombstone
+  // fence lifetime. The fence then lives exactly as long as the
+  // watermark promise: a late row the promise allows is still fenced;
+  // a row older than the promise (which the source swore never to
+  // send) finds the fence compacted.
+  private def runUnified(name: String, horizon: Option[Long],
+      batches: Seq[Seq[(String, String, Long, Double, Long, java.sql.Timestamp)]]): Seq[(Long, RankDelta)] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, String, Long, Double, Long, java.sql.Timestamp)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, RankDelta)]
+    val q = CdcTopNStream.topNIdle(
+        in.toDF().toDF("op", "grp", "id", "score", "ver", "ts")
+          .withWatermark("ts", "10 minutes"),
+        n = 1, idleTtl = java.time.Duration.ofHours(10), bufFactor = 1,
+        tombstoneVerHorizon = horizon)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[RankDelta], id: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+      }
+      .queryName(name).start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      buf.synchronized(buf.toVector)
+    } finally q.stop()
+  }
+
+  test("cdc_topn unified config: ONE watermark delay drives the idle clock AND the fence bound — compaction provably answer-invisible") {
+    val delay = java.time.Duration.ofMinutes(10)
+    val unifiedH = graft.streaming.Tombstones.verHorizonFromWatermark(delay)
+    assert(unifiedH === Some(600000L))
+    def ch(op: String, id: Long, score: Double, sec: Long) =
+      (op, "t", id, score, sec * 1000L, ts(sec)) // ver = event-time MILLIS
+    // the scenario drives the fence PAST the derived horizon (group
+    // activity to 5001 s puts id 1's 1002 s fence beyond the 600 s
+    // promise → the rebuild scan compacts it) and then attempts a
+    // promise-VIOLATING straggler (3500 s late). The event-time gate
+    // the SAME watermark arms drops that row before the processor —
+    // which is the unification's safety theorem: any row the gate
+    // admits has ver ≥ watermark(ms) ≥ grpMaxVer − D(ms), i.e. newer
+    // than every compacted fence, so horizon = D(ms) can NEVER change
+    // an admitted row's outcome. Assert it literally: the unified run
+    // and the keep-everything control emit identical deltas.
+    val batches = Seq(
+      Seq(ch("+I", 1L, 10.0, 1000), ch("+I", 2L, 5.0, 1001)),
+      Seq(ch("-D", 1L, 10.0, 1002)),
+      Seq(ch("+I", 4L, 20.0, 5000)),
+      Seq(ch("-D", 4L, 20.0, 5001)),
+      Seq(ch("+I", 1L, 99.0, 1500))) // violates the promise → gated out
+    val unified = runUnified("ctn_uni", unifiedH, batches)
+    val control = runUnified("ctn_uni_ctl", None, batches)
+    assert(unified.map(_._2) === control.map(_._2),
+      "derived horizon changed an outcome the keep-forever control allows")
+    assert(materialize(unified) === Map("t" -> Set(2L)),
+      "the gated straggler must not resurrect id 1")
+    wellFormed(unified)
+    // and a late row the promise ALLOWS is still fenced: group
+    // activity only reaches 1401 s (fence within 600 s of grpMaxVer,
+    // kept; watermark 801 s admits the 1001 s straggler)
+    val held = runUnified("ctn_uni_held", unifiedH, Seq(
+      Seq(ch("+I", 1L, 10.0, 1000), ch("+I", 2L, 5.0, 1001)),
+      Seq(ch("-D", 1L, 10.0, 1002)),
+      Seq(ch("+I", 4L, 20.0, 1400)),
+      Seq(ch("-D", 4L, 20.0, 1401)),
+      Seq(ch("+I", 1L, 9.0, 1001))))
+    assert(materialize(held) === Map("t" -> Set(2L)),
+      "a fence within the watermark promise must keep fencing")
+    wellFormed(held)
+  }
+
   test("cdc_topn idle TTL (event-time): expiry drops the dormant group, a straggler re-opens it empty; armed-but-unexpired survives") {
     val dropped = runTtl("ctn_ttl_drop", java.time.Duration.ofHours(1))
     val aOps = dropped.collect { case (_, d) if d.grp == "a" => d }
