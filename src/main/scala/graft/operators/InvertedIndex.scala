@@ -163,6 +163,7 @@ object InvertedIndex {
     val post = spark.read.parquet(dir)
     val st = spark.read.parquet(s"$dir/$StatsSubDir").head()
     val nDocs = st.getAs[Long]("n_docs")
+    require(nDocs > 0, s"empty ranked index at $dir")
     val avgdl = st.getAs[Long]("sum_dl").toDouble / nDocs
     // df per probed term: term-pruned scan, |terms|-row collect
     val dfs = post.filter(col("term").isin(t: _*))
@@ -202,6 +203,52 @@ object InvertedIndex {
     val top = acc.select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
     // global window over the already-reduced topK rows (q57 idiom)
+    top.withColumn("rnk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id").asc)))
+  }
+
+  /** Disjunctive BM25 top-k — [[searchRanked]]'s OR twin, the shape a
+    * retrieval engine defaults to (docs matching ANY term, a missing
+    * term contributing 0). No rarest-first pruning exists for OR —
+    * every probed posting list is part of the answer — so the scan is
+    * the q118 Σ df bound: the probed terms' row groups, never the
+    * corpus. Per-term tf frames are chained through FULL OUTER joins
+    * on doc_id (each side df-bounded) and the score sums the per-term
+    * weights in the caller's literal order with exact 0.0 for absent
+    * terms — the same IEEE-basic-ops oracle contract as AND (adding
+    * +0.0 is exact, so present-term scores are bit-identical to
+    * AND's). Same rational idf, same tie rule. */
+  def searchRankedAny(spark: SparkSession, dir: String, terms: Seq[String],
+      topK: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val t = terms.distinct
+    require(t.nonEmpty, "InvertedIndex.searchRankedAny: need at least one term")
+    val post = spark.read.parquet(dir)
+    val st = spark.read.parquet(s"$dir/$StatsSubDir").head()
+    val nDocs = st.getAs[Long]("n_docs")
+    require(nDocs > 0, s"empty ranked index at $dir")
+    val avgdl = st.getAs[Long]("sum_dl").toDouble / nDocs
+    val dfs = post.filter(col("term").isin(t: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def tfCol(i: Int) = s"__tf_$i"
+    def dlCol(i: Int) = s"__dl_$i"
+    val acc = t.zipWithIndex.map { case (tm, i) =>
+      post.filter(col("term") === lit(tm))
+        .select(col("doc_id"), col("tf").as(tfCol(i)), col("dl").as(dlCol(i)))
+    }.reduce((a, b0) => a.join(b0, Seq("doc_id"), "full_outer"))
+    // dl rides every present posting row identically — first non-null
+    val dl = coalesce(t.indices.map(i => col(dlCol(i))): _*)
+    val score = t.zipWithIndex.map { case (tm, i) =>
+      val df = dfs.getOrElse(tm, 0L).toDouble
+      val idf = (nDocs.toDouble - df + 0.5) / (df + 0.5)
+      when(col(tfCol(i)).isNull, lit(0.0)).otherwise(
+        lit(idf) * ((col(tfCol(i)).cast("double") * lit(k1 + 1.0)) /
+          (col(tfCol(i)).cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * (dl.cast("double") / lit(avgdl))))))
+    }.reduce(_ + _)
+    val top = acc.select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
     top.withColumn("rnk", row_number().over(
       org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col("doc_id").asc)))

@@ -64,11 +64,24 @@ object TextQ extends QueryPack {
   def invalidateRankedIndex(s: org.apache.spark.sql.SparkSession, d: String): Unit =
     graft.tools.SessionArtifacts.invalidate(s, "rankidx", d)
 
-  /** BM25 parameters for q119 — interpolated into the oracle from the
-    * SAME Scala doubles the Spark side uses (shortest-roundtrip
-    * printing, so DuckDB parses back the identical bits). */
+  /** BM25 parameters for q119/q120 — interpolated into the oracle
+    * from the SAME Scala doubles the Spark side uses
+    * (shortest-roundtrip printing, so DuckDB parses back the
+    * identical bits). */
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
+
+  /** One per-term BM25 weight in DuckDB SQL — shared by the q119 and
+    * q120 oracles so the arithmetic (and its evaluation order, which
+    * fixes the double bits) cannot drift between the AND and OR
+    * members. Expects CTEs `st(n_docs, sum_dl)` and `dfq(term, df)`
+    * in scope. */
+  private def bm25WSql(tfSql: String, dlSql: String, term: String) =
+    s"""(SELECT (n_docs::DOUBLE - (SELECT df FROM dfq WHERE term = '$term')::DOUBLE + 0.5)
+       |      / ((SELECT df FROM dfq WHERE term = '$term')::DOUBLE + 0.5) FROM st)
+       |  * (($tfSql::DOUBLE * (${Bm25K1 + 1.0})::DOUBLE)
+       |     / ($tfSql::DOUBLE + ($Bm25K1)::DOUBLE
+       |        * ((${1.0 - Bm25B})::DOUBLE + ($Bm25B)::DOUBLE * ($dlSql::DOUBLE / (SELECT sum_dl::DOUBLE / n_docs::DOUBLE FROM st)))))""".stripMargin
 
   /** DuckDB replay of q60's merge loop: emits `m1..mN` (the learned
     * merges) and `s1..sN` (the symbol table after each step). Every
@@ -348,6 +361,17 @@ object TextQ extends QueryPack {
     // last ulp; see InvertedIndex.searchRanked).
     "q119_keyword_rank" -> ((s, d) =>
       graft.operators.InvertedIndex.searchRanked(
+        s, ensureRankedIndex(s, d), Seq("dup", "merge"), topK = 20,
+        k1 = Bm25K1, b = Bm25B)),
+
+    // Disjunctive BM25 top-k (round 16): q119's OR twin — the default
+    // retrieval shape (docs matching ANY term, absent terms score 0).
+    // No rarest-first pruning exists for OR (every posting list is
+    // part of the answer), so the scan is q118's Σ df bound; per-term
+    // frames chain through df-bounded FULL OUTER joins, never a
+    // corpus scan.
+    "q120_keyword_rank_any" -> ((s, d) =>
+      graft.operators.InvertedIndex.searchRankedAny(
         s, ensureRankedIndex(s, d), Seq("dup", "merge"), topK = 20,
         k1 = Bm25K1, b = Bm25B)),
 
@@ -911,13 +935,6 @@ object TextQ extends QueryPack {
     // (ln) is deliberately absent from both sides
     "q119_keyword_rank" -> {
       val (t0, t1) = ("dup", "merge")
-      val avgdlSql = "(SELECT sum_dl::DOUBLE / n_docs::DOUBLE FROM st)"
-      def wSql(alias: String, term: String) =
-        s"""(SELECT (n_docs::DOUBLE - (SELECT df FROM dfq WHERE term = '$term')::DOUBLE + 0.5)
-           |      / ((SELECT df FROM dfq WHERE term = '$term')::DOUBLE + 0.5) FROM st)
-           |  * (($alias.tf::DOUBLE * (${Bm25K1 + 1.0})::DOUBLE)
-           |     / ($alias.tf::DOUBLE + ($Bm25K1)::DOUBLE
-           |        * ((${1.0 - Bm25B})::DOUBLE + ($Bm25B)::DOUBLE * (d.dl::DOUBLE / $avgdlSql))))""".stripMargin
       s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
          |              FROM documents),
          |d AS (SELECT doc_id, len(ws)::BIGINT AS dl, ws FROM toks),
@@ -927,11 +944,39 @@ object TextQ extends QueryPack {
          |       WHERE term IN ('$t0', '$t1') GROUP BY doc_id, term),
          |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
          |sc AS (SELECT a0.doc_id,
-         |         ${wSql("a0", t0)}
-         |       + ${wSql("a1", t1)} AS score
+         |         ${bm25WSql("a0.tf", "d.dl", t0)}
+         |       + ${bm25WSql("a1.tf", "d.dl", t1)} AS score
          |       FROM (SELECT doc_id, tf FROM tf WHERE term = '$t0') a0
          |       JOIN (SELECT doc_id, tf FROM tf WHERE term = '$t1') a1 USING (doc_id)
          |       JOIN d USING (doc_id)),
+         |r AS (SELECT doc_id, score,
+         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
+         |SELECT doc_id, score, rnk FROM r WHERE rnk <= 20""".stripMargin
+    },
+
+    // OR-mode replay: per-term frames FULL OUTER JOIN on doc_id, the
+    // using-column coalesced (both engines), absent terms contribute
+    // an exact 0.0 — same shared weight arithmetic as q119
+    "q120_keyword_rank_any" -> {
+      val (t0, t1) = ("dup", "merge")
+      val dl = "COALESCE(a0.dl, a1.dl)"
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |              FROM documents),
+         |d AS (SELECT doc_id, len(ws)::BIGINT AS dl, ws FROM toks),
+         |st AS (SELECT count(*)::BIGINT AS n_docs, coalesce(sum(dl), 0)::BIGINT AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |       FROM (SELECT doc_id, unnest(ws) AS term FROM d)
+         |       WHERE term IN ('$t0', '$t1') GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+         |sc AS (SELECT doc_id,
+         |         (CASE WHEN a0.tf IS NULL THEN (0.0)::DOUBLE ELSE
+         |           ${bm25WSql("a0.tf", dl, t0)} END)
+         |       + (CASE WHEN a1.tf IS NULL THEN (0.0)::DOUBLE ELSE
+         |           ${bm25WSql("a1.tf", dl, t1)} END) AS score
+         |       FROM (SELECT t.doc_id, t.tf, d.dl FROM tf t JOIN d USING (doc_id)
+         |             WHERE term = '$t0') a0
+         |       FULL OUTER JOIN (SELECT t.doc_id, t.tf, d.dl FROM tf t JOIN d USING (doc_id)
+         |             WHERE term = '$t1') a1 USING (doc_id)),
          |r AS (SELECT doc_id, score,
          |        row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
          |SELECT doc_id, score, rnk FROM r WHERE rnk <= 20""".stripMargin
