@@ -178,9 +178,11 @@ object InvertedIndex {
       .select(col("doc_id"), col("dl"), col("tf").as(tfCol(rare)))
     // candidate ids, collected ONCE when bounded — the dense probes'
     // pushdown list (df already measured, so the collect size is known
-    // before it runs, the documented bounded-collect contract)
+    // before it runs, the documented bounded-collect contract); a
+    // single-term query has no dense probes to prune and skips the
+    // collect entirely
     val candIds: Option[Array[Any]] =
-      if (dfs.getOrElse(rare, 0L) <= pushdownCap)
+      if (order.tail.nonEmpty && dfs.getOrElse(rare, 0L) <= pushdownCap)
         Some(acc.select("doc_id").collect().map(_.get(0)))
       else None
     for (tm <- order.tail) {

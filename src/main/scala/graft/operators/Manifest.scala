@@ -201,7 +201,15 @@ object Manifest {
       sel = sel.filter(col(s"min_$k").isNull ||
         (col(s"max_$k") >= lo && col(s"min_$k") <= hi))
     if (bloomAnyOf.nonEmpty) {
-      val hd = mf.select("bloom_m", "bloom_type").head()
+      // legacy manifests (written before the typed-probe change) carry
+      // no bloom_type column — fall back to the untyped probe they
+      // were built under (caller-typed literals, the old contract)
+      // instead of an unresolved-column error: a leveled lake's base
+      // manifest is immutable until its next major compaction, so the
+      // breakage would otherwise persist indefinitely
+      val typed = mf.columns.contains("bloom_type")
+      val hd = if (typed) mf.select("bloom_m", "bloom_type").head()
+               else mf.select("bloom_m").head()
       val m = hd.getInt(0)
       require(m > 0, s"Manifest at $dir was written without a bloom key")
       // cast each probe literal to the BUILD side's key type — the
@@ -212,8 +220,10 @@ object Manifest {
       // cast becomes NULL, which no non-null build key hashes to —
       // pruning everything for that value, exactly what equality on an
       // impossible value answers.
-      val bkType = org.apache.spark.sql.types.DataType.fromDDL(hd.getString(1))
-      val any = bloomAnyOf.map(v => mightContainRow(lit(v).cast(bkType), col("bloom"), m))
+      def probeLit(v: Any): Column =
+        if (typed) lit(v).cast(org.apache.spark.sql.types.DataType.fromDDL(hd.getString(1)))
+        else lit(v)
+      val any = bloomAnyOf.map(v => mightContainRow(probeLit(v), col("bloom"), m))
         .reduce(_ || _)
       sel = sel.filter(col("bloom").isNull || any)
     }

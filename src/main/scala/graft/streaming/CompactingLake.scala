@@ -83,6 +83,16 @@ object CompactingLake {
     /** The arrival floor: dirs `b >= lo` are tail. */
     def lo: Long = (base.map(_._1) ++ l1s.lastOption.map(_._1))
       .foldLeft(Long.MinValue)(math.max)
+    /** The reader's DataFrames, grouped per level (base alone, all L1
+      * chunks as ONE multi-path relation, the tail as another) — a
+      * per-dir relation would cost a listing/scan node per dir, up to
+      * maxL1 + compactEvery of them on a busy lake. Schemas are
+      * uniform within a level by the engine's contract. */
+    def frames(spark: SparkSession): Seq[DataFrame] =
+      base.map { case (_, d) => spark.read.parquet(d) }.toSeq ++
+        (if (l1s.isEmpty) Seq.empty
+         else Seq(spark.read.parquet(l1s.map(_._2): _*))) ++
+        (if (tail.isEmpty) Seq.empty else Seq(spark.read.parquet(tail: _*)))
   }
 
   /** One micro-batch of ingest: maybe-compact first (a replayed batch
@@ -117,8 +127,8 @@ object CompactingLake {
     val baseV = base.map(_._1).getOrElse(Long.MinValue)
     val l1s = BatchVersioned.versions(spark, s"$root/l1")
       .filter { case (v, _) => v > baseV && upper.forall(v < _) }
-    val lo = (base.map(_._1) ++ l1s.lastOption.map(_._1))
-      .foldLeft(Long.MinValue)(math.max)
+    // the tail floor is Levels.lo's ONE definition — no local copy
+    val lo = Levels(base, l1s, Nil).lo
     val tail = BatchVersioned.versions(spark, root, prefix = "b")
       .filter { case (b, _) => b >= lo && upper.forall(b < _) }.map(_._2)
     Levels(base, l1s, tail)
@@ -144,12 +154,15 @@ object CompactingLake {
     val tailBytes = lv.tail.map(bytesOf(spark, _)).sum
     val major = lv.base.isEmpty || lv.l1s.size >= maxL1 ||
       l1Bytes + tailBytes >= majorFrac * baseBytes
-    val inDirs = if (major) lv.dirs else lv.tail
-    if (inDirs.nonEmpty) {
+    // grouped per-level relations (Levels.frames), never one scan
+    // node per dir
+    val in = if (major) lv.frames(spark)
+      else Levels(None, Nil, lv.tail).frames(spark)
+    if (in.nonEmpty) {
       val bytes = if (major) baseBytes + l1Bytes + tailBytes else tailBytes
       val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       val dst = if (major) s"$root/compact/v=$batchId" else s"$root/l1/v=$batchId"
-      rewrite(inDirs.map(spark.read.parquet(_)).reduce(_ unionByName _), dst, files)
+      rewrite(in.reduce(_ unionByName _), dst, files)
       gc(spark, root, lv)
     }
   }
@@ -194,9 +207,9 @@ object CompactingLake {
     * already inside the base or an L1 chunk and stays invisible here —
     * no double counting. */
   def visible(spark: SparkSession, root: String): DataFrame = {
-    val dirs = readerDirs(spark, root).dirs
-    require(dirs.nonEmpty, s"no committed batches under $root")
-    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val ps = readerDirs(spark, root).frames(spark)
+    require(ps.nonEmpty, s"no committed batches under $root")
+    ps.reduce(_ unionByName _)
   }
 
   /** The compacted BASE alone (layout evidence: scan pruning is a

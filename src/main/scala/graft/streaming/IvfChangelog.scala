@@ -115,6 +115,17 @@ object IvfChangelog {
       .unionByName(tombRows.select(Cols.map(col): _*))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
+      // per-row-group vec_id blooms: the coded-shortlist probe's
+      // phase-2 fetch pushes its bounded id set as a native parquet
+      // In, which parquet-mr evaluates against BLOOMS, not min/max
+      // (the searchRanked/ClusterMaintenance mechanism) — row groups
+      // holding no shortlisted id never pay their vector pages.
+      // ADAPTIVE sizing (parquet-mr 1.13+): candidate blooms sized
+      // from the observed ndv, so a micro-batch tail file pays bytes
+      // proportional to its rows while a compacted cell file gets a
+      // full-size bloom — no fixed-ndv bloat on either end
+      .option("parquet.bloom.filter.enabled#vec_id", "true")
+      .option("parquet.bloom.filter.adaptive.enabled", "true")
       .parquet(s"$root/b=$batchId")
   }
 
@@ -261,6 +272,17 @@ object IvfChangelog {
       resolveAll(ps.reduce(_ unionByName _))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
+      // per-row-group vec_id blooms: the coded-shortlist probe's
+      // phase-2 fetch pushes its bounded id set as a native parquet
+      // In, which parquet-mr evaluates against BLOOMS, not min/max
+      // (the searchRanked/ClusterMaintenance mechanism) — row groups
+      // holding no shortlisted id never pay their vector pages.
+      // ADAPTIVE sizing (parquet-mr 1.13+): candidate blooms sized
+      // from the observed ndv, so a micro-batch tail file pays bytes
+      // proportional to its rows while a compacted cell file gets a
+      // full-size bloom — no fixed-ndv bloat on either end
+      .option("parquet.bloom.filter.enabled#vec_id", "true")
+      .option("parquet.bloom.filter.adaptive.enabled", "true")
         .parquet(s"$root/compact/v=$batchId")
       BatchVersioned.gcBelowPrev(spark, s"$root/compact", root, "b", prev)
     }
@@ -313,6 +335,17 @@ object IvfChangelog {
       .select(Cols.map(col): _*)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
+      // per-row-group vec_id blooms: the coded-shortlist probe's
+      // phase-2 fetch pushes its bounded id set as a native parquet
+      // In, which parquet-mr evaluates against BLOOMS, not min/max
+      // (the searchRanked/ClusterMaintenance mechanism) — row groups
+      // holding no shortlisted id never pay their vector pages.
+      // ADAPTIVE sizing (parquet-mr 1.13+): candidate blooms sized
+      // from the observed ndv, so a micro-batch tail file pays bytes
+      // proportional to its rows while a compacted cell file gets a
+      // full-size bloom — no fixed-ndv bloat on either end
+      .option("parquet.bloom.filter.enabled#vec_id", "true")
+      .option("parquet.bloom.filter.adaptive.enabled", "true")
       .parquet(s"$root/compact/v=$batchId")
     BatchVersioned.gcBelowPrev(spark, s"$root/compact", root, "b", prev)
   }
@@ -370,10 +403,12 @@ object IvfChangelog {
       // codes — the projection excludes `v`, so parquet column
       // pruning keeps the 8×-larger full-vector column out of the
       // candidate scan entirely — and keeps the per-query top
-      // `shortlistR`; phase 2 fetches `v` for exactly the shortlist
-      // (joined back on the resolved (vec_id, ver) — unique: one
-      // write per key per batch, compaction preserves ver) and
-      // exact-cosine re-ranks. Changelog resolution runs BEFORE the
+      // `shortlistR`; phase 2 fetches `v` for exactly the shortlist:
+      // the bounded id set is PUSHED into the scan (native parquet
+      // In over the at-rest vec_id blooms) and joined back on the
+      // resolved (vec_id, ver) among LIVE rows — unique there: one
+      // live write per key per batch, compaction preserves ver —
+      // then exact-cosine re-ranks. Changelog resolution runs BEFORE the
       // shortlist, so tombstones/updates are honored identically to
       // the exact path; the only approximation is which candidates
       // reach the re-rank, guarded by [[AnnProbeStream]]'s recall
@@ -396,9 +431,26 @@ object IvfChangelog {
         .withColumn("__ar", row_number().over(wShort))
         .filter(col("__ar") <= shortlistR)
         .select("query_id", "neighbor_id", "ver")
+        // bounded by construction (|queries| × shortlistR) — collect
+        // once so the phase-2 vector fetch can push the ids into the
+        // scan (the searchRanked candidate-pushdown mechanism): only
+        // row groups holding a shortlisted id pay their `v` pages,
+        // instead of the probed cells' whole vector column
+        .localCheckpoint(true)
+      val ids = short.select(col("neighbor_id")).distinct()
+        .collect().map(r => java.lang.Long.valueOf(r.getLong(0)))
+      // `!del` is load-bearing: an update pair (+U/-U) legally shares
+      // (vec_id, ver = batchId) between its live row and its tombstone
+      // (v = null) in the same tail dir — joining without the filter
+      // would duplicate the neighbor with a NULL cosine. Among LIVE
+      // rows (vec_id, ver) IS unique (one live write per key per
+      // batch; compaction preserves vers).
+      val fetch =
+        (if (ids.isEmpty) vis.where(lit(false)) else vis.filter(col("vec_id").isin(ids: _*)))
+          .filter(!col("del"))
+          .select(col("vec_id").as("neighbor_id"), col("ver"), col("v"))
       short
-        .join(vis.select(col("vec_id").as("neighbor_id"), col("ver"), col("v")),
-          Seq("neighbor_id", "ver"))
+        .join(fetch, Seq("neighbor_id", "ver"))
         .join(broadcast(queries.select(col("query_id"), col("qv"))), Seq("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           nanvl(VectorFunctions.cosine(col("qv"), col("v")), lit(-2.0)).as("cos_sim"))

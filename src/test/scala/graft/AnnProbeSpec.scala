@@ -175,11 +175,47 @@ class AnnProbeSpec extends AnyFunSuite {
       info(f"streamed coded-shortlist recall@5 = $recall%.2f")
       assert(recall >= 0.8, f"coded shortlist degraded recall below the SQ8 floor: $recall%.2f")
 
-      // the candidate (phase-1) scan is column-pruned to the codes —
-      // the 8x-larger full-vector column never rides the approx scan
+      // phase 1 (the code-only candidate scan) materializes behind the
+      // bounded-id checkpoint, so the final plan shows only phase 2:
+      // its vector fetch must carry the shortlisted ids as a pushed
+      // native In — row groups holding no shortlisted id never pay
+      // their vector pages (phase 1's own column pruning is structural:
+      // its projection is (vec_id, code, cell, ver, del), no v)
+      assert(planStr.contains("In(vec_id"),
+        s"phase-2 vector fetch lost the shortlist-id pushdown:\n${planStr.take(2000)}")
       val schemaLines = planStr.linesIterator.filter(_.contains("ReadSchema")).toSeq
-      assert(schemaLines.exists(l => l.contains("code") && !l.contains("v:array")),
-        s"no code-only candidate scan found:\n${schemaLines.mkString("\n")}")
+      assert(schemaLines.exists(_.contains("v:array")),
+        s"no vector-fetch scan found:\n${schemaLines.mkString("\n")}")
+
+      // round-16 review regression: an UPDATE pair legally shares
+      // (vec_id, ver) between its live row and its tombstone in the
+      // same tail dir — the phase-2 (vec_id, ver) rejoin must filter
+      // to LIVE rows or it duplicates the neighbor with a NULL cosine
+      val movers = e.filter($"vec_id" % 7 === 0)
+      IvfChangelog.sink(spark, root, modelDir, compactEvery = 0)(
+        movers.withColumn("row_kind", lit("-U"))
+          .unionByName(movers
+            .withColumn("v", expr("transform(v, x -> x * 0.5 + 0.01)"))
+            .withColumn("row_kind", lit("+U")))
+          .withColumn("seq", lit(1L)), 1L)
+      // seqCol-free path: one live write per key per batch holds (the
+      // -U rows only emit tombstones, the +U rows the live images)
+      val updated = IvfChangelog.topK(spark, root, queriesDf, modelDir, nprobe,
+        k = 5, shortlistR = 20).collect()
+      assert(!updated.exists(_.isNullAt(2)),
+        "shortlist re-rank produced a NULL cosine — tombstone row joined into phase 2")
+      val pairs = updated.map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.length === pairs.distinct.length,
+        "shortlist re-rank duplicated a (query, neighbor) pair")
+      // and deep-R parity with the exact path still holds post-update
+      val exactU = IvfChangelog.topK(spark, root, queriesDf, modelDir, nprobe, k = 5)
+        .select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val deepU = IvfChangelog.topK(spark, root, queriesDf, modelDir, nprobe, k = 5,
+        shortlistR = deepR)
+        .select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(deepU === exactU, "deep-R diverges from exact after an update batch")
     } finally Seq(root, modelDir, ckpt).foreach(d =>
       graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(d)))
   }

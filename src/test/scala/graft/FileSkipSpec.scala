@@ -203,6 +203,29 @@ class FileSkipSpec extends AnyFunSuite {
     } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("legacy manifest (no bloom_type column) still probes under the old untyped contract") {
+    val dir = Files.createTempDirectory("graft_mf_legacy").toString
+    try {
+      build(dir)
+      // simulate a pre-round-16 manifest: rewrite it without the typed
+      // columns (a leveled lake's base manifest is immutable until its
+      // next major compaction, so old manifests persist indefinitely)
+      val legacy = spark.read.parquet(s"$dir/${Manifest.SubDir}")
+        .drop("bloom_key", "bloom_type").collect()
+      val schema = spark.read.parquet(s"$dir/${Manifest.SubDir}")
+        .drop("bloom_key", "bloom_type").schema
+      spark.createDataFrame(java.util.Arrays.asList(legacy: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/${Manifest.SubDir}")
+      // correctly-typed probes (the old caller contract) still select
+      // and read exactly
+      val got = Manifest.prunedRead(spark, dir, bloomAnyOf = Seq(5L))
+        .filter(col("id") === 5L).count()
+      assert(got === 1L)
+      val (sel, total) = Manifest.selectedFiles(spark, dir, bloomAnyOf = Seq(-42L))
+      assert(total === nFiles.toLong && sel.length <= 2)
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("empty data dir: zero-row manifest selects nothing instead of throwing") {
     val dir = Files.createTempDirectory("graft_mf_empty").toString
     try {
