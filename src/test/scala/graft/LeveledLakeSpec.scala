@@ -189,6 +189,38 @@ class LeveledLakeSpec extends AnyFunSuite {
     } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("leveled law: visible() equals the flat ingested union at EVERY batch, for every major-trigger regime") {
+    // deterministic-random batch sizes (seeded RNG — no wall-clock
+    // dependence), three trigger regimes: always-major (the legacy
+    // r15 behavior), the default byte-fraction mix, and minor-only.
+    // The invariant is the engine's whole contract: at no instant —
+    // mid-chain, straight after a minor, straight after a major —
+    // may a reader see a row twice or miss one.
+    val rnd = new scala.util.Random(20260816L)
+    val nRows = 30000L
+    val base = spark.range(nRows).select(
+      col("id"), (col("id") * 48271L % nRows).as("x"), (col("id") * 52361L % nRows).as("y"))
+    for (frac <- Seq(0.0, 1.0, Double.PositiveInfinity)) {
+      val root = Files.createTempDirectory(s"graft_lvl_law").toString
+      try {
+        val cuts = (0 until 11).map(_ => rnd.nextInt(100)).scanLeft(0)(_ + _)
+        val total = cuts.last
+        var ingested = 0L
+        cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), b) =>
+          val slice = base.filter(pmod(col("id"), lit(total)) >= lo &&
+            pmod(col("id"), lit(total)) < hi)
+          ingested += slice.count()
+          ZOrderStream.processBatch(slice, b, root, Seq("x", "y"),
+            compactEvery = 3, targetBytes = 256 * 1024, blockBytes = 64 * 1024,
+            majorFrac = frac)
+          val vis = ZOrderStream.visible(spark, root).count()
+          assert(vis === ingested,
+            s"frac=$frac batch=$b: visible $vis != ingested $ingested")
+        }
+      } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
+    }
+  }
+
   test("keyword index on the leveled lake: streamed == one-shot batch through minors") {
     val root = Files.createTempDirectory("graft_lvl_kidx").toString
     val batchDir = Files.createTempDirectory("graft_lvl_kidx_b").toString
