@@ -220,9 +220,10 @@ object Manifest {
       // cast becomes NULL, which no non-null build key hashes to —
       // pruning everything for that value, exactly what equality on an
       // impossible value answers.
-      def probeLit(v: Any): Column =
-        if (typed) lit(v).cast(org.apache.spark.sql.types.DataType.fromDDL(hd.getString(1)))
-        else lit(v)
+      // parse the stored type ONCE, not per probe value
+      val bkType = if (typed)
+        Some(org.apache.spark.sql.types.DataType.fromDDL(hd.getString(1))) else None
+      def probeLit(v: Any): Column = bkType.fold(lit(v))(lit(v).cast)
       val any = bloomAnyOf.map(v => mightContainRow(probeLit(v), col("bloom"), m))
         .reduce(_ || _)
       sel = sel.filter(col("bloom").isNull || any)

@@ -61,6 +61,22 @@ object IvfChangelog {
 
   private val Cols = Seq("vec_id", "v", "code", "cell", "ver", "del")
 
+  /** Writer options shared by ALL THREE at-rest write sites (tail
+    * ingest, compact, compactRewrite) — one definition so tail files
+    * and compacted files can never drift to different bloom geometry.
+    * Per-row-group vec_id BLOOMS: the coded-shortlist probe's phase-2
+    * fetch pushes its bounded id set as a native parquet In, which
+    * parquet-mr evaluates against blooms, not min/max (the
+    * searchRanked/ClusterMaintenance mechanism) — row groups holding
+    * no shortlisted id never pay their vector pages. ADAPTIVE sizing
+    * (parquet-mr 1.13+): candidate blooms sized from the observed
+    * ndv, so a micro-batch tail file pays bytes proportional to its
+    * rows while a compacted cell file gets a full-size bloom. */
+  private def atRestWriter(df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    df.write.mode("overwrite").partitionBy("cell")
+      .option("parquet.bloom.filter.enabled#vec_id", "true")
+      .option("parquet.bloom.filter.adaptive.enabled", "true")
+
   /** Loud NULL-vector reject: [[VectorExpressions.nearestCell]] is
     * nullIntolerant, so a NULL before-image would otherwise assign a
     * NULL cell and the tombstone would silently miss the deleted
@@ -111,21 +127,9 @@ object IvfChangelog {
       .withColumn("code", lit(null).cast("binary"))
       .withColumn("ver", lit(batchId))
       .withColumn("del", lit(true))
-    liveRows.select(Cols.map(col): _*)
+    atRestWriter(liveRows.select(Cols.map(col): _*)
       .unionByName(tombRows.select(Cols.map(col): _*))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      // per-row-group vec_id blooms: the coded-shortlist probe's
-      // phase-2 fetch pushes its bounded id set as a native parquet
-      // In, which parquet-mr evaluates against BLOOMS, not min/max
-      // (the searchRanked/ClusterMaintenance mechanism) — row groups
-      // holding no shortlisted id never pay their vector pages.
-      // ADAPTIVE sizing (parquet-mr 1.13+): candidate blooms sized
-      // from the observed ndv, so a micro-batch tail file pays bytes
-      // proportional to its rows while a compacted cell file gets a
-      // full-size bloom — no fixed-ndv bloat on either end
-      .option("parquet.bloom.filter.enabled#vec_id", "true")
-      .option("parquet.bloom.filter.adaptive.enabled", "true")
+      .repartition(col("cell")))
       .parquet(s"$root/b=$batchId")
   }
 
@@ -241,7 +245,7 @@ object IvfChangelog {
     (cv, ps)
   }
 
-  private def visible(spark: SparkSession, root: String): DataFrame = {
+  private[graft] def visible(spark: SparkSession, root: String): DataFrame = {
     val (_, ps) = parts(spark, root, upper = None)
     require(ps.nonEmpty, s"no committed changelog batches under $root")
     ps.reduce(_ unionByName _)
@@ -269,20 +273,8 @@ object IvfChangelog {
     if (committed(spark, root, batchId)) return
     val (prev, ps) = parts(spark, root, upper = Some(batchId))
     if (ps.nonEmpty) {
-      resolveAll(ps.reduce(_ unionByName _))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-      // per-row-group vec_id blooms: the coded-shortlist probe's
-      // phase-2 fetch pushes its bounded id set as a native parquet
-      // In, which parquet-mr evaluates against BLOOMS, not min/max
-      // (the searchRanked/ClusterMaintenance mechanism) — row groups
-      // holding no shortlisted id never pay their vector pages.
-      // ADAPTIVE sizing (parquet-mr 1.13+): candidate blooms sized
-      // from the observed ndv, so a micro-batch tail file pays bytes
-      // proportional to its rows while a compacted cell file gets a
-      // full-size bloom — no fixed-ndv bloat on either end
-      .option("parquet.bloom.filter.enabled#vec_id", "true")
-      .option("parquet.bloom.filter.adaptive.enabled", "true")
+      atRestWriter(resolveAll(ps.reduce(_ unionByName _))
+        .repartition(col("cell")))
         .parquet(s"$root/compact/v=$batchId")
       BatchVersioned.gcBelowPrev(spark, s"$root/compact", root, "b", prev)
     }
@@ -329,23 +321,11 @@ object IvfChangelog {
     require(ps.nonEmpty, s"no committed changelog batches under $root")
     val resolved = resolveAll(ps.reduce(_ unionByName _))
       .select(col("vec_id"), col("v"), col("ver"))
-    IvfIndex.assignCells(resolved, model)
+    atRestWriter(IvfIndex.assignCells(resolved, model)
       .withColumn("code", VectorExpressions.sq8Encode(col("v")))
       .withColumn("del", lit(false))
       .select(Cols.map(col): _*)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      // per-row-group vec_id blooms: the coded-shortlist probe's
-      // phase-2 fetch pushes its bounded id set as a native parquet
-      // In, which parquet-mr evaluates against BLOOMS, not min/max
-      // (the searchRanked/ClusterMaintenance mechanism) — row groups
-      // holding no shortlisted id never pay their vector pages.
-      // ADAPTIVE sizing (parquet-mr 1.13+): candidate blooms sized
-      // from the observed ndv, so a micro-batch tail file pays bytes
-      // proportional to its rows while a compacted cell file gets a
-      // full-size bloom — no fixed-ndv bloat on either end
-      .option("parquet.bloom.filter.enabled#vec_id", "true")
-      .option("parquet.bloom.filter.adaptive.enabled", "true")
+      .repartition(col("cell")))
       .parquet(s"$root/compact/v=$batchId")
     BatchVersioned.gcBelowPrev(spark, s"$root/compact", root, "b", prev)
   }
@@ -413,42 +393,32 @@ object IvfChangelog {
       // the exact path; the only approximation is which candidates
       // reach the re-rank, guarded by [[AnnProbeStream]]'s recall
       // telemetry like nprobe is.
-      val wShort = Window.partitionBy(col("query_id"))
-        .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
-      val qcoded = p.withColumn("qcode", VectorExpressions.sq8Encode(col("qv")))
-        .select("query_id", "cell", "qcode")
-      val short = vis.select("vec_id", "code", "cell", "ver", "del")
-        .join(broadcast(qcoded), Seq("cell"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("__rn", row_number().over(wRes))
-        .filter(col("__rn") === 1 && !col("del"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("ver"),
-          // q59's guard: an all-zero code's 0/0 must sink, not float up
-          nanvl(VectorExpressions.sq8Dot(col("qcode"), col("code")).cast("double") /
-            (sqrt(VectorExpressions.sq8Dot(col("qcode"), col("qcode")).cast("double")) *
-              sqrt(VectorExpressions.sq8Dot(col("code"), col("code")).cast("double"))),
-            lit(-2.0)).as("approx_cos"))
-        .withColumn("__ar", row_number().over(wShort))
-        .filter(col("__ar") <= shortlistR)
-        .select("query_id", "neighbor_id", "ver")
-        // bounded by construction (|queries| × shortlistR) — collect
-        // once so the phase-2 vector fetch can push the ids into the
-        // scan (the searchRanked candidate-pushdown mechanism): only
-        // row groups holding a shortlisted id pay their `v` pages,
-        // instead of the probed cells' whole vector column
+      val short = codedShortlist(vis, p, shortlistR)
+        // materialize once: the id-count gate + (maybe) the id collect
+        // + the phase-2 join all read it
         .localCheckpoint(true)
-      val ids = short.select(col("neighbor_id")).distinct()
-        .collect().map(r => java.lang.Long.valueOf(r.getLong(0)))
       // `!del` is load-bearing: an update pair (+U/-U) legally shares
       // (vec_id, ver = batchId) between its live row and its tombstone
       // (v = null) in the same tail dir — joining without the filter
       // would duplicate the neighbor with a NULL cosine. Among LIVE
       // rows (vec_id, ver) IS unique (one live write per key per
       // batch; compaction preserves vers).
-      val fetch =
-        (if (ids.isEmpty) vis.where(lit(false)) else vis.filter(col("vec_id").isin(ids: _*)))
-          .filter(!col("del"))
-          .select(col("vec_id").as("neighbor_id"), col("ver"), col("v"))
+      val live = vis.filter(!col("del"))
+      // push the shortlist ids into the vector fetch (native parquet
+      // In over the at-rest vec_id blooms — only row groups holding a
+      // shortlisted id pay their `v` pages) when the set is BOUNDED:
+      // the searchRanked pushdownCap pattern — above the cap (a deep
+      // R × large batch) fall back to the plain join, which is the
+      // exact path's scan shape, never a driver blowup
+      val nShort = short.count()
+      val fetch0 =
+        if (nShort == 0L) live.where(lit(false))
+        else if (nShort <= ShortlistPushdownCap) {
+          val ids = short.select(col("neighbor_id")).distinct()
+            .collect().map(r => java.lang.Long.valueOf(r.getLong(0)))
+          live.filter(col("vec_id").isin(ids: _*))
+        } else live
+      val fetch = fetch0.select(col("vec_id").as("neighbor_id"), col("ver"), col("v"))
       short
         .join(fetch, Seq("neighbor_id", "ver"))
         .join(broadcast(queries.select(col("query_id"), col("qv"))), Seq("query_id"))
@@ -457,6 +427,42 @@ object IvfChangelog {
         .withColumn("rnk", row_number().over(wRank))
         .filter(col("rnk") <= k)
     }
+  }
+
+  /** Bound on the phase-2 id pushdown (≥ distinct shortlist ids —
+    * `short.count()` gates it exactly): the collect and the In
+    * expression every task deserializes stay driver-safe; above it
+    * the fetch is the plain join (the exact path's scan shape). */
+  private val ShortlistPushdownCap = 100000L
+
+  /** Phase 1 of the coded shortlist: resolve the changelog over the
+    * candidate cells and approx-score on the STORED int8 codes — the
+    * projection excludes `v`, so parquet column pruning keeps the
+    * 8×-larger full-vector column out of the candidate scan entirely
+    * (AnnProbeSpec pins this on the executed plan). Returns the
+    * per-query top `shortlistR` as (query_id, neighbor_id, ver). */
+  private[graft] def codedShortlist(vis: DataFrame, p: DataFrame,
+      shortlistR: Int): DataFrame = {
+    val wRes = Window.partitionBy(col("query_id"), col("vec_id"))
+      .orderBy(col("ver").desc, col("del").asc)
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
+    val qcoded = p.withColumn("qcode", VectorExpressions.sq8Encode(col("qv")))
+      .select("query_id", "cell", "qcode")
+    vis.select("vec_id", "code", "cell", "ver", "del")
+      .join(broadcast(qcoded), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("__rn", row_number().over(wRes))
+      .filter(col("__rn") === 1 && !col("del"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("ver"),
+        // q59's guard: an all-zero code's 0/0 must sink, not float up
+        nanvl(VectorExpressions.sq8Dot(col("qcode"), col("code")).cast("double") /
+          (sqrt(VectorExpressions.sq8Dot(col("qcode"), col("qcode")).cast("double")) *
+            sqrt(VectorExpressions.sq8Dot(col("code"), col("code")).cast("double"))),
+          lit(-2.0)).as("approx_cos"))
+      .withColumn("__ar", row_number().over(wShort))
+      .filter(col("__ar") <= shortlistR)
+      .select("query_id", "neighbor_id", "ver")
   }
 
   /** EXACT top-k over the current visible index — no cell pruning,

@@ -179,13 +179,23 @@ class AnnProbeSpec extends AnyFunSuite {
       // bounded-id checkpoint, so the final plan shows only phase 2:
       // its vector fetch must carry the shortlisted ids as a pushed
       // native In — row groups holding no shortlisted id never pay
-      // their vector pages (phase 1's own column pruning is structural:
-      // its projection is (vec_id, code, cell, ver, del), no v)
+      // their vector pages
       assert(planStr.contains("In(vec_id"),
         s"phase-2 vector fetch lost the shortlist-id pushdown:\n${planStr.take(2000)}")
       val schemaLines = planStr.linesIterator.filter(_.contains("ReadSchema")).toSeq
       assert(schemaLines.exists(_.contains("v:array")),
         s"no vector-fetch scan found:\n${schemaLines.mkString("\n")}")
+      // and phase 1's OWN plan (exposed as codedShortlist) provably
+      // never reads the 8x-larger vector column: every scan in it is
+      // code-only — the I/O property the mode exists for
+      val p1 = IvfChangelog.codedShortlist(
+        IvfChangelog.visible(spark, root),
+        IvfIndex.probeCells(queriesDf, $"qv", model, nprobe), shortlistR = 20)
+      val p1Schemas = p1.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(p1Schemas.nonEmpty && p1Schemas.forall(!_.contains("v:array")),
+        s"phase-1 candidate scan reads the vector column:\n${p1Schemas.mkString("\n")}")
 
       // round-16 review regression: an UPDATE pair legally shares
       // (vec_id, ver) between its live row and its tombstone in the
