@@ -402,6 +402,15 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.contains("In(term"), pf)
   }
 
+  test("q120: OR-mode scans are per-term equality probes — never a corpus read") {
+    val pf = planFormatted("q120_keyword_rank_any")
+    // each per-term frame reads its own posting list via a pushed
+    // term-equality filter; the documents table never appears
+    assert(pf.contains("EqualTo(term"), pf)
+    assert(!pf.contains("documents.parquet"),
+      s"OR-mode read the corpus instead of the index:\n${pf.take(2000)}")
+  }
+
   test("q119: rarest-first intersection pushes the candidate doc_ids into the dense term's scan") {
     val pf = planFormatted("q119_keyword_rank")
     // the rarest term ('dup', df 25 at test SF) is collected as the
