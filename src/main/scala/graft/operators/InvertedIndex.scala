@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Inverted text index at rest — the KEYWORD member of the at-rest
@@ -125,6 +125,20 @@ object InvertedIndex {
       .write.mode("overwrite").parquet(s"$dst/$StatsSubDir")
   }
 
+  /** THE per-term rational-BM25 weight — one definition shared by the
+    * AND member, the OR member, and the lake lookups, so the
+    * engine-exact arithmetic (evaluation order fixes the double bits
+    * the oracle replays) can never drift between them. idf is ln's
+    * exact argument — see [[searchRanked]] for why ln itself is
+    * banned. */
+  private[graft] def bm25Weight(tf: Column, dl: Column, df: Double,
+      nDocs: Long, avgdl: Double, k1: Double, b: Double): Column = {
+    val idf = (nDocs.toDouble - df + 0.5) / (df + 0.5)
+    lit(idf) * ((tf.cast("double") * lit(k1 + 1.0)) /
+      (tf.cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (dl.cast("double") / lit(avgdl)))))
+  }
+
   /** Conjunctive BM25 top-k through the at-rest ranked index.
     *
     * Scale shape — rarest-first intersection: df per probed term is
@@ -158,13 +172,26 @@ object InvertedIndex {
   def searchRanked(spark: SparkSession, dir: String, terms: Seq[String],
       topK: Int = 20, k1: Double = 1.2, b: Double = 0.75,
       pushdownCap: Int = 10000): DataFrame = {
+    val st = spark.read.parquet(s"$dir/$StatsSubDir").head()
+    searchRanked(spark.read.parquet(dir), st.getAs[Long]("n_docs"),
+      st.getAs[Long]("sum_dl"), terms, topK, k1, b, pushdownCap)
+  }
+
+  /** [[searchRanked]] over ANY ranked-postings relation plus explicit
+    * corpus stats — the entry point a maintained LAKE uses
+    * ([[graft.streaming.RankedIndexStream]] passes its deduplicated
+    * visible assembly and the summed per-level sidecars). Filters on
+    * `term`/`doc_id` push through the relation (grouping-key
+    * predicates cross an aggregate), so at-rest pruning is preserved
+    * whatever the relation's assembly. */
+  def searchRanked(postings: DataFrame, nDocs: Long, sumDl: Long,
+      terms: Seq[String], topK: Int, k1: Double, b: Double,
+      pushdownCap: Int): DataFrame = {
     val t = terms.distinct
     require(t.nonEmpty, "InvertedIndex.searchRanked: need at least one term")
-    val post = spark.read.parquet(dir)
-    val st = spark.read.parquet(s"$dir/$StatsSubDir").head()
-    val nDocs = st.getAs[Long]("n_docs")
-    require(nDocs > 0, s"empty ranked index at $dir")
-    val avgdl = st.getAs[Long]("sum_dl").toDouble / nDocs
+    val post = postings
+    require(nDocs > 0, "searchRanked: empty ranked index")
+    val avgdl = sumDl.toDouble / nDocs
     // df per probed term: term-pruned scan, |terms|-row collect
     val dfs = post.filter(col("term").isin(t: _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
@@ -196,11 +223,8 @@ object InvertedIndex {
     }
     // fixed-order rational-BM25 sum (the caller's literal term order)
     val score = t.map { tm =>
-      val df = dfs.getOrElse(tm, 0L).toDouble
-      val idf = (nDocs.toDouble - df + 0.5) / (df + 0.5)
-      lit(idf) * ((col(tfCol(tm)).cast("double") * lit(k1 + 1.0)) /
-        (col(tfCol(tm)).cast("double") +
-          lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl)))))
+      bm25Weight(col(tfCol(tm)), col("dl"),
+        dfs.getOrElse(tm, 0L).toDouble, nDocs, avgdl, k1, b)
     }.reduce(_ + _)
     val top = acc.select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
@@ -223,13 +247,21 @@ object InvertedIndex {
     * AND's). Same rational idf, same tie rule. */
   def searchRankedAny(spark: SparkSession, dir: String, terms: Seq[String],
       topK: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val st = spark.read.parquet(s"$dir/$StatsSubDir").head()
+    searchRankedAny(spark.read.parquet(dir), st.getAs[Long]("n_docs"),
+      st.getAs[Long]("sum_dl"), terms, topK, k1, b)
+  }
+
+  /** [[searchRankedAny]] over ANY ranked-postings relation plus
+    * explicit corpus stats (the lake entry point, like the
+    * [[searchRanked]] twin above). */
+  def searchRankedAny(postings: DataFrame, nDocs: Long, sumDl: Long,
+      terms: Seq[String], topK: Int, k1: Double, b: Double): DataFrame = {
     val t = terms.distinct
     require(t.nonEmpty, "InvertedIndex.searchRankedAny: need at least one term")
-    val post = spark.read.parquet(dir)
-    val st = spark.read.parquet(s"$dir/$StatsSubDir").head()
-    val nDocs = st.getAs[Long]("n_docs")
-    require(nDocs > 0, s"empty ranked index at $dir")
-    val avgdl = st.getAs[Long]("sum_dl").toDouble / nDocs
+    val post = postings
+    require(nDocs > 0, "searchRankedAny: empty ranked index")
+    val avgdl = sumDl.toDouble / nDocs
     val dfs = post.filter(col("term").isin(t: _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
@@ -242,12 +274,9 @@ object InvertedIndex {
     // dl rides every present posting row identically — first non-null
     val dl = coalesce(t.indices.map(i => col(dlCol(i))): _*)
     val score = t.zipWithIndex.map { case (tm, i) =>
-      val df = dfs.getOrElse(tm, 0L).toDouble
-      val idf = (nDocs.toDouble - df + 0.5) / (df + 0.5)
       when(col(tfCol(i)).isNull, lit(0.0)).otherwise(
-        lit(idf) * ((col(tfCol(i)).cast("double") * lit(k1 + 1.0)) /
-          (col(tfCol(i)).cast("double") +
-            lit(k1) * (lit(1.0 - b) + lit(b) * (dl.cast("double") / lit(avgdl))))))
+        bm25Weight(col(tfCol(i)), dl,
+          dfs.getOrElse(tm, 0L).toDouble, nDocs, avgdl, k1, b))
     }.reduce(_ + _)
     val top = acc.select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc).limit(topK)

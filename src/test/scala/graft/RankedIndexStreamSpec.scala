@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.InvertedIndex
+import graft.streaming.{BatchVersioned, RankedIndexStream}
+
+/** Streaming ranked-index maintenance: BM25 lookups over the
+  * maintained lake must equal the one-shot batch index bit-for-bit
+  * (scores included — same shared weight kernel, same summed-exact
+  * stats) through minor compactions, replay, and identical-text
+  * re-arrival (which may shift score CONSTANTS but never membership —
+  * the documented at-least-once approximation). */
+class RankedIndexStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val nDocs = 30000L
+  private val nB = 17
+  // every doc non-empty (a zero-token doc has no postings and is
+  // invisible to the lake's stats, while the batch builder counts it —
+  // the documented divergence this corpus avoids)
+  private def corpus = spark.range(nDocs).select(
+    col("id").as("doc_id"),
+    concat_ws(" ",
+      expr("transform(sequence(0, cast(id % 13 as int) + 6), i -> concat('w', cast((id * 2654435761 + cast(i as bigint) * i * 19349663) % 8000 as string)))"),
+      when(col("id") % 700 === 0, lit("sparse")).otherwise(lit("w2")),
+      lit("common"))
+      .as("text"))
+
+  private val terms = Seq("sparse", "common")
+
+  test("streamed BM25 == one-shot batch index bit-for-bit through minors; re-arrival keeps membership; replay exact") {
+    val root = Files.createTempDirectory("graft_rankstream").toString
+    val batchDir = Files.createTempDirectory("graft_rankstream_b").toString
+    try {
+      (0 until nB).foreach { b =>
+        RankedIndexStream.processBatch(
+          corpus.filter(col("doc_id") % nB === b), b, root,
+          compactEvery = 4, targetBytes = 256 * 1024, blockBytes = 64 * 1024,
+          majorFrac = Double.PositiveInfinity)
+      }
+      assert(BatchVersioned.versions(spark, s"$root/l1").nonEmpty,
+        "no minor chunks — the leveled path was not exercised")
+
+      InvertedIndex.buildRanked(corpus, batchDir, files = 4,
+        blockBytes = 256 * 1024)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+
+      // AND: bit-exact parity, scores included (summed level sidecars
+      // == the batch stats because levels partition the doc space)
+      val gotAnd = rows(RankedIndexStream.searchRanked(spark, root, terms, topK = 15))
+      val wantAnd = rows(InvertedIndex.searchRanked(spark, batchDir, terms, topK = 15))
+      assert(gotAnd === wantAnd)
+      assert(wantAnd.nonEmpty, "planted AND set empty — corpus drifted")
+
+      // OR: same
+      val gotAny = rows(RankedIndexStream.searchRankedAny(spark, root, terms, topK = 15))
+      val wantAny = rows(InvertedIndex.searchRankedAny(spark, batchDir, terms, topK = 15))
+      assert(gotAny === wantAny)
+
+      // replay of a pre-compaction batch: identical commit, nothing
+      // changes — scores included
+      RankedIndexStream.processBatch(
+        corpus.filter(col("doc_id") % nB === 13), 13L, root,
+        compactEvery = 4, targetBytes = 256 * 1024, blockBytes = 64 * 1024,
+        majorFrac = Double.PositiveInfinity)
+      assert(rows(RankedIndexStream.searchRanked(spark, root, terms, topK = 15)) === gotAnd)
+
+      // identical-text re-arrival in a LATER batch (at-least-once
+      // upstream): tf/df stay exact through the dedup, so conjunctive
+      // MEMBERSHIP is unchanged; the duplicate doc double-counts in
+      // the summed stats, so score constants may shift — the
+      // documented approximation, bounded by the duplicate rate
+      val before = RankedIndexStream.searchRanked(spark, root, terms, topK = 1000)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      RankedIndexStream.processBatch(
+        corpus.filter(col("doc_id") % nB === 3), nB.toLong, root,
+        compactEvery = 4, targetBytes = 256 * 1024, blockBytes = 64 * 1024,
+        majorFrac = Double.PositiveInfinity)
+      val after = RankedIndexStream.searchRanked(spark, root, terms, topK = 1000)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(after === before,
+        "identical re-arrival changed conjunctive membership")
+    } finally {
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(batchDir))
+    }
+  }
+
+  test("crash window: a level missing its stats sidecar folds on the fly — lookups stay exact") {
+    val root = Files.createTempDirectory("graft_rankstream_win").toString
+    val batchDir = Files.createTempDirectory("graft_rankstream_win_b").toString
+    try {
+      (0 until 9).foreach { b =>
+        RankedIndexStream.processBatch(
+          corpus.filter(col("doc_id") % nB === b), b, root,
+          compactEvery = 4, targetBytes = 256 * 1024, blockBytes = 64 * 1024,
+          majorFrac = Double.PositiveInfinity)
+      }
+      // strip a committed level's sidecar (the crash between the data
+      // write and the stats write)
+      val lvl = BatchVersioned.versions(spark, s"$root/l1").last._2
+      graft.tools.FileUtil.deleteTree(
+        java.nio.file.Paths.get(s"$lvl/${InvertedIndex.StatsSubDir}"))
+      InvertedIndex.buildRanked(corpus.filter(col("doc_id") % nB <= 8), batchDir,
+        files = 4, blockBytes = 256 * 1024)
+      val got = RankedIndexStream.searchRanked(spark, root, terms, topK = 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      val want = InvertedIndex.searchRanked(spark, batchDir, terms, topK = 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      assert(got === want)
+    } finally {
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(batchDir))
+    }
+  }
+}
