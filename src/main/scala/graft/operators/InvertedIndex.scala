@@ -87,18 +87,54 @@ object InvertedIndex {
     * listing, the [[Manifest.SubDir]] trick. */
   val StatsSubDir = "_graft_idxstats"
 
-  /** Docs → ranked postings: (term, doc_id, tf, dl) — term frequency
-    * and doc length denormalized onto each posting row (the standard
-    * index trick: scoring then needs no second table, at one long per
-    * row). One explode + one (term, doc_id) partial-agg shuffle. */
-  def rankedPostings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+  /** The per-doc SENTINEL term: every doc — including a ZERO-token
+    * one — emits exactly one (term = "", tf = 0, dl) row alongside
+    * its real postings. The tokenizer never yields an empty string,
+    * so sentinels can never match a query term; they exist so corpus
+    * stats (N, Σdl) are a property of the POSTINGS RELATION itself —
+    * summable from any partitioning of it, counting empty docs —
+    * instead of a side-channel that drifts when postings move
+    * (levels, shards) or when a doc emits no postings (the round-16
+    * empty-doc caveat, now closed). Clustered on (term, doc_id) the
+    * sentinels occupy their own leading row groups: a stats fold
+    * over them term-prunes like any other posting list. */
+  val SentinelTerm = ""
+
+  /** Docs → ranked POSITIONAL postings: (term, doc_id, tf, dl,
+    * positions) — term frequency and doc length denormalized onto
+    * each posting row (the standard index trick: scoring needs no
+    * second table) plus the sorted 0-based token positions (round 17
+    * — phrase queries verify adjacency on candidates only; BM25
+    * queries never read the column, parquet column pruning drops it
+    * at the scan, pinned by spec). One posexplode + one (term,
+    * doc_id) partial-agg shuffle; `sort_array` pins the
+    * collect_list order so replays commit identical bytes. Plus one
+    * [[SentinelTerm]] row per doc (empty positions). */
+  def rankedPostings(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
       graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
-        explode(col("__toks")).as("term"))
+    toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        posexplode(col("__toks")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .select("term", "doc_id", "tf", "dl")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .select("term", "doc_id", "tf", "dl", "positions")
+      .unionByName(toks.select(lit(SentinelTerm).as("term"), col("doc_id"),
+        lit(0L).as("tf"), size(col("__toks")).cast("long").as("dl"),
+        array().cast("array<int>").as("positions")))
+  }
+
+  /** (n_docs, sum_dl) of a postings relation, from its sentinel rows
+    * — one term-pruned fold, exact over ANY assembly of postings
+    * (identical re-arrival across committed dirs duplicates
+    * sentinels like any posting; the lake documents that caveat and
+    * the versioned variant resolves it). */
+  private[graft] def sentinelStats(postings: DataFrame): (Long, Long) = {
+    val r = postings.filter(col("term") === lit(SentinelTerm))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"))
+  }
 
   /** Write the ranked postings table + corpus-stats sidecar:
     * clustered on (term, doc_id) like [[build]] — term pruning for
@@ -125,15 +161,32 @@ object InvertedIndex {
       .write.mode("overwrite").parquet(s"$dst/$StatsSubDir")
   }
 
-  /** THE per-term rational-BM25 weight — one definition shared by the
-    * AND member, the OR member, and the lake lookups, so the
-    * engine-exact arithmetic (evaluation order fixes the double bits
-    * the oracle replays) can never drift between them. idf is ln's
-    * exact argument — see [[searchRanked]] for why ln itself is
-    * banned. */
+  /** THE per-term BM25 weight — one definition shared by the AND
+    * member, the OR member, and the lake lookups, so the engine-exact
+    * arithmetic (evaluation order fixes the double bits the oracle
+    * replays) can never drift between them.
+    *
+    * Two idf modes, selected by `logIdf`:
+    *  - RATIONAL (default): idf = (N − df + 0.5)/(df + 0.5) — ln's
+    *    exact argument, kept rational so every factor is IEEE basic
+    *    arithmetic and the DuckDB oracle replays score doubles
+    *    bit-for-bit (see [[searchRanked]] for why ln is banned from
+    *    the exact-hash path). Deviation from textbook BM25: rare
+    *    terms weigh EXPONENTIALLY more in cross-term mixing (the
+    *    argument vs its log) — same per-term ranking, different
+    *    blend. Deterministic and documented, but callers who expect
+    *    literature BM25 blending should opt into:
+    *  - LOG (opt-in): idf = ln(1 + (N − df + 0.5)/(df + 0.5)) — the
+    *    Robertson/Spärck-Jones form Lucene ships. The ln runs ONCE
+    *    on the DRIVER per term (a constant in the plan); per-row
+    *    arithmetic stays basic ops, so the only cross-engine hazard
+    *    is the last ulp of the per-term CONSTANT — gated by rank
+    *    order and micro-rounded scores rather than exact hashes. */
   private[graft] def bm25Weight(tf: Column, dl: Column, df: Double,
-      nDocs: Long, avgdl: Double, k1: Double, b: Double): Column = {
-    val idf = (nDocs.toDouble - df + 0.5) / (df + 0.5)
+      nDocs: Long, avgdl: Double, k1: Double, b: Double,
+      logIdf: Boolean = false): Column = {
+    val r = (nDocs.toDouble - df + 0.5) / (df + 0.5)
+    val idf = if (logIdf) math.log1p(r) else r
     lit(idf) * ((tf.cast("double") * lit(k1 + 1.0)) /
       (tf.cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * (dl.cast("double") / lit(avgdl)))))
@@ -171,10 +224,10 @@ object InvertedIndex {
     * by doc_id. */
   def searchRanked(spark: SparkSession, dir: String, terms: Seq[String],
       topK: Int = 20, k1: Double = 1.2, b: Double = 0.75,
-      pushdownCap: Int = 10000): DataFrame = {
+      pushdownCap: Int = 10000, logIdf: Boolean = false): DataFrame = {
     val st = spark.read.parquet(s"$dir/$StatsSubDir").head()
     searchRanked(spark.read.parquet(dir), st.getAs[Long]("n_docs"),
-      st.getAs[Long]("sum_dl"), terms, topK, k1, b, pushdownCap)
+      st.getAs[Long]("sum_dl"), terms, topK, k1, b, pushdownCap, logIdf)
   }
 
   /** [[searchRanked]] over ANY ranked-postings relation plus explicit
@@ -186,7 +239,7 @@ object InvertedIndex {
     * whatever the relation's assembly. */
   def searchRanked(postings: DataFrame, nDocs: Long, sumDl: Long,
       terms: Seq[String], topK: Int, k1: Double, b: Double,
-      pushdownCap: Int): DataFrame = {
+      pushdownCap: Int, logIdf: Boolean): DataFrame = {
     val t = terms.distinct
     require(t.nonEmpty, "InvertedIndex.searchRanked: need at least one term")
     val post = postings
@@ -224,7 +277,7 @@ object InvertedIndex {
     // fixed-order rational-BM25 sum (the caller's literal term order)
     val score = t.map { tm =>
       bm25Weight(col(tfCol(tm)), col("dl"),
-        dfs.getOrElse(tm, 0L).toDouble, nDocs, avgdl, k1, b)
+        dfs.getOrElse(tm, 0L).toDouble, nDocs, avgdl, k1, b, logIdf)
     }.reduce(_ + _)
     val top = acc.select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
@@ -246,17 +299,19 @@ object InvertedIndex {
     * +0.0 is exact, so present-term scores are bit-identical to
     * AND's). Same rational idf, same tie rule. */
   def searchRankedAny(spark: SparkSession, dir: String, terms: Seq[String],
-      topK: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      topK: Int = 20, k1: Double = 1.2, b: Double = 0.75,
+      logIdf: Boolean = false): DataFrame = {
     val st = spark.read.parquet(s"$dir/$StatsSubDir").head()
     searchRankedAny(spark.read.parquet(dir), st.getAs[Long]("n_docs"),
-      st.getAs[Long]("sum_dl"), terms, topK, k1, b)
+      st.getAs[Long]("sum_dl"), terms, topK, k1, b, logIdf)
   }
 
   /** [[searchRankedAny]] over ANY ranked-postings relation plus
     * explicit corpus stats (the lake entry point, like the
     * [[searchRanked]] twin above). */
   def searchRankedAny(postings: DataFrame, nDocs: Long, sumDl: Long,
-      terms: Seq[String], topK: Int, k1: Double, b: Double): DataFrame = {
+      terms: Seq[String], topK: Int, k1: Double, b: Double,
+      logIdf: Boolean): DataFrame = {
     val t = terms.distinct
     require(t.nonEmpty, "InvertedIndex.searchRankedAny: need at least one term")
     val post = postings
@@ -276,7 +331,7 @@ object InvertedIndex {
     val score = t.zipWithIndex.map { case (tm, i) =>
       when(col(tfCol(i)).isNull, lit(0.0)).otherwise(
         bm25Weight(col(tfCol(i)), dl,
-          dfs.getOrElse(tm, 0L).toDouble, nDocs, avgdl, k1, b))
+          dfs.getOrElse(tm, 0L).toDouble, nDocs, avgdl, k1, b, logIdf))
     }.reduce(_ + _)
     val top = acc.select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
@@ -297,4 +352,165 @@ object InvertedIndex {
   /** [[lookupAny]] over the at-rest postings dir. */
   def lookupAny(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
     lookupAny(spark.read.parquet(dir), terms)
+
+  // ---------------------------------------------------------------
+  // Phrase queries (round 17) — the next retrieval member after
+  // BM25: exact token-adjacency over the positional postings.
+  // ---------------------------------------------------------------
+
+  /** Docs containing `phrase` as CONSECUTIVE tokens, with the exact
+    * occurrence count — (doc_id, n_hits), n_hits = number of start
+    * positions p with term_i at p+i for every i.
+    *
+    * Scale shape — the [[searchRanked]] df-ordered merge, reused for
+    * positions: df per distinct phrase term is a term-pruned scan +
+    * k-row collect; the rarest term's postings are the candidate set
+    * (df_min rows); every denser term is probed `term = t AND doc_id
+    * IN (candidates)` when collectable (≤ `pushdownCap`), pushed as
+    * a native parquet In against the per-row-group doc_id blooms —
+    * so the dense posting lists are never read whole. Adjacency then
+    * verifies on the CANDIDATES ONLY: one `filter` lambda over the
+    * rarest term's positions array testing `array_contains` on each
+    * other term's array at the phrase offset — positions arrays are
+    * per-(term, doc) token occurrences, so the verify cost is the
+    * candidate docs' occurrence counts, never the corpus. Non-phrase
+    * queries never pay for any of this: the positions column prunes
+    * out of their scans (spec-pinned). */
+  def searchPhrase(postings: DataFrame, phrase: Seq[String],
+      pushdownCap: Int = 10000): DataFrame = {
+    require(phrase.nonEmpty, "InvertedIndex.searchPhrase: empty phrase")
+    val terms = phrase.distinct
+    val post = postings
+    // df per distinct term: term-pruned scan, |terms|-row collect
+    val dfs = post.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val order = terms.sortBy(tm => (dfs.getOrElse(tm, 0L), tm))
+    def posCol(tm: String) = s"__pos_${terms.indexOf(tm)}"
+    val rare = order.head
+    var acc = post.filter(col("term") === lit(rare))
+      .select(col("doc_id"), col("positions").as(posCol(rare)))
+    val candIds: Option[Array[Any]] =
+      if (order.tail.nonEmpty && dfs.getOrElse(rare, 0L) <= pushdownCap)
+        Some(acc.select("doc_id").collect().map(_.get(0)))
+      else None
+    for (tm <- order.tail) {
+      val probed = candIds match {
+        case Some(ids) if ids.isEmpty => post.filter(lit(false))
+        case Some(ids) => post.filter(col("term") === lit(tm) &&
+          col("doc_id").isin(ids.toIndexedSeq: _*))
+        case None => post.filter(col("term") === lit(tm))
+      }
+      acc = acc.join(
+        probed.select(col("doc_id"), col("positions").as(posCol(tm))), "doc_id")
+    }
+    // adjacency verify: start positions are drawn from phrase index
+    // 0's array, shifted checks against each later index's array
+    // (duplicate phrase terms share one fetched array)
+    val starts = filter(col(posCol(phrase.head)), p =>
+      phrase.zipWithIndex.tail.map { case (tm, i) =>
+        array_contains(col(posCol(tm)), p + lit(i))
+      }.foldLeft(lit(true))(_ && _))
+    acc.select(col("doc_id"), size(starts).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
+  /** [[searchPhrase]] over the at-rest positional postings dir. */
+  def searchPhrase(spark: SparkSession, dir: String, phrase: Seq[String],
+      pushdownCap: Int): DataFrame =
+    searchPhrase(spark.read.parquet(dir), phrase, pushdownCap)
+
+  // ---------------------------------------------------------------
+  // Versioned corpus (round 17) — a real pipeline re-crawls and
+  // deletes: docs arrive as (doc_id, ver, op) events, postings are
+  // stamped with their version, and lookups resolve the LATEST
+  // version per doc (deletes dropped) BEFORE scoring — the
+  // Cdc.materialize rule applied to the index.
+  // ---------------------------------------------------------------
+
+  /** Versioned events → versioned ranked postings: (term, doc_id,
+    * ver, tf, dl, del, positions). An upsert ('U') emits its
+    * [[rankedPostings]] rows stamped with `ver`; a delete ('D')
+    * emits ONLY its sentinel tombstone (del = true). The sentinel
+    * rows double as the DOC REGISTRY: latest-version resolution is a
+    * term-pruned fold over them ([[searchRankedVer]]), and because
+    * they cluster into their own (term = "") key range, a sharded
+    * lake compacts the registry as just another shard. */
+  def rankedPostingsVer(events: DataFrame): DataFrame = {
+    val up = events.filter(col("op") === lit("U"))
+    val toks = up.select(col("doc_id"), col("ver"),
+      graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
+    val posts = toks.select(col("doc_id"), col("ver"),
+        size(col("__toks")).cast("long").as("dl"),
+        posexplode(col("__toks")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"), col("ver"), col("dl"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("term"), col("doc_id"), col("ver"), col("tf"), col("dl"),
+        lit(false).as("del"), col("positions"))
+    val upSent = toks.select(lit(SentinelTerm).as("term"), col("doc_id"),
+      col("ver"), lit(0L).as("tf"), size(col("__toks")).cast("long").as("dl"),
+      lit(false).as("del"), array().cast("array<int>").as("positions"))
+    val delSent = events.filter(col("op") === lit("D"))
+      .select(lit(SentinelTerm).as("term"), col("doc_id"), col("ver"),
+        lit(0L).as("tf"), lit(0L).as("dl"), lit(true).as("del"),
+        array().cast("array<int>").as("positions"))
+    posts.unionByName(upSent).unionByName(delSent)
+  }
+
+  /** Write the versioned ranked postings table — same (term, doc_id)
+    * clustering + doc_id blooms as [[buildRanked]]. No stats sidecar:
+    * versioned stats are not additive (updates retract the old dl,
+    * deletes retract the doc), so [[searchRankedVer]] derives them
+    * from the resolved registry instead. */
+  def buildRankedVer(events: DataFrame, dst: String, files: Int,
+      blockBytes: Long = 128L << 20, bloomNdv: Long = 0L): Unit = {
+    val ndv = if (bloomNdv > 0) bloomNdv else math.max(1024L, blockBytes / 16)
+    Layout.clusteredWrite(rankedPostingsVer(events), dst,
+      Seq("term", "doc_id"), files, blockBytes, options = Map(
+        "parquet.bloom.filter.enabled#doc_id" -> "true",
+        "parquet.bloom.filter.expected.ndv#doc_id" -> ndv.toString))
+  }
+
+  /** Latest (ver, del, dl) per doc from the sentinel registry — one
+    * term-pruned fold; scan cost ∝ registry rows (sentinels live in
+    * their own leading key range), never the postings. */
+  private[graft] def latestOf(postings: DataFrame): DataFrame =
+    postings.filter(col("term") === lit(SentinelTerm))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("ver"), col("del"), col("dl"))).as("__l"))
+      .select(col("doc_id"), col("__l.ver").as("__lver"),
+        col("__l.del").as("__ldel"), col("__l.dl").as("__ldl"))
+
+  /** Conjunctive BM25 top-k over a VERSIONED postings relation:
+    * resolve latest version per doc and drop deletes BEFORE scoring
+    * — old-version postings (including terms a re-crawl removed)
+    * and deleted docs can never match or shift a score — then THE
+    * shared [[searchRanked]] kernel over the resolved relation.
+    * Stats (N, Σdl) come from the live registry, exact: re-arrival
+    * of the same (doc, ver) deduplicates by key, so the unversioned
+    * lake's stats-overcount caveat does not exist here.
+    *
+    * Scale: term filters push below the resolution join to the
+    * postings scans; the registry fold is registry-sized (one row
+    * per doc event), the documented cost of exact stats — a
+    * deployment caching stats per index version amortizes it away. */
+  def searchRankedVer(postings: DataFrame, terms: Seq[String],
+      topK: Int = 20, k1: Double = 1.2, b: Double = 0.75,
+      pushdownCap: Int = 10000, logIdf: Boolean = false): DataFrame = {
+    val latest = latestOf(postings)
+    val st = latest.filter(!col("__ldel"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("__ldl")), lit(0L)).as("s"))
+      .head()
+    val resolved = postings.join(latest, "doc_id")
+      .filter(col("ver") === col("__lver") && !col("__ldel"))
+      .select("term", "doc_id", "tf", "dl", "positions")
+    searchRanked(resolved, st.getAs[Long]("n"), st.getAs[Long]("s"),
+      terms, topK, k1, b, pushdownCap, logIdf)
+  }
+
+  /** [[searchRankedVer]] over the at-rest versioned postings dir. */
+  def searchRankedVer(spark: SparkSession, dir: String, terms: Seq[String],
+      topK: Int, k1: Double, b: Double, pushdownCap: Int): DataFrame =
+    searchRankedVer(spark.read.parquet(dir), terms, topK, k1, b, pushdownCap)
 }

@@ -216,16 +216,28 @@ object Manifest {
       // manifest records it precisely because xxhash64 hashes
       // INT/BIGINT/STRING differently, and an untyped lit(3) probed
       // against a BIGINT key would silently bloom-false-negative
-      // (pruning files that contain true matches). A value that cannot
-      // cast becomes NULL, which no non-null build key hashes to —
-      // pruning everything for that value, exactly what equality on an
-      // impossible value answers.
+      // (pruning files that contain true matches). TRY-mode cast: a
+      // plain cast of an uncastable value yields NULL only in
+      // non-ANSI sessions and THROWS under spark.sql.ansi.enabled —
+      // EvalMode.TRY yields NULL in both.
       // parse the stored type ONCE, not per probe value
       val bkType = if (typed)
         Some(org.apache.spark.sql.types.DataType.fromDDL(hd.getString(1))) else None
-      def probeLit(v: Any): Column = bkType.fold(lit(v))(lit(v).cast)
-      val any = bloomAnyOf.map(v => mightContainRow(probeLit(v), col("bloom"), m))
-        .reduce(_ || _)
+      def probeLit(v: Any): Column = bkType.fold(lit(v)) { dt =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(v)),
+            dt, None, org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
+      }
+      // a NULL probe (uncastable value) must select NOTHING — it is
+      // equality on an impossible value. The guard is load-bearing:
+      // xxhash64 SKIPS null children rather than hashing them, so an
+      // unguarded null probe would test FIXED bit positions and could
+      // spuriously SELECT files instead of pruning them.
+      val any = bloomAnyOf.map { v =>
+        val p = probeLit(v)
+        p.isNotNull && mightContainRow(p, col("bloom"), m)
+      }.reduce(_ || _)
       sel = sel.filter(col("bloom").isNull || any)
     }
     (sel.select("file").collect().map(_.getString(0)), total)

@@ -64,6 +64,34 @@ object TextQ extends QueryPack {
   def invalidateRankedIndex(s: org.apache.spark.sql.SparkSession, d: String): Unit =
     graft.tools.SessionArtifacts.invalidate(s, "rankidx", d)
 
+  /** The deterministic VERSIONED event log q122 runs on — derived
+    * from the documents table so DuckDB can replay it exactly:
+    * every doc arrives at ver 1; every 7th is RE-CRAWLED at ver 2
+    * with changed text (reversed — drops its original terms); every
+    * 13th is DELETED at ver 3. Spark and the oracle construct the
+    * same relation from the same parquet. */
+  def versionedEvents(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    docs.select($"doc_id", lit(1L).as("ver"), lit("U").as("op"), $"text")
+      .unionByName(docs.filter($"doc_id" % 7 === 0)
+        .select($"doc_id", lit(2L).as("ver"), lit("U").as("op"),
+          reverse($"text").as("text")))
+      .unionByName(docs.filter($"doc_id" % 13 === 0)
+        .select($"doc_id", lit(3L).as("ver"), lit("D").as("op"),
+          lit(null).cast("string").as("text")))
+  }
+
+  /** Build the VERSIONED ranked postings artifact once per session
+    * ([[graft.operators.InvertedIndex.buildRankedVer]] over
+    * [[versionedEvents]]). */
+  def ensureVersionedIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.tools.SessionArtifacts.ensure(s, "rankvidx", d, s"$d/documents.parquet") {
+      (dir, files) =>
+        graft.operators.InvertedIndex.buildRankedVer(versionedEvents(s, d), dir, files)
+    }
+
   /** BM25 parameters for q119/q120 — interpolated into the oracle
     * from the SAME Scala doubles the Spark side uses
     * (shortest-roundtrip printing, so DuckDB parses back the
@@ -374,6 +402,35 @@ object TextQ extends QueryPack {
       graft.operators.InvertedIndex.searchRankedAny(
         s, ensureRankedIndex(s, d), Seq("dup", "merge"), topK = 20,
         k1 = Bm25K1, b = Bm25B)),
+
+    // Phrase search through the POSITIONAL postings (round 17): docs
+    // containing "fast merge" as CONSECUTIVE tokens, with the exact
+    // occurrence count. Same at-rest index as q119 (the ranked
+    // schema carries a sorted positions array; BM25 queries prune the
+    // column out of their scans — PlanSpec pins that), same
+    // rarest-first candidate intersection with the doc_id-IN bloom
+    // pushdown; adjacency then verifies with one array-filter lambda
+    // over the CANDIDATES' positions only — cost ∝ candidate
+    // occurrences, never the corpus.
+    "q121_phrase_search" -> ((s, d) =>
+      graft.operators.InvertedIndex.searchPhrase(
+        s, ensureRankedIndex(s, d), Seq("fast", "merge"),
+        pushdownCap = 10000)),
+
+    // VERSIONED ranked retrieval (round 17): the corpus re-crawls
+    // (ver 2 rewrites every 7th doc) and deletes (ver 3 tombstones
+    // every 13th); BM25 runs over the LATEST live version of every
+    // doc — old-version postings (including terms the re-crawl
+    // removed) and deleted docs can never match or shift a score.
+    // Resolution = one registry fold over the sentinel rows + a
+    // candidate join; stats are registry-exact (not additive
+    // sidecars — updates retract the old dl, deletes the doc). The
+    // oracle replays latest-version materialization + the same
+    // rational-idf arithmetic bit-for-bit.
+    "q122_rank_versioned" -> ((s, d) =>
+      graft.operators.InvertedIndex.searchRankedVer(
+        s, ensureVersionedIndex(s, d), Seq("dup", "merge"), topK = 20,
+        k1 = Bm25K1, b = Bm25B, pushdownCap = 10000)),
 
     // Token-budget mixture sampling (round 15): uniform-TOKEN source
     // mixing — every source contributes the same token MASS (the
@@ -977,6 +1034,52 @@ object TextQ extends QueryPack {
          |             WHERE term = '$t0') a0
          |       FULL OUTER JOIN (SELECT t.doc_id, t.tf, d.dl FROM tf t JOIN d USING (doc_id)
          |             WHERE term = '$t1') a1 USING (doc_id)),
+         |r AS (SELECT doc_id, score,
+         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
+         |SELECT doc_id, score, rnk FROM r WHERE rnk <= 20""".stripMargin
+    },
+
+    // phrase replay: start positions counted straight off the token
+    // list (1-based in DuckDB, 0-based in the index — the COUNT is
+    // base-independent); the Spark side must answer identically from
+    // the positional postings' adjacency verify
+    "q121_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |              FROM documents),
+        |h AS (SELECT doc_id,
+        |        len(list_filter(generate_series(1, len(ws) - 1),
+        |            i -> ws[i] = 'fast' AND ws[i + 1] = 'merge'))::BIGINT AS n_hits
+        |      FROM toks)
+        |SELECT doc_id, n_hits FROM h WHERE n_hits > 0""".stripMargin,
+
+    // versioned replay: latest-version materialization (max_by over
+    // the event log — ver 2 re-crawls reverse the text, ver 3
+    // deletes), then the IDENTICAL rational-idf BM25 arithmetic as
+    // q119 over the LIVE corpus — scores must match bit-for-bit
+    "q122_rank_versioned" -> {
+      val (t0, t1) = ("dup", "merge")
+      s"""WITH ev AS (
+         |  SELECT doc_id, 1 AS ver, 'U' AS op, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 2, 'U', reverse(text) FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 3, 'D', NULL FROM documents WHERE doc_id % 13 = 0),
+         |live AS (SELECT doc_id, max_by(op, ver) AS op, max_by(text, ver) AS text
+         |         FROM ev GROUP BY doc_id),
+         |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |         FROM live WHERE op = 'U'),
+         |d AS (SELECT doc_id, len(ws)::BIGINT AS dl, ws FROM toks),
+         |st AS (SELECT count(*)::BIGINT AS n_docs, coalesce(sum(dl), 0)::BIGINT AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |       FROM (SELECT doc_id, unnest(ws) AS term FROM d)
+         |       WHERE term IN ('$t0', '$t1') GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+         |sc AS (SELECT a0.doc_id,
+         |         ${bm25WSql("a0.tf", "d.dl", t0)}
+         |       + ${bm25WSql("a1.tf", "d.dl", t1)} AS score
+         |       FROM (SELECT doc_id, tf FROM tf WHERE term = '$t0') a0
+         |       JOIN (SELECT doc_id, tf FROM tf WHERE term = '$t1') a1 USING (doc_id)
+         |       JOIN d USING (doc_id)),
          |r AS (SELECT doc_id, score,
          |        row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
          |SELECT doc_id, score, rnk FROM r WHERE rnk <= 20""".stripMargin

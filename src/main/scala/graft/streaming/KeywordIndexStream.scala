@@ -7,7 +7,10 @@ import graft.operators.{InvertedIndex, Layout}
 /** Streaming maintenance of the inverted text index — q118's
   * micro-batch twin, closing the keyword index batch/stream the way
   * [[ZOrderStream]] closed the Z-order layout (both ride
-  * [[CompactingLake]] for ingest/compaction/visibility mechanics).
+  * [[CompactingLake]] for ingest/compaction/visibility mechanics,
+  * including the round-17 key-range-sharded folds: postings shards
+  * are term ranges, so a fold rewrites one term range's postings,
+  * never the index).
   *
   * Ingest converts each arriving doc batch to its AT-REST form —
   * (term, doc_id) distinct postings, the same explode
@@ -15,10 +18,10 @@ import graft.operators.{InvertedIndex, Layout}
   * the lake's schema is uniform across compact history and tail and a
   * lookup needs no per-query re-tokenization of raw docs. The explode
   * is deterministic (one tokenizer convention), so a replayed batch
-  * commits identical postings. Compaction rewrites the committed
-  * postings range-clustered on (term, doc_id): lookups prune row
-  * groups over all but the last `compactEvery` batches, whose
-  * unclustered postings are bounded by the compaction interval.
+  * commits identical postings. Compaction rewrites committed postings
+  * range-clustered on (term, doc_id): lookups prune row groups over
+  * all folded history, the unclustered tail is bounded by the
+  * compaction interval, and L1 slices are each internally clustered.
   *
   * Contract note: doc_ids must not RE-ARRIVE with CHANGED text across
   * batches — postings are append-only here (the CDC-maintained
@@ -31,34 +34,49 @@ import graft.operators.{InvertedIndex, Layout}
   */
 object KeywordIndexStream {
 
+  private def sharding(blockBytes: Long, splitBytes: Long,
+      foldCap: Int = CompactingLake.DefaultFoldCap): CompactingLake.Sharding =
+    CompactingLake.Sharding(
+      shardCols = Seq("term", "doc_id"),
+      splitBytes = splitBytes,
+      foldCap = foldCap,
+      chunkOptions = Map("parquet.block.size" -> blockBytes.toString))
+
   /** One micro-batch of (doc_id, text) ingest. */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       compactEvery: Int = 16, targetBytes: Long = 128L << 20,
       blockBytes: Long = 128L << 20,
       majorFrac: Double = CompactingLake.DefaultMajorFrac,
-      maxL1: Int = CompactingLake.DefaultMaxL1): Unit =
+      maxL1: Int = CompactingLake.DefaultMaxL1,
+      splitBytes: Long = CompactingLake.DefaultSplitBytes,
+      foldCap: Int = CompactingLake.DefaultFoldCap,
+      minFoldBytes: Long = -1L): Unit =
     CompactingLake.processBatch(batch, batchId, root, compactEvery,
       targetBytes,
       (df, dst, files) =>
         Layout.clusteredWrite(df, dst, Seq("term", "doc_id"), files, blockBytes),
+      sharding(blockBytes, splitBytes, foldCap),
       ingest = InvertedIndex.postings,
-      majorFrac = majorFrac, maxL1 = maxL1)
+      majorFrac = majorFrac, maxL1 = maxL1, minFoldBytes = minFoldBytes)
 
   /** foreachBatch adapter. */
   def sink(root: String, compactEvery: Int = 16,
       targetBytes: Long = 128L << 20,
       blockBytes: Long = 128L << 20,
       majorFrac: Double = CompactingLake.DefaultMajorFrac,
-      maxL1: Int = CompactingLake.DefaultMaxL1): (DataFrame, Long) => Unit =
+      maxL1: Int = CompactingLake.DefaultMaxL1,
+      splitBytes: Long = CompactingLake.DefaultSplitBytes,
+      foldCap: Int = CompactingLake.DefaultFoldCap,
+      minFoldBytes: Long = -1L): (DataFrame, Long) => Unit =
     (batch, batchId) =>
       processBatch(batch, batchId, root, compactEvery, targetBytes, blockBytes,
-        majorFrac, maxL1)
+        majorFrac, maxL1, splitBytes, foldCap, minFoldBytes)
 
-  /** Conjunctive lookup over everything committed: compact history
-    * (term-pruned row groups) + the bounded unclustered tail — THE
-    * shared [[InvertedIndex.lookupAll]] definition over the lake's
-    * visible assembly (its count-distinct shape is what makes
-    * identical-text re-arrival safe here). */
+  /** Conjunctive lookup over everything committed: folded history
+    * (term-pruned row groups) + slices + the bounded unclustered
+    * tail — THE shared [[InvertedIndex.lookupAll]] definition over
+    * the lake's visible assembly (its count-distinct shape is what
+    * makes identical-text re-arrival safe here). */
   def lookupAll(spark: SparkSession, root: String, terms: Seq[String]): DataFrame =
     InvertedIndex.lookupAll(CompactingLake.visible(spark, root), terms)
 }

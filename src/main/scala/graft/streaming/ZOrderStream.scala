@@ -12,16 +12,29 @@ import graft.operators.Layout
   * rows arrive.
   *
   * The ingest/compaction/visibility mechanics (batch-versioned
-  * arrival dirs, `_SUCCESS`-gated compact versions with re-derived
-  * file counts, replay idempotence, GC below the previous version,
-  * the bounded unclustered tail, the one-version retention lease)
-  * live in [[CompactingLake]] — shared verbatim with
-  * [[KeywordIndexStream]]. This file contributes only what is
-  * Z-order-specific: the compaction rewrite is [[Layout.zorderWrite]]
-  * with quantile boundaries RE-DERIVED from the full committed data,
-  * so the cell grid tracks distribution drift across ingest epochs.
-  */
+  * arrival dirs, `_SUCCESS`-gated shard/chunk/bounds versions with
+  * re-derived file counts, replay idempotence, per-shard GC with the
+  * one-version lease, the bounded unclustered tail, key-range-sharded
+  * folds with bounded per-fold input) live in [[CompactingLake]] —
+  * shared verbatim with the index lakes. This file contributes only
+  * what is Z-order-specific: shard fold rewrites are
+  * [[Layout.zorderWrite]] with quantile boundaries RE-DERIVED from
+  * the fold's own input (the cell grid tracks distribution drift
+  * per shard, per epoch), the shard ranges are lexicographic on
+  * `keys` (range-disjoint shards; the Z layout lives INSIDE each
+  * fold), and L1 slices sort by the interleaved Z cell so even the
+  * chunk row groups keep multi-key pruning. */
 object ZOrderStream {
+
+  private def sharding(keys: Seq[String], bitsPerKey: Int,
+      blockBytes: Long, splitBytes: Long,
+      foldCap: Int = CompactingLake.DefaultFoldCap): CompactingLake.Sharding =
+    CompactingLake.Sharding(
+      shardCols = keys,
+      splitBytes = splitBytes,
+      foldCap = foldCap,
+      chunkOptions = Map("parquet.block.size" -> blockBytes.toString),
+      sliceSort = Some(df => Seq(Layout.zorderValue(df, keys, bitsPerKey))))
 
   /** One micro-batch of ingest. `keys`/`bitsPerKey` parameterize the
     * compaction rewrite; they must stay fixed for the root's lifetime
@@ -31,20 +44,28 @@ object ZOrderStream {
       keys: Seq[String], bitsPerKey: Int = 8, compactEvery: Int = 16,
       targetBytes: Long = 128L << 20, blockBytes: Long = 128L << 20,
       majorFrac: Double = CompactingLake.DefaultMajorFrac,
-      maxL1: Int = CompactingLake.DefaultMaxL1): Unit =
+      maxL1: Int = CompactingLake.DefaultMaxL1,
+      splitBytes: Long = CompactingLake.DefaultSplitBytes,
+      foldCap: Int = CompactingLake.DefaultFoldCap,
+      minFoldBytes: Long = -1L): Unit =
     CompactingLake.processBatch(batch, batchId, root, compactEvery,
       targetBytes, rewrite(keys, bitsPerKey, blockBytes),
-      majorFrac = majorFrac, maxL1 = maxL1)
+      sharding(keys, bitsPerKey, blockBytes, splitBytes, foldCap),
+      majorFrac = majorFrac, maxL1 = maxL1, minFoldBytes = minFoldBytes)
 
   /** foreachBatch adapter. */
   def sink(root: String, keys: Seq[String], bitsPerKey: Int = 8,
       compactEvery: Int = 16, targetBytes: Long = 128L << 20,
       blockBytes: Long = 128L << 20,
       majorFrac: Double = CompactingLake.DefaultMajorFrac,
-      maxL1: Int = CompactingLake.DefaultMaxL1): (DataFrame, Long) => Unit =
+      maxL1: Int = CompactingLake.DefaultMaxL1,
+      splitBytes: Long = CompactingLake.DefaultSplitBytes,
+      foldCap: Int = CompactingLake.DefaultFoldCap,
+      minFoldBytes: Long = -1L): (DataFrame, Long) => Unit =
     (batch, batchId) =>
       processBatch(batch, batchId, root, keys, bitsPerKey, compactEvery,
-        targetBytes, blockBytes, majorFrac, maxL1)
+        targetBytes, blockBytes, majorFrac, maxL1, splitBytes, foldCap,
+        minFoldBytes)
 
   private def rewrite(keys: Seq[String], bitsPerKey: Int,
       blockBytes: Long): CompactingLake.Rewrite =
@@ -53,17 +74,19 @@ object ZOrderStream {
   /** Kept for tests/tools that drive a compaction directly. */
   private[graft] def compact(spark: SparkSession, root: String, batchId: Long,
       keys: Seq[String], bitsPerKey: Int, targetBytes: Long,
-      blockBytes: Long = 128L << 20): Unit =
+      blockBytes: Long = 128L << 20,
+      splitBytes: Long = CompactingLake.DefaultSplitBytes): Unit =
     CompactingLake.compact(spark, root, batchId, targetBytes,
-      rewrite(keys, bitsPerKey, blockBytes))
+      rewrite(keys, bitsPerKey, blockBytes),
+      sharding(keys, bitsPerKey, blockBytes, splitBytes))
 
   /** Every row a reader may see — [[CompactingLake.visible]]. */
   def visible(spark: SparkSession, root: String): DataFrame =
     CompactingLake.visible(spark, root)
 
-  /** The compacted portion alone (layout evidence). */
+  /** The folded (shard) portion alone (layout evidence). */
   private[graft] def compactPart(spark: SparkSession, root: String): Option[DataFrame] =
-    CompactingLake.compactPart(spark, root)
+    CompactingLake.basePart(spark, root)
 
   /** Filtered read over [[visible]] — named so call sites say what
     * the layout buys: predicates on the cluster keys prune row groups

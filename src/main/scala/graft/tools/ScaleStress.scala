@@ -166,12 +166,13 @@ object ScaleStress {
     // history every compactEvery batches — O(N) read+write per
     // compaction on a growing lake, the r15 verdict's scale-killer.
     // Fixed 250k-row batches, compactEvery=4, 36 batches: the leveled
-    // run (majorFrac=∞ after the bootstrap major) measures each
+    // run (majorFrac=∞ after the bootstrap fold) measures each
     // minor's READ bytes via task metrics; the legacy control
-    // (majorFrac=0 → every compaction full-rewrite, byte-identical to
-    // the r15 engine) shows the linear growth leveling removes.
+    // (majorFrac=0, minFoldBytes=0 → every compaction folds the one
+    // unsplit shard over its full history, semantically the r15
+    // engine) shows the linear growth leveling removes.
     // Gates: leveled minor input flat (last/first < 1.5) while
-    // history grows 7×; the legacy LAST compaction reads > 3× the
+    // history grows 7×; the legacy LAST compaction reads > 4× the
     // leveled last minor.
     time("leveled_lake_flat_minor_cost") {
       val rowsPerBatch = 250000L
@@ -199,6 +200,7 @@ object ScaleStress {
       // run one lake; return (compaction batchId, rows read, seconds)
       def run(frac: Double): Seq[(Long, Long, Double)] = {
         val root = java.nio.file.Files.createTempDirectory("graft_stress_lvl").toString
+        val minFold = if (frac == 0.0) 0L else -1L
         try {
           var out = Seq.empty[(Long, Long, Double)]
           (0 until nBatches).foreach { b =>
@@ -207,13 +209,13 @@ object ScaleStress {
               val rows = measured {
                 graft.streaming.ZOrderStream.processBatch(batch(b), b, root,
                   Seq("x", "y"), compactEvery = every, targetBytes = 32L << 20,
-                  majorFrac = frac)
+                  majorFrac = frac, minFoldBytes = minFold)
               }
               out :+= ((b.toLong, rows, (System.nanoTime() - t0) / 1e9))
             } else
               graft.streaming.ZOrderStream.processBatch(batch(b), b, root,
                 Seq("x", "y"), compactEvery = every, targetBytes = 32L << 20,
-                majorFrac = frac)
+                majorFrac = frac, minFoldBytes = minFold)
           }
           out
         } finally FileUtil.deleteTree(java.nio.file.Paths.get(root))
@@ -234,6 +236,100 @@ object ScaleStress {
       require(gain > 4.0,
         f"legacy full-rewrite last compaction read only $gain%.1fx the leveled minor - leveling buys nothing?")
       nBatches * rowsPerBatch
+    }
+
+    // Sharded folds (round 17): the WORST single compaction event's
+    // read cost stays BOUNDED — a constant multiple of the interval
+    // inflow — while committed history grows. This is the property
+    // the r16 monolithic major lacked: its trigger fired rarely, but
+    // when it fired it read base+L1+tail, i.e. the WHOLE lake (the
+    // r16 verdict's one weak grade: an ingest stall ∝ lake size).
+    // 250k-row batches, compactEvery=4 (interval inflow 1M rows),
+    // 64 batches → 16M rows final; splitBytes caps any fold's input
+    // at ~1.5-2M rows (shards split past it; these rows encode to
+    // ~4-6 B at rest), foldCap=2 bounds the per-event herd,
+    // majorFrac=0.6 + the minFold floor keep the 2-fold drain ≥ the
+    // interval inflow so backlog is steady. The row-read metric
+    // counts EVERY pass a rewrite makes (Z-order quantile + range
+    // sample + write ≈ 3 passes over a fold's input, plus the
+    // slice/cut passes), so the absolute bound carries that constant.
+    // Gates: (a) the lake split (bounds rows ≥ 4); (b) the WORST
+    // late-phase event (second half, history ≥ 8M rows) reads < 16×
+    // the interval inflow — a constant in history depth, i.e.
+    // ≈ foldCap × splitBytes-rows × passes, never the lake; (c) the
+    // LEGACY control (splitBytes = ∞, same engine, one unsplit
+    // shard) has a worst event > 2× the sharded worst — the stall
+    // sharding removes; (d) parity: visible == ingested.
+    time("sharded_lake_bounded_fold_input") {
+      val rowsPerBatch = 250000L
+      val nBatches = 64
+      val every = 4
+      val interval = rowsPerBatch * every
+      def batch(b: Long) = spark.range(b * rowsPerBatch, (b + 1) * rowsPerBatch)
+        .select($"id",
+          ($"id" * 48271L % 1000000L).as("x"),
+          ($"id" * 52361L % 1000000L).as("y"))
+      val rowsRead = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) rowsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+      }
+      def measured(f: => Unit): Long = {
+        rowsRead.set(0L)
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          f
+          var prev = -1L; var cur = rowsRead.get(); var i = 0
+          while (cur != prev && i < 40) { Thread.sleep(250); prev = cur; cur = rowsRead.get(); i += 1 }
+          cur
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      // these 3-long rows encode to ~4-6 B at rest → ~1.5-2M rows/shard
+      val splitBytes = 10L << 20
+      def run(split: Long): (Seq[(Long, Long, Double)], String) = {
+        val root = java.nio.file.Files.createTempDirectory("graft_stress_shard").toString
+        var events = Seq.empty[(Long, Long, Double)]
+        (0 until nBatches).foreach { b =>
+          def go(): Unit = graft.streaming.ZOrderStream.processBatch(
+            batch(b), b, root, Seq("x", "y"), compactEvery = every,
+            targetBytes = 8L << 20, majorFrac = 0.6,
+            splitBytes = split, foldCap = 2)
+          if (b > 0 && b % every == 0) {
+            val t0 = System.nanoTime()
+            val rows = measured(go())
+            events :+= ((b.toLong, rows, (System.nanoTime() - t0) / 1e9))
+          } else go()
+        }
+        (events, root)
+      }
+      val (events, root) = run(splitBytes)
+      val (legacy, lroot) = run(Long.MaxValue)
+      try {
+        def fmt(s: Seq[(Long, Long, Double)]) = s.map { case (b, r, sec) =>
+          f"$b:${r / 1000}kr/$sec%.1fs" }.mkString(", ")
+        println(s"STRESS   sharded events=${fmt(events)}")
+        println(s"STRESS   legacy  events=${fmt(legacy)}")
+        val bounds = graft.streaming.BatchVersioned
+          .versions(spark, s"$root/bounds").last._2
+        val k = spark.read.parquet(bounds).count()
+        require(k >= 4, s"lake never split into shards: $k range(s)")
+        val worst = events.filter(_._1 > nBatches / 2).maxBy(_._2)
+        require(worst._2 < 16L * interval,
+          s"late compaction event at b=${worst._1} read ${worst._2} rows " +
+            s"(> 16x the ${interval}-row interval inflow) - fold input is " +
+            "growing with history, not bounded by shard size")
+        val lworst = legacy.filter(_._1 > nBatches / 2).maxBy(_._2)
+        require(lworst._2 > 2L * worst._2,
+          s"legacy worst event ${lworst._2} not > 2x sharded worst ${worst._2}" +
+            " - sharding bought no stall reduction here?")
+        val vis = graft.streaming.ZOrderStream.visible(spark, root).count()
+        require(vis == nBatches * rowsPerBatch,
+          s"parity broke under sharded folds: $vis != ${nBatches * rowsPerBatch}")
+        nBatches * rowsPerBatch
+      } finally {
+        FileUtil.deleteTree(java.nio.file.Paths.get(root))
+        FileUtil.deleteTree(java.nio.file.Paths.get(lroot))
+      }
     }
 
     // File-skipping manifest at 100× FileSkipSpec's corpus (q116's

@@ -58,7 +58,7 @@ class KeywordIndexStreamSpec extends AnyFunSuite {
       val bDirs = new java.io.File(root).listFiles()
         .filter(_.getName.startsWith("b=")).map(_.getName).toSet
       assert(!bDirs.contains("b=0"), s"pre-v4 arrival dirs survived GC: $bDirs")
-      val compacted = graft.streaming.CompactingLake.compactPart(spark, root).get
+      val compacted = graft.streaming.CompactingLake.basePart(spark, root).get
       val total = compacted.count()
       val (_, scanned) = Layout.scanRows(
         compacted.filter(col("term").isin(terms: _*)))

@@ -47,10 +47,10 @@ class ManifestStreamSpec extends AnyFunSuite {
         .select("id", "k", "payload").collect().map(_.toSeq).toSet
       assert(got === want && got.size === probes.size)
 
-      // the compact version's manifest actually file-prunes: the v=8
-      // dir covers batches 0-7 in many 64 KiB-target files
+      // the folded shard's manifest actually file-prunes: the v=8
+      // fold covers batches 0-7 in many 64 KiB-target files
       val compactDir = graft.streaming.BatchVersioned
-        .versions(spark, s"$root/compact").last._2
+        .versions(spark, s"$root/shard/s=0").last._2
       val (selSlab, total) = Manifest.selectedFiles(spark, compactDir,
         ranges = Seq(("k", 1000.0, 1999.0)))
       assert(total >= 8, s"compact version built only $total files — pruning untestable")
@@ -81,7 +81,7 @@ class ManifestStreamSpec extends AnyFunSuite {
       // simulate the crash between the data write's _SUCCESS and the
       // manifest build: the committed version loses its manifest
       val compactDir = graft.streaming.BatchVersioned
-        .versions(spark, s"$root/compact").last._2
+        .versions(spark, s"$root/shard/s=0").last._2
       graft.tools.FileUtil.deleteTree(
         java.nio.file.Paths.get(s"$compactDir/${Manifest.SubDir}"))
       // a pruned reader in the window answers EXACTLY (unpruned
@@ -103,7 +103,7 @@ class ManifestStreamSpec extends AnyFunSuite {
         Seq("k"), bloomKey = Some("id"), compactEvery = 4,
         targetBytes = 64 * 1024, blockBytes = 64 * 1024)
       val rebuilt = graft.streaming.BatchVersioned
-        .versions(spark, s"$root/compact").last._2
+        .versions(spark, s"$root/shard/s=0").last._2
       assert(Manifest.committed(spark, rebuilt), "replay did not rebuild the manifest")
       val (sel, total) = Manifest.selectedFiles(spark, rebuilt,
         bloomAnyOf = probes)

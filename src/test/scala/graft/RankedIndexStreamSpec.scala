@@ -91,31 +91,55 @@ class RankedIndexStreamSpec extends AnyFunSuite {
     }
   }
 
-  test("crash window: a level missing its stats sidecar folds on the fly — lookups stay exact") {
+  test("crash windows around the stats accumulator: torn attempt invisible; stats-committed-chunk-absent stays exact; replay exact") {
     val root = Files.createTempDirectory("graft_rankstream_win").toString
     val batchDir = Files.createTempDirectory("graft_rankstream_win_b").toString
     try {
-      (0 until 9).foreach { b =>
+      (0 until 8).foreach { b =>
         RankedIndexStream.processBatch(
           corpus.filter(col("doc_id") % nB === b), b, root,
           compactEvery = 4, targetBytes = 256 * 1024, blockBytes = 64 * 1024,
           majorFrac = Double.PositiveInfinity)
       }
-      // strip a committed level's sidecar (the crash between the data
-      // write and the stats write)
-      val lvl = BatchVersioned.versions(spark, s"$root/l1").last._2
-      graft.tools.FileUtil.deleteTree(
-        java.nio.file.Paths.get(s"$lvl/${InvertedIndex.StatsSubDir}"))
-      InvertedIndex.buildRanked(corpus.filter(col("doc_id") % nB <= 8), batchDir,
+      InvertedIndex.buildRanked(corpus.filter(col("doc_id") % nB <= 7), batchDir,
         files = 4, blockBytes = 256 * 1024)
-      val got = RankedIndexStream.searchRanked(spark, root, terms, topK = 15)
+      def search() = RankedIndexStream.searchRanked(spark, root, terms, topK = 15)
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
       val want = InvertedIndex.searchRanked(spark, batchDir, terms, topK = 15)
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
-      assert(got === want)
+      assert(want.nonEmpty)
+
+      // torn accumulator attempt (junk rows, no _SUCCESS): ignored
+      spark.sql("select cast(1 as bigint) n_docs, cast(1 as bigint) sum_dl")
+        .write.parquet(s"$root/stats/v=99")
+      Files.delete(java.nio.file.Paths.get(s"$root/stats/v=99/_SUCCESS"))
+      assert(search() === want, "torn stats attempt leaked into the accumulator")
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(s"$root/stats/v=99"))
+
+      // the real crash window: batch 8's stats version commits FIRST,
+      // then the crash hits before the chunk/fold — arrivals [4,8)
+      // are counted by the accumulator but still served as tail rows;
+      // readers stay exact because stats count ROWS, not dirs
+      RankedIndexStream.accumulateStats(spark, root, 8L)
+      assert(search() === want,
+        "stats-committed/chunk-absent window drifted the scores")
+
+      // the batch replays (Structured Streaming re-runs batch 8):
+      // the accumulator recomputes from the same committed inputs and
+      // the compaction completes — still exact, same scores
+      RankedIndexStream.processBatch(
+        corpus.filter(col("doc_id") % nB === 8), 8L, root,
+        compactEvery = 4, targetBytes = 256 * 1024, blockBytes = 64 * 1024,
+        majorFrac = Double.PositiveInfinity)
+      InvertedIndex.buildRanked(corpus.filter(col("doc_id") % nB <= 8),
+        s"$batchDir-2", files = 4, blockBytes = 256 * 1024)
+      val want2 = InvertedIndex.searchRanked(spark, s"$batchDir-2", terms, topK = 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      assert(search() === want2)
     } finally {
       graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
       graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(batchDir))
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(s"$batchDir-2"))
     }
   }
 }

@@ -85,11 +85,11 @@ class ZOrderStreamSpec extends AnyFunSuite {
       }
       val before = ZOrderStream.visible(spark, root).count()
 
-      // a torn compact version: junk rows, no _SUCCESS
-      rows.limit(10).write.parquet(s"$root/compact/v=2")
-      Files.delete(java.nio.file.Paths.get(s"$root/compact/v=2/_SUCCESS"))
+      // a torn fold version: junk rows, no _SUCCESS
+      rows.limit(10).write.parquet(s"$root/shard/s=0/v=2")
+      Files.delete(java.nio.file.Paths.get(s"$root/shard/s=0/v=2/_SUCCESS"))
       assert(ZOrderStream.visible(spark, root).count() === before,
-        "torn compact version leaked into the visible assembly")
+        "torn shard fold leaked into the visible assembly")
 
       // the replayed compacting batch re-runs compaction from scratch
       // and commits over the torn attempt
