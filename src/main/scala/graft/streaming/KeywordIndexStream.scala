@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.operators.{InvertedIndex, Layout}
 
@@ -56,7 +57,10 @@ object KeywordIndexStream {
       (df, dst, files) =>
         Layout.clusteredWrite(df, dst, Seq("term", "doc_id"), files, blockBytes),
       sharding(blockBytes, splitBytes, foldCap),
-      ingest = InvertedIndex.postings,
+      // term-sorted arrival files — free in-partition sort after the
+      // explode's distinct shuffle; tail lookups row-group-prune
+      ingest = InvertedIndex.postings(_)
+        .sortWithinPartitions(col("term"), col("doc_id")),
       majorFrac = majorFrac, maxL1 = maxL1, minFoldBytes = minFoldBytes)
 
   /** foreachBatch adapter. */

@@ -80,7 +80,13 @@ object RankedIndexStream {
     CompactingLake.processBatch(batch, batchId, root, compactEvery,
       targetBytes, rewrite(blockBytes),
       sharding(blockBytes, splitBytes, foldCap),
-      ingest = InvertedIndex.rankedPostings,
+      // term-sorted arrival files: the per-batch postings already
+      // crossed the (term, doc_id) agg shuffle, so an in-partition
+      // sort is free of exchanges and buys row-group term pruning on
+      // the TAIL (lookups and the sentinel stats fly-fold read the
+      // probed terms' row groups instead of the whole tail)
+      ingest = InvertedIndex.rankedPostings(_)
+        .sortWithinPartitions(col("term"), col("doc_id")),
       majorFrac = majorFrac, maxL1 = maxL1, minFoldBytes = minFoldBytes)
   }
 
@@ -220,7 +226,8 @@ object RankedIndexStream {
     CompactingLake.processBatch(batch, batchId, root, compactEvery,
       targetBytes, rewriteVer(blockBytes),
       sharding(blockBytes, splitBytes, foldCap),
-      ingest = InvertedIndex.rankedPostingsVer,
+      ingest = InvertedIndex.rankedPostingsVer(_)
+        .sortWithinPartitions(col("term"), col("doc_id")),
       majorFrac = majorFrac, maxL1 = maxL1, minFoldBytes = minFoldBytes)
 
   /** foreachBatch adapter for the versioned mode. */

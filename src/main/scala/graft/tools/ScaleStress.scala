@@ -253,13 +253,21 @@ object ScaleStress {
     // counts EVERY pass a rewrite makes (Z-order quantile + range
     // sample + write ≈ 3 passes over a fold's input, plus the
     // slice/cut passes), so the absolute bound carries that constant.
-    // Gates: (a) the lake split (bounds rows ≥ 4); (b) the WORST
-    // late-phase event (second half, history ≥ 8M rows) reads < 16×
-    // the interval inflow — a constant in history depth, i.e.
-    // ≈ foldCap × splitBytes-rows × passes, never the lake; (c) the
-    // LEGACY control (splitBytes = ∞, same engine, one unsplit
-    // shard) has a worst event > 2× the sharded worst — the stall
-    // sharding removes; (d) parity: visible == ingested.
+    // Gates (measured r17: sharded fold events sit flat at ~23-27M
+    // task-rows ≈ minor 3 passes + foldCap × (shard + backlog) × 3
+    // zorder passes, while the legacy control's majors grow 15M →
+    // 42M over the same run):
+    //  (a) the lake split (bounds rows ≥ 4);
+    //  (b) FLAT: the sharded worst event of the LAST quarter is
+    //      < 1.5× the worst of the second quarter, while history
+    //      doubled between them;
+    //  (c) GROWING control: the legacy (splitBytes = ∞, one unsplit
+    //      shard) worst event of the second half is > 1.4× its
+    //      first-half worst, and > 1.5× the sharded worst overall —
+    //      the stall sharding removes;
+    //  (d) absolute ceiling: sharded worst < 32× the interval inflow
+    //      (the pass-count constant), never the lake;
+    //  (e) parity: visible == ingested.
     time("sharded_lake_bounded_fold_input") {
       val rowsPerBatch = 250000L
       val nBatches = 64
@@ -313,14 +321,22 @@ object ScaleStress {
           .versions(spark, s"$root/bounds").last._2
         val k = spark.read.parquet(bounds).count()
         require(k >= 4, s"lake never split into shards: $k range(s)")
-        val worst = events.filter(_._1 > nBatches / 2).maxBy(_._2)
-        require(worst._2 < 16L * interval,
-          s"late compaction event at b=${worst._1} read ${worst._2} rows " +
-            s"(> 16x the ${interval}-row interval inflow) - fold input is " +
-            "growing with history, not bounded by shard size")
-        val lworst = legacy.filter(_._1 > nBatches / 2).maxBy(_._2)
-        require(lworst._2 > 2L * worst._2,
-          s"legacy worst event ${lworst._2} not > 2x sharded worst ${worst._2}" +
+        def worstIn(ev: Seq[(Long, Long, Double)], lo: Int, hi: Int): Long =
+          ev.filter(e => e._1 > lo && e._1 <= hi).map(_._2).max
+        val q2 = worstIn(events, nBatches / 4, nBatches / 2)
+        val q4 = worstIn(events, 3 * nBatches / 4, nBatches)
+        require(q4 < 1.5 * q2,
+          s"sharded worst event grew $q2 -> $q4 while history doubled - " +
+            "fold input is tracking the lake, not the shard")
+        require(q4 < 32L * interval,
+          s"sharded worst event $q4 rows > 32x the $interval-row interval inflow")
+        val lh1 = worstIn(legacy, 0, nBatches / 2)
+        val lh2 = worstIn(legacy, nBatches / 2, nBatches)
+        require(lh2 > 1.4 * lh1,
+          s"legacy control worst did not grow ($lh1 -> $lh2) - control broken?")
+        val worst = worstIn(events, nBatches / 2, nBatches)
+        require(lh2 > 1.5 * worst,
+          s"legacy worst event $lh2 not > 1.5x sharded worst $worst" +
             " - sharding bought no stall reduction here?")
         val vis = graft.streaming.ZOrderStream.visible(spark, root).count()
         require(vis == nBatches * rowsPerBatch,
@@ -330,6 +346,79 @@ object ScaleStress {
         FileUtil.deleteTree(java.nio.file.Paths.get(root))
         FileUtil.deleteTree(java.nio.file.Paths.get(lroot))
       }
+    }
+
+    // Streamed ranked-index lookup at depth (round 17, the r16
+    // verdict's task 4): a BM25 lookup over the MAINTAINED lake must
+    // cost ∝ Σ df of the probed terms plus the bounded stats/tail
+    // region — FLAT in history depth — not ∝ the index. Drive the
+    // ranked lake through minors + byte-triggered folds to depth 8
+    // and depth 24 (3× the history) and measure ONE searchRanked's
+    // total task-metric rows (df probes, candidate pushdown, stats
+    // accumulator + tail fly-fold, final probes — everything a
+    // lookup pays). Gates: (a) answers == planted membership at both
+    // depths; (b) the depth-24 lookup reads < 2× the depth-8 lookup
+    // while postings grew 3× (flatness); (c) the depth-24 lookup
+    // reads < 1/5 of the lake's postings (never an index scan).
+    if (only.forall("stream_ranked_lookup_depth".contains)) {
+      val perBatch = 20000L
+      def docs(b: Long) = spark.range(b * perBatch, (b + 1) * perBatch).select(
+        $"id".as("doc_id"),
+        concat_ws(" ",
+          expr("transform(sequence(0, 19), i -> concat('w', cast((id * 2654435761 + cast(i as bigint) * i * 19349663) % 100000 as string)))"),
+          when($"id" % 1000 === 0, "needle").otherwise("w1"),
+          when($"id" % 700 === 0, "thread").otherwise("w2")).as("text"))
+      val rowsRead = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) rowsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+      }
+      def measured(f: => Unit): Long = {
+        rowsRead.set(0L)
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          f
+          var prev = -1L; var cur = rowsRead.get(); var i = 0
+          while (cur != prev && i < 40) { Thread.sleep(250); prev = cur; cur = rowsRead.get(); i += 1 }
+          cur
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      val root = java.nio.file.Files.createTempDirectory("graft_stress_rankstream").toString
+      try {
+        var b = 0
+        def ingestTo(n: Int): Unit = while (b < n) {
+          graft.streaming.RankedIndexStream.processBatch(docs(b), b, root,
+            compactEvery = 4, targetBytes = 8L << 20, blockBytes = 2L << 20,
+            majorFrac = 0.5, splitBytes = 24L << 20)
+          b += 1
+        }
+        def lookup(depth: Int): Long = {
+          var got = Array.empty[Long]
+          val t0 = System.nanoTime()
+          val read = measured {
+            got = graft.streaming.RankedIndexStream
+              .searchRanked(spark, root, Seq("needle", "thread"), topK = 20)
+              .collect().map(_.getLong(0))
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          require(got.length == 20 && got.forall(_ % 7000 == 0),
+            s"depth-$depth lookup membership broke: ${got.take(5).mkString(",")}")
+          println(f"STRESS   stream_ranked depth=$depth read=${read / 1000}kr/$sec%.1fs")
+          read
+        }
+        // measure at matching phase points (right after a compaction
+        // batch: tail = exactly one arrival dir at both depths)
+        ingestTo(9)
+        val readShallow = lookup(8)
+        ingestTo(25)
+        val readDeep2 = lookup(24)
+        val postings = graft.streaming.CompactingLake.visible(spark, root).count()
+        require(readDeep2 < 2L * readShallow,
+          s"lookup cost grew with history: $readShallow rows at depth 8 vs $readDeep2 at depth 24")
+        require(readDeep2 < postings / 5,
+          s"lookup read $readDeep2 of $postings postings - the index is being scanned")
+        perBatch * 25
+      } finally FileUtil.deleteTree(java.nio.file.Paths.get(root))
     }
 
     // File-skipping manifest at 100× FileSkipSpec's corpus (q116's

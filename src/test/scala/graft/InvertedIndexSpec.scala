@@ -142,6 +142,86 @@ class InvertedIndexSpec extends AnyFunSuite {
     } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("phrase search == sliding-window corpus reference, occurrence counts exact; duplicate-term phrases verify") {
+    val dir = Files.createTempDirectory("graft_invidx_phrase").toString
+    try {
+      InvertedIndex.buildRanked(corpus, dir, files = 8, blockBytes = 16 * 1024)
+      // 'needle thread' is CONSECUTIVE exactly in docs planted with
+      // both (id % 7000 == 0 — positions 20 and 21); the dense hash
+      // region can never fabricate the planted words
+      val phrase = Seq("needle", "thread")
+      val got = InvertedIndex.searchPhrase(spark, dir, phrase, pushdownCap = 10000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val docs = corpus.select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("ts"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList))
+      val want = docs.flatMap { case (id, ts) =>
+        val n = ts.sliding(phrase.size).count(_ == phrase.toList).toLong
+        if (n > 0) Some(id -> n) else None
+      }.toMap
+      assert(got === want)
+      assert(want.nonEmpty, "planted phrase set empty — corpus drifted")
+      // co-occurrence WITHOUT adjacency must not match: 'needle' and
+      // 'sparse' co-occur in every 5000th doc but sit two positions
+      // apart — boolean AND finds them, the phrase must not
+      val coNotAdj = Seq("needle", "sparse")
+      assert(InvertedIndex.lookupAll(spark, dir, coNotAdj).count() > 0L)
+      assert(InvertedIndex.searchPhrase(spark, dir, coNotAdj, 10000).count() === 0L,
+        "phrase match degenerated to boolean AND")
+
+      // duplicate-term phrase ('a b a'): the verify must test the SAME
+      // positions array at two offsets
+      val s2 = spark
+      import s2.implicits._
+      val mini = Seq((1L, "a b a b a"), (2L, "a b b a"), (3L, "b a b"))
+        .toDF("doc_id", "text")
+      val gotMini = InvertedIndex
+        .searchPhrase(InvertedIndex.rankedPostings(mini), Seq("a", "b", "a"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(gotMini === Map(1L -> 2L), s"duplicate-term phrase: $gotMini")
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("log-idf mode: Lucene-style blending matches a driver ln-reference; deviation from rational mode is real") {
+    val dir = Files.createTempDirectory("graft_invidx_logidf").toString
+    try {
+      InvertedIndex.buildRanked(corpus, dir, files = 4, blockBytes = 256 * 1024)
+      val terms = Seq("sparse", "w2")
+      val got = InvertedIndex.searchRanked(spark, dir, terms, topK = 10,
+          logIdf = true)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      // driver reference: same arithmetic with idf = ln(1 + rational)
+      // — the ln runs in the SAME JVM (driver), so equality is exact
+      val docs = corpus.select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("ts"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList))
+      val n = docs.length.toDouble
+      val avgdl = docs.map(_._2.length.toDouble).sum / docs.length
+      val dfm = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+      val (k1, b) = (1.2, 0.75)
+      val scored = docs.flatMap { case (id, ts) =>
+        if (terms.forall(ts.contains)) {
+          val dl = ts.length.toDouble
+          val s = terms.map { t =>
+            val tf = ts.count(_ == t).toDouble
+            val idf = math.log1p((n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+            idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl))))
+          }.reduce(_ + _)
+          Some((id, s))
+        } else None
+      }
+      val want = scored.sortBy { case (id, s) => (-s, id) }.take(10)
+        .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+      assert(got.toSeq === want.toSeq)
+      assert(want.nonEmpty)
+      // and the mode is not a no-op: rational scores differ
+      val rational = InvertedIndex.searchRanked(spark, dir, terms, topK = 10)
+        .collect().map(_.getDouble(1))
+      assert(rational.toSeq !== got.map(_._2).toSeq,
+        "logIdf = true produced rational-mode scores")
+    } finally graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("compaction on (term, doc_id) keeps the pruning") {
     val dir = Files.createTempDirectory("graft_invidx_cmp").toString
     try {

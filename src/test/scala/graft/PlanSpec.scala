@@ -422,5 +422,26 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.contains("In(doc_id"), s"candidate-id pushdown missing:\n${pf.take(3000)}")
     // and each per-term probe still prunes on term equality
     assert(pf.contains("EqualTo(term"), pf)
+    // round 17: the ranked schema carries a positions array for
+    // phrase queries — BM25 must never pay for it: every scan in the
+    // plan column-prunes it away
+    val reads = pf.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty, pf)
+    reads.foreach { r =>
+      assert(!r.contains("positions"),
+        s"BM25 scan reads the phrase-only positions column: $r")
+    }
+  }
+
+  test("q121: phrase search pushes candidate ids like q119 and reads positions ONLY on the probed terms") {
+    val pf = planFormatted("q121_phrase_search")
+    // same rarest-first shape as q119: per-term equality probes with
+    // the candidate doc_ids pushed into the denser term's scan
+    assert(pf.contains("EqualTo(term"), pf)
+    assert(pf.contains("In(doc_id"), s"candidate-id pushdown missing:\n${pf.take(3000)}")
+    // the adjacency verify needs positions — but only the probed
+    // terms' rows are ever scanned (term pushdown), so the column
+    // cost is candidate-sized, not index-sized
+    assert(pf.linesIterator.exists(r => r.contains("ReadSchema") && r.contains("positions")), pf)
   }
 }

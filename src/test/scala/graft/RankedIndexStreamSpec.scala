@@ -91,6 +91,70 @@ class RankedIndexStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned lake: updates re-score, deletes disappear, streamed == batch bit-for-bit through purging folds; replay exact") {
+    val root = Files.createTempDirectory("graft_rankstream_ver").toString
+    val batchDir = Files.createTempDirectory("graft_rankstream_ver_b").toString
+    try {
+      val nV = 10
+      val ev1 = corpus.select(col("doc_id"), lit(1L).as("ver"),
+        lit("U").as("op"), col("text"))
+      val ev2 = corpus.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), lit(2L).as("ver"), lit("U").as("op"),
+          reverse(col("text")).as("text"))
+      val ev3 = corpus.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), lit(3L).as("ver"), lit("D").as("op"),
+          lit(null).cast("string").as("text"))
+      def drive(df: org.apache.spark.sql.DataFrame, b: Long): Unit =
+        RankedIndexStream.processBatchVer(df, b, root, compactEvery = 4,
+          targetBytes = 256 * 1024, blockBytes = 64 * 1024,
+          majorFrac = 0.0, minFoldBytes = 0L)
+      (0 until nV).foreach { b => drive(ev1.filter(col("doc_id") % nV === b), b) }
+      drive(ev2, nV.toLong)      // the re-crawl wave
+      drive(ev3, nV + 1L)        // the delete wave
+      drive(ev1.filter(lit(false)), nV + 2L) // idle batch: the b=12 compaction folds + purges
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+
+      // batch twin over the SAME event log — scores bit-for-bit
+      InvertedIndex.buildRankedVer(ev1.unionByName(ev2).unionByName(ev3),
+        batchDir, files = 4, blockBytes = 256 * 1024)
+      val got = rows(RankedIndexStream.searchRankedVer(spark, root, terms, topK = 1000))
+      val want = rows(InvertedIndex.searchRankedVer(spark, batchDir, terms,
+        topK = 1000, k1 = 1.2, b = 0.75, pushdownCap = 10000))
+      assert(want.nonEmpty, "versioned AND set empty — corpus drifted")
+      assert(got === want)
+
+      // deletes are gone, updates dropped their original terms: no
+      // %13 doc and no %11 doc can match ('common' reverses away)
+      got.foreach { case (id, _, _) =>
+        assert(id % 13 != 0, s"deleted doc $id still matches")
+        assert(id % 11 != 0, s"re-crawled doc $id matches on its OLD text")
+      }
+
+      // fold purge: the registry (sentinel rows) compacted to ONE
+      // event per doc at rest inside the folded shard
+      val shardDir = BatchVersioned.versions(spark, s"$root/shard/s=0").last._2
+      val dupReg = spark.read.parquet(shardDir)
+        .filter(col("term") === lit(InvertedIndex.SentinelTerm))
+        .groupBy("doc_id").count().filter(col("count") > 1).count()
+      assert(dupReg === 0L, s"$dupReg docs keep superseded registry rows after the purging fold")
+      // and the delete tombstones themselves survive (they must keep
+      // masking older postings)
+      val tombs = spark.read.parquet(shardDir)
+        .filter(col("term") === lit(InvertedIndex.SentinelTerm) && col("del"))
+        .count()
+      assert(tombs === corpus.filter(col("doc_id") % 13 === 0).count())
+
+      // replay of the latest compacting batch: same committed inputs,
+      // same purge decisions, same scores
+      drive(ev1.filter(lit(false)), nV + 2L)
+      assert(rows(RankedIndexStream.searchRankedVer(spark, root, terms, topK = 1000)) === got)
+    } finally {
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(root))
+      graft.tools.FileUtil.deleteTree(java.nio.file.Paths.get(batchDir))
+    }
+  }
+
   test("crash windows around the stats accumulator: torn attempt invisible; stats-committed-chunk-absent stays exact; replay exact") {
     val root = Files.createTempDirectory("graft_rankstream_win").toString
     val batchDir = Files.createTempDirectory("graft_rankstream_win_b").toString
