@@ -513,4 +513,23 @@ object InvertedIndex {
   def searchRankedVer(spark: SparkSession, dir: String, terms: Seq[String],
       topK: Int, k1: Double, b: Double, pushdownCap: Int): DataFrame =
     searchRankedVer(spark.read.parquet(dir), terms, topK, k1, b, pushdownCap)
+
+  /** Phrase search over a VERSIONED postings relation: latest-version
+    * resolution + delete masking first ([[searchRankedVer]]'s rule —
+    * old-version positions of a re-crawled doc can never produce a
+    * hit), then THE shared [[searchPhrase]] adjacency verify over the
+    * resolved relation. Term filters push below the resolution join,
+    * so the probed terms' scans stay row-group-pruned. */
+  def searchPhraseVer(postings: DataFrame, phrase: Seq[String],
+      pushdownCap: Int = 10000): DataFrame = {
+    val resolved = postings.join(latestOf(postings), "doc_id")
+      .filter(col("ver") === col("__lver") && !col("__ldel"))
+      .select("term", "doc_id", "tf", "dl", "positions")
+    searchPhrase(resolved, phrase, pushdownCap)
+  }
+
+  /** [[searchPhraseVer]] over the at-rest versioned postings dir. */
+  def searchPhraseVer(spark: SparkSession, dir: String, phrase: Seq[String],
+      pushdownCap: Int): DataFrame =
+    searchPhraseVer(spark.read.parquet(dir), phrase, pushdownCap)
 }

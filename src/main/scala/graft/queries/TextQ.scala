@@ -432,6 +432,19 @@ object TextQ extends QueryPack {
         s, ensureVersionedIndex(s, d), Seq("dup", "merge"), topK = 20,
         k1 = Bm25K1, b = Bm25B, pushdownCap = 10000)),
 
+    // Phrase search over the VERSIONED corpus (round 17): q121's
+    // adjacency verify composed with q122's latest-version resolution
+    // — a re-crawl (ver 2 reverses the text char-wise, destroying the
+    // original adjacency) or a delete (ver 3) must retire a doc's old
+    // phrase hits, and only the LIVE version's positions may produce
+    // new ones. Same rarest-first candidate intersection; the
+    // resolution join sits between the scans and the verify, with the
+    // term predicates pushed below it.
+    "q123_phrase_versioned" -> ((s, d) =>
+      graft.operators.InvertedIndex.searchPhraseVer(
+        s, ensureVersionedIndex(s, d), Seq("fast", "merge"),
+        pushdownCap = 10000)),
+
     // Token-budget mixture sampling (round 15): uniform-TOKEN source
     // mixing — every source contributes the same token MASS (the
     // min-source total), selected as the md5-ordered prefix of each
@@ -1084,6 +1097,27 @@ object TextQ extends QueryPack {
          |        row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
          |SELECT doc_id, score, rnk FROM r WHERE rnk <= 20""".stripMargin
     },
+
+    // versioned phrase replay: latest-version materialization (q122's
+    // CTE), then start positions counted off the LIVE token lists
+    // (q121's adjacency) — reversed re-crawls and deletes must drop
+    // their old hits in both engines
+    "q123_phrase_versioned" ->
+      """WITH ev AS (
+        |  SELECT doc_id, 1 AS ver, 'U' AS op, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'U', reverse(text) FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'D', NULL FROM documents WHERE doc_id % 13 = 0),
+        |live AS (SELECT doc_id, max_by(op, ver) AS op, max_by(text, ver) AS text
+        |         FROM ev GROUP BY doc_id),
+        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |         FROM live WHERE op = 'U'),
+        |h AS (SELECT doc_id,
+        |        len(list_filter(generate_series(1, len(ws) - 1),
+        |            i -> ws[i] = 'fast' AND ws[i + 1] = 'merge'))::BIGINT AS n_hits
+        |      FROM toks)
+        |SELECT doc_id, n_hits FROM h WHERE n_hits > 0""".stripMargin,
 
     // per-source window replay: DuckDB's PARTITION BY source window
     // must equal the global-cumsum-minus-source-offset decomposition

@@ -192,6 +192,27 @@ object RankedIndexStream {
       terms, topK, k1, b, logIdf)
   }
 
+  /** The POSITIONAL dedup assembly — [[dedupedPostings]] plus the
+    * positions array, kept SEPARATE so BM25 lookups never pay for the
+    * column (their assembly prunes it at every scan; only phrase
+    * queries read it, and only for the probed terms' row groups).
+    * max(positions) is exact under the unchanged-text contract:
+    * re-arrival duplicates carry identical arrays. */
+  private def dedupedPositional(spark: SparkSession, root: String): DataFrame =
+    CompactingLake.visible(spark, root)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(max(col("tf")).as("tf"), max(col("dl")).as("dl"),
+        max(col("positions")).as("positions"))
+
+  /** Phrase search over everything committed — THE shared
+    * [[InvertedIndex.searchPhrase]] adjacency verify (q121's) over
+    * the lake's positional assembly: streamed index, batch phrase
+    * semantics, bit-for-bit. */
+  def searchPhrase(spark: SparkSession, root: String, phrase: Seq[String],
+      pushdownCap: Int = 10000): DataFrame =
+    InvertedIndex.searchPhrase(dedupedPositional(spark, root), phrase,
+      pushdownCap)
+
   // ---------------------------------------------------------------
   // VERSIONED mode (round 17): a real corpus pipeline re-crawls and
   // deletes. Ingest is (doc_id, ver, op, text) events; postings are
@@ -278,4 +299,12 @@ object RankedIndexStream {
       pushdownCap: Int = 10000, logIdf: Boolean = false): DataFrame =
     InvertedIndex.searchRankedVer(dedupedVer(spark, root), terms, topK,
       k1, b, pushdownCap, logIdf)
+
+  /** Phrase search over the versioned lake: latest-version resolution
+    * + delete masking, then the shared adjacency verify —
+    * [[InvertedIndex.searchPhraseVer]] over the versioned assembly
+    * (q123's semantics on the maintained index). */
+  def searchPhraseVer(spark: SparkSession, root: String, phrase: Seq[String],
+      pushdownCap: Int = 10000): DataFrame =
+    InvertedIndex.searchPhraseVer(dedupedVer(spark, root), phrase, pushdownCap)
 }

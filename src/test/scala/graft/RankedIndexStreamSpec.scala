@@ -62,6 +62,16 @@ class RankedIndexStreamSpec extends AnyFunSuite {
       val wantAny = rows(InvertedIndex.searchRankedAny(spark, batchDir, terms, topK = 15))
       assert(gotAny === wantAny)
 
+      // PHRASE: the planted "sparse common" bigram is consecutive by
+      // construction — streamed positional assembly == batch index,
+      // occurrence counts included
+      def hits(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val gotPh = hits(RankedIndexStream.searchPhrase(spark, root, Seq("sparse", "common")))
+      val wantPh = hits(InvertedIndex.searchPhrase(spark, batchDir, Seq("sparse", "common"), 10000))
+      assert(wantPh.nonEmpty, "planted phrase set empty — corpus drifted")
+      assert(gotPh === wantPh)
+
       // replay of a pre-compaction batch: identical commit, nothing
       // changes — scores included
       RankedIndexStream.processBatch(
@@ -144,6 +154,19 @@ class RankedIndexStreamSpec extends AnyFunSuite {
         .filter(col("term") === lit(InvertedIndex.SentinelTerm) && col("del"))
         .count()
       assert(tombs === corpus.filter(col("doc_id") % 13 === 0).count())
+
+      // versioned PHRASE: resolution must retire reversed/deleted
+      // docs' hits before the adjacency verify — streamed == batch
+      def hits(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val gotPh = hits(RankedIndexStream.searchPhraseVer(spark, root, Seq("sparse", "common")))
+      val wantPh = hits(InvertedIndex.searchPhraseVer(spark, batchDir, Seq("sparse", "common"), 10000))
+      assert(wantPh.nonEmpty, "versioned phrase set empty — corpus drifted")
+      assert(gotPh === wantPh)
+      gotPh.foreach { case (id, _) =>
+        assert(id % 13 != 0, s"deleted doc $id still phrase-matches")
+        assert(id % 11 != 0, s"re-crawled doc $id phrase-matches on its OLD positions")
+      }
 
       // replay of the latest compacting batch: same committed inputs,
       // same purge decisions, same scores
