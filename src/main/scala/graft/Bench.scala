@@ -46,7 +46,12 @@ object Bench {
     "q115_zorder_build" -> "MiscQ",
     "q116_manifest_build" -> "MiscQ",
     "q118_index_build" -> "TextQ",
-    "q119_index_build" -> "TextQ")
+    "q119_index_build" -> "TextQ",
+    // round 17: the versioned positional index q122/q123 probe —
+    // previously built silently in the warmup laps (its cost appeared
+    // in NO line); now measured under its own setup line like every
+    // other at-rest artifact
+    "q122_index_build" -> "TextQ")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -256,6 +261,7 @@ object Bench {
     if (included("q116_manifest_build")) queries.MiscQ.ensureManifest(spark, "/root/testdata/sf0.001")
     if (included("q118_index_build")) queries.TextQ.ensureIndex(spark, "/root/testdata/sf0.001")
     if (included("q119_index_build")) queries.TextQ.ensureRankedIndex(spark, "/root/testdata/sf0.001")
+    if (included("q122_index_build")) queries.TextQ.ensureVersionedIndex(spark, "/root/testdata/sf0.001")
     CachePool.drain()
     // Warmup LAPS: unmeasured passes over every line this JVM will
     // measure, BEFORE any measurement starts. Per-line warmup reps
@@ -367,7 +373,9 @@ object Bench {
       ("q118_index_build", () => { queries.TextQ.ensureIndex(spark, sfDir); () },
         () => queries.TextQ.invalidateIndex(spark, sfDir)),
       ("q119_index_build", () => { queries.TextQ.ensureRankedIndex(spark, sfDir); () },
-        () => queries.TextQ.invalidateRankedIndex(spark, sfDir))
+        () => queries.TextQ.invalidateRankedIndex(spark, sfDir)),
+      ("q122_index_build", () => { queries.TextQ.ensureVersionedIndex(spark, sfDir); () },
+        () => queries.TextQ.invalidateVersionedIndex(spark, sfDir))
     )
     val setupResults = setups.filter(s => included(s._1)).map { case (name, fn, inval) =>
       val (med, min, err) = measure(fn, () => inval())

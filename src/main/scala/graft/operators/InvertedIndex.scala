@@ -498,7 +498,13 @@ object InvertedIndex {
   def searchRankedVer(postings: DataFrame, terms: Seq[String],
       topK: Int = 20, k1: Double = 1.2, b: Double = 0.75,
       pushdownCap: Int = 10000, logIdf: Boolean = false): DataFrame = {
-    val latest = latestOf(postings)
+    // cache the resolved registry: the stats fold below plus every
+    // job searchRanked runs (df collect, candidate collect, final
+    // action) would otherwise each re-execute the registry aggregate
+    // (guide §5 — reuse iff recomputation beats memory pressure; the
+    // registry is one row per doc EVENT, the smallest relation here,
+    // and CachePool drains it after the query's action)
+    val latest = graft.CachePool.cache(latestOf(postings))
     val st = latest.filter(!col("__ldel"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("__ldl")), lit(0L)).as("s"))
       .head()
@@ -522,7 +528,8 @@ object InvertedIndex {
     * so the probed terms' scans stay row-group-pruned. */
   def searchPhraseVer(postings: DataFrame, phrase: Seq[String],
       pushdownCap: Int = 10000): DataFrame = {
-    val resolved = postings.join(latestOf(postings), "doc_id")
+    // registry cached for the same multi-job reuse as searchRankedVer
+    val resolved = postings.join(graft.CachePool.cache(latestOf(postings)), "doc_id")
       .filter(col("ver") === col("__lver") && !col("__ldel"))
       .select("term", "doc_id", "tf", "dl", "positions")
     searchPhrase(resolved, phrase, pushdownCap)

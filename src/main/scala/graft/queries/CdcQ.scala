@@ -33,7 +33,11 @@ object CdcQ extends QueryPack {
     "q18_canal_parse" -> ((s, d) => {
       import s.implicits._
       val mapT = ArrayType(MapType(StringType, StringType))
-      val envelopes = Tables.orders(s, d).select(
+      // fan out the single-row-group orders scan: the to_json
+      // synthesis + from_json decode is per-row CPU work that
+      // otherwise runs in ONE task end to end (guide §2.5; no-op when
+      // the source plans >= parallelism splits)
+      val envelopes = graft.operators.FanOut.widen(Tables.orders(s, d)).select(
         to_json(struct(
           array(map(
             lit("id"), $"o_orderkey".cast("string"),
@@ -63,7 +67,8 @@ object CdcQ extends QueryPack {
       import s.implicits._
       val after = struct(
         $"o_orderkey".as("id"), $"o_totalprice".as("price"), $"o_orderpriority".as("priority"))
-      val envelopes = Tables.orders(s, d).select(
+      // fan out before the JSON roundtrip — q18's rationale
+      val envelopes = graft.operators.FanOut.widen(Tables.orders(s, d)).select(
         to_json(struct(
           when($"o_orderstatus" === "F",
             struct($"o_orderkey".as("id"), ($"o_totalprice" - 10).as("price"), $"o_orderpriority".as("priority")))
@@ -99,7 +104,8 @@ object CdcQ extends QueryPack {
         StructField("p_brand", StringType),
         StructField("p_size", IntegerType),
         StructField("p_retailprice", DoubleType)))
-      val lines = Tables.part(s, d)
+      // fan out before the csv synth + parse (q18's rationale)
+      val lines = graft.operators.FanOut.widen(Tables.part(s, d))
         .select(concat_ws("|", $"p_partkey", $"p_name", $"p_brand", $"p_size", $"p_retailprice").as("line"))
         .unionAll(s.range(1).select(lit("# a comment line").as("line")))
         .unionAll(s.range(1).select(lit("not|a|valid|row|xx").as("line")))

@@ -31,12 +31,17 @@ object DedupQ extends QueryPack {
   private def augmentedDocs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
-    docs
+    // fanned out: every consumer (shingle/gram hashing, tokenize,
+    // md5 fingerprints) is per-row CPU work, and the single-row-group
+    // corpus file otherwise plans THREE scan tasks total (one per
+    // union branch) however many cores the session has (guide §2.5;
+    // no-op at production partition counts)
+    graft.operators.FanOut.widen(docs
       .unionByName(docs.filter($"doc_id" % 7 === 0)
         .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
       .unionByName(docs.filter($"doc_id" % 5 === 0)
         .select(($"doc_id" + 2000000).as("doc_id"),
-          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))))
   }
 
   /** Shared df-capped hashed shingle set (feeds counts, signatures,
@@ -322,7 +327,10 @@ object DedupQ extends QueryPack {
     "q40_contamination" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select($"doc_id", $"text")
-      val corpus = Dedup.hashedShingleSets(docs, $"doc_id", $"text", 13)
+      // fan out only the corpus-side shingle hashing (per-row CPU on
+      // a one-row-group scan, guide §2.5); the benchmark side is tiny
+      val corpus = Dedup.hashedShingleSets(
+        graft.operators.FanOut.widen(docs), $"doc_id", $"text", 13)
       val bench = broadcast(
         Dedup.hashedShingleSets(docs.filter($"doc_id" % 97 === 0), $"doc_id", $"text", 13)
           .select($"sh").distinct())
@@ -350,7 +358,9 @@ object DedupQ extends QueryPack {
       val bands = bits
       val emb = Tables.embeddings(s, d)
         .select($"vec_id", VectorFunctions.vec($"embedding").as("v"))
-      val aug = Aug.embCopies(emb)
+      // fanned out: hyperplane sign-bit kernels are per-row CPU work
+      // on a one-row-group scan (guide §2.5)
+      val aug = graft.operators.FanOut.widen(Aug.embCopies(emb))
       // sign bit per hyperplane (native codegen kernel), then banded
       // keys. The candidate join ships only (band, bkey, id) — the 64-d
       // vectors are attached AFTER pair dedup, so the wide arrays never

@@ -237,9 +237,16 @@ object MediaQ extends QueryPack {
       // corpus sized with the sf (bounded: encode cost is per-row real
       // work; production reads payloads instead of synthesizing them)
       val n = corpusSize(s, d)
+      // repartition(1), NEVER coalesce(1): coalesce collapses the
+      // WHOLE upstream (synthesize + JPEG encode + decode + hash —
+      // the per-row codec work that IS this query's cost) into one
+      // task; repartition keeps the encode/hash stage at full
+      // parallelism and only the KB-scale (id, simhash) rows cross
+      // the one-partition exchange for the single-file handoff write
+      // (guide §2.4 — measured 2.9 s → parallel encode at 32 cores).
       Multimodal.hashImages(synthCorpus(s, n))
         .filter($"decoded").select($"id", $"simhash")
-        .coalesce(1).write.mode("overwrite").parquet(handoffDir(s, "fp"))
+        .repartition(1).write.mode("overwrite").parquet(handoffDir(s, "fp"))
       keepFromFp(s, handoffDir(s, "fp"))
     }),
 
@@ -248,9 +255,11 @@ object MediaQ extends QueryPack {
     "q65_audio_dedup_keep" -> ((s, d) => {
       import s.implicits._
       val n = corpusSize(s, d)
+      // repartition(1), not coalesce(1) — same reason as q64: keep
+      // the WAV synth + decode + envelope-hash stage parallel.
       Multimodal.hashAudio(synthAudioCorpus(s, n))
         .filter($"decoded").select($"id", $"simhash")
-        .coalesce(1).write.mode("overwrite").parquet(handoffDir(s, "afp"))
+        .repartition(1).write.mode("overwrite").parquet(handoffDir(s, "afp"))
       keepFromFp(s, handoffDir(s, "afp"))
     }),
 
@@ -268,7 +277,9 @@ object MediaQ extends QueryPack {
             .map { case (h, i) => ((r.doc_id << 10) | i, h) }
         }
       }.toDF("id", "simhash")
-        .coalesce(1).write.mode("overwrite").parquet(handoffDir(s, "vfp"))
+        // repartition(1), not coalesce(1) — keep the MJPEG synth +
+        // per-frame decode/hash stage parallel (q64's rationale).
+        .repartition(1).write.mode("overwrite").parquet(handoffDir(s, "vfp"))
       val fpR = s.read.parquet(handoffDir(s, "vfp"))
       val raw = Dedup.simhashPairs(fpR, maxDist = 3)
         .select(shiftright($"id_a", 10).as("va"), $"id_a".bitwiseAND(lit(1023L)).as("fa"),

@@ -30,8 +30,12 @@ object SimilarityQ extends QueryPack {
 
   private def emb(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.embeddings(s, d)
-      .select($"vec_id", $"label", VectorFunctions.vec($"embedding").as("v"))
+    // fanned out: every consumer runs per-row vector kernels (cosine,
+    // sign-bit LSH, cell assignment, SQ8/PQ encode) and the
+    // single-row-group embeddings file otherwise plans ONE scan task
+    // (guide §2.5; no-op at production partition counts)
+    graft.operators.FanOut.widen(Tables.embeddings(s, d)
+      .select($"vec_id", $"label", VectorFunctions.vec($"embedding").as("v")))
   }
 
   /** Multi-table random-hyperplane LSH: 16 tables × `bits` sign bits

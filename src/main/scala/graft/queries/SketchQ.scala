@@ -39,7 +39,10 @@ object SketchQ extends QueryPack {
     // the oracle's ORDER BY/LIMIT twin.
     "q67_kmv_distinct" -> ((s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d).select($"lang", $"text")
+      // fanned out: 13-gram shingle hashing is per-row CPU work on a
+      // single-row-group scan (guide §2.5; no-op at production counts)
+      val docs = graft.operators.FanOut.widen(
+        Tables.documents(s, d).select($"lang", $"text"))
       val sh = Dedup.hashedShingleSets(docs, $"lang", $"text", 13)
       val kmv = udaf(new KmvSketch(KmvK), Encoders.scalaLong)
       sh.groupBy($"id")
@@ -60,8 +63,11 @@ object SketchQ extends QueryPack {
     "q68_decontaminate_bloom" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
+      // fan out the corpus-side shingle hashing (q67's rationale);
+      // the final doc_id anti-join probe stays on the raw scan
       val corpus = Dedup.hashedShingleSets(
-        docs.select($"doc_id", $"text"), $"doc_id", $"text", 13)
+        graft.operators.FanOut.widen(docs.select($"doc_id", $"text")),
+        $"doc_id", $"text", 13)
       // cached: read three times (count for sizing, the Bloom build
       // scan, the broadcast verification join) — without it each use
       // re-pays the benchmark-side tokenize+hash+distinct
@@ -103,7 +109,8 @@ object SketchQ extends QueryPack {
     // S-row broadcast nested loop — S is a source catalog, not data.
     "q71_kmv_source_overlap" -> ((s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d).select($"source", $"text")
+      val docs = graft.operators.FanOut.widen(
+        Tables.documents(s, d).select($"source", $"text"))
       val sh = Dedup.hashedShingleSets(docs, $"source", $"text", 13)
       val kmvA = udaf(new KmvArraySketch(KmvK), Encoders.scalaLong)
       val sk = sh.groupBy($"id").agg(kmvA($"sh").as("sk"))

@@ -41,7 +41,10 @@ object TextQ extends QueryPack {
   def ensureIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.tools.SessionArtifacts.ensure(s, "invidx", d, s"$d/documents.parquet") {
       (dir, files) =>
-        graft.operators.InvertedIndex.build(Tables.documents(s, d), dir, files)
+        // fan out the corpus scan: the tokenize+explode feeding the
+        // postings range-write is per-row CPU work (guide §2.5)
+        graft.operators.InvertedIndex.build(
+          graft.operators.FanOut.widen(Tables.documents(s, d)), dir, files)
     }
 
   /** Bench-only: forget + delete so `q118_index_build` reps pay the
@@ -57,7 +60,8 @@ object TextQ extends QueryPack {
   def ensureRankedIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.tools.SessionArtifacts.ensure(s, "rankidx", d, s"$d/documents.parquet") {
       (dir, files) =>
-        graft.operators.InvertedIndex.buildRanked(Tables.documents(s, d), dir, files)
+        graft.operators.InvertedIndex.buildRanked(
+          graft.operators.FanOut.widen(Tables.documents(s, d)), dir, files)
     }
 
   /** Bench-only twin of [[invalidateIndex]] for the ranked index. */
@@ -89,8 +93,14 @@ object TextQ extends QueryPack {
   def ensureVersionedIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.tools.SessionArtifacts.ensure(s, "rankvidx", d, s"$d/documents.parquet") {
       (dir, files) =>
-        graft.operators.InvertedIndex.buildRankedVer(versionedEvents(s, d), dir, files)
+        graft.operators.InvertedIndex.buildRankedVer(
+          graft.operators.FanOut.widen(versionedEvents(s, d)), dir, files)
     }
+
+  /** Bench-only twin of [[invalidateIndex]] for the versioned ranked
+    * index, so `q122_index_build` reps pay the full build. */
+  def invalidateVersionedIndex(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    graft.tools.SessionArtifacts.invalidate(s, "rankvidx", d)
 
   /** BM25 parameters for q119/q120 — interpolated into the oracle
     * from the SAME Scala doubles the Spark side uses
@@ -146,7 +156,7 @@ object TextQ extends QueryPack {
   private def learnBpeMerges(s: org.apache.spark.sql.SparkSession,
       d: String): Array[(Int, String, String, Long)] = {
     import s.implicits._
-    val words0 = Tables.documents(s, d)
+    val words0 = graft.operators.FanOut.widen(Tables.documents(s, d))
       .select(explode(TF.tokens($"text")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("wc"))
       .select(regexp_replace($"word", "(.)", " $1 ").as("sym"), $"wc")
@@ -295,7 +305,10 @@ object TextQ extends QueryPack {
       import s.implicits._
       val nt = TF.tokenCount($"text")
       val sumLen = aggregate(transform(TF.tokens($"text"), w => length(w)), lit(0), (a, x) => a + x)
-      val scored = Tables.documents(s, d)
+      // fan out the single-row-group corpus scan: langid + quality
+      // scoring is per-row tokenize work (guide §2.5; no-op at
+      // production partition counts)
+      val scored = graft.operators.FanOut.widen(Tables.documents(s, d))
         .select($"doc_id", $"lang", $"source", $"n_chars", $"text",
           TF.langId($"text", markers).as("pred_lang"),
           (lit(0.4) * (TF.tokensIn($"text", Seq("the", "a")).cast("double") / nt) +
@@ -467,7 +480,8 @@ object TextQ extends QueryPack {
     // back, the same shape as Prefix's own P-row offset fold.
     "q117_token_budget" -> ((s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d)
+      // fanned out: tokenCount + md5 per row, single-row-group scan
+      val docs = graft.operators.FanOut.widen(Tables.documents(s, d))
         .select($"doc_id", $"source", TF.tokenCount($"text").cast("long").as("n_tokens"))
         .withColumn("h", md5($"doc_id".cast("string")))
       val cum = graft.operators.Prefix.cumsum(docs,
@@ -495,7 +509,7 @@ object TextQ extends QueryPack {
 
     "q43_source_rebalance" -> ((s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d)
+      val docs = graft.operators.FanOut.widen(Tables.documents(s, d))
         .select($"doc_id", $"source", TF.tokenCount($"text").as("n_tokens"))
       val perSource = docs.groupBy($"source").agg(sum($"n_tokens").as("tok"))
       val minTok = Tables.memoizedLong(s, s"$d#q43-minTok")(
@@ -522,7 +536,7 @@ object TextQ extends QueryPack {
     // semantics both engines.
     "q77_shard_pack" -> ((s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d)
+      val docs = graft.operators.FanOut.widen(Tables.documents(s, d))
         .select($"doc_id", TF.tokenCount($"text").cast("long").as("n_tokens"))
         .withColumn("h", md5($"doc_id".cast("string")))
       graft.operators.Prefix.cumsum(docs, ord = Seq($"h", $"doc_id"), value = $"n_tokens")
@@ -536,7 +550,9 @@ object TextQ extends QueryPack {
     // tf → max ratio; one scan + one (doc, word) partial-agg shuffle.
     "q45_repetition_filter" -> ((s, d) => {
       import s.implicits._
-      val tf = Tables.documents(s, d)
+      // fanned out: tokenize + explode is the cost, single-row-group
+      // scan otherwise single-threads it (guide §2.5)
+      val tf = graft.operators.FanOut.widen(Tables.documents(s, d))
         .select($"doc_id", explode(TF.tokens($"text")).as("word"))
         .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
         .groupBy($"doc_id").agg(max($"tf").as("max_tf"), sum($"tf").as("n_tokens"))
@@ -659,7 +675,10 @@ object TextQ extends QueryPack {
     // a scalar broadcast. Never a self-join, never a sort.
     "q55_logfreq_quality" -> ((s, d) => {
       import s.implicits._
-      val tf = Tables.documents(s, d)
+      // fanned out: the exploded token stream feeds two aggregates
+      // and the scoring join — the tokenize+explode must not
+      // single-thread on the one-row-group scan (guide §2.5)
+      val tf = graft.operators.FanOut.widen(Tables.documents(s, d))
         .select($"doc_id", explode(TF.tokens($"text")).as("word"))
       val freq0 = tf.groupBy($"word").agg(count(lit(1)).as("f"))
       // GUARDED broadcast: the vocab is normally MBs at any corpus
@@ -808,7 +827,9 @@ object TextQ extends QueryPack {
       val terms = Seq("spark", "window", "hash")
       val k = 20
       val docs = Tables.documents(s, d)
-      val tf = docs
+      // fan out only the tokenize branch; the count(*) branch stays on
+      // the raw scan so parquet aggregate pushdown still serves it
+      val tf = graft.operators.FanOut.widen(docs)
         .select($"doc_id", explode(TF.tokens($"text")).as("word"))
         .where($"word".isInCollection(terms))
         .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
@@ -846,8 +867,10 @@ object TextQ extends QueryPack {
     "q58_bigram_lm" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
+      // fan out the tokenize/explode branches (pair stream + unigram
+      // vocab); the final doc_id left-join probe stays on the raw scan
       val pairs = graft.CachePool.cache(
-        docs.select($"doc_id", TF.tokens($"text").as("words"))
+        graft.operators.FanOut.widen(docs).select($"doc_id", TF.tokens($"text").as("words"))
           .where(size($"words") >= 2)
           .select($"doc_id", explode(transform(
             sequence(lit(1), size($"words") - 1),
@@ -856,7 +879,8 @@ object TextQ extends QueryPack {
               element_at($"words", i + 1).as("cur")))).as("p"))
           .select($"doc_id", $"p.prev".as("prev"), $"p.cur".as("cur")))
       val big0 = pairs.groupBy($"prev", $"cur").agg(count(lit(1)).as("c2"))
-      val uni0 = docs.select(explode(TF.tokens($"text")).as("word"))
+      val uni0 = graft.operators.FanOut.widen(docs)
+        .select(explode(TF.tokens($"text")).as("word"))
         .groupBy($"word").agg(count(lit(1)).as("c1"))
       // the unigram guard bounds vocab bytes by corpus bytes (every
       // type occurs in the text) — but a DISTINCT BIGRAM stores both
