@@ -104,8 +104,10 @@ object CdcQ extends QueryPack {
         StructField("p_brand", StringType),
         StructField("p_size", IntegerType),
         StructField("p_retailprice", DoubleType)))
-      // fan out before the csv synth + parse (q18's rationale)
-      val lines = graft.operators.FanOut.widen(Tables.part(s, d))
+      // NOT fanned out (r17 measured): part is 20k rows — the csv
+      // roundtrip is too small for the exchange to pay for itself
+      // (0.35 s -> 0.46 s, reverted; q18/q19 keep theirs at 150k rows)
+      val lines = Tables.part(s, d)
         .select(concat_ws("|", $"p_partkey", $"p_name", $"p_brand", $"p_size", $"p_retailprice").as("line"))
         .unionAll(s.range(1).select(lit("# a comment line").as("line")))
         .unionAll(s.range(1).select(lit("not|a|valid|row|xx").as("line")))

@@ -31,11 +31,10 @@ object MiscQ extends QueryPack {
   def ensureZorder(s: SparkSession, d: String): String =
     graft.tools.SessionArtifacts.ensure(s, "zorder", d, s"$d/events.parquet") {
       (dir, files) => graft.operators.Layout.zorderWrite(
-        // fan out the one-row-group events scan: the z-value
-        // interleave kernel is per-row CPU work ahead of the range
-        // exchange (guide §2.5; no-op at production partition counts)
-        graft.operators.FanOut.widen(Tables.events(s, d)),
-        dir, Seq("user_id", "value"), files)
+        // not fanned out (r17): the z-interleave is bit arithmetic —
+        // too light ahead of the range exchange it feeds (0.82 ->
+        // 1.18 measured with the fan-out, reverted)
+        Tables.events(s, d), dir, Seq("user_id", "value"), files)
     }
 
   /** Bench-only: forget + delete the artifact so `q115_zorder_build`
@@ -61,8 +60,8 @@ object MiscQ extends QueryPack {
     graft.tools.SessionArtifacts.ensure(s, "manifest", d,
       s"$d/events.parquet", minFiles = 16) { (dir, files) =>
       graft.operators.Layout.clusteredWrite(
-        // fan out ahead of the range exchange (ensureZorder rationale)
-        graft.operators.FanOut.widen(Tables.events(s, d)), dir, Seq("value"), files)
+        // not fanned out (r17) — ensureZorder's rationale
+        Tables.events(s, d), dir, Seq("value"), files)
       graft.operators.Manifest.write(s, dir, Seq("value"), Some("event_id"))
     }
 

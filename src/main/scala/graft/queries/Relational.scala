@@ -43,11 +43,10 @@ object Relational extends QueryPack {
     // a forced hint blowing the 8 GB broadcast limit at 100 TB.
     "q02_join_dim" -> ((s, d) => {
       import s.implicits._
-      // fan out the fact scan: at this SF lineitem is one row group,
-      // so the whole probe side of the broadcast-join chain (and the
-      // partial agg above it) otherwise runs in ONE task (guide §2.5;
-      // no-op when the fact table plans >= parallelism splits)
-      val li = graft.operators.FanOut.widen(Tables.lineitem(s, d))
+      // NOT fanned out (r17 measured): the broadcast-probe work per
+      // lineitem row is a hash lookup — too light for the fan-out
+      // exchange to pay for itself (1.93 s -> 2.04 s, reverted)
+      val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
       val n = broadcast(Tables.nation(s, d))

@@ -30,12 +30,13 @@ object SimilarityQ extends QueryPack {
 
   private def emb(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // fanned out: every consumer runs per-row vector kernels (cosine,
-    // sign-bit LSH, cell assignment, SQ8/PQ encode) and the
-    // single-row-group embeddings file otherwise plans ONE scan task
-    // (guide §2.5; no-op at production partition counts)
-    graft.operators.FanOut.widen(Tables.embeddings(s, d)
-      .select($"vec_id", $"label", VectorFunctions.vec($"embedding").as("v")))
+    // NOT fanned out (r17 measured): the embeddings table is rows ×
+    // small-vector kernels — single-thread cost is tens of ms at any
+    // test SF, so FanOut.widen only added exchange + per-stage task
+    // overhead across 9 bench lines (+1.7 s net, reverted). At
+    // production scale the scan plans many splits by itself.
+    Tables.embeddings(s, d)
+      .select($"vec_id", $"label", VectorFunctions.vec($"embedding").as("v"))
   }
 
   /** Multi-table random-hyperplane LSH: 16 tables × `bits` sign bits

@@ -480,8 +480,9 @@ object TextQ extends QueryPack {
     // back, the same shape as Prefix's own P-row offset fold.
     "q117_token_budget" -> ((s, d) => {
       import s.implicits._
-      // fanned out: tokenCount + md5 per row, single-row-group scan
-      val docs = graft.operators.FanOut.widen(Tables.documents(s, d))
+      // not fanned out (r17): tokenCount + one md5 per DOC — too
+      // light to pay for the exchange (measured flat)
+      val docs = Tables.documents(s, d)
         .select($"doc_id", $"source", TF.tokenCount($"text").cast("long").as("n_tokens"))
         .withColumn("h", md5($"doc_id".cast("string")))
       val cum = graft.operators.Prefix.cumsum(docs,
@@ -509,7 +510,9 @@ object TextQ extends QueryPack {
 
     "q43_source_rebalance" -> ((s, d) => {
       import s.implicits._
-      val docs = graft.operators.FanOut.widen(Tables.documents(s, d))
+      // not fanned out (r17): tokenCount-only pass, too light to pay
+      // for the exchange (measured flat-to-worse)
+      val docs = Tables.documents(s, d)
         .select($"doc_id", $"source", TF.tokenCount($"text").as("n_tokens"))
       val perSource = docs.groupBy($"source").agg(sum($"n_tokens").as("tok"))
       val minTok = Tables.memoizedLong(s, s"$d#q43-minTok")(
@@ -536,7 +539,9 @@ object TextQ extends QueryPack {
     // semantics both engines.
     "q77_shard_pack" -> ((s, d) => {
       import s.implicits._
-      val docs = graft.operators.FanOut.widen(Tables.documents(s, d))
+      // not fanned out (r17): tokenCount + one md5 per DOC (not per
+      // token) — too light to pay for the exchange
+      val docs = Tables.documents(s, d)
         .select($"doc_id", TF.tokenCount($"text").cast("long").as("n_tokens"))
         .withColumn("h", md5($"doc_id".cast("string")))
       graft.operators.Prefix.cumsum(docs, ord = Seq($"h", $"doc_id"), value = $"n_tokens")
@@ -827,9 +832,10 @@ object TextQ extends QueryPack {
       val terms = Seq("spark", "window", "hash")
       val k = 20
       val docs = Tables.documents(s, d)
-      // fan out only the tokenize branch; the count(*) branch stays on
-      // the raw scan so parquet aggregate pushdown still serves it
-      val tf = graft.operators.FanOut.widen(docs)
+      // not fanned out (r17): the explode filters to 3 terms
+      // immediately — too light to pay for the exchange (0.53 -> 0.75
+      // measured, reverted)
+      val tf = docs
         .select($"doc_id", explode(TF.tokens($"text")).as("word"))
         .where($"word".isInCollection(terms))
         .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
