@@ -31,17 +31,22 @@ object DedupQ extends QueryPack {
   private def augmentedDocs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
-    // fanned out: every consumer (shingle/gram hashing, tokenize,
-    // md5 fingerprints) is per-row CPU work, and the single-row-group
-    // corpus file otherwise plans THREE scan tasks total (one per
-    // union branch) however many cores the session has (guide §2.5;
-    // no-op at production partition counts)
-    graft.operators.FanOut.widen(docs
+    // NOT fanned out (r18 REVERT of the r17 FanOut.widen here): the
+    // paired same-JVM A/B measured every consumer slower or flat with
+    // the fan-out — q24 0.44×, q25 0.67×, q26 0.66×, q44 0.71×,
+    // q48 0.83×, q52 0.84×, q54 1.03×, q56 0.94×, q27 1.03×
+    // (plans/r18, FanOutAB 5 pairs each). The widen exchange ships
+    // the full (doc_id, text) payload round-robin and pays the
+    // keyless-repartition local sort (guide §2.3/§2.5) while every
+    // downstream aggregate already parallelizes at its own semantic
+    // exchange with map-side partial aggregation — the fan-out adds
+    // bytes and a stage without removing any work.
+    docs
       .unionByName(docs.filter($"doc_id" % 7 === 0)
         .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
       .unionByName(docs.filter($"doc_id" % 5 === 0)
         .select(($"doc_id" + 2000000).as("doc_id"),
-          expr("substring(text, instr(text, ' ') + 1)").as("text"))))
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
   }
 
   /** Shared df-capped hashed shingle set (feeds counts, signatures,
@@ -328,7 +333,12 @@ object DedupQ extends QueryPack {
       import s.implicits._
       val docs = Tables.documents(s, d).select($"doc_id", $"text")
       // fan out only the corpus-side shingle hashing (per-row CPU on
-      // a one-row-group scan, guide §2.5); the benchmark side is tiny
+      // a one-row-group scan, guide §2.5); the benchmark side is tiny.
+      // KEPT on r18 A/B evidence: 1.37× (0.26 s with vs 0.35 s
+      // without, 5 interleaved pairs) — the downstream is a broadcast
+      // join + per-doc count, so the 13-gram hashing IS the query's
+      // only heavy stage and the widen exchange is the only way it
+      // parallelizes
       val corpus = Dedup.hashedShingleSets(
         graft.operators.FanOut.widen(docs), $"doc_id", $"text", 13)
       val bench = broadcast(
@@ -358,9 +368,10 @@ object DedupQ extends QueryPack {
       val bands = bits
       val emb = Tables.embeddings(s, d)
         .select($"vec_id", VectorFunctions.vec($"embedding").as("v"))
-      // fanned out: hyperplane sign-bit kernels are per-row CPU work
-      // on a one-row-group scan (guide §2.5)
-      val aug = graft.operators.FanOut.widen(Aug.embCopies(emb))
+      // NOT fanned out (r18 REVERT): A/B measured q28 at 0.68× with
+      // the fan-out (0.48 s off vs 0.70 s on) — 2.2k 64-dim vectors
+      // have too little per-row work to buy back the exchange
+      val aug = Aug.embCopies(emb)
       // sign bit per hyperplane (native codegen kernel), then banded
       // keys. The candidate join ships only (band, bkey, id) — the 64-d
       // vectors are attached AFTER pair dedup, so the wide arrays never

@@ -130,7 +130,7 @@ object MediaQ extends QueryPack {
     * derived asset, not a pixel copy); every 97th payload is garbage
     * bytes (the corrupt-media row every lake has — surfaces as
     * decoded = false and is routed out, never crashes the scan). */
-  private[queries] def synthCorpus(s: SparkSession, n: Long)
+  private[graft] def synthCorpus(s: SparkSession, n: Long)
       : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import s.implicits._
     s.range(n).mapPartitions { it =>

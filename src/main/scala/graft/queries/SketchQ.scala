@@ -39,10 +39,10 @@ object SketchQ extends QueryPack {
     // the oracle's ORDER BY/LIMIT twin.
     "q67_kmv_distinct" -> ((s, d) => {
       import s.implicits._
-      // fanned out: 13-gram shingle hashing is per-row CPU work on a
-      // single-row-group scan (guide §2.5; no-op at production counts)
-      val docs = graft.operators.FanOut.widen(
-        Tables.documents(s, d).select($"lang", $"text"))
+      // NOT fanned out (r18 REVERT): A/B measured 1.08× — under the
+      // ≥10% keep bar, and its twin q71 measured 0.83× (the KMV fold
+      // is a 5-group partial agg; the widen exchange ships full text)
+      val docs = Tables.documents(s, d).select($"lang", $"text")
       val sh = Dedup.hashedShingleSets(docs, $"lang", $"text", 13)
       val kmv = udaf(new KmvSketch(KmvK), Encoders.scalaLong)
       sh.groupBy($"id")
@@ -63,8 +63,12 @@ object SketchQ extends QueryPack {
     "q68_decontaminate_bloom" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      // fan out the corpus-side shingle hashing (q67's rationale);
-      // the final doc_id anti-join probe stays on the raw scan
+      // fan out the corpus-side shingle hashing — KEPT on r18 A/B
+      // evidence (1.23×: 0.61 s with vs 0.75 s without; the Bloom
+      // prefilter makes the post-widen pipeline long and per-row
+      // heavy, so the one exchange pays here where q67/q71's plain
+      // KMV folds did not); the final doc_id anti-join probe stays
+      // on the raw scan
       val corpus = Dedup.hashedShingleSets(
         graft.operators.FanOut.widen(docs.select($"doc_id", $"text")),
         $"doc_id", $"text", 13)
@@ -109,8 +113,9 @@ object SketchQ extends QueryPack {
     // S-row broadcast nested loop — S is a source catalog, not data.
     "q71_kmv_source_overlap" -> ((s, d) => {
       import s.implicits._
-      val docs = graft.operators.FanOut.widen(
-        Tables.documents(s, d).select($"source", $"text"))
+      // NOT fanned out (r18 REVERT): A/B measured 0.83× with the
+      // fan-out (0.54 s off vs 0.65 s on) — q67's rationale
+      val docs = Tables.documents(s, d).select($"source", $"text")
       val sh = Dedup.hashedShingleSets(docs, $"source", $"text", 13)
       val kmvA = udaf(new KmvArraySketch(KmvK), Encoders.scalaLong)
       val sk = sh.groupBy($"id").agg(kmvA($"sh").as("sk"))

@@ -41,10 +41,11 @@ object TextQ extends QueryPack {
   def ensureIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.tools.SessionArtifacts.ensure(s, "invidx", d, s"$d/documents.parquet") {
       (dir, files) =>
-        // fan out the corpus scan: the tokenize+explode feeding the
-        // postings range-write is per-row CPU work (guide §2.5)
-        graft.operators.InvertedIndex.build(
-          graft.operators.FanOut.widen(Tables.documents(s, d)), dir, files)
+        // NOT fanned out (r18 REVERT): A/B measured 0.87× with the
+        // fan-out (0.51 s off vs 0.59 s on) — the range exchange
+        // feeding the clustered write dominates and already
+        // parallelizes the explode's output
+        graft.operators.InvertedIndex.build(Tables.documents(s, d), dir, files)
     }
 
   /** Bench-only: forget + delete so `q118_index_build` reps pay the
@@ -60,8 +61,9 @@ object TextQ extends QueryPack {
   def ensureRankedIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.tools.SessionArtifacts.ensure(s, "rankidx", d, s"$d/documents.parquet") {
       (dir, files) =>
-        graft.operators.InvertedIndex.buildRanked(
-          graft.operators.FanOut.widen(Tables.documents(s, d)), dir, files)
+        // NOT fanned out (r18 REVERT): A/B 0.98× — a wash; the
+        // q118-build rationale
+        graft.operators.InvertedIndex.buildRanked(Tables.documents(s, d), dir, files)
     }
 
   /** Bench-only twin of [[invalidateIndex]] for the ranked index. */
@@ -93,8 +95,9 @@ object TextQ extends QueryPack {
   def ensureVersionedIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.tools.SessionArtifacts.ensure(s, "rankvidx", d, s"$d/documents.parquet") {
       (dir, files) =>
-        graft.operators.InvertedIndex.buildRankedVer(
-          graft.operators.FanOut.widen(versionedEvents(s, d)), dir, files)
+        // NOT fanned out (r18 REVERT): A/B 1.00× — a wash; the
+        // q118-build rationale
+        graft.operators.InvertedIndex.buildRankedVer(versionedEvents(s, d), dir, files)
     }
 
   /** Bench-only twin of [[invalidateIndex]] for the versioned ranked
@@ -156,7 +159,10 @@ object TextQ extends QueryPack {
   private def learnBpeMerges(s: org.apache.spark.sql.SparkSession,
       d: String): Array[(Int, String, String, Long)] = {
     import s.implicits._
-    val words0 = graft.operators.FanOut.widen(Tables.documents(s, d))
+    // NOT fanned out (r18 REVERT): A/B measured q60 at 0.84× with the
+    // fan-out (1.59 s off vs 1.89 s on) — the histogram's own
+    // partial-agg exchange already parallelizes the merge loop's input
+    val words0 = Tables.documents(s, d)
       .select(explode(TF.tokens($"text")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("wc"))
       .select(regexp_replace($"word", "(.)", " $1 ").as("sym"), $"wc")
@@ -307,7 +313,8 @@ object TextQ extends QueryPack {
       val sumLen = aggregate(transform(TF.tokens($"text"), w => length(w)), lit(0), (a, x) => a + x)
       // fan out the single-row-group corpus scan: langid + quality
       // scoring is per-row tokenize work (guide §2.5; no-op at
-      // production partition counts)
+      // production partition counts). KEPT on r18 A/B evidence:
+      // 1.24× (0.75 s with vs 0.94 s without, 5 interleaved pairs)
       val scored = graft.operators.FanOut.widen(Tables.documents(s, d))
         .select($"doc_id", $"lang", $"source", $"n_chars", $"text",
           TF.langId($"text", markers).as("pred_lang"),
@@ -555,9 +562,11 @@ object TextQ extends QueryPack {
     // tf → max ratio; one scan + one (doc, word) partial-agg shuffle.
     "q45_repetition_filter" -> ((s, d) => {
       import s.implicits._
-      // fanned out: tokenize + explode is the cost, single-row-group
-      // scan otherwise single-threads it (guide §2.5)
-      val tf = graft.operators.FanOut.widen(Tables.documents(s, d))
+      // NOT fanned out (r18 REVERT): A/B measured q45 at 0.81× with
+      // the fan-out (0.53 s off vs 0.65 s on) — the (doc, word)
+      // partial agg parallelizes at its own exchange; the widen
+      // shuffle ships full text to save tokenize work it can't beat
+      val tf = Tables.documents(s, d)
         .select($"doc_id", explode(TF.tokens($"text")).as("word"))
         .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
         .groupBy($"doc_id").agg(max($"tf").as("max_tf"), sum($"tf").as("n_tokens"))
@@ -680,10 +689,11 @@ object TextQ extends QueryPack {
     // a scalar broadcast. Never a self-join, never a sort.
     "q55_logfreq_quality" -> ((s, d) => {
       import s.implicits._
-      // fanned out: the exploded token stream feeds two aggregates
-      // and the scoring join — the tokenize+explode must not
-      // single-thread on the one-row-group scan (guide §2.5)
-      val tf = graft.operators.FanOut.widen(Tables.documents(s, d))
+      // NOT fanned out (r18 REVERT): A/B measured q55 at 0.72× with
+      // the fan-out (1.09 s off vs 1.51 s on) — q45's rationale, paid
+      // twice here because the cached per-doc table reads the widened
+      // stream in two consumers
+      val tf = Tables.documents(s, d)
         .select($"doc_id", explode(TF.tokens($"text")).as("word"))
       val freq0 = tf.groupBy($"word").agg(count(lit(1)).as("f"))
       // GUARDED broadcast: the vocab is normally MBs at any corpus
@@ -873,10 +883,11 @@ object TextQ extends QueryPack {
     "q58_bigram_lm" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      // fan out the tokenize/explode branches (pair stream + unigram
-      // vocab); the final doc_id left-join probe stays on the raw scan
+      // NOT fanned out (r18 REVERT): A/B measured q58 at 0.89× with
+      // the fan-out (1.55 s off vs 1.74 s on) — both token streams
+      // parallelize at their own partial-agg exchanges
       val pairs = graft.CachePool.cache(
-        graft.operators.FanOut.widen(docs).select($"doc_id", TF.tokens($"text").as("words"))
+        docs.select($"doc_id", TF.tokens($"text").as("words"))
           .where(size($"words") >= 2)
           .select($"doc_id", explode(transform(
             sequence(lit(1), size($"words") - 1),
