@@ -61,6 +61,51 @@ object VecKernels {
   private lazy val planes: Array[Array[Double]] =
     Array.tabulate(MaxPlanes, 64)(plane)
 
+  /** float/int/long/double array → double array — the `vec()` cast
+    * without the interpreted per-element `transform` lambda. Null
+    * elements stay null (the HOF cast's behavior). `from` is the
+    * source element type tag: 0=double (copy), 1=float, 2=int,
+    * 3=long. Cast semantics identical to the SQL cast (widening,
+    * exact for float/int; long→double rounds like the cast). */
+  def toDoubleArray(a: ArrayData, from: Int): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) out(i) = from match {
+        case 0 => a.getDouble(i)
+        case 1 => a.getFloat(i).toDouble
+        case 2 => a.getInt(i).toDouble
+        case 3 => a.getLong(i).toDouble
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[graft.operators.IvfIndex.quantize]]'s arithmetic as one native
+    * kernel: safe = ‖v‖ (or 1 for the zero vector), out_i =
+    * floor(v_i/safe·1000 + 0.5). Bitwise identical to the HOF form it
+    * replaces — the norm is the SAME [[dot]] fold + sqrt the
+    * expression tree used, floor(double)→long→double round-trips
+    * exactly for the ±1000-bounded outputs — but evaluated ONCE per
+    * row instead of once per ELEMENT (the lambda inlined the norm
+    * subtree, so the old form paid 64 norm folds per row, interpreted).
+    * Null elements stay null (the lambda's behavior). */
+  def quantizeMil(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val nrm = math.sqrt(dot(v, v))
+    val safe = if (nrm == 0.0) 1.0 else nrm
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i))
+        out(i) = math.floor(v.getDouble(i) / safe * 1000.0 + 0.5)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sign bits of the first `numPlanes` hyperplane projections, in the
     * same per-plane sequential fold order as the HOF/oracle form. */
   def signBits(v: ArrayData, numPlanes: Int): ArrayData = {
@@ -77,6 +122,71 @@ object VecKernels {
     }
     new GenericArrayData(out)
   }
+}
+
+/** array<float|int|long|double> → array<double> (the `vec()` cast),
+  * codegen'd — replaces the interpreted per-element `transform(a,
+  * cast)` lambda that every embedding scan evaluated (and that
+  * Catalyst then DUPLICATED into pushed-down null filters and nested
+  * lambdas: the r18 q59/q70 plans show the full transform chain
+  * inlined 3+ times per scan row). */
+case class ToDoubleArray(child: Expression) extends UnaryExpression {
+  private def fromTag: Int = child.dataType match {
+    case ArrayType(DoubleType, _) => 0
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(IntegerType, _) => 2
+    case ArrayType(LongType, _) => 3
+    case t => throw new IllegalArgumentException(
+      s"graft_to_double_array: unsupported input $t")
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | FloatType | IntegerType | LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_to_double_array needs array<float|int|long|double>, got $t")
+    }
+  override def dataType: DataType = ArrayType(DoubleType,
+    child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_to_double_array"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.toDoubleArray(v.asInstanceOf[ArrayData], fromTag)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VecKernels.toDoubleArray($v, $fromTag)")
+
+  override protected def withNewChildInternal(newChild: Expression): ToDoubleArray =
+    copy(child = newChild)
+}
+
+/** IVF exact-integer quantization floor(v_i/‖v‖·1000 + 0.5) as ONE
+  * codegen'd kernel — the HOF form inlined the norm subtree inside
+  * the per-element lambda (64 interpreted norm folds per row, twice
+  * per row once Catalyst's inferred isnotnull filter duplicated the
+  * expression). Arithmetic bitwise identical ([[VecKernels.quantizeMil]]). */
+case class QuantizeMil(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_quantize_mil needs array<double>, got $t")
+    }
+  override def dataType: DataType = ArrayType(DoubleType,
+    child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_quantize_mil"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.quantizeMil(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VecKernels.quantizeMil($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeMil =
+    copy(child = newChild)
 }
 
 /** Int8 scalar quantization (the FAISS "SQ8" codec) — the at-rest
@@ -322,4 +432,10 @@ object VectorExpressions {
 
   def probeCells(v: Column, cent: Array[Array[Double]], csq: Array[Double], nprobe: Int): Column =
     ColumnBridge.column(ProbeCells(ColumnBridge.expression(v), cent, csq, nprobe))
+
+  def toDoubleArray(a: Column): Column =
+    ColumnBridge.column(ToDoubleArray(ColumnBridge.expression(a)))
+
+  def quantizeMil(v: Column): Column =
+    ColumnBridge.column(QuantizeMil(ColumnBridge.expression(v)))
 }

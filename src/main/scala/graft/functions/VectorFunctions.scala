@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
 
   /** Cast array<float> → array<double> (exact). */
-  def vec(a: Column): Column = transform(a, x => x.cast("double"))
+  /** array<float|int|long|double> → array<double> via the native
+    * codegen'd kernel (r18): the HOF `transform(a, cast)` form it
+    * replaces is interpreted per element AND was duplicated wholesale
+    * into inferred null filters and downstream lambdas (q59/q70
+    * before-plans). Same cast semantics, null elements preserved. */
+  def vec(a: Column): Column = VectorExpressions.toDoubleArray(a)
 
   /** Sequential-fold dot product (native codegen'd kernel; same fold
     * order as `aggregate(zip_with(a,b,*), 0.0, +)` — see

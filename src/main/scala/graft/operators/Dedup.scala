@@ -307,11 +307,19 @@ object Dedup {
     // pipeline), not the doubled edge view — the union just reads the
     // cached pairs twice per use
     val pairsP = pairs.select(col("id_a"), col("id_b")).persist()
-    // size-adaptive: the count doubles as the materialization of the
-    // persisted pair set (the first action was paying it anyway)
-    val nEdges = pairsP.count()
-    if (nEdges <= driverMaxEdges) {
-      val edges = pairsP.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // size-adaptive in ONE action (r18): limit(max+1).collect() both
+    // decides the path and, when small, already delivers the edges —
+    // the count-then-collect pair it replaces cost one extra
+    // scheduling round per CC call (the q41 build and each media keep
+    // tail, ProfileMedia evidence). Exactly max+1 rows returned means
+    // "big": discard the probe (it materialized only part of the
+    // cache; the distributed path's first action finishes it) and run
+    // the distributed rounds. On the big path CollectLimit's
+    // incremental partition scan stops as soon as max+1 rows surface
+    // — bounded at ~16 MB of driver traffic at any corpus size.
+    val probe = pairsP.limit(driverMaxEdges.toInt + 1).collect()
+    if (probe.length <= driverMaxEdges) {
+      val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
       pairsP.unpersist(blocking = false)
       return driverCc(spark, edges)
     }

@@ -43,14 +43,20 @@ object IvfIndex {
 
   /** Normalized-and-quantized copy of a double-array embedding:
     * exact-integer doubles in [-1000, 1000]. Zero-norm vectors (failed
-    * embeddings) divide by 1 instead of 0 — all-zero stays all-zero. */
-  def quantize(v: Column): Column = {
-    val nrm = VectorFunctions.norm(v)
-    val safe = when(nrm === 0.0, lit(1.0)).otherwise(nrm)
-    // Spark's floor returns LONG; cast back so the array stays DOUBLE
-    // (exact integer values), matching DuckDB's double-valued floor
-    transform(v, x => floor(x / safe * lit(1000.0) + lit(0.5)).cast("double"))
-  }
+    * embeddings) divide by 1 instead of 0 — all-zero stays all-zero.
+    *
+    * Native codegen'd kernel (r18,
+    * [[graft.functions.VecKernels.quantizeMil]]): the HOF
+    * `transform(v, x -> floor(x/safe·1000 + 0.5))` it replaces
+    * inlined the norm subtree INSIDE the per-element lambda — 64
+    * interpreted norm folds per row, and Catalyst's inferred
+    * isnotnull filters duplicated the whole chain again (q59/q70
+    * before-plans). Arithmetic is bitwise identical: same
+    * [[graft.functions.VecKernels.dot]] fold + sqrt, and
+    * floor(double)→long→double round-trips exactly on the ±1000
+    * range, so the DuckDB `vq` replay is unchanged. */
+  def quantize(v: Column): Column =
+    graft.functions.VectorExpressions.quantizeMil(v)
 
   /** Trained model: dense by cell id; `cent(j) == null` marks a cell
     * whose residue class had no seed vector (never probed/assigned). */
