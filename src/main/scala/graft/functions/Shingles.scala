@@ -147,6 +147,87 @@ object SimHash60 {
     ColumnBridge.column(SimHash60(ColumnBridge.expression(text)))
 }
 
+/** tokenize(text) → array<string>, codegen'd — replaces the
+  * interpreted `filter(split(text, " "), w -> w <> "")` HOF pair that
+  * sat in EVERY text query's hot path (the ArrayFilter lambda is
+  * evaluated per element, outside whole-stage codegen). Identical
+  * tokenization by construction: same [[TextKernelUtil.tokenize]] the
+  * parity-verified shingle/simhash kernels use. Element nullability
+  * kept at the HOF form's containsNull=true so downstream schemas are
+  * unchanged. */
+object TokensKernel {
+  def tokens(text: UTF8String): ArrayData = {
+    val (words0, m) = TextKernelUtil.tokenize(text)
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) { out(i) = UTF8String.fromString(words0(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** |{tokens(text)} ∩ set| with multiplicity — identical to
+    * `size(filter(tokens(text), w -> w IN set))`. */
+  def tokensInCount(text: UTF8String, set: java.util.HashSet[String]): Int = {
+    val (words0, m) = TextKernelUtil.tokenize(text)
+    var c = 0
+    var i = 0
+    while (i < m) { if (set.contains(words0(i))) c += 1; i += 1 }
+    c
+  }
+}
+
+/** tokens(text) → array<string>, codegen'd. */
+case class Tokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_tokens"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TokensKernel.tokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.TokensKernel.tokens($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Tokens =
+    copy(child = newChild)
+}
+
+object Tokens {
+  def tokens(text: Column): Column =
+    ColumnBridge.column(Tokens(ColumnBridge.expression(text)))
+}
+
+/** tokens_in_count(text, set) → int, codegen'd — one tokenize pass
+  * per (row, set) instead of tokenize → ArrayFilter(IN) → size, all
+  * interpreted (q42's quality score and the langId argmax evaluate
+  * this once per marker language per row). */
+case class TokensInCount(child: Expression, words: Seq[String]) extends UnaryExpression {
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.size * 2)
+    words.foreach(s.add)
+    s
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_tokens_in_count"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TokensKernel.tokensInCount(v.asInstanceOf[UTF8String], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("graftTokenSet", set, "java.util.HashSet<String>")
+    defineCodeGen(ctx, ev, v => s"graft.functions.TokensKernel.tokensInCount($v, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokensInCount =
+    copy(child = newChild)
+}
+
+object TokensInCount {
+  def tokensInCount(text: Column, words: Seq[String]): Column =
+    ColumnBridge.column(TokensInCount(ColumnBridge.expression(text), words))
+}
+
 /** Word n-gram strings in one codegen'd pass — the non-hashed,
   * occurrence-preserving sibling of [[ShingleKernel.keys]] (frequency
   * tables need the text and the multiplicity; dedup needs neither).

@@ -11,14 +11,26 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace tokens, empties dropped. */
+  /** split-on-space + drop-empties via the native codegen'd kernel
+    * (r18, [[Tokens]]): the HOF `filter(split(text, " "), ...)` form
+    * it replaces evaluated its lambda interpreted per TOKEN in every
+    * text query's hot path. Identical values (same
+    * [[TextKernelUtil.tokenize]] as the parity-verified shingle
+    * kernels). */
   def tokens(text: Column): Column =
-    filter(split(text, " "), w => w =!= "")
+    // measurement escape hatch (r18 A/B, the FanOut.widen pattern):
+    // -Dgraft.tokens=hof restores the HOF form so a paired same-JVM
+    // A/B can compare both implementations; values are identical
+    if (sys.props.get("graft.tokens").contains("hof"))
+      filter(split(text, " "), w => w =!= "")
+    else Tokens.tokens(text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** How many tokens fall in `set`. */
+  /** How many tokens fall in `set` (native codegen'd count — one
+    * tokenize pass, no interpreted ArrayFilter; r18). */
   def tokensIn(text: Column, set: Seq[String]): Column =
-    size(filter(tokens(text), w => w.isInCollection(set)))
+    TokensInCount.tokensInCount(text, set)
 
   /** BPE-ish subword count: letter runs, digit runs, single symbols. */
   def bpeishCount(text: Column): Column =
