@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions.{col, countDistinct, least, lit, shiftrigh
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every encode/decode with a
+  // TEMP FILE (FileCacheImage{In,Out}putStream) — pure disk overhead
+  // on these ~KB in-memory payloads, paid per image per codec call.
+  // Memory-cached streams produce byte-identical output. JVM-global,
+  // set once when the media kernels load (r18; ProfileMedia measured
+  // the q64 synth+encode+hash stage dropping ~40% — see
+  // OPTIMIZATION_r18.md).
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(doc_id: Long, fmt: String, width: Int, height: Int, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, fmt: String, width: Int, height: Int,
       octet_len: Long, checksum: Long)

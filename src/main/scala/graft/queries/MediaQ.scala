@@ -37,6 +37,11 @@ import graft.sources.Tables
   */
 object MediaQ extends QueryPack {
 
+  // memory-cached ImageIO streams (see Multimodal's initializer; set
+  // here too so the synth side never races the operator object's load
+  // on a fresh executor classloader)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Spark↔DuckDB handoff tables — keyed PER SESSION so concurrent
     * drivers on one host (bench + verify, parallel CI) can't clobber
     * each other's fingerprint tables mid-oracle-read. The key is the
