@@ -265,7 +265,11 @@ object TextQ extends QueryPack {
     "q33_quality_score" -> ((s, d) => {
       import s.implicits._
       val nt = TF.tokenCount($"text")
-      val sumLen = aggregate(transform(TF.tokens($"text"), w => length(w)), lit(0), (a, x) => a + x)
+      // Σ token lengths == count of non-space chars (every char is a
+      // space or part of exactly one token) — one codegen'd builtin
+      // instead of the interpreted aggregate(transform(tokens)) fold
+      // (r18; same INT type and value, oracle unchanged)
+      val sumLen = length(translate($"text", " ", ""))
       Tables.documents(s, d)
         .select(
           $"doc_id",
@@ -310,7 +314,11 @@ object TextQ extends QueryPack {
     "q42_clean_corpus" -> ((s, d) => {
       import s.implicits._
       val nt = TF.tokenCount($"text")
-      val sumLen = aggregate(transform(TF.tokens($"text"), w => length(w)), lit(0), (a, x) => a + x)
+      // Σ token lengths == count of non-space chars (every char is a
+      // space or part of exactly one token) — one codegen'd builtin
+      // instead of the interpreted aggregate(transform(tokens)) fold
+      // (r18; same INT type and value, oracle unchanged)
+      val sumLen = length(translate($"text", " ", ""))
       // fan out the single-row-group corpus scan: langid + quality
       // scoring is per-row tokenize work (guide §2.5; no-op at
       // production partition counts). KEPT on r18 A/B evidence:
