@@ -173,6 +173,22 @@ object TokensKernel {
     while (i < m) { if (set.contains(words0(i))) c += 1; i += 1 }
     c
   }
+
+  /** Membership count over an ALREADY-tokenized array — so N
+    * counting sites (langId's per-language scores) share ONE
+    * [[Tokens]] evaluation via codegen subexpression elimination
+    * instead of re-tokenizing per site (the r18 mid-sweep caught
+    * q32/q33/q42 paying L tokenize passes per row). */
+  def countIn(arr: ArrayData, set: java.util.HashSet[String]): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i).toString)) c += 1
+      i += 1
+    }
+    c
+  }
 }
 
 /** tokens(text) → array<string>, codegen'd. */
@@ -226,6 +242,37 @@ case class TokensInCount(child: Expression, words: Seq[String]) extends UnaryExp
 object TokensInCount {
   def tokensInCount(text: Column, words: Seq[String]): Column =
     ColumnBridge.column(TokensInCount(ColumnBridge.expression(text), words))
+}
+
+/** count_in(arr, set) → int over an already-tokenized array<string>,
+  * codegen'd — the sharing-friendly sibling of [[TokensInCount]]: N
+  * sites over the SAME [[Tokens]] subtree tokenize once per row
+  * (codegen subexpression elimination), not N times. */
+case class CountIn(child: Expression, words: Seq[String]) extends UnaryExpression {
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.size * 2)
+    words.foreach(s.add)
+    s
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_count_in"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TokensKernel.countIn(v.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("graftCountInSet", set, "java.util.HashSet<String>")
+    defineCodeGen(ctx, ev, v => s"graft.functions.TokensKernel.countIn($v, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountIn =
+    copy(child = newChild)
+}
+
+object CountIn {
+  def countIn(arr: Column, words: Seq[String]): Column =
+    ColumnBridge.column(CountIn(ColumnBridge.expression(arr), words))
 }
 
 /** Word n-gram strings in one codegen'd pass — the non-hashed,

@@ -27,10 +27,18 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** How many tokens fall in `set` (native codegen'd count — one
-    * tokenize pass, no interpreted ArrayFilter; r18). */
+  /** How many tokens fall in `set` — a native count over the shared
+    * [[tokens]] subtree (r18): N tokensIn sites in one projection
+    * (langId scores one per language) tokenize ONCE per row via
+    * codegen subexpression elimination. The first r18 cut
+    * (TokensInCount straight over the text) re-tokenized per site and
+    * REGRESSED q32/q33/q42 in the mid-round sweep — this form restores
+    * the sharing the HOF form got from CSE, minus its interpreted
+    * ArrayFilter. */
   def tokensIn(text: Column, set: Seq[String]): Column =
-    TokensInCount.tokensInCount(text, set)
+    if (sys.props.get("graft.tokens").contains("hof"))
+      size(filter(tokens(text), w => w.isInCollection(set)))
+    else CountIn.countIn(tokens(text), set)
 
   /** BPE-ish subword count: letter runs, digit runs, single symbols. */
   def bpeishCount(text: Column): Column =
