@@ -69,18 +69,38 @@ object VecKernels {
     * exact for float/int; long→double rounds like the cast). */
   def toDoubleArray(a: ArrayData, from: Int): ArrayData = {
     val n = a.numElements()
-    val out = new Array[Any](n)
+    var hasNull = false
     var i = 0
-    while (i < n) {
-      if (!a.isNullAt(i)) out(i) = from match {
-        case 0 => a.getDouble(i)
-        case 1 => a.getFloat(i).toDouble
-        case 2 => a.getInt(i).toDouble
-        case 3 => a.getLong(i).toDouble
+    while (i < n && !hasNull) { hasNull = a.isNullAt(i); i += 1 }
+    if (!hasNull) {
+      // fast path (every real embedding row): primitive array, no
+      // per-element boxing
+      val out = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        out(j) = from match {
+          case 0 => a.getDouble(j)
+          case 1 => a.getFloat(j).toDouble
+          case 2 => a.getInt(j).toDouble
+          case 3 => a.getLong(j).toDouble
+        }
+        j += 1
       }
-      i += 1
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        if (!a.isNullAt(j)) out(j) = from match {
+          case 0 => a.getDouble(j)
+          case 1 => a.getFloat(j).toDouble
+          case 2 => a.getInt(j).toDouble
+          case 3 => a.getLong(j).toDouble
+        }
+        j += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
   }
 
   /** [[graft.operators.IvfIndex.quantize]]'s arithmetic as one native

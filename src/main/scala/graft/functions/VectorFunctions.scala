@@ -20,7 +20,11 @@ object VectorFunctions {
     * replaces is interpreted per element AND was duplicated wholesale
     * into inferred null filters and downstream lambdas (q59/q70
     * before-plans). Same cast semantics, null elements preserved. */
-  def vec(a: Column): Column = VectorExpressions.toDoubleArray(a)
+  def vec(a: Column): Column =
+    // measurement escape hatch (r18 A/B): -Dgraft.vec=hof restores
+    // the HOF cast form; values identical
+    if (sys.props.get("graft.vec").contains("hof")) transform(a, x => x.cast("double"))
+    else VectorExpressions.toDoubleArray(a)
 
   /** Sequential-fold dot product (native codegen'd kernel; same fold
     * order as `aggregate(zip_with(a,b,*), 0.0, +)` — see

@@ -56,7 +56,13 @@ object IvfIndex {
     * floor(double)→long→double round-trips exactly on the ±1000
     * range, so the DuckDB `vq` replay is unchanged. */
   def quantize(v: Column): Column =
-    graft.functions.VectorExpressions.quantizeMil(v)
+    // same -Dgraft.vec=hof escape hatch as VectorFunctions.vec, so a
+    // paired A/B toggles the whole r18 vector-kernel batch at once
+    if (sys.props.get("graft.vec").contains("hof")) {
+      val nrm = VectorFunctions.norm(v)
+      val safe = when(nrm === 0.0, lit(1.0)).otherwise(nrm)
+      transform(v, x => floor(x / safe * lit(1000.0) + lit(0.5)).cast("double"))
+    } else graft.functions.VectorExpressions.quantizeMil(v)
 
   /** Trained model: dense by cell id; `cent(j) == null` marks a cell
     * whose residue class had no seed vector (never probed/assigned). */

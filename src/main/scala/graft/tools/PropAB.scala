@@ -26,8 +26,15 @@ object PropAB {
       shufflePartitions = cpus)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Unit = {
-      SparkEntry.queries(name)(spark, d).queryExecution.toRdd.count(); ()
+    def runOnce(name: String): Unit = name match {
+      case "q38_train" =>
+        graft.operators.IvfIndex.clearMemo("#ivf|")
+        graft.queries.SimilarityQ.ivfModel(spark, d); ()
+      case "q53_train" =>
+        graft.operators.IvfIndex.clearMemo("#semdedup|")
+        graft.queries.SimilarityQ.semdedupModel(spark, d); ()
+      case _ =>
+        SparkEntry.queries(name)(spark, d).queryExecution.toRdd.count(); ()
     }
 
     for (name <- names) {
